@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface exercised through the host Spark engine.
+  *
+  * The reference (`/root/reference/src/pyspark_datasource/excel/connector.py`)
+  * implements a connector only and delegates every relational operator to
+  * Spark (SURVEY.md §2.2). These queries pin down that delegated capability
+  * surface — one query per operator family — and each has an ANSI-SQL oracle
+  * (DuckDB) in [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism / oracle-parity conventions:
+  *   - money/qty aggregates go through `DECIMAL(18,2)` so the sum is exact
+  *     and engine-order-independent, then cast back to `DOUBLE` at the end
+  *     (exact decimal → nearest-double is deterministic IEEE in both engines);
+  *   - every query ends in an ORDER BY on a unique key;
+  *   - integer-ish derived columns are cast to BIGINT to match DuckDB's
+  *     wider default types (`year()`, `length()`, `row_number()` …).
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact-decimal view of a money/quantity column. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan + filter + hash agg (partial +
+    * final, map-side combine) over the biggest table. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        asDouble(sum(dec($"l_quantity"))).as("sum_qty"),
+        asDouble(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Row-level filter + projection; filter and column pruning reach the
+    * parquet scan (PushedFilters / ReadSchema). */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1995-03-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1995-06-01").cast("timestamp") &&
+        $"l_quantity" > 45.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+      |  AND l_quantity > 45.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** Three-way shuffle join (customer ⋈ orders ⋈ lineitem) + agg. */
+  def q03JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    cust
+      .join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+          .as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q03Sql: String =
+    """SELECT c_mktsegment,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Broadcast join: `part` is a small dim — explicitly broadcast so no
+    * shuffle of the fact side is needed. */
+  def q04BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(
+        asDouble(sum(dec($"l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
+  val q04Sql: String =
+    """SELECT p_brand,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-flavoured five-way join through the region→nation→customer
+    * star, revenue per (region, nation). Small dims broadcast. */
+  def q05NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+        .as("revenue"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q05Sql: String =
+    """SELECT r_name, n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6: tight scalar aggregate, everything pushed to the scan. */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.04 && $"l_discount" <= 0.06 &&
+        $"l_quantity" < 24.0)
+      .agg(asDouble(sum(dec($"l_extendedprice") * dec($"l_discount")))
+        .as("revenue"))
+  }
+
+  val q06Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.04 AND l_discount <= 0.06
+      |  AND l_quantity < 24.0""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Left-semi join (EXISTS): customers having a big order, per nation. */
+  def q07SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = t(spark, dir, "orders").filter($"o_totalprice" > 150000.0)
+    t(spark, dir, "customer")
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q07Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Left-anti join (NOT EXISTS): customers with no urgent order. */
+  def q08AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = t(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+    t(spark, dir, "customer")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  val q08Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Window: top-3 orders per customer by row_number. */
+  def q09WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q09Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) sub
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Window: running total (frame ROWS UNBOUNDED PRECEDING..CURRENT). */
+  def q10WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        asDouble(sum(dec($"o_totalprice")).over(w)).as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Global sort + limit (top-k): Spark plans TakeOrderedAndProject —
+    * no full sort shuffle of the table. */
+  def q11SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .limit(100)
+  }
+
+  val q11Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Set op EXCEPT: nations with a rich customer but no rich supplier. */
+  def q12Except(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer").filter($"c_acctbal" > 8000.0)
+      .select($"c_nationkey".as("nationkey")).distinct()
+      .except(
+        t(spark, dir, "supplier").filter($"s_acctbal" > 8000.0)
+          .select($"s_nationkey".as("nationkey")).distinct())
+      .orderBy($"nationkey")
+  }
+
+  val q12Sql: String =
+    """SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000.0
+      |EXCEPT
+      |SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000.0
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Set op INTERSECT: nations present on both sides. */
+  def q13Intersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer").select($"c_nationkey".as("nationkey")).distinct()
+      .intersect(
+        t(spark, dir, "supplier").select($"s_nationkey".as("nationkey")).distinct())
+      .orderBy($"nationkey")
+  }
+
+  val q13Sql: String =
+    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** ROLLUP grouping sets with NULLS FIRST ordering on the super-rows. */
+  def q14Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"l_quantity"))).as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q14Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Multiple DISTINCT aggregates in one pass (Expand-based plan). */
+  def q15DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q15Sql: String =
+    """SELECT l_returnflag,
+      | COUNT(DISTINCT l_partkey) AS n_parts,
+      | COUNT(DISTINCT l_suppkey) AS n_supps,
+      | COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Scalar function library: string + datetime functions, codegen'd. */
+  def q16ScalarFns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        upper($"o_orderpriority").as("pri_upper"),
+        substring($"o_orderpriority", 1, 1).as("pri_code"),
+        length($"o_orderpriority").cast("bigint").as("pri_len"),
+        year($"o_orderdate").cast("bigint").as("yr"),
+        month($"o_orderdate").cast("bigint").as("mo"),
+        concat_ws("-", $"o_orderstatus", $"o_orderpriority").as("tag"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q16Sql: String =
+    """SELECT o_orderkey,
+      | UPPER(o_orderpriority) AS pri_upper,
+      | SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+      | CAST(LENGTH(o_orderpriority) AS BIGINT) AS pri_len,
+      | CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+      | CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+      | CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Conditional aggregation (TPC-H Q14 promo-revenue flavour). */
+  def q17CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .agg(
+        asDouble(sum(
+          when($"p_type".startsWith("PROMO"),
+            dec($"l_extendedprice") * dec(lit(1) - $"l_discount"))))
+          .as("promo_revenue"),
+        asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+          .as("total_revenue"))
+  }
+
+  val q17Sql: String =
+    """SELECT
+      | CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+      |   END) AS DOUBLE) AS promo_revenue,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Event-time bucketing: the batch shape of a streaming windowed agg.
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader refuses; read it as nanos-long and convert to micros. */
+  def q18EventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      .groupBy($"event_type", date_trunc("hour", $"ts_us").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"value"))).as("sum_value"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  val q18Sql: String =
+    """SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
+      |ORDER BY event_type, hour""".stripMargin
+
+  /** name → (query fn, oracle SQL) for everything in this object. */
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
+    "q02_filter_project" -> (q02FilterProject _, q02Sql),
+    "q03_join_agg" -> (q03JoinAgg _, q03Sql),
+    "q04_broadcast_join" -> (q04BroadcastJoin _, q04Sql),
+    "q05_nation_revenue" -> (q05NationRevenue _, q05Sql),
+    "q06_forecast_revenue" -> (q06ForecastRevenue _, q06Sql),
+    "q07_semi_join" -> (q07SemiJoin _, q07Sql),
+    "q08_anti_join" -> (q08AntiJoin _, q08Sql),
+    "q09_window_topk" -> (q09WindowTopK _, q09Sql),
+    "q10_window_running" -> (q10WindowRunning _, q10Sql),
+    "q11_sort_limit" -> (q11SortLimit _, q11Sql),
+    "q12_except" -> (q12Except _, q12Sql),
+    "q13_intersect" -> (q13Intersect _, q13Sql),
+    "q14_rollup" -> (q14Rollup _, q14Sql),
+    "q15_distinct_agg" -> (q15DistinctAgg _, q15Sql),
+    "q16_scalar_fns" -> (q16ScalarFns _, q16Sql),
+    "q17_case_agg" -> (q17CaseAgg _, q17Sql),
+    "q18_events_hourly" -> (q18EventsHourly _, q18Sql),
+  )
+}
