@@ -1,0 +1,174 @@
+package graft.sources.excel
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.time.{LocalDate, LocalDateTime}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Streaming single-sheet `.xlsx` writer on JDK built-ins (constant memory —
+  * the reference's writer materializes the whole partition in a pandas
+  * DataFrame first, `/root/reference/src/pyspark_datasource/excel/
+  * connector.py:313-319`; we stream row by row instead).
+  *
+  * Strings are written inline (`t="inlineStr"`) rather than via a shared
+  * string table so a single pass suffices. Dates/timestamps are written as
+  * Excel serial numbers with a date or datetime number format; booleans as
+  * `t="b"`; numbers bare; nulls as absent (sparse) cells.
+  *
+  * Accepted cell types: String, java.lang.Boolean, numbers (Byte…Double),
+  * LocalDate / LocalDateTime, java.sql.Date / java.sql.Timestamp, null.
+  */
+final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
+
+  private val zip = new ZipOutputStream(new BufferedOutputStream(out))
+  private val sheet = new java.lang.StringBuilder(1 << 16)
+  private var rowNum = 0
+  private var closed = false
+
+  writeStaticParts()
+  startSheetStream()
+
+  /** Append one row; values per the accepted cell types above. */
+  def writeRow(values: Iterable[Any]): Unit = {
+    rowNum += 1
+    sheet.append("<row r=\"").append(rowNum).append("\">")
+    var col = 0
+    values.foreach { v =>
+      val ref = XlsxReader.colName(col) + rowNum
+      v match {
+        case null => () // sparse
+        case s: String =>
+          sheet.append("<c r=\"").append(ref).append("\" t=\"inlineStr\"><is><t xml:space=\"preserve\">")
+            .append(escapeXml(s)).append("</t></is></c>")
+        case b: java.lang.Boolean =>
+          sheet.append("<c r=\"").append(ref).append("\" t=\"b\"><v>")
+            .append(if (b) "1" else "0").append("</v></c>")
+        case d: LocalDate =>
+          numCell(ref, ExcelSerialDate.fromDate(d), style = 1)
+        case dt: LocalDateTime =>
+          numCell(ref, ExcelSerialDate.fromDateTime(dt), style = 2)
+        case d: java.sql.Date =>
+          numCell(ref, ExcelSerialDate.fromDate(d.toLocalDate), style = 1)
+        case ts: java.sql.Timestamp =>
+          numCell(ref, ExcelSerialDate.fromDateTime(ts.toLocalDateTime), style = 2)
+        case n: java.lang.Number =>
+          numCell(ref, n.doubleValue(), style = 0, raw = formatNumber(n))
+        case other =>
+          sheet.append("<c r=\"").append(ref).append("\" t=\"inlineStr\"><is><t xml:space=\"preserve\">")
+            .append(escapeXml(other.toString)).append("</t></is></c>")
+      }
+      col += 1
+    }
+    sheet.append("</row>")
+    if (sheet.length > (1 << 16)) flushSheet()
+  }
+
+  private def numCell(ref: String, serial: Double, style: Int,
+      raw: String = null): Unit = {
+    sheet.append("<c r=\"").append(ref).append('"')
+    if (style > 0) sheet.append(" s=\"").append(style).append('"')
+    sheet.append("><v>")
+      .append(if (raw != null) raw else formatNumber(java.lang.Double.valueOf(serial)))
+      .append("</v></c>")
+  }
+
+  /** Integral numbers without a trailing `.0` (Excel convention; also what
+    * pandas emits for int columns). */
+  private def formatNumber(n: java.lang.Number): String = n match {
+    case d: java.lang.Double =>
+      if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
+        d.longValue().toString
+      else d.toString
+    case f: java.lang.Float =>
+      formatNumber(java.lang.Double.valueOf(f.doubleValue()))
+    case other => other.toString
+  }
+
+  def close(): Unit = {
+    if (!closed) {
+      closed = true
+      sheet.append("</sheetData></worksheet>")
+      flushSheet()
+      zip.closeEntry()
+      zip.close()
+    }
+  }
+
+  // ----------------------------------------------------------- internals
+
+  private def entry(name: String, content: String): Unit = {
+    zip.putNextEntry(new ZipEntry(name))
+    zip.write(content.getBytes("UTF-8"))
+    zip.closeEntry()
+  }
+
+  private def writeStaticParts(): Unit = {
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+        |</Types>""".stripMargin)
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets><sheet name="${escapeXml(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
+         |</workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+        |</Relationships>""".stripMargin)
+    // style 0: General; style 1: builtin date (14); style 2: builtin datetime (22)
+    entry("xl/styles.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>
+        |<fills count="1"><fill><patternFill patternType="none"/></fill></fills>
+        |<borders count="1"><border/></borders>
+        |<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>
+        |<cellXfs count="3">
+        |<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>
+        |<xf numFmtId="14" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>
+        |<xf numFmtId="22" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>
+        |</cellXfs>
+        |</styleSheet>""".stripMargin)
+  }
+
+  private def startSheetStream(): Unit = {
+    zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      .append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+  }
+
+  private def flushSheet(): Unit = {
+    zip.write(sheet.toString.getBytes("UTF-8"))
+    sheet.setLength(0)
+  }
+
+  private def escapeXml(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '&' => sb.append("&amp;")
+        case '"' => sb.append("&quot;")
+        case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+          sb.append("_x").append(f"${c.toInt}%04X").append('_')
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}
