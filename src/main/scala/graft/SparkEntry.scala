@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.RelationalQueries
+import graft.queries.{ConnectorQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.q05NationRevenue(spark, "/root/testdata/sf0.001")
 
+  private def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    RelationalQueries.all ++ ConnectorQueries.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all.map { case (name, (fn, _)) => name -> fn }
+    registry.map { case (name, (fn, _)) => name -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.all.map { case (name, (_, sql)) => name -> sql }
+    registry.collect { case (name, (_, sql)) if sql != null => name -> sql }
 }

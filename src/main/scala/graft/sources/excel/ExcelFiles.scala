@@ -1,0 +1,56 @@
+package graft.sources.excel
+
+import java.io.File
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.AnalysisException
+
+/** File listing + local-access helpers on the Hadoop FileSystem API.
+  *
+  * The reference lists with `os.listdir` (local FS only, non-recursive,
+  * case-insensitive `.xlsx` suffix — `/root/reference/src/pyspark_datasource/
+  * excel/connector.py:148-156`, bug B6 in SURVEY.md). Going through Hadoop
+  * FS keeps those listing semantics but gains HDFS/S3/abfs support, which a
+  * 1000-executor deployment needs.
+  */
+object ExcelFiles {
+
+  /** path → sorted list of xlsx file URIs (dir: one level, `.xlsx` only,
+    * mirroring the reference; file: itself). Missing path → AnalysisException
+    * like the reference's error normalization. */
+  def list(pathStr: String, conf: Configuration): Seq[String] = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) {
+      throw new AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> pathStr))
+    }
+    val status = fs.getFileStatus(path)
+    if (status.isDirectory) {
+      fs.listStatus(path).toSeq
+        .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+        .map(_.getPath.toString)
+        .sorted
+    } else Seq(path.toString)
+  }
+
+  /** Open an xlsx for random access. ZIP needs a seekable local file, so a
+    * remote (hdfs/s3) object is staged to a local temp file first — bounded
+    * by the format's own ~1M-row ceiling, and per-task, so it scales with
+    * the cluster. Returns (file, deleteAfter). */
+  def toLocal(pathStr: String, conf: Configuration): (File, Boolean) = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    fs.getScheme match {
+      case "file" =>
+        (new File(path.toUri.getPath), false)
+      case _ =>
+        val tmp = File.createTempFile("graft-excel-stage", ".xlsx")
+        fs.copyToLocalFile(false, path, new Path(tmp.getAbsolutePath), true)
+        (tmp, true)
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources.excel
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The reference's complete option surface (`/root/reference/src/
+  * pyspark_datasource/excel/connector.py:71-76,144,183,307-311`):
+  * `path` (required), `sheetName` (read default: sheet index "0"; write
+  * default "Sheet1"), `header` (default true), `inferSchema` (default true),
+  * `enableArrow` (accepted for compatibility; the JVM reader is always
+  * columnar-agnostic so it is a no-op here).
+  *
+  * Extensions (documented deviations): `inferSampleRows` bounds the schema-
+  * inference scan (the reference probes pandas with `nrows=0`), and options
+  * are case-insensitive per the DSv2 norm (the reference's dict is
+  * case-sensitive).
+  *
+  * Kept as a plain lowercase-keyed Map so it serializes to executors.
+  */
+final case class ExcelOptions(options: Map[String, String]) {
+
+  private def get(key: String): Option[String] = options.get(key.toLowerCase)
+
+  def path: String = get("path").getOrElse(
+    throw new IllegalArgumentException(
+      "Option 'path' is required for the excel data source"))
+
+  def pathOpt: Option[String] = get("path")
+
+  /** Sheet name or 0-based index; reference read default is index 0. */
+  def sheetName: String = get("sheetname").getOrElse("0")
+
+  /** Write-side sheet name; reference default "Sheet1". */
+  def writeSheetName: String = get("sheetname").getOrElse("Sheet1")
+
+  def header: Boolean = get("header").forall(_.toBoolean)
+
+  def inferSchema: Boolean = get("inferschema").forall(_.toBoolean)
+
+  /** Rows sampled per file for schema inference (extension). */
+  def inferSampleRows: Int = get("infersamplerows").map(_.toInt).getOrElse(100)
+
+  /** Max files to probe when inferring over a directory (extension). */
+  def inferSampleFiles: Int = get("infersamplefiles").map(_.toInt).getOrElse(1)
+}
+
+object ExcelOptions {
+  def apply(map: CaseInsensitiveStringMap): ExcelOptions =
+    new ExcelOptions(map.asCaseSensitiveMap().asScala.toMap.map {
+      case (k, v) => k.toLowerCase -> v
+    })
+
+  def fromMap(map: Map[String, String]): ExcelOptions =
+    new ExcelOptions(map.map { case (k, v) => k.toLowerCase -> v })
+}

@@ -1,0 +1,138 @@
+package graft.sources.excel
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Batch scan: one input partition per `.xlsx` file — preserving the
+  * reference's observable contract that a directory of N files reads as N
+  * partitions (`/root/reference/tests/test_excel_connector.py:162-187`).
+  * Supports column pruning ([[SupportsPushDownRequiredColumns]]) and limit
+  * pushdown ([[SupportsPushDownLimit]]); both stop per-cell decode work the
+  * reference always pays (it parses whole files with pandas,
+  * connector.py:185-200).
+  */
+class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var requiredSchema: StructType = fullSchema
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    this.requiredSchema = requiredSchema
+  }
+
+  override def pushLimit(limit: Int): Boolean = {
+    this.limit = limit
+    false // partial: each partition still caps rows, Spark re-applies the limit
+  }
+
+  override def build(): Scan = new ExcelScan(fullSchema, requiredSchema, opts, limit)
+}
+
+class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
+    opts: ExcelOptions, limit: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def description(): String =
+    s"ExcelScan path=${opts.pathOpt.getOrElse("?")} sheet=${opts.sheetName} " +
+      s"columns=[${requiredSchema.fieldNames.mkString(",")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    ExcelFiles.list(opts.path, conf)
+      .map(f => ExcelInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    ExcelPartitionReaderFactory(requiredSchema, opts, limit, conf)
+  }
+}
+
+/** One partition == one xlsx file (reference `ExcelInputPartition`,
+  * connector.py:47-49). */
+case class ExcelInputPartition(filePath: String) extends InputPartition
+
+case class ExcelPartitionReaderFactory(requiredSchema: StructType,
+    opts: ExcelOptions, limit: Int, conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ExcelPartitionReader(
+      partition.asInstanceOf[ExcelInputPartition].filePath,
+      requiredSchema, opts, limit, conf.value)
+}
+
+/** Streams one file's chosen sheet as InternalRows, converting only the
+  * required columns. Column resolution: by header name when header=true
+  * (missing required column → error, matching the reference's tested
+  * intent, tests/test_excel_connector.py:93-112; extra file columns are
+  * ignored, :73-91); positional when header=false. */
+class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
+    opts: ExcelOptions, limit: Int, conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val (localFile, isTemp) = ExcelFiles.toLocal(filePath, conf)
+  private val reader = new XlsxReader(localFile)
+
+  private val (indices: Array[Int], rowIter: Iterator[Array[Any]]) = {
+    val sheet = reader.resolveSheet(opts.sheetName)
+    val it = reader.rowIterator(sheet)
+    val (colIndex, dataIter) =
+      if (opts.header) {
+        if (!it.hasNext) (requiredSchema.fields.map(_ => -1), it)
+        else {
+          val headerRow = it.next()
+          val names =
+            ExcelSchema.columnNames(Some(headerRow), headerRow.length, header = true)
+          val nameToIdx = names.zipWithIndex.toMap
+          val idx = requiredSchema.fields.map { f =>
+            nameToIdx.getOrElse(f.name,
+              throw new org.apache.spark.SparkException(
+                s"Column '${f.name}' not found in $filePath " +
+                  s"(sheet columns: ${names.mkString(", ")})"))
+          }
+          (idx, it)
+        }
+      } else {
+        // positional: field i ← file column i
+        (requiredSchema.fields.indices.toArray, it)
+      }
+    (colIndex, if (limit >= 0) dataIter.take(limit) else dataIter)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (rowIter.hasNext) {
+      val raw = rowIter.next()
+      val values = new Array[Any](requiredSchema.length)
+      var i = 0
+      while (i < indices.length) {
+        val src = indices(i)
+        val cell = if (src >= 0 && src < raw.length) raw(src) else null
+        values(i) = ExcelSchema.convert(cell, requiredSchema.fields(i).dataType)
+        i += 1
+      }
+      current = new GenericInternalRow(values)
+      true
+    } else false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = {
+    reader.close()
+    if (isTemp) localFile.delete()
+  }
+}

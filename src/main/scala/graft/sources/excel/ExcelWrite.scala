@@ -1,0 +1,149 @@
+package graft.sources.excel
+
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Single-workbook batch write with a real commit protocol.
+  *
+  * The reference writer has none (bug B4: every task rewrites the same
+  * `path`, last-writer-wins — `/root/reference/src/pyspark_datasource/excel/
+  * connector.py:280-322`). Here every task streams its partition to a task
+  * temp file `<path>.__graft_tmp_<queryId>/part-NNNNN.xlsx`, and the driver
+  * `commit()` merges them *in partition order* into one workbook at `path`
+  * — preserving the reference's observable single-file contract and its
+  * round-trip test (`tests/test_excel_connector.py:189-216`) while making
+  * multi-partition writes deterministic. `abort()` removes the temp dir.
+  *
+  * xlsx is an inherently single-file, non-appendable format — the merge is
+  * a driver-side stream (constant memory) and is the format's documented
+  * scale ceiling; large outputs belong in parquet, not xlsx.
+  */
+class ExcelWriteBuilder(schema: StructType, opts: ExcelOptions)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { this.doTruncate = true; this }
+
+  override def build(): Write = {
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case StringType | IntegerType | LongType | DoubleType | FloatType |
+            BooleanType | DateType | TimestampType => ()
+        case other => throw new UnsupportedOperationException(
+          s"Excel sink does not support column '${f.name}' of type $other")
+      }
+    }
+    new ExcelWrite(schema, opts, doTruncate)
+  }
+}
+
+class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
+    extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    ExcelDataWriterFactory(schema, opts, tmpDir, conf)
+  }
+
+  private val queryId = java.util.UUID.randomUUID().toString.take(8)
+  private def tmpDir: String = s"${opts.path}.__graft_tmp_$queryId"
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val target = new Path(opts.path)
+    val fs = target.getFileSystem(conf)
+    if (fs.exists(target)) {
+      if (truncate) fs.delete(target, false)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "PATH_ALREADY_EXISTS",
+        messageParameters = Map("outputPath" -> opts.path))
+    }
+    val parts = messages.collect { case m: ExcelCommitMessage => m }
+      .sortBy(_.partitionId)
+    val out = fs.create(target, true)
+    val writer = new XlsxWriter(out, opts.writeSheetName)
+    try {
+      if (opts.header) writer.writeRow(schema.fieldNames.toSeq)
+      parts.foreach { m =>
+        val (local, temp) = ExcelFiles.toLocal(m.tempPath, conf)
+        val r = new XlsxReader(local)
+        try r.rowIterator(r.sheets.head).foreach(row => writer.writeRow(row.toSeq))
+        finally { r.close(); if (temp) local.delete() }
+      }
+    } finally {
+      writer.close()
+      fs.delete(new Path(tmpDir), true)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(tmpDir).getFileSystem(conf)
+    fs.delete(new Path(tmpDir), true)
+  }
+}
+
+case class ExcelCommitMessage(partitionId: Int, tempPath: String)
+    extends WriterCommitMessage
+
+case class ExcelDataWriterFactory(schema: StructType, opts: ExcelOptions,
+    tmpDir: String, conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ExcelDataWriter(schema, opts, tmpDir, partitionId, taskId, conf.value)
+}
+
+/** Streams one partition into a headerless temp workbook on the target FS. */
+class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
+    partitionId: Int, taskId: Long,
+    conf: org.apache.hadoop.conf.Configuration) extends DataWriter[InternalRow] {
+
+  private val tempPath =
+    new Path(tmpDir, f"part-$partitionId%05d-$taskId.xlsx")
+  private val fs = tempPath.getFileSystem(conf)
+  private val writer = new XlsxWriter(fs.create(tempPath, true), "data")
+  private var closed = false
+
+  private val getters: Array[InternalRow => Any] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val g: InternalRow => Any = f.dataType match {
+        case StringType => r => r.getUTF8String(i).toString
+        case IntegerType => r => java.lang.Long.valueOf(r.getInt(i).toLong)
+        case LongType => r => java.lang.Long.valueOf(r.getLong(i))
+        case DoubleType => r => java.lang.Double.valueOf(r.getDouble(i))
+        case FloatType => r => java.lang.Double.valueOf(r.getFloat(i).toDouble)
+        case BooleanType => r => java.lang.Boolean.valueOf(r.getBoolean(i))
+        case DateType => r => LocalDate.ofEpochDay(r.getInt(i).toLong)
+        case TimestampType => r => LocalDateTime.ofInstant(
+          java.time.Instant.EPOCH.plusNanos(r.getLong(i) * 1000L), ZoneOffset.UTC)
+        case other => throw new UnsupportedOperationException(other.toString)
+      }
+      (r: InternalRow) => if (r.isNullAt(i)) null else g(r)
+    }
+
+  override def write(row: InternalRow): Unit =
+    writer.writeRow(getters.map(_(row)).toSeq)
+
+  override def commit(): WriterCommitMessage = {
+    writer.close(); closed = true
+    ExcelCommitMessage(partitionId, tempPath.toString)
+  }
+
+  override def abort(): Unit = {
+    if (!closed) { writer.close(); closed = true }
+    fs.delete(tempPath, false)
+  }
+
+  override def close(): Unit = if (!closed) { writer.close(); closed = true }
+}

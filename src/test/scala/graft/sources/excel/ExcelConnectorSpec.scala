@@ -1,0 +1,243 @@
+package graft.sources.excel
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conformance port of the reference's test behaviors
+  * (`/root/reference/tests/test_excel_connector.py` — the live e2e script
+  * plus the seven disabled-but-intent-documenting function tests, SURVEY.md
+  * §5) onto the native DSv2 connector. */
+class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(): File = {
+    val d = Files.createTempDirectory("graft-excel-spec").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  /** Write a sample workbook of (id, name) rows like the reference's
+    * fixture builder (test_excel_connector.py:15-28). */
+  private def sampleFile(dir: File, fname: String, rows: Seq[(Int, String)],
+      header: Boolean = true): File = {
+    val f = new File(dir, fname)
+    val w = new XlsxWriter(new FileOutputStream(f))
+    if (header) w.writeRow(Seq("id", "name"))
+    rows.foreach { case (i, n) => w.writeRow(Seq(i.toLong, n)) }
+    w.close()
+    f
+  }
+
+  private val idName = StructType(Seq(
+    StructField("id", IntegerType, nullable = true),
+    StructField("name", StringType, nullable = true)))
+
+  test("directory read: explicit schema, 3 files → union of rows, 3 partitions") {
+    val dir = tmpDir()
+    sampleFile(dir, "sample_1.xlsx", Seq(1 -> "Alice", 2 -> "Bob"))
+    sampleFile(dir, "sample_2.xlsx", Seq(3 -> "Charlie", 4 -> "David"))
+    sampleFile(dir, "sample_3.xlsx", Seq(5 -> "Eve"))
+    new File(dir, "ignored.txt").createNewFile() // non-xlsx must be skipped
+
+    val df = spark.read.format("excel")
+      .schema(idName)
+      .option("header", "true").option("inferSchema", "false")
+      .option("path", dir.getAbsolutePath)
+      .load()
+    assert(df.rdd.getNumPartitions == 3) // N files → N partitions contract
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set(1 -> "Alice", 2 -> "Bob", 3 -> "Charlie",
+      4 -> "David", 5 -> "Eve"))
+  }
+
+  test("user schema: extra file columns ignored") {
+    val dir = tmpDir()
+    val f = new File(dir, "extra.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f))
+    w.writeRow(Seq("id", "name", "extra"))
+    w.writeRow(Seq(1L, "Alice", "X"))
+    w.close()
+    val df = spark.read.format("excel").schema(idName)
+      .load(f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set(1 -> "Alice"))
+  }
+
+  test("user schema: missing file column → read error") {
+    val dir = tmpDir()
+    val f = new File(dir, "missing.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f))
+    w.writeRow(Seq("id"))
+    w.writeRow(Seq(1L))
+    w.close()
+    val df = spark.read.format("excel").schema(idName)
+      .load(f.getAbsolutePath)
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("name") ||
+      Option(e.getCause).exists(_.getMessage.contains("name")))
+  }
+
+  test("inferSchema=true → Integer id, String name") {
+    val dir = tmpDir()
+    val f = sampleFile(dir, "infer.xlsx", Seq(1 -> "Alice", 2 -> "Bob"))
+    val df = spark.read.format("excel")
+      .option("inferSchema", "true").load(f.getAbsolutePath)
+    assert(df.schema("id").dataType == IntegerType) // reference-compatible
+    assert(df.schema("name").dataType == StringType)
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set(1 -> "Alice", 2 -> "Bob"))
+  }
+
+  test("inferSchema=false, no schema → all strings, numeric text without .0") {
+    val dir = tmpDir()
+    val f = sampleFile(dir, "strings.xlsx", Seq(1 -> "Alice"))
+    val df = spark.read.format("excel")
+      .option("inferSchema", "false").load(f.getAbsolutePath)
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    val row = df.collect().head
+    assert(row.getString(0) == "1") // "1", not "1.0" (connector.py:129-141 intent)
+    assert(row.getString(1) == "Alice")
+  }
+
+  test("inferSchema=false + user schema → schema wins") {
+    val dir = tmpDir()
+    val f = sampleFile(dir, "schemawins.xlsx", Seq(7 -> "Zoe"))
+    val df = spark.read.format("excel").schema(idName)
+      .option("inferSchema", "false").load(f.getAbsolutePath)
+    assert(df.schema == idName)
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet == Set(7 -> "Zoe"))
+  }
+
+  test("N files → N partitions with per-file contents") {
+    val dir = tmpDir()
+    (1 to 5).foreach(i => sampleFile(dir, s"sample_$i.xlsx", Seq(i -> s"Name_$i")))
+    val df = spark.read.format("excel").schema(idName)
+      .load(dir.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 5)
+    assert(df.count() == 5)
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      (1 to 5).map(i => i -> s"Name_$i").toSet)
+  }
+
+  test("write round-trip: single partition, mode overwrite") {
+    val dir = tmpDir()
+    val out = new File(dir, "output.xlsx").getAbsolutePath
+    import spark.implicits._
+    val df = Seq((1, "Alice"), (2, "Bob"), (3, "Charlie")).toDF("id", "name")
+    df.coalesce(1).write.format("excel").mode("overwrite").save(out)
+    // overwrite again to exercise truncate
+    df.coalesce(1).write.format("excel").mode("overwrite").save(out)
+    val back = spark.read.format("excel").schema(idName).load(out)
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set(1 -> "Alice", 2 -> "Bob", 3 -> "Charlie"))
+  }
+
+  test("write: multi-partition merge preserves partition order into ONE file") {
+    val dir = tmpDir()
+    val out = new File(dir, "merged.xlsx").getAbsolutePath
+    import spark.implicits._
+    val df = spark.range(0, 100, 1, 8) // 8 partitions, ordered ids
+      .select($"id".cast("int").as("id"),
+        concat(lit("n"), $"id").as("name"))
+    df.write.format("excel").mode("overwrite").save(out)
+    assert(new File(out).isFile) // single workbook, not a directory
+    val back = spark.read.format("excel").schema(idName).load(out)
+    val ids = back.collect().map(_.getInt(0)).toSeq
+    assert(ids == (0 until 100)) // partition-ordered merge ⇒ deterministic
+  }
+
+  test("write round-trip across all six types incl. date/timestamp/bool") {
+    val dir = tmpDir()
+    val out = new File(dir, "types.xlsx").getAbsolutePath
+    import spark.implicits._
+    val df = Seq(
+      (1, 9999999999L, 1.5, true,
+        java.sql.Date.valueOf("2020-02-29"),
+        java.sql.Timestamp.valueOf("2024-06-01 12:34:56")),
+      (2, -5L, -0.25, false,
+        java.sql.Date.valueOf("1970-01-01"),
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59"))
+    ).toDF("i", "l", "d", "b", "dt", "ts")
+    df.coalesce(1).write.format("excel").mode("overwrite").save(out)
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("b", BooleanType),
+      StructField("dt", DateType), StructField("ts", TimestampType)))
+    val back = spark.read.format("excel").schema(schema).load(out)
+      .orderBy("i").collect()
+    assert(back(0).getInt(0) == 1)
+    assert(back(0).getLong(1) == 9999999999L)
+    assert(back(0).getDouble(2) == 1.5)
+    assert(back(0).getBoolean(3))
+    assert(back(0).getDate(4) == java.sql.Date.valueOf("2020-02-29"))
+    assert(back(0).getTimestamp(5) == java.sql.Timestamp.valueOf("2024-06-01 12:34:56"))
+    assert(back(1).getTimestamp(5) == java.sql.Timestamp.valueOf("1999-12-31 23:59:59"))
+  }
+
+  test("sheetName selects a sheet by name or index") {
+    // hand-craft a 2-sheet workbook (writer is single-sheet by design)
+    val dir = tmpDir()
+    val f = new File(dir, "multi.xlsx")
+    val zip = new java.util.zip.ZipOutputStream(new FileOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="1" r:id="rId1"/><sheet name="Other" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c t="inlineStr"><is><t>id</t></is></c></row><row r="2"><c><v>1</v></c></row></sheetData></worksheet>""")
+    entry("xl/worksheets/sheet2.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c t="inlineStr"><is><t>id</t></is></c></row><row r="2"><c><v>2</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val one = StructType(Seq(StructField("id", IntegerType)))
+    val byName = spark.read.format("excel").schema(one)
+      .option("sheetName", "Other").load(f.getAbsolutePath)
+    assert(byName.collect().head.getInt(0) == 2)
+    val byIdx = spark.read.format("excel").schema(one)
+      .option("sheetName", "0").load(f.getAbsolutePath)
+    assert(byIdx.collect().head.getInt(0) == 1)
+  }
+
+  test("header=false → positional columns named 0,1") {
+    val dir = tmpDir()
+    val f = sampleFile(dir, "nohead.xlsx", Seq(1 -> "Alice"), header = false)
+    val df = spark.read.format("excel")
+      .option("header", "false").load(f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("0", "1"))
+    assert(df.collect().head.getInt(0) == 1)
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = tmpDir()
+    sampleFile(dir, "prune.xlsx", Seq(1 -> "Alice", 2 -> "Bob"))
+    val df = spark.read.format("excel").schema(idName)
+      .load(dir.getAbsolutePath).select("name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=[name]"), s"plan was:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet == Set("Alice", "Bob"))
+  }
+
+  test("missing path → AnalysisException") {
+    intercept[AnalysisException] {
+      spark.read.format("excel").load("/no/such/dir/anywhere")
+    }
+  }
+}
