@@ -1,0 +1,81 @@
+package graft.sources.excel
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Micro-batch file-discovery stream over a directory of xlsx files.
+  *
+  * The reference's stream reader (`/root/reference/src/pyspark_datasource/
+  * excel/connector.py:206-277`) keeps its seen-set in driver memory and
+  * ignores the `start`/`end` offsets it is handed (bugs B2/B3: restart
+  * re-reads everything; double `latestOffset()` skips files). Here the
+  * offset IS the state: a sorted list of every file visible at that point,
+  * so `planInputPartitions(start, end)` = `end.files − start.files` is a
+  * pure function of offsets — replayable from any checkpoint, no driver
+  * state, exactly-once per file. Offset size grows with the file count;
+  * a production deployment would compact (e.g. retention window on
+  * mtime), which is noted rather than implemented here.
+  */
+class ExcelMicroBatchStream(schema: StructType, opts: ExcelOptions,
+    checkpointLocation: String) extends MicroBatchStream {
+
+  private def conf = SparkSession.active.sessionState.newHadoopConf()
+
+  override def initialOffset(): Offset = ExcelStreamOffset(Nil)
+
+  override def latestOffset(): Offset =
+    ExcelStreamOffset(ExcelFiles.list(opts.path, conf).sorted)
+
+  override def deserializeOffset(json: String): Offset =
+    ExcelStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ExcelStreamOffset].files.toSet
+    end.asInstanceOf[ExcelStreamOffset].files
+      .filterNot(seen)
+      .map(f => ExcelInputPartition(f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ExcelPartitionReaderFactory(schema, opts, limit = -1,
+      new SerializableConfiguration(conf))
+
+  override def commit(end: Offset): Unit = () // offsets are self-contained
+
+  override def stop(): Unit = ()
+}
+
+/** JSON-serializable offset: the sorted set of files visible at this point. */
+case class ExcelStreamOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("{\"files\":[", ",", "]}")
+}
+
+object ExcelStreamOffset {
+  /** Minimal parser for the exact shape `{"files":["a","b"]}` we emit. */
+  def fromJson(json: String): ExcelStreamOffset = {
+    val body = json.trim
+      .stripPrefix("{\"files\":[").stripSuffix("]}")
+    if (body.isEmpty) ExcelStreamOffset(Nil)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inStr = false
+      var esc = false
+      body.foreach { c =>
+        if (esc) { sb.append(c); esc = false }
+        else if (c == '\\') esc = true
+        else if (c == '"') {
+          if (inStr) { out += sb.toString; sb.clear() }
+          inStr = !inStr
+        } else if (inStr) sb.append(c)
+      }
+      ExcelStreamOffset(out.toSeq)
+    }
+  }
+}

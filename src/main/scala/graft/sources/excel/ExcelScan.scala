@@ -47,6 +47,10 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ExcelMicroBatchStream(requiredSchema, opts, checkpointLocation)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     ExcelFiles.list(opts.path, conf)
