@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ConnectorQueries, RelationalQueries}
+import graft.queries.{ConnectorQueries, DedupQueries, MultimodalQueries,
+  RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +20,8 @@ object SparkEntry {
     RelationalQueries.q05NationRevenue(spark, "/root/testdata/sf0.001")
 
   private def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
-    RelationalQueries.all ++ ConnectorQueries.all
+    RelationalQueries.all ++ ConnectorQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the LLM-pipeline operators.
+  *
+  * These are the only places this engine extends Catalyst (SURVEY.md §2.3,
+  * §7 step 7): per-row hashing/sketching primitives that
+  * `org.apache.spark.sql.functions` lacks. They are pure row-local
+  * functions — no shuffle, no state — so every dedup/similarity operator
+  * built on them scales linearly with the data and parallelizes perfectly.
+  */
+object TextExpressions {
+
+  /** 64-bit FNV-1a rolling hash of a string — document fingerprinting.
+    * Implements `doGenCode` so it stays inside whole-stage codegen. */
+  case class Fnv1a64(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fnv1a64"
+
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.fnv1a64(v.asInstanceOf[UTF8String].getBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.fnv1a64($c.getBytes())")
+
+    override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
+  }
+
+  /** Word k-shingles of a whitespace-tokenized, lowercased string.
+    * Shared tokenization for MinHash / SimHash / Jaccard so all sketches
+    * see the same shingle universe. */
+  def shingles(s: UTF8String, k: Int): Array[String] = {
+    val tokens = s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < k) {
+      if (tokens.isEmpty) Array.empty else Array(tokens.mkString(" "))
+    } else {
+      Array.tabulate(tokens.length - k + 1)(i =>
+        tokens.slice(i, i + k).mkString(" "))
+    }
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum hash over the document's word-`k`-shingles. Returns
+    * array<bigint> of length `numHashes`; null/shingle-less docs → nulls.
+    *
+    * Row-local (the signature never sees other rows); the LSH banding join
+    * that consumes it is where the (shuffle-based, scalable) pair search
+    * happens — see [[graft.operators.Dedup]]. */
+  case class MinHashSignature(child: Expression, numHashes: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = s"minhash_$numHashes"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val sh = shingles(v.asInstanceOf[UTF8String], k)
+      if (sh.isEmpty) return null
+      val shBytes = sh.map(_.getBytes("UTF-8"))
+      val sig = new Array[Long](numHashes)
+      var j = 0
+      while (j < numHashes) {
+        var min = Long.MaxValue
+        var i = 0
+        while (i < shBytes.length) {
+          val h = GraftHash.fnv1a64Seeded(shBytes(i), j * 0x9e3779b97f4a7c15L)
+          if (h < min) min = h
+          i += 1
+        }
+        sig(j) = min
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash over word `k`-shingles: bit b of the result is the
+    * sign of the sum over shingles of ±1 at bit b of each shingle's hash. */
+  case class SimHash64(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val sh = shingles(v.asInstanceOf[UTF8String], k)
+      if (sh.isEmpty) return null
+      val counts = new Array[Int](64)
+      sh.foreach { s =>
+        val h = GraftHash.fnv1a64(s.getBytes("UTF-8"))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
+  /** Distinct word-k-shingles as array<string> (exact Jaccard inputs). */
+  case class ShingleSet(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = s"shingles_$k"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val sh = shingles(v.asInstanceOf[UTF8String], k).distinct.sorted
+      new GenericArrayData(sh.map(UTF8String.fromString): Array[Any])
+    }
+
+    override protected def withNewChildInternal(c: Expression): ShingleSet =
+      copy(child = c)
+  }
+
+  // -------------------------------------------------------- Column API
+
+  def fnv1a64(c: Column): Column = ColumnBridge.column(
+    Fnv1a64(ColumnBridge.expression(c)))
+
+  def minhash(c: Column, numHashes: Int = 128, k: Int = 3): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(c), numHashes, k))
+
+  def simhash(c: Column, k: Int = 3): Column = ColumnBridge.column(
+    SimHash64(ColumnBridge.expression(c), k))
+
+  def shingleSet(c: Column, k: Int = 3): Column = ColumnBridge.column(
+    ShingleSet(ColumnBridge.expression(c), k))
+}

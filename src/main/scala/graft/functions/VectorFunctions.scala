@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Vector ops over `array<float>` embedding columns.
+  *
+  * `cosine`/`dot` are composed from `zip_with`/`aggregate` built-ins with
+  * strictly sequential folds and explicit double casts — deterministic and
+  * engine-portable (the DuckDB oracle mirrors the same fold order).
+  * [[EmbeddingLshBucket]] is the row-local sign-random-projection sketch
+  * used by the scale path ([[graft.operators.Similarity]] bucketed joins).
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two float/double array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null if either side has zero norm. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** `bits`-bit sign-random-projection bucket id for an embedding.
+    *
+    * Hyperplane j, component i is a deterministic pseudo-random value in
+    * [-1, 1) derived from FNV-1a of (seed, j, i) — no data files, no
+    * broadcast, reproducible across executors. Vectors with small angular
+    * distance land in equal buckets with high probability (Charikar's
+    * SimHash for real vectors). */
+  case class EmbeddingLshBucket(child: Expression, bits: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = s"emb_lsh_$bits"
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = child.dataType match {
+            case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+            case _ => arr.getDouble(i)
+          }
+          acc += x * hyperplane(j, i)
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1 << j)
+        j += 1
+      }
+      java.lang.Integer.valueOf(bucket)
+    }
+
+    /** Deterministic pseudo-random in [-1, 1). */
+    private def hyperplane(j: Int, i: Int): Double = {
+      val h = GraftHash.fnv1a64Seeded(
+        Array((j >> 8).toByte, j.toByte, (i >> 8).toByte, i.toByte), seed)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
+    override protected def withNewChildInternal(c: Expression): EmbeddingLshBucket =
+      copy(child = c)
+  }
+
+  def embLshBucket(c: Column, bits: Int, seed: Long): Column =
+    ColumnBridge.column(EmbeddingLshBucket(ColumnBridge.expression(c), bits, seed))
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * declarative Spark plans so Catalyst/AQE handle distribution:
+  *
+  *  - exact: hash aggregate on a fingerprint — one shuffle of (hash, id),
+  *    never of full texts;
+  *  - MinHash + LSH banding: row-local signature, explode to `bands`
+  *    (bandId, bandHash) keys, self-join on the band key — the classic
+  *    shuffle-based candidate generation whose cost is O(candidates), not
+  *    O(n²) — then exact-Jaccard verification of candidates only;
+  *  - SimHash: row-local 64-bit sketch, candidates via the 4×16-bit
+  *    chunk pigeonhole (any pair within Hamming distance 3 shares at least
+  *    one exact chunk), verified with `bit_count(a ^ b)`;
+  *  - n-gram Jaccard: inverted-index self-join on distinct shingles with a
+  *    document-frequency cap — the cap is the skew guard: a shingle shared
+  *    by k docs contributes k² join rows, so ubiquitous shingles are
+  *    dropped (documented recall trade, standard at scale).
+  *
+  * At 100 TB the only all-pairs structure ever materialized is the
+  * candidate set, whose size is tuned by (numHashes, bands) / chunk width /
+  * dfCap — the knobs exposed here.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical value of `key`.
+    * Shuffles only (fingerprint, id) pairs, not document bodies. */
+  def exactCanonical(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol), col(idCol))
+      .groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard verify.
+    *
+    * @param numHashes signature length (r*b must equal it)
+    * @param bands     number of LSH bands (b); rows per band r = numHashes/b
+    * @param threshold exact word-k-shingle Jaccard cutoff for verified pairs
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 16, k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("doc_id"),
+      TextExpressions.minhash(col(textCol), numHashes, k).as("sig"),
+      TextExpressions.shingleSet(col(textCol), k).as("sh"))
+      .filter(col("sig").isNotNull)
+
+    // (doc, band, hash-of-band-slice): band key is a single long, so the
+    // self-join shuffles fixed-width keys regardless of document size
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * r + lit(1), lit(r)), b))).as(Seq("band", "bhash")))
+
+    val left = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      col("band"), col("bhash"))
+    val right = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+      col("band"), col("bhash"))
+    val candidates = left.join(right, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤3 for full recall with
+    * 4 chunks of 16 bits, by pigeonhole). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextExpressions.simhash(col(textCol), k).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "cval")))
+    val l = chunked.select(col("doc_id").as("id_a"), col("simhash").as("sim_a"),
+      col("chunk"), col("cval"))
+    val rt = chunked.select(col("doc_id").as("id_b"), col("simhash").as("sim_b"),
+      col("chunk"), col("cval"))
+    l.join(rt, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        expr("bit_count(sim_a ^ sim_b)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index self-join.
+    *
+    * @param dfCap shingles appearing in more than `dfCap` docs are dropped
+    *              before the join (skew guard; lowers recall for pairs whose
+    *              overlap is only ubiquitous shingles — acceptable since
+    *              such overlap is weak evidence anyway)
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextExpressions.shingleSet(col(textCol), k).as("sh"))
+      .withColumn("sh_size", size(col("sh")))
+      .filter(col("sh_size") > 0)
+
+    val posting = sh.select(col("doc_id"), col("sh_size"),
+      explode(col("sh")).as("shingle"))
+    val rare = posting.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap && col("df") >= 2) // df=1 can't form a pair
+      .select("shingle")
+    val filtered = posting.join(rare, "shingle")
+
+    val pairs = filtered.select(col("shingle"), col("doc_id").as("id_a"),
+      col("sh_size").as("size_a"))
+      .join(filtered.select(col("shingle"), col("doc_id").as("id_b"),
+        col("sh_size").as("size_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("common"))
+
+    pairs
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs via sign-random-projection banding:
+    * `bandCount` independent `bandBits`-bit sketches; a pair is a candidate
+    * if any band matches; verified with exact sequential-fold cosine. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, bandBits: Int = 12, bandCount: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val withBuckets = df.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+      posexplode(array((0 until bandCount).map(b =>
+        VectorFunctions.embLshBucket(col(vecCol), bandBits, seed + b)): _*))
+        .as(Seq("band", "bucket")))
+    val l = withBuckets.select(col("vid").as("id_a"), col("vec").as("vec_a"),
+      col("band"), col("bucket"))
+    val rt = withBuckets.select(col("vid").as("id_b"), col("vec").as("vec_b"),
+      col("band"), col("bucket"))
+    l.join(rt, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(
+        graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

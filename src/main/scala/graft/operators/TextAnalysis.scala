@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, composed from
+  * codegen'd built-ins (`org.apache.spark.sql.functions`) so they run
+  * inside whole-stage codegen with zero shuffles — each is a row-local
+  * projection that scales linearly.
+  *
+  * All are deterministic; the SQL-expressible ones carry DuckDB oracles in
+  * [[graft.queries.TextQueries]].
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. `split` on \s+ after trim; empty text → 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("bigint"))
+
+  /** BPE-ish subword count: tokens split further on letter/digit/other
+    * boundaries, approximating byte-pair segmentation cheaply — a standard
+    * pre-tokenizer regex. */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text),
+        "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"))
+        .cast("bigint"))
+
+  private val punctRe = "[^\\p{L}\\p{N}\\s]"
+
+  /** Characters that are punctuation / symbols, as a ratio of all chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, punctRe, ""))).cast("double") /
+        length(text).cast("double"))
+
+  /** Tiny multilingual stopword profiles for scoring + language ID.
+    * Public common-word lists; deliberately small and embedded so the
+    * operator ships no data files. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+      "on", "with", "as", "was", "at", "by", "this", "be", "are", "or"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "für", "auf",
+      "ein", "eine", "nicht", "den", "dem", "des", "zu", "sich", "auch"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "des", "un", "une", "est", "pour",
+      "dans", "que", "qui", "sur", "avec", "pas", "au", "aux", "ce", "cette"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "un", "una", "es", "por",
+      "en", "que", "con", "para", "del", "se", "no", "más", "como", "este"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"),
+  )
+
+  private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Stopword hit ratio against the english profile (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val w = words(text)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      size(array_intersect(w, array(stopwords("en").map(lit): _*))).cast("double") /
+        size(array_distinct(w)).cast("double"))
+  }
+
+  /** Mean whitespace-token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val w = words(text)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(w).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * reasonable token length. Deliberately simple and fully SQL-expressible
+    * (heuristics in the Gopher/C4 style, folded to arithmetic). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenOk = when(nTok >= 10 && nTok <= 10000, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val mtl = meanTokenLen(text)
+    val tokOk = when(mtl >= 3.0 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk * 0.4 + punctOk * 0.3 + tokOk * 0.3), 4)
+  }
+
+  /** N-gram/stopword-profile language ID: score = distinct-stopword hits
+    * per language profile; highest score wins, ties broken by language code
+    * order, no hits → "und" (undetermined). Row-local, codegen-friendly. */
+  def langId(text: Column): Column = {
+    val w = array_distinct(words(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      // negated score so an ascending struct sort yields (max score,
+      // lexicographically-first lang) at position 0 — deterministic ties
+      struct((-size(array_intersect(w, array(sw.map(lit): _*)))).as("nscore"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = true).getItem(0)
+    when(best.getField("nscore") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+}

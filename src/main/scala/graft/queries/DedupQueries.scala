@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operator queries over `documents` / `embeddings`.
+  *
+  * The testdata plants ~28 near-dup pairs per 500 docs at word-3-gram
+  * Jaccard ≈0.99 and nothing between 0.1 and 0.7, so a 0.7 threshold
+  * separates cleanly and the MinHash-LSH candidate recall at j≈0.99 is
+  * ≈1−10⁻¹⁸ — which is why d02 can share the exact-Jaccard SQL oracle
+  * with d04. */
+object DedupQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup: canonical (min) doc_id per identical text. */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactCanonical(docs(spark, dir), "doc_id", "text")
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy("canonical_id")
+
+  val d01Sql: String =
+    """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+
+  /** Shared exact-Jaccard oracle for d02/d04 (word-3-gram shingles, pairs
+    * ≥ 0.7). DuckDB mirrors the operator: shingle lists → inverted-index
+    * self-join → common counts → Jaccard. */
+  private val jaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks WHERE LEN(t) >= 3),
+      |posting AS (SELECT doc_id, LEN(s) AS sz, UNNEST(s) AS shingle FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza, b.sz AS szb,
+      |         COUNT(*) AS common
+      |  FROM posting a JOIN posting b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b,
+      |  ROUND(common::DOUBLE / (sza + szb - common)::DOUBLE, 6) AS jaccard
+      |FROM pairs
+      |WHERE common::DOUBLE / (sza + szb - common)::DOUBLE >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** MinHash-LSH near-dup pairs (128 hashes, 32 bands × 4 rows), verified
+    * with exact Jaccard ≥ 0.7. */
+  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text",
+      numHashes = 128, bands = 32, k = 3, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
+  val d02Sql: String = jaccardPairsSql
+
+  // ---------------------------------------------------------------- d03
+  /** SimHash near-dup pairs within Hamming distance 3 (64-bit sketch,
+    * 4×16-bit pigeonhole candidates). No SQL oracle (sketch-specific);
+    * deterministic rows-only check + spec-level ground-truth assertions. */
+  def d03Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", k = 3, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------- d04
+  /** Exact n-gram Jaccard pairs via inverted-index join (the no-sketch
+    * baseline the approximate operators are judged against). */
+  def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+      .orderBy("id_a", "id_b")
+
+  val d04Sql: String = jaccardPairsSql
+
+  // ---------------------------------------------------------------- d05
+  /** Embedding cosine near-dup: the corpus itself has no high-cosine pairs
+    * (max ≈0.33), so the query plants one deterministic jittered copy per
+    * 50th vector (id + 10⁶) and the operator must recover exactly those
+    * pairs via LSH banding + exact-cosine verify ≥ 0.99. */
+  def d05EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val jittered = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (pmod(col("vec_id"), lit(7)) - lit(3.0)) * lit(1e-4)).as("embedding"))
+    val union = emb.select(col("vec_id"), col("embedding")).unionByName(jittered)
+    Dedup.embeddingNearDupPairs(union, "vec_id", "embedding",
+      threshold = 0.99, bandBits = 12, bandCount = 4, seed = 42L)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
+    "d02_minhash_lsh" -> (d02MinhashLsh _, d02Sql),
+    "d03_simhash" -> (d03Simhash _, null),
+    "d04_ngram_jaccard" -> (d04NgramJaccard _, d04Sql),
+    "d05_embedding_neardup" -> (d05EmbeddingNearDup _, null),
+  )
+}

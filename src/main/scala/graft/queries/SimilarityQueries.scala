@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Similarity
+
+/** ANN similarity-search queries over `embeddings`. */
+object SimilarityQueries {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---------------------------------------------------------------- s01
+  /** Exact brute-force cosine top-10 for the vector of vec_id=0.
+    * Oracle mirrors the sequential fold with explicit double casts. */
+  def s01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    Similarity.bruteForceTopK(emb(spark, dir), "vec_id", "embedding", q, 10)
+  }
+
+  val s01Sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  ROUND(
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+      |    / SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    / SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |    6) AS cos
+      |FROM embeddings, q
+      |ORDER BY cos DESC, vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- s02
+  /** LSH-bucketed ANN top-10 for the same query vector: candidates share a
+    * sign-random-projection band with the query; exact rank among them.
+    * Approximate ⇒ no SQL oracle; the spec asserts recall vs s01 on
+    * clustered data (on this corpus's near-uniform random vectors the
+    * theoretical recall of any LSH at cos≈0.3 is modest — the operator's
+    * primary regime is near-duplicate retrieval, see d05). */
+  def s02LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    Similarity.lshTopK(emb(spark, dir), "vec_id", "embedding", q, 10,
+      bandBits = 6, bandCount = 12, seed = 42L)
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),
+    "s02_ann_lsh" -> (s02LshTopK _, null),
+  )
+}

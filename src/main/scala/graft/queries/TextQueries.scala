@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Text-analysis operator queries over the `documents` table, with DuckDB
+  * oracles wherever the semantics are ANSI-SQL-expressible. */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------- t01
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("bigint").as("n_chars_obs"))
+      .orderBy("doc_id")
+
+  val t01Sql: String =
+    """SELECT doc_id,
+      | CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |      ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END::BIGINT AS n_tokens,
+      | LENGTH(text)::BIGINT AS n_chars_obs
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  def t02LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), col("lang").as("lang_label"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** DuckDB mirror of [[TextAnalysis.langId]]: per-language distinct-
+    * stopword hit counts; CASE evaluates languages alphabetically so ties
+    * resolve to the lexicographically-first language like the Spark side. */
+  val t02Sql: String = {
+    def listLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+      s"LEN(LIST_INTERSECT(w, ${listLit(ws)})) AS s_$l"
+    }.mkString(",\n      ")
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val greatest = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString("\n      ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS w
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang, $scores
+       |  FROM toks),
+       |m AS (SELECT *, $greatest AS m FROM scored)
+       |SELECT doc_id, lang AS lang_label,
+       |  CASE WHEN m = 0 THEN 'und'
+       |      $cases
+       |  END AS lang_pred
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t03
+  def t03Quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextAnalysis.meanTokenLen(col("text")), 6).as("mean_token_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val t03Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w,
+      |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS n_tok
+      |  FROM documents),
+      |derived AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |         ELSE (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE
+      |              / LENGTH(text)::DOUBLE END AS pr,
+      |    CASE WHEN LEN(w) = 0 THEN 0.0
+      |         ELSE LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x)))::DOUBLE / LEN(w)::DOUBLE
+      |    END AS mtl,
+      |    n_tok
+      |  FROM base)
+      |SELECT doc_id,
+      |  ROUND(pr, 6) AS punct_ratio,
+      |  ROUND(mtl, 6) AS mean_token_len,
+      |  ROUND(
+      |    (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.4
+      |    + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3
+      |    + (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3,
+      |    4) AS quality
+      |FROM derived ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t04
+  /** Document fingerprint: MD5 (cross-engine oracle) — the FNV-1a-64
+    * codegen fingerprint is exercised by the dedup operators and specs. */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("fp_md5"))
+      .orderBy("doc_id")
+
+  val t04Sql: String =
+    """SELECT doc_id, MD5(text) AS fp_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t01_token_stats" -> (t01TokenStats _, t01Sql),
+    "t02_lang_id" -> (t02LangId _, t02Sql),
+    "t03_quality" -> (t03Quality _, t03Sql),
+    "t04_fingerprint" -> (t04Fingerprint _, t04Sql),
+  )
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftHash, TextExpressions, VectorFunctions}
+
+/** Ground-truth tests for the LLM-pipeline operators on small controlled
+  * data (the oracle gate covers the SQL-expressible ones end-to-end). */
+class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different content about spark query engines and columnar execution"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (5L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  test("fnv1a64 matches reference vectors and is codegen-stable") {
+    // Known FNV-1a test vectors (public): fnv1a64("") = 0xcbf29ce484222325
+    assert(GraftHash.fnv1a64(Array.empty[Byte]) == 0xcbf29ce484222325L)
+    // "a" -> 0xaf63dc4c8601ec8c
+    assert(GraftHash.fnv1a64("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+    import spark.implicits._
+    val viaSpark = Seq("", "a", "hello world").toDF("s")
+      .select(TextExpressions.fnv1a64(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(viaSpark(0) == 0xcbf29ce484222325L)
+    assert(viaSpark(1) == 0xaf63dc4c8601ec8cL)
+    assert(viaSpark(2) == GraftHash.fnv1a64("hello world".getBytes("UTF-8")))
+  }
+
+  test("exact dedup finds the exact duplicate only") {
+    val out = Dedup.exactCanonical(docsDf, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(out.head.fieldIndex("canonical_id")) == 1L)
+    assert(out.head.getLong(out.head.fieldIndex("n_copies")) == 2L)
+  }
+
+  test("minhash-LSH finds near-dup and exact-dup pairs, not the distinct doc") {
+    val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+      numHashes = 128, bands = 32, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: exact dup distance 0; near-dup small; distinct large") {
+    import spark.implicits._
+    val sh = docsDf.filter(length(col("text")) > 0)
+      .select(col("doc_id"), TextExpressions.simhash(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 16)
+    val pairs = Dedup.simhashPairs(docsDf, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: exact pair at 1.0, near pair high, df-cap guard works") {
+    val out = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+      threshold = 0.5, dfCap = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(out((1L, 2L)) > 0.7 && out((1L, 2L)) < 1.0)
+    // dfCap=1 drops every shared shingle → no pairs at all
+    assert(Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+      threshold = 0.1, dfCap = 1).count() == 0)
+  }
+
+  test("embedding LSH near-dup recovers planted jittered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 200L).map(i =>
+      (i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val jittered = base.filter(_._1 % 20 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.001f)) }
+    val df = (base ++ jittered).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, bandBits = 12, bandCount = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.map(_._1).filter(_ % 20 == 0).map(i => (i, i + 1000L)).toSet
+    assert((expected -- pairs).isEmpty, s"missed: ${expected -- pairs}")
+  }
+
+  test("ANN: brute-force exact; LSH recall ≥ 0.8 on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 20 cluster centers, 50 points each with small noise
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian()))
+    val pts = for (c <- centers.indices; j <- 0 until 50) yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.15).toFloat)
+      ((c * 50 + j).toLong, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val query = centers(0).map(_ + 0.01)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding", query, 20,
+      bandBits = 8, bandCount = 8).collect().map(_.getLong(0)).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall was $recall")
+    // brute-force must rank cluster-0 members on top
+    assert(brute.forall(_ < 50))
+  }
+
+  test("multimodal decode plumbing: schema, determinism, null payloads") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "some image bytes", "image"),
+      (2L, "aud", "audio"),
+      (3L, "vid bytes here", "video"))
+      .toDF("doc_id", "txt", "modality")
+      .select(col("doc_id"), col("txt").cast("binary").as("payload"), col("modality"))
+    val out = Multimodal.withDecodedMeta(df, "doc_id", "payload", "modality")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).channels == 3 && out(1L).n_frames == 1)
+    assert(out(2L).channels == 1)
+    assert(out(3L).n_frames == 1 + ("vid bytes here".length % 29))
+    assert(out(1L).n_bytes == "some image bytes".length)
+    assert(out(1L).features.length == 8)
+    // determinism: same payload → same features
+    val again = Multimodal.withDecodedMeta(df, "doc_id", "payload", "modality")
+      .collect().map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(again(1L) == out(1L).features.toSeq)
+  }
+
+  test("language id picks profile languages deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog are in the house"),
+      (2L, "el gato y el perro es una cosa para este"),
+      (3L, "der Hund und die Katze ist nicht auf dem Tisch"),
+      (4L, "le chat et le chien est dans la maison avec les autres"),
+      (5L, "zzz qqq xxx")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es")
+    assert(got(3L) == "de"); assert(got(4L) == "fr")
+    assert(got(5L) == "und")
+  }
+
+  test("cosine is exact on known vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
+  }
+}
