@@ -68,11 +68,17 @@ object VectorFunctions {
       java.lang.Integer.valueOf(bucket)
     }
 
-    /** Deterministic pseudo-random in [-1, 1). */
+    /** Deterministic pseudo-random in [-1, 1). FNV-1a alone has weak
+      * high-bit avalanche on tiny inputs (observed: every hyperplane nearly
+      * collinear → 2 distinct buckets); the splitmix64 finalizer fixes the
+      * bit mixing. */
     private def hyperplane(j: Int, i: Int): Double = {
-      val h = GraftHash.fnv1a64Seeded(
+      var z = GraftHash.fnv1a64Seeded(
         Array((j >> 8).toByte, j.toByte, (i >> 8).toByte, i.toByte), seed)
-      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+      z ^= z >>> 33
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
 
     override protected def withNewChildInternal(c: Expression): EmbeddingLshBucket =

@@ -57,16 +57,21 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * r + lit(1), lit(r)), b))).as(Seq("band", "bhash")))
 
-    val left = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("bhash"))
-    val right = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-      col("band"), col("bhash"))
+    // candidate generation stays NARROW (ids only): deduping (id_a,id_b)
+    // before re-attaching shingle arrays keeps the shuffle rows fixed-width
+    // — carrying array payloads through dropDuplicates forces a wide-row
+    // SortAggregate that dominates runtime at scale
+    val left = banded.select(col("doc_id").as("id_a"), col("band"), col("bhash"))
+    val right = banded.select(col("doc_id").as("id_b"), col("band"), col("bhash"))
     val candidates = left.join(right, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
+    val shingleTbl = sig.select(col("doc_id"), col("sh"))
     candidates
+      .join(shingleTbl.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingleTbl.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
@@ -142,17 +147,23 @@ object Dedup {
       threshold: Double = 0.9, bandBits: Int = 12, bandCount: Int = 4,
       seed: Long = 42L): DataFrame = {
     import graft.functions.VectorFunctions
-    val withBuckets = df.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+    // narrow candidate generation (ids only), vectors re-attached after the
+    // pair dedup — see minhashLshPairs for the rationale
+    val withBuckets = df.select(col(idCol).as("vid"),
       posexplode(array((0 until bandCount).map(b =>
         VectorFunctions.embLshBucket(col(vecCol), bandBits, seed + b)): _*))
         .as(Seq("band", "bucket")))
-    val l = withBuckets.select(col("vid").as("id_a"), col("vec").as("vec_a"),
-      col("band"), col("bucket"))
-    val rt = withBuckets.select(col("vid").as("id_b"), col("vec").as("vec_b"),
-      col("band"), col("bucket"))
-    l.join(rt, Seq("band", "bucket"))
+    val l = withBuckets.select(col("vid").as("id_a"), col("band"), col("bucket"))
+    val rt = withBuckets.select(col("vid").as("id_b"), col("band"), col("bucket"))
+    val candidates = l.join(rt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+
+    val vecTbl = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+    candidates
+      .join(vecTbl.select(col("vid").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecTbl.select(col("vid").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cos", round(
         graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("cos") >= threshold)
