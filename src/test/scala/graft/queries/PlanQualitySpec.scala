@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the optimizations that matter at 100 TB
+  * must be visible in the physical plan, not assumed. Each assertion is a
+  * property that, if lost, silently multiplies cost at scale. */
+class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters push down to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), "shipdate filter must reach the scan")
+    // column pruning: scan must not read all 11 lineitem columns
+    assert(p.contains("ReadSchema"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_returnflag"), s"over-read: $read")
+  }
+
+  test("q04: small dimension is broadcast, not shuffled") {
+    assert(plan("q04_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q05: five-way join broadcasts both small dims") {
+    val p = plan("q05_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation and region should both broadcast")
+  }
+
+  test("q11: top-k plans TakeOrderedAndProject (no full sort shuffle)") {
+    assert(plan("q11_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial"), "expect partial_ aggregate functions")
+  }
+
+  test("q07: semi join stays a real semi join") {
+    assert(plan("q07_semi_join").contains("LeftSemi"))
+  }
+
+  test("scalar text ops stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    // projection-only shape (the orderBy in the gate query adds an AQE
+    // exchange whose plan string hides codegen stage markers)
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.operators.TextAnalysis.tokenCount(col("text")).as("n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stage markers in:\n$p")
+  }
+
+  test("fnv1a64 codegen expression does not break codegen spans") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.functions.TextExpressions.fnv1a64(col("text")).as("h"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stage markers in:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("pair operators never plan cartesian/nested-loop joins") {
+    Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+      "d05_embedding_neardup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q degenerated:\n$p")
+    }
+  }
+
+  test("excel scan prunes columns at the source") {
+    import org.apache.spark.sql.functions._
+    // reuse the roundtrip fixture: write then read a projection
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_planspec.xlsx").getAbsolutePath
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    nation.coalesce(1).write.format("excel").mode("overwrite").save(out)
+    val df = spark.read.format("excel").schema(nation.schema).load(out)
+      .select(col("n_name"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("columns=[n_name]"), p)
+  }
+}
