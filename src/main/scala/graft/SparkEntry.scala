@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{ConnectorQueries, DedupQueries, MultimodalQueries,
-  RelationalQueries, SimilarityQueries, TextQueries}
+  PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
 
   private def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     RelationalQueries.all ++ ConnectorQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      PipelineQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
