@@ -37,7 +37,8 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "UNABLE_TO_INFER_SCHEMA",
         messageParameters = Map("format" -> "excel"))
-    ExcelSchema.inferFromFile(files.head, opts, conf)
+    ExcelSchema.merge(files.take(math.max(1, opts.inferSampleFiles))
+      .map(f => ExcelSchema.inferFromFile(f, opts, conf)))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

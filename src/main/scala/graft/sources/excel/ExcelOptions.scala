@@ -43,6 +43,17 @@ final case class ExcelOptions(options: Map[String, String]) {
 
   /** Max files to probe when inferring over a directory (extension). */
   def inferSampleFiles: Int = get("infersamplefiles").map(_.toInt).getOrElse(1)
+
+  /** Columnar read path (the reference's Arrow RecordBatch branch,
+    * connector.py:183; default false there and here). */
+  def enableArrow: Boolean = get("enablearrow").exists(_.toBoolean)
+
+  /** When true, a schema column absent from a file reads as nulls instead
+    * of erroring (extension — needed for merged multi-file schemas; default
+    * false keeps the reference's strict contract, tests/
+    * test_excel_connector.py:93-112). */
+  def allowMissingColumns: Boolean =
+    get("allowmissingcolumns").exists(_.toBoolean)
 }
 
 object ExcelOptions {

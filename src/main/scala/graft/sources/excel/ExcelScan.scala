@@ -76,6 +76,16 @@ case class ExcelPartitionReaderFactory(requiredSchema: StructType,
     new ExcelPartitionReader(
       partition.asInstanceOf[ExcelInputPartition].filePath,
       requiredSchema, opts, limit, conf.value)
+
+  // columnar fast path — the reference's enableArrow branch, in-JVM
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    opts.enableArrow
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ExcelColumnarPartitionReader(
+      partition.asInstanceOf[ExcelInputPartition].filePath,
+      requiredSchema, opts, limit, conf.value)
 }
 
 /** Streams one file's chosen sheet as InternalRows, converting only the
@@ -103,7 +113,8 @@ class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
           val nameToIdx = names.zipWithIndex.toMap
           val idx = requiredSchema.fields.map { f =>
             nameToIdx.getOrElse(f.name,
-              throw new org.apache.spark.SparkException(
+              if (opts.allowMissingColumns) -1
+              else throw new org.apache.spark.SparkException(
                 s"Column '${f.name}' not found in $filePath " +
                   s"(sheet columns: ${names.mkString(", ")})"))
           }

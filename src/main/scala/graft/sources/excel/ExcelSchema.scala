@@ -115,6 +115,30 @@ object ExcelSchema {
     }
   }
 
+  /** Merge per-file schemas (union of columns in first-seen order, types
+    * widened: Int⊕Long→Long, numeric⊕Double→Double, Date⊕Timestamp→
+    * Timestamp, any other conflict→String). Used when `inferSampleFiles`>1
+    * probes a directory whose files disagree. */
+  def merge(schemas: Seq[StructType]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    schemas.foreach(_.fields.foreach { f =>
+      order.get(f.name) match {
+        case None => order(f.name) = f.dataType
+        case Some(t) => order(f.name) = widen(t, f.dataType)
+      }
+    })
+    StructType(order.map { case (n, t) => StructField(n, t, nullable = true) }.toSeq)
+  }
+
+  private def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case _ if a == b => a
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (IntegerType | LongType, DoubleType) => DoubleType
+    case (DoubleType, IntegerType | LongType) => DoubleType
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case _ => StringType
+  }
+
   // ------------------------------------------------------- value → Catalyst
 
   /** Excel wall-clock datetimes carry no zone; interpret as UTC (the

@@ -235,6 +235,66 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getString(0)).toSet == Set("Alice", "Bob"))
   }
 
+  test("enableArrow=true: columnar read returns identical results") {
+    val dir = tmpDir()
+    sampleFile(dir, "col1.xlsx", Seq(1 -> "Alice", 2 -> "Bob"))
+    sampleFile(dir, "col2.xlsx", Seq(3 -> "Carol"))
+    val rowDf = spark.read.format("excel").schema(idName)
+      .load(dir.getAbsolutePath)
+    val colDf = spark.read.format("excel").schema(idName)
+      .option("enableArrow", "true").load(dir.getAbsolutePath)
+    val plan = colDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"columnar path not planned:\n$plan")
+    assert(colDf.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      rowDf.collect().map(r => (r.getInt(0), r.getString(1))).toSet)
+  }
+
+  test("enableArrow=true round-trips all six types") {
+    val dir = tmpDir()
+    val out = new File(dir, "coltypes.xlsx").getAbsolutePath
+    import spark.implicits._
+    val df = Seq((1, 2L, 1.5, true,
+      java.sql.Date.valueOf("2021-07-04"),
+      java.sql.Timestamp.valueOf("2022-03-04 05:06:07")))
+      .toDF("i", "l", "d", "b", "dt", "ts")
+    df.coalesce(1).write.format("excel").mode("overwrite").save(out)
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("b", BooleanType),
+      StructField("dt", DateType), StructField("ts", TimestampType)))
+    val back = spark.read.format("excel").schema(schema)
+      .option("enableArrow", "true").load(out).collect().head
+    assert(back.getInt(0) == 1 && back.getLong(1) == 2L)
+    assert(back.getDouble(2) == 1.5 && back.getBoolean(3))
+    assert(back.getDate(4) == java.sql.Date.valueOf("2021-07-04"))
+    assert(back.getTimestamp(5) == java.sql.Timestamp.valueOf("2022-03-04 05:06:07"))
+  }
+
+  test("inferSampleFiles>1 merges and widens schemas across files") {
+    val dir = tmpDir()
+    // file 1: id int, name string; file 2: id has fractional → double, extra col
+    val f1 = new File(dir, "a.xlsx")
+    val w1 = new XlsxWriter(new FileOutputStream(f1))
+    w1.writeRow(Seq("id", "name")); w1.writeRow(Seq(1L, "x")); w1.close()
+    val f2 = new File(dir, "b.xlsx")
+    val w2 = new XlsxWriter(new FileOutputStream(f2))
+    w2.writeRow(Seq("id", "name", "score"))
+    w2.writeRow(Seq(2.5, "y", 7L)); w2.close()
+
+    val one = spark.read.format("excel")
+      .option("inferSampleFiles", "1").load(dir.getAbsolutePath)
+    assert(one.schema("id").dataType == IntegerType) // first file only
+
+    val merged = spark.read.format("excel")
+      .option("inferSampleFiles", "2")
+      .option("allowMissingColumns", "true").load(dir.getAbsolutePath)
+    assert(merged.schema("id").dataType == DoubleType) // Int ⊕ Double widened
+    assert(merged.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    // rows from the file lacking `score` read as null there
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getInt(2) == 7)
+  }
+
   test("missing path → AnalysisException") {
     intercept[AnalysisException] {
       spark.read.format("excel").load("/no/such/dir/anywhere")
