@@ -60,11 +60,15 @@ object TextAnalysis {
         size(array_distinct(w)).cast("double"))
   }
 
-  /** Mean whitespace-token length in characters. */
+  /** Mean whitespace-token length in characters. Tokens are the non-
+    * whitespace runs, so their total length is exactly the text with all
+    * whitespace removed — plain arithmetic instead of a lambda fold (the
+    * fold generated a large non-codegen expression that dominated Janino
+    * compile time). */
   def meanTokenLen(text: Column): Column = {
     val w = words(text)
     when(size(w) === 0, lit(0.0)).otherwise(
-      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      length(regexp_replace(lower(trim(text)), "\\s+", "")).cast("double") /
         size(w).cast("double"))
   }
 

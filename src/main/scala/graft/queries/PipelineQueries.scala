@@ -50,7 +50,7 @@ object PipelineQueries {
       |      (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.4
       |      + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3
       |      + (CASE WHEN (CASE WHEN LEN(w) = 0 THEN 0.0
-      |                    ELSE LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x)))::DOUBLE / LEN(w)::DOUBLE END)
+      |                    ELSE LENGTH(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', '', 'g'))::DOUBLE / LEN(w)::DOUBLE END)
       |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3,
       |      4) AS quality
       |  FROM base WHERE rk = 1)

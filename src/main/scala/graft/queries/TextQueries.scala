@@ -82,7 +82,7 @@ object TextQueries {
       |         ELSE (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE
       |              / LENGTH(text)::DOUBLE END AS pr,
       |    CASE WHEN LEN(w) = 0 THEN 0.0
-      |         ELSE LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x)))::DOUBLE / LEN(w)::DOUBLE
+      |         ELSE LENGTH(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', '', 'g'))::DOUBLE / LEN(w)::DOUBLE
       |    END AS mtl,
       |    n_tok
       |  FROM base)

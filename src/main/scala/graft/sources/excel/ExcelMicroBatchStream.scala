@@ -2,7 +2,8 @@ package graft.sources.excel
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
+  ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
@@ -20,7 +21,8 @@ import org.apache.spark.util.SerializableConfiguration
   * mtime), which is noted rather than implemented here.
   */
 class ExcelMicroBatchStream(schema: StructType, opts: ExcelOptions,
-    checkpointLocation: String) extends MicroBatchStream {
+    checkpointLocation: String)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def conf = SparkSession.active.sessionState.newHadoopConf()
 
@@ -28,6 +30,23 @@ class ExcelMicroBatchStream(schema: StructType, opts: ExcelOptions,
 
   override def latestOffset(): Offset =
     ExcelStreamOffset(ExcelFiles.list(opts.path, conf).sorted)
+
+  /** Admission control: `maxFilesPerTrigger` bounds each micro-batch so a
+    * backlogged directory (or a 100 TB bootstrap) drains in bounded-size
+    * batches instead of one giant first batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[ExcelStreamOffset].files
+    val seenSet = seen.toSet
+    val fresh = ExcelFiles.list(opts.path, conf).sorted.filterNot(seenSet)
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    ExcelStreamOffset((seen ++ admitted).sorted)
+  }
 
   override def deserializeOffset(json: String): Offset =
     ExcelStreamOffset.fromJson(json)

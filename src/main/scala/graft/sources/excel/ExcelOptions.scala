@@ -48,6 +48,11 @@ final case class ExcelOptions(options: Map[String, String]) {
     * connector.py:183; default false there and here). */
   def enableArrow: Boolean = get("enablearrow").exists(_.toBoolean)
 
+  /** Streaming admission control: max new files admitted per micro-batch
+    * (extension; unset = all available). */
+  def maxFilesPerTrigger: Option[Int] =
+    get("maxfilespertrigger").map(_.toInt)
+
   /** When true, a schema column absent from a file reads as nulls instead
     * of erroring (extension — needed for merged multi-file schemas; default
     * false keeps the reference's strict contract, tests/

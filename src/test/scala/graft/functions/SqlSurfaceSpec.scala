@@ -1,0 +1,54 @@
+package graft.functions
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.excel.XlsxWriter
+
+/** The pure-SQL surface: registered custom functions and `CREATE TABLE …
+  * USING excel` DDL both work, so a SQL-only user has full access. */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-sqlwh").toFile.getAbsolutePath)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("registered functions are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT fnv1a64('a') AS h, simhash64('the quick brown fox jumps') AS s, " +
+        "size(minhash128('one two three four')) AS m").collect().head
+    assert(r.getLong(0) == 0xaf63dc4c8601ec8cL) // public FNV-1a vector
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 128)
+  }
+
+  test("CREATE TABLE ... USING excel DDL round-trip") {
+    val dir = Files.createTempDirectory("graft-ddl").toFile
+    val f = new File(dir, "t.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f))
+    w.writeRow(Seq("id", "name"))
+    w.writeRow(Seq(1L, "Ada"))
+    w.writeRow(Seq(2L, "Grace"))
+    w.close()
+
+    spark.sql(
+      s"""CREATE TABLE excel_ddl (id INT, name STRING) USING excel
+         |OPTIONS (path '${f.getAbsolutePath}')""".stripMargin)
+    try {
+      val rows = spark.sql(
+        "SELECT name FROM excel_ddl WHERE id = 2").collect().map(_.getString(0))
+      assert(rows.toSeq == Seq("Grace"))
+    } finally spark.sql("DROP TABLE excel_ddl")
+  }
+}

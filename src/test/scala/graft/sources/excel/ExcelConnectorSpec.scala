@@ -295,6 +295,34 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).isNullAt(2) && rows(1).getInt(2) == 7)
   }
 
+  test("limit pushdown stops per-partition row decode early") {
+    val dir = tmpDir()
+    sampleFile(dir, "lim.xlsx", (1 to 500).map(i => i -> s"n$i"))
+    val df = spark.read.format("excel").schema(idName)
+      .load(dir.getAbsolutePath).limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"), s"limit not pushed into scan:\n$plan")
+    assert(df.collect().length == 3)
+  }
+
+  test("codec throughput: ≥50k rows/sec single-threaded read") {
+    val dir = tmpDir()
+    val f = new File(dir, "big.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f))
+    w.writeRow(Seq("id", "name", "score"))
+    (1 to 100000).foreach(i => w.writeRow(Seq(i.toLong, s"name_$i", i * 1.5)))
+    w.close()
+    val r = new XlsxReader(f)
+    val t0 = System.nanoTime()
+    val n = r.rowIterator(r.sheets.head).length
+    val secs = (System.nanoTime() - t0) / 1e9
+    r.close()
+    assert(n == 100001)
+    val rate = n / secs
+    info(f"xlsx read rate: $rate%.0f rows/sec")
+    assert(rate > 50000, f"codec too slow: $rate%.0f rows/sec")
+  }
+
   test("missing path → AnalysisException") {
     intercept[AnalysisException] {
       spark.read.format("excel").load("/no/such/dir/anywhere")

@@ -68,6 +68,25 @@ class ExcelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger drains a backlog in bounded batches") {
+    val dir = Files.createTempDirectory("graft-adm").toFile
+    val ckpt = Files.createTempDirectory("graft-adm-ck").toFile
+    (1 to 4).foreach(i => writeFile(dir, s"f$i.xlsx", Seq(i -> s"n$i")))
+
+    val q = spark.readStream.format("excel").schema(idName)
+      .option("maxFilesPerTrigger", "1")
+      .load(dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("adm_out")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("adm_out").count() == 4) // all data arrives…
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 4, s"expected ≥4 bounded batches, got $batches") // …in 1-file batches
+    } finally q.stop()
+  }
+
   test("offset JSON round-trips") {
     val o = ExcelStreamOffset(Seq("/p/a \"x\".xlsx", "/p/b\\c.xlsx"))
     assert(ExcelStreamOffset.fromJson(o.json()) == o)
