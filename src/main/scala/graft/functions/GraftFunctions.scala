@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** SQL registration for the custom Catalyst expressions, so the pure-SQL
   * surface has them too:
@@ -9,20 +10,37 @@ import org.apache.spark.sql.SparkSession
   * GraftFunctions.register(spark)
   * spark.sql("SELECT fnv1a64(text), simhash64(text), minhash128(text) FROM docs")
   * }}}
+  *
+  * Defaults come from the canonical constants on TextExpressions /
+  * VectorFunctions so the SQL names and the Column API cannot drift.
+  * Builders validate arity up front — the analyzer surfaces the message as
+  * an AnalysisException instead of a runtime `empty.head`.
   */
 object GraftFunctions {
 
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${exprs.length}")
+    build(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    import TextExpressions.{DefaultNumHashes, DefaultShingleK}
     reg.createOrReplaceTempFunction("fnv1a64",
-      exprs => TextExpressions.Fnv1a64(exprs.head), "scala_udf")
+      unary("fnv1a64")(TextExpressions.Fnv1a64), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
-      exprs => TextExpressions.SimHash64(exprs.head, 3), "scala_udf")
+      unary("simhash64")(TextExpressions.SimHash64(_, DefaultShingleK)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash128",
-      exprs => TextExpressions.MinHashSignature(exprs.head, 128, 3), "scala_udf")
+      unary("minhash128")(
+        TextExpressions.MinHashSignature(_, DefaultNumHashes, DefaultShingleK)),
+      "scala_udf")
     reg.createOrReplaceTempFunction("shingles3",
-      exprs => TextExpressions.ShingleSet(exprs.head, 3), "scala_udf")
+      unary("shingles3")(TextExpressions.ShingleSet(_, DefaultShingleK)), "scala_udf")
     reg.createOrReplaceTempFunction("emb_lsh_bucket",
-      exprs => VectorFunctions.EmbeddingLshBucket(exprs.head, 12, 42L), "scala_udf")
+      unary("emb_lsh_bucket")(VectorFunctions.EmbeddingLshBucket(_,
+        VectorFunctions.DefaultLshBits, VectorFunctions.DefaultLshSeed)), "scala_udf")
   }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -18,6 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExpressions {
 
+  /** Canonical defaults shared by the Column API and the SQL registration
+    * (graft.functions.GraftFunctions) so the two surfaces cannot drift. */
+  final val DefaultShingleK = 3
+  final val DefaultNumHashes = 128
+
+  private def requireString(name: String, child: Expression): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires a string argument, got ${child.dataType.catalogString}")
+
   /** 64-bit FNV-1a rolling hash of a string — document fingerprinting.
     * Implements `doGenCode` so it stays inside whole-stage codegen. */
   case class Fnv1a64(child: Expression)
@@ -25,6 +36,8 @@ object TextExpressions {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "fnv1a64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(prettyName, child)
 
     override protected def nullSafeEval(v: Any): Any =
       GraftHash.fnv1a64(v.asInstanceOf[UTF8String].getBytes)
@@ -61,6 +74,8 @@ object TextExpressions {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = s"minhash_$numHashes"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(prettyName, child)
 
     override protected def nullSafeEval(v: Any): Any = {
       val sh = shingles(v.asInstanceOf[UTF8String], k)
@@ -93,6 +108,8 @@ object TextExpressions {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(prettyName, child)
 
     override protected def nullSafeEval(v: Any): Any = {
       val sh = shingles(v.asInstanceOf[UTF8String], k)
@@ -125,6 +142,8 @@ object TextExpressions {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = s"shingles_$k"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(prettyName, child)
 
     override protected def nullSafeEval(v: Any): Any = {
       val sh = shingles(v.asInstanceOf[UTF8String], k).distinct.sorted
@@ -140,13 +159,13 @@ object TextExpressions {
   def fnv1a64(c: Column): Column = ColumnBridge.column(
     Fnv1a64(ColumnBridge.expression(c)))
 
-  def minhash(c: Column, numHashes: Int = 128, k: Int = 3): Column =
+  def minhash(c: Column, numHashes: Int = DefaultNumHashes, k: Int = DefaultShingleK): Column =
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(c), numHashes, k))
 
-  def simhash(c: Column, k: Int = 3): Column = ColumnBridge.column(
+  def simhash(c: Column, k: Int = DefaultShingleK): Column = ColumnBridge.column(
     SimHash64(ColumnBridge.expression(c), k))
 
-  def shingleSet(c: Column, k: Int = 3): Column = ColumnBridge.column(
+  def shingleSet(c: Column, k: Int = DefaultShingleK): Column = ColumnBridge.column(
     ShingleSet(ColumnBridge.expression(c), k))
 }

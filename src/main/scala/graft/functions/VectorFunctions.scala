@@ -40,11 +40,24 @@ object VectorFunctions {
     * broadcast, reproducible across executors. Vectors with small angular
     * distance land in equal buckets with high probability (Charikar's
     * SimHash for real vectors). */
+  /** Canonical LSH defaults shared with the SQL registration. */
+  final val DefaultLshBits = 12
+  final val DefaultLshSeed = 42L
+
   case class EmbeddingLshBucket(child: Expression, bits: Int, seed: Long)
       extends UnaryExpression with CodegenFallback {
 
     override def dataType: DataType = IntegerType
     override def prettyName: String = s"emb_lsh_$bits"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+      }
 
     override protected def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]

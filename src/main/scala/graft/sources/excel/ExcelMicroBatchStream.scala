@@ -3,7 +3,7 @@ package graft.sources.excel
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
-  ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+  ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
@@ -22,14 +22,27 @@ import org.apache.spark.util.SerializableConfiguration
   */
 class ExcelMicroBatchStream(schema: StructType, opts: ExcelOptions,
     checkpointLocation: String)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def conf = SparkSession.active.sessionState.newHadoopConf()
 
+  /** Under Trigger.AvailableNow, the listing captured at query start: the
+    * stream must drain exactly this set (in maxFilesPerTrigger-bounded
+    * batches) and then stop. Implementing [[SupportsTriggerAvailableNow]]
+    * keeps Spark from wrapping us in AvailableNowDataStreamWrapper, which
+    * would silently discard the ReadMaxFiles limit. */
+  @volatile private var availableNowFiles: Option[Seq[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowFiles = Some(ExcelFiles.list(opts.path, conf).sorted)
+  }
+
+  private def currentListing(): Seq[String] =
+    availableNowFiles.getOrElse(ExcelFiles.list(opts.path, conf).sorted)
+
   override def initialOffset(): Offset = ExcelStreamOffset(Nil)
 
-  override def latestOffset(): Offset =
-    ExcelStreamOffset(ExcelFiles.list(opts.path, conf).sorted)
+  override def latestOffset(): Offset = ExcelStreamOffset(currentListing())
 
   /** Admission control: `maxFilesPerTrigger` bounds each micro-batch so a
     * backlogged directory (or a 100 TB bootstrap) drains in bounded-size
@@ -40,7 +53,7 @@ class ExcelMicroBatchStream(schema: StructType, opts: ExcelOptions,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[ExcelStreamOffset].files
     val seenSet = seen.toSet
-    val fresh = ExcelFiles.list(opts.path, conf).sorted.filterNot(seenSet)
+    val fresh = currentListing().filterNot(seenSet)
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh

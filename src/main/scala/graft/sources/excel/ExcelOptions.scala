@@ -49,9 +49,13 @@ final case class ExcelOptions(options: Map[String, String]) {
   def enableArrow: Boolean = get("enablearrow").exists(_.toBoolean)
 
   /** Streaming admission control: max new files admitted per micro-batch
-    * (extension; unset = all available). */
-  def maxFilesPerTrigger: Option[Int] =
-    get("maxfilespertrigger").map(_.toInt)
+    * (extension; unset = all available; must be positive, matching
+    * FileStreamSource's validation). */
+  def maxFilesPerTrigger: Option[Int] = get("maxfilespertrigger").map { s =>
+    val n = s.toInt
+    require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+    n
+  }
 
   /** When true, a schema column absent from a file reads as nulls instead
     * of erroring (extension — needed for merged multi-file schemas; default

@@ -33,6 +33,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(2) == 128)
   }
 
+  test("wrong arity and wrong types are rejected at analysis") {
+    GraftFunctions.register(spark)
+    val e1 = intercept[Exception](spark.sql("SELECT fnv1a64()").collect())
+    assert(e1.getMessage.contains("exactly 1 argument"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("SELECT fnv1a64('a', 'b')").collect())
+    assert(e2.getMessage.contains("exactly 1 argument"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql("SELECT simhash64(42)").collect())
+    assert(e3.getMessage.toLowerCase.contains("string"), e3.getMessage)
+    val e4 = intercept[Exception](
+      spark.sql("SELECT emb_lsh_bucket(array(1, 2))").collect())
+    assert(e4.getMessage.contains("array<float>"), e4.getMessage)
+  }
+
   test("CREATE TABLE ... USING excel DDL round-trip") {
     val dir = Files.createTempDirectory("graft-ddl").toFile
     val f = new File(dir, "t.xlsx")

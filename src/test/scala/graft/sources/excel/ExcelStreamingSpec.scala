@@ -87,6 +87,42 @@ class ExcelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger is honored under Trigger.AvailableNow") {
+    val dir = Files.createTempDirectory("graft-an").toFile
+    val ckpt = Files.createTempDirectory("graft-an-ck").toFile
+    (1 to 3).foreach(i => writeFile(dir, s"g$i.xlsx", Seq(i -> s"n$i")))
+
+    val q = spark.readStream.format("excel").schema(idName)
+      .option("maxFilesPerTrigger", "1")
+      .load(dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("an_out")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("an_out").count() == 3)
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"AvailableNow ignored the limit: $batches batches")
+  }
+
+  test("non-positive maxFilesPerTrigger is rejected") {
+    val dir = Files.createTempDirectory("graft-neg").toFile
+    writeFile(dir, "x.xlsx", Seq(1 -> "a"))
+    // the option is read on the streaming thread → failure surfaces when
+    // the first batch is awaited, as a terminated query
+    val q = spark.readStream.format("excel").schema(idName)
+      .option("maxFilesPerTrigger", "0")
+      .load(dir.getAbsolutePath)
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-neg-ck").toFile.getAbsolutePath)
+      .start()
+    val e = intercept[Exception](q.processAllAvailable())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be positive")), e.toString)
+  }
+
   test("offset JSON round-trips") {
     val o = ExcelStreamOffset(Seq("/p/a \"x\".xlsx", "/p/b\\c.xlsx"))
     assert(ExcelStreamOffset.fromJson(o.json()) == o)
