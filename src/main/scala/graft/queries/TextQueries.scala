@@ -109,10 +109,33 @@ object TextQueries {
     """SELECT doc_id, MD5(text) AS fp_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t05
+  /** BPE-ish subword counting (whitespace + case/digit-boundary splits).
+    * The boundary regex uses lookarounds, which DuckDB's RE2 lacks → no
+    * SQL oracle; deterministic rows-only check + LlmOpsSpec ground truth. */
+  def t05SubwordStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- t06
+  /** Rolling-hash (FNV-1a64, codegen Catalyst expression) fingerprint.
+    * Not DuckDB-expressible → rows-only; value correctness is pinned by
+    * public FNV test vectors in LlmOpsSpec/SqlSurfaceSpec. */
+  def t06FnvFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      graft.functions.TextExpressions.fnv1a64(col("text")).as("fp_fnv64"))
+      .orderBy("doc_id")
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t02_lang_id" -> (t02LangId _, t02Sql),
     "t03_quality" -> (t03Quality _, t03Sql),
     "t04_fingerprint" -> (t04Fingerprint _, t04Sql),
+    "t05_subword_stats" -> (t05SubwordStats _, null),
+    "t06_fnv_fingerprint" -> (t06FnvFingerprint _, null),
   )
 }

@@ -98,7 +98,16 @@ class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
     extends PartitionReader[InternalRow] {
 
   private val (localFile, isTemp) = ExcelFiles.toLocal(filePath, conf)
-  private val reader = new XlsxReader(localFile)
+  // error normalization (reference wraps all read failures, connector.py:
+  // 202-203): corrupt/non-zip files surface as SparkException with the path
+  private val reader =
+    try new XlsxReader(localFile)
+    catch {
+      case e: Exception =>
+        if (isTemp) localFile.delete()
+        throw new org.apache.spark.SparkException(
+          s"Failed to open excel file $filePath: ${e.getMessage}", e)
+    }
 
   private val (indices: Array[Int], rowIter: Iterator[Array[Any]]) = {
     val sheet = reader.resolveSheet(opts.sheetName)

@@ -95,11 +95,21 @@ object ExcelSchema {
   def allStrings(names: Seq[String]): StructType =
     StructType(names.map(StructField(_, StringType, nullable = true)))
 
-  /** Probe one file and produce the inferred (or all-string) schema. */
+  /** Probe one file and produce the inferred (or all-string) schema.
+    * Failures wrap in AnalysisException like the reference's inference
+    * error normalization (connector.py:93-94). */
   def inferFromFile(filePath: String, opts: ExcelOptions,
       conf: Configuration): StructType = {
     val (file, temp) = ExcelFiles.toLocal(filePath, conf)
-    val reader = new XlsxReader(file)
+    val reader =
+      try new XlsxReader(file)
+      catch {
+        case e: Exception =>
+          if (temp) file.delete()
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "UNABLE_TO_INFER_SCHEMA",
+            messageParameters = Map("format" -> s"excel ($filePath: ${e.getMessage})"))
+      }
     try {
       val sheet = reader.resolveSheet(opts.sheetName)
       val it = reader.rowIterator(sheet)

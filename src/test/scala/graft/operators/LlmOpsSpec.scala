@@ -158,6 +158,15 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == "und")
   }
 
+  test("subword count splits on case and letter/digit boundaries") {
+    import spark.implicits._
+    val got = Seq("helloWorld abc123", "", "plain words here")
+      .toDF("text")
+      .select(TextAnalysis.subwordCount(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(4L, 0L, 3L)) // hello|World abc|123 → 4
+  }
+
   test("cosine is exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),

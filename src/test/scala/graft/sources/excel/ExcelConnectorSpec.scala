@@ -323,6 +323,21 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rate > 50000, f"codec too slow: $rate%.0f rows/sec")
   }
 
+  test("corrupt file: read error names the file; inference wraps as AnalysisException") {
+    val dir = tmpDir()
+    val f = new File(dir, "garbage.xlsx")
+    java.nio.file.Files.write(f.toPath, "this is not a zip".getBytes)
+    // read path with schema → SparkException naming the file
+    val df = spark.read.format("excel").schema(idName).load(f.getAbsolutePath)
+    val e = intercept[Exception](df.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("garbage.xlsx")), e.toString)
+    // inference path → AnalysisException (reference error normalization)
+    intercept[AnalysisException](
+      spark.read.format("excel").load(f.getAbsolutePath))
+  }
+
   test("missing path → AnalysisException") {
     intercept[AnalysisException] {
       spark.read.format("excel").load("/no/such/dir/anywhere")
