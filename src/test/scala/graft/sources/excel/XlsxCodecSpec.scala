@@ -144,6 +144,62 @@ class XlsxCodecSpec extends AnyFunSuite {
     assert(XlsxReader.customDateKind("0.00E+00") == DateKind.None)
   }
 
+  test("1904 date system shifts the epoch") {
+    val f = tmpFile()
+    val zip = new ZipOutputStream(new FileOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><workbookPr date1904="1"/><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/styles.xml",
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+    // serial 100 in 1904 system = 1904-01-01 + 100 days = 1904-04-10
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" s="1"><v>100</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val r = new XlsxReader(f)
+    assert(r.date1904)
+    val v = r.rowIterator(r.sheets.head).next().head
+    r.close()
+    assert(v == LocalDate.of(1904, 4, 10))
+  }
+
+  test("unicode round-trip: CJK, emoji, RTL, combining marks") {
+    val f = tmpFile()
+    val w = new XlsxWriter(new FileOutputStream(f))
+    val samples = Seq("中文字符串", "emoji 🎉🚀", "עברית مرحبا", "étude", "tab\tand\nnewline")
+    w.writeRow(samples)
+    w.close()
+    val r = new XlsxReader(f)
+    val row = r.rowIterator(r.sheets.head).next()
+    r.close()
+    assert(row.toSeq == samples)
+  }
+
+  test("time-only formatted cell reads as datetime fraction of epoch day") {
+    val f = tmpFile()
+    val zip = new ZipOutputStream(new FileOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/styles.xml", // numFmtId 21 = h:mm:ss
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="21" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+    entry("xl/worksheets/sheet1.xml", // 0.5 = 12:00:00
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" s="1"><v>0.5</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val r = new XlsxReader(f)
+    val v = r.rowIterator(r.sheets.head).next().head
+    r.close()
+    assert(v == java.time.LocalDateTime.of(1899, 12, 30, 12, 0, 0))
+  }
+
   test("large integral numbers keep exact text representation") {
     val f = tmpFile()
     val w = new XlsxWriter(new FileOutputStream(f))
