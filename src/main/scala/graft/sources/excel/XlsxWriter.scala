@@ -163,7 +163,8 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
         case '>' => sb.append("&gt;")
         case '&' => sb.append("&amp;")
         case '"' => sb.append("&quot;")
-        case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+        case '\r' => sb.append("&#13;") // literal CR would be normalized to LF
+        case c if c < ' ' && c != '\t' && c != '\n' =>
           sb.append("_x").append(f"${c.toInt}%04X").append('_')
         case c => sb.append(c)
       }
