@@ -21,6 +21,7 @@ class ExcelTable(tableSchema: StructType, opts: ExcelOptions)
     TableCapability.BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.MICRO_BATCH_READ,
+    TableCapability.STREAMING_WRITE,
     TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -50,6 +50,13 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
 
   override def toBatch: BatchWrite = this
 
+  /** Streaming sink: `path` is a DIRECTORY; each epoch commits one
+    * `batch-<epochId>.xlsx` (epoch-named → idempotent on epoch replay).
+    * The reference has no streaming sink at all; this composes with the
+    * directory reader so excel→transform→excel streams round-trip. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new ExcelStreamingWrite(schema, opts)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
@@ -96,6 +103,60 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
 
 case class ExcelCommitMessage(partitionId: Int, tempPath: String)
     extends WriterCommitMessage
+
+class ExcelStreamingWrite(schema: StructType, opts: ExcelOptions)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def tmpDir(epochId: Long): String =
+    s"${opts.path}/.__graft_stream_tmp_$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    ExcelStreamingWriterFactory(schema, opts, conf)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val outDir = new Path(opts.path)
+    val fs = outDir.getFileSystem(conf)
+    fs.mkdirs(outDir)
+    val target = new Path(outDir, f"batch-$epochId%05d.xlsx")
+    val parts = messages.collect { case m: ExcelCommitMessage => m }
+      .sortBy(_.partitionId)
+    val writer = new XlsxWriter(fs.create(target, true), opts.writeSheetName)
+    try {
+      if (opts.header) writer.writeRow(schema.fieldNames.toSeq)
+      parts.foreach { m =>
+        val (local, temp) = ExcelFiles.toLocal(m.tempPath, conf)
+        val r = new XlsxReader(local)
+        try r.rowIterator(r.sheets.head).foreach(row => writer.writeRow(row.toSeq))
+        finally { r.close(); if (temp) local.delete() }
+      }
+    } finally {
+      writer.close()
+      fs.delete(new Path(tmpDir(epochId)), true)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(opts.path).getFileSystem(conf)
+    fs.delete(new Path(tmpDir(epochId)), true)
+  }
+}
+
+case class ExcelStreamingWriterFactory(schema: StructType, opts: ExcelOptions,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ExcelDataWriter(schema, opts,
+      s"${opts.path}/.__graft_stream_tmp_$epochId", partitionId, taskId, conf.value)
+}
 
 case class ExcelDataWriterFactory(schema: StructType, opts: ExcelOptions,
     tmpDir: String, conf: SerializableConfiguration) extends DataWriterFactory {

@@ -123,6 +123,34 @@ class ExcelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("must be positive")), e.toString)
   }
 
+  test("streaming excel sink: excel → transform → excel round-trip") {
+    val in = Files.createTempDirectory("graft-sink-in").toFile
+    val outDir = Files.createTempDirectory("graft-sink-out").toFile
+    val ckpt = Files.createTempDirectory("graft-sink-ck").toFile
+    writeFile(in, "a.xlsx", Seq(1 -> "one", 2 -> "two"))
+
+    val q = spark.readStream.format("excel").schema(idName)
+      .load(in.getAbsolutePath)
+      .selectExpr("id * 10 AS id", "upper(name) AS name")
+      .writeStream.format("excel")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      writeFile(in, "b.xlsx", Seq(3 -> "three"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // each epoch became one workbook; our own directory reader reads them
+    val back = spark.read.format("excel").schema(idName)
+      .load(outDir.getAbsolutePath)
+    val got = back.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set(10 -> "ONE", 20 -> "TWO", 30 -> "THREE"), got)
+    val files = outDir.listFiles.filter(_.getName.endsWith(".xlsx")).map(_.getName).sorted
+    assert(files.length >= 2 && files.forall(_.startsWith("batch-")), files.toSeq)
+  }
+
   test("offset JSON round-trips") {
     val o = ExcelStreamOffset(Seq("/p/a \"x\".xlsx", "/p/b\\c.xlsx"))
     assert(ExcelStreamOffset.fromJson(o.json()) == o)
