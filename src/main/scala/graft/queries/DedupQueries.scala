@@ -98,8 +98,19 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- d06
+  /** Corpus-vs-corpus overlap: per-`lang` MinHash-union signatures (custom
+    * typed Aggregator with map-side combine) → pairwise estimated Jaccard.
+    * Sketch estimate ⇒ no SQL oracle; LlmOpsSpec pins estimate-vs-exact
+    * accuracy on controlled data. */
+  def d06GroupSimilarity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GroupSimilarity
+      .groupPairSimilarity(docs(spark, dir), "lang", "text")
+      .orderBy("grp_a", "grp_b")
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
+    "d06_group_similarity" -> (d06GroupSimilarity _, null),
     "d02_minhash_lsh" -> (d02MinhashLsh _, d02Sql),
     "d03_simhash" -> (d03Simhash _, null),
     "d04_ngram_jaccard" -> (d04NgramJaccard _, d04Sql),

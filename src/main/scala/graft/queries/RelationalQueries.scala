@@ -427,8 +427,25 @@ object RelationalQueries {
       |GROUP BY event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q19
+  /** Built-in sketches: HyperLogLog++ distinct counts next to the exact
+    * answer. HLL merge is a register-wise max — commutative and
+    * associative — so the estimate is deterministic regardless of
+    * partitioning. DuckDB's approx sketch differs by construction ⇒ no SQL
+    * oracle; rows-only determinism check. */
+  def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q19_approx_distinct" -> (q19ApproxDistinct _, null),
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
     "q02_filter_project" -> (q02FilterProject _, q02Sql),
     "q03_join_agg" -> (q03JoinAgg _, q03Sql),

@@ -158,6 +158,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == "und")
   }
 
+  test("MinHash-union aggregator: group signature estimates exact Jaccard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 200).map(i => s"w$i")
+    // group A and B share ~half their vocabulary through their docs
+    def doc(words: Seq[String]) = Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+    val a = (0 until 20).map(i => ("A", doc(vocab.take(120))))
+    val b = (0 until 20).map(i => ("B", doc(vocab.drop(80))))
+    val df = (a ++ b).toDF("grp", "text")
+    val est = GroupSimilarity.groupPairSimilarity(df, "grp", "text", numHashes = 256)
+      .collect().head.getDouble(2)
+
+    // exact group-level shingle Jaccard for comparison
+    def shingles(rows: Seq[(String, String)]) = rows.flatMap { case (_, t) =>
+      val tok = t.toLowerCase.split("\\s+")
+      tok.sliding(3).map(_.mkString(" "))
+    }.toSet
+    val (sa, sb) = (shingles(a), shingles(b))
+    val exact = (sa & sb).size.toDouble / (sa | sb).size
+    assert(math.abs(est - exact) < 0.12,
+      s"estimate $est vs exact $exact")
+  }
+
   test("subword count splits on case and letter/digit boundaries") {
     import spark.implicits._
     val got = Seq("helloWorld abc123", "", "plain words here")
