@@ -52,10 +52,14 @@ object Dedup {
       .filter(col("sig").isNotNull)
 
     // (doc, band, hash-of-band-slice): band key is a single long, so the
-    // self-join shuffles fixed-width keys regardless of document size
+    // self-join shuffles fixed-width keys regardless of document size.
+    // repartition on the join key puts an Exchange under both self-join
+    // branches → ReusedExchange computes the (interpreted) minhash explode
+    // once instead of once per branch, and the join is already co-partitioned
     val banded = sig.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * r + lit(1), lit(r)), b))).as(Seq("band", "bhash")))
+      .repartition(col("band"), col("bhash"))
 
     // candidate generation stays NARROW (ids only): deduping (id_a,id_b)
     // before re-attaching shingle arrays keeps the shuffle rows fixed-width
@@ -117,8 +121,11 @@ object Dedup {
       .withColumn("sh_size", size(col("sh")))
       .filter(col("sh_size") > 0)
 
+    // shared Exchange: rare-filter and both join branches reuse one
+    // computation of the shingle explode (see minhashLshPairs note)
     val posting = sh.select(col("doc_id"), col("sh_size"),
       explode(col("sh")).as("shingle"))
+      .repartition(col("shingle"))
     val rare = posting.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap && col("df") >= 2) // df=1 can't form a pair

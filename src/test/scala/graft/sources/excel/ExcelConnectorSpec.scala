@@ -46,6 +46,10 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     StructField("id", IntegerType, nullable = true),
     StructField("name", StringType, nullable = true)))
 
+  /** All messages down a cause chain (for asserting on wrapped errors). */
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
   test("directory read: explicit schema, 3 files → union of rows, 3 partitions") {
     val dir = tmpDir()
     sampleFile(dir, "sample_1.xlsx", Seq(1 -> "Alice", 2 -> "Bob"))
@@ -323,6 +327,18 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rate > 50000, f"codec too slow: $rate%.0f rows/sec")
   }
 
+  test("append to an existing workbook fails clearly (xlsx is not appendable)") {
+    val dir = tmpDir()
+    val out = new File(dir, "app.xlsx").getAbsolutePath
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("id", "name")
+    df.write.format("excel").mode("append").save(out) // no file yet → creates
+    val e = intercept[Exception](
+      df.write.format("excel").mode("append").save(out))
+    assert(msgs(e).exists(m => m.contains("already exists") || m.contains("PATH_ALREADY_EXISTS")),
+      e.toString)
+  }
+
   test("corrupt file: read error names the file; inference wraps as AnalysisException") {
     val dir = tmpDir()
     val f = new File(dir, "garbage.xlsx")
@@ -330,8 +346,6 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // read path with schema → SparkException naming the file
     val df = spark.read.format("excel").schema(idName).load(f.getAbsolutePath)
     val e = intercept[Exception](df.collect())
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("garbage.xlsx")), e.toString)
     // inference path → AnalysisException (reference error normalization)
     intercept[AnalysisException](
