@@ -16,12 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-row object churn before the first whole-stage-codegen boundary. */
 class ExcelColumnarPartitionReader(filePath: String, requiredSchema: StructType,
     opts: ExcelOptions, limit: Int,
-    conf: org.apache.hadoop.conf.Configuration, batchSize: Int = 4096)
+    conf: org.apache.hadoop.conf.Configuration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    batchSize: Int = 4096)
     extends PartitionReader[ColumnarBatch] {
 
-  // reuse the row reader's file/sheet/column-resolution logic
+  // reuse the row reader's file/sheet/column-resolution/filter logic
   private val rowReader =
-    new ExcelPartitionReader(filePath, requiredSchema, opts, limit, conf)
+    new ExcelPartitionReader(filePath, requiredSchema, opts, limit, conf, filters)
 
   private var vectors: Array[OnHeapColumnVector] = _
   private var batch: ColumnarBatch = _

@@ -18,32 +18,46 @@ import org.apache.spark.util.SerializableConfiguration
 class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
     with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = fullSchema
   private var limit: Int = -1
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     this.requiredSchema = requiredSchema
   }
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(ExcelFilters.supported(_, fullSchema))
+    filters // all stay post-scan: Spark re-applies (cheap, simple correctness)
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def pushLimit(limit: Int): Boolean = {
     this.limit = limit
     false // partial: each partition still caps rows, Spark re-applies the limit
   }
 
-  override def build(): Scan = new ExcelScan(fullSchema, requiredSchema, opts, limit)
+  override def build(): Scan =
+    new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed)
 }
 
 class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
-    opts: ExcelOptions, limit: Int) extends Scan with Batch {
+    opts: ExcelOptions, limit: Int,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
 
   override def description(): String =
     s"ExcelScan path=${opts.pathOpt.getOrElse("?")} sheet=${opts.sheetName} " +
       s"columns=[${requiredSchema.fieldNames.mkString(",")}]" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (filters.nonEmpty) s" PushedFilters=[${filters.mkString(", ")}]" else "")
 
   override def toBatch: Batch = this
 
@@ -60,7 +74,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    ExcelPartitionReaderFactory(requiredSchema, opts, limit, conf)
+    ExcelPartitionReaderFactory(requiredSchema, opts, limit, conf, filters)
   }
 }
 
@@ -69,13 +83,14 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 case class ExcelInputPartition(filePath: String) extends InputPartition
 
 case class ExcelPartitionReaderFactory(requiredSchema: StructType,
-    opts: ExcelOptions, limit: Int, conf: SerializableConfiguration)
+    opts: ExcelOptions, limit: Int, conf: SerializableConfiguration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ExcelPartitionReader(
       partition.asInstanceOf[ExcelInputPartition].filePath,
-      requiredSchema, opts, limit, conf.value)
+      requiredSchema, opts, limit, conf.value, filters)
 
   // columnar fast path — the reference's enableArrow branch, in-JVM
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -85,7 +100,7 @@ case class ExcelPartitionReaderFactory(requiredSchema: StructType,
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ExcelColumnarPartitionReader(
       partition.asInstanceOf[ExcelInputPartition].filePath,
-      requiredSchema, opts, limit, conf.value)
+      requiredSchema, opts, limit, conf.value, filters)
 }
 
 /** Streams one file's chosen sheet as InternalRows, converting only the
@@ -94,8 +109,15 @@ case class ExcelPartitionReaderFactory(requiredSchema: StructType,
   * intent, tests/test_excel_connector.py:93-112; extra file columns are
   * ignored, :73-91); positional when header=false. */
 class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
-    opts: ExcelOptions, limit: Int, conf: org.apache.hadoop.conf.Configuration)
+    opts: ExcelOptions, limit: Int, conf: org.apache.hadoop.conf.Configuration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
+
+  // pushed-filter machinery: evaluate on converted values, AND semantics
+  private val fieldIdx: Map[String, Int] =
+    requiredSchema.fieldNames.zipWithIndex.toMap
+  private val applicableFilters =
+    filters.filter(f => ExcelFilters.supported(f, requiredSchema))
 
   private val (localFile, isTemp) = ExcelFiles.toLocal(filePath, conf)
   // error normalization (reference wraps all read failures, connector.py:
@@ -138,7 +160,7 @@ class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (rowIter.hasNext) {
+    while (rowIter.hasNext) {
       val raw = rowIter.next()
       val values = new Array[Any](requiredSchema.length)
       var i = 0
@@ -148,9 +170,14 @@ class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
         values(i) = ExcelSchema.convert(cell, requiredSchema.fields(i).dataType)
         i += 1
       }
-      current = new GenericInternalRow(values)
-      true
-    } else false
+      val lookup: String => Any = name => values(fieldIdx(name))
+      if (applicableFilters.forall(f =>
+          ExcelFilters.evaluate(f, requiredSchema, lookup))) {
+        current = new GenericInternalRow(values)
+        return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = current

@@ -327,6 +327,30 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rate > 50000, f"codec too slow: $rate%.0f rows/sec")
   }
 
+  test("filter pushdown reaches the scan and skips rows before Spark") {
+    val dir = tmpDir()
+    sampleFile(dir, "filt.xlsx", (1 to 100).map(i => i -> s"name_$i"))
+    val df = spark.read.format("excel").schema(idName)
+      .load(dir.getAbsolutePath)
+      .filter(col("id") > 90 && col("name").startsWith("name_9"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("GreaterThan(id,90)"), plan)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == (91 to 99)) // name_100 !~ name_9*
+    // filters on date/timestamp/boolean types evaluate in-scan too
+    val out = new File(dir, "typed.xlsx").getAbsolutePath
+    import spark.implicits._
+    Seq((java.sql.Date.valueOf("2024-01-01"), true),
+      (java.sql.Date.valueOf("2025-06-01"), false))
+      .toDF("d", "b").coalesce(1)
+      .write.format("excel").mode("overwrite").save(out)
+    val typed = StructType(Seq(StructField("d", DateType), StructField("b", BooleanType)))
+    val got = spark.read.format("excel").schema(typed).load(out)
+      .filter(col("d") > java.sql.Date.valueOf("2024-12-31") && !col("b"))
+      .collect()
+    assert(got.length == 1 && got.head.getDate(0) == java.sql.Date.valueOf("2025-06-01"))
+  }
+
   test("append to an existing workbook fails clearly (xlsx is not appendable)") {
     val dir = tmpDir()
     val out = new File(dir, "app.xlsx").getAbsolutePath
