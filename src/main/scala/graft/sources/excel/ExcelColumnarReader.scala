@@ -14,7 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[ColumnarBatch]]es, skipping per-row InternalRow materialization; the
   * reference's motivation (avoid per-row pickling) maps here to avoiding
   * per-row object churn before the first whole-stage-codegen boundary. */
-class ExcelColumnarPartitionReader(filePath: String, requiredSchema: StructType,
+class ExcelColumnarPartitionReader(filePath: String, fullSchema: StructType,
+    requiredSchema: StructType,
     opts: ExcelOptions, limit: Int,
     conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
@@ -22,8 +23,8 @@ class ExcelColumnarPartitionReader(filePath: String, requiredSchema: StructType,
     extends PartitionReader[ColumnarBatch] {
 
   // reuse the row reader's file/sheet/column-resolution/filter logic
-  private val rowReader =
-    new ExcelPartitionReader(filePath, requiredSchema, opts, limit, conf, filters)
+  private val rowReader = new ExcelPartitionReader(
+    filePath, fullSchema, requiredSchema, opts, limit, conf, filters)
 
   private var vectors: Array[OnHeapColumnVector] = _
   private var batch: ColumnarBatch = _

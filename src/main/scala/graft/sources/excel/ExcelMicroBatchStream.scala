@@ -20,8 +20,10 @@ import org.apache.spark.util.SerializableConfiguration
   * a production deployment would compact (e.g. retention window on
   * mtime), which is noted rather than implemented here.
   */
-class ExcelMicroBatchStream(schema: StructType, opts: ExcelOptions,
-    checkpointLocation: String)
+class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
+    opts: ExcelOptions, checkpointLocation: String,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    limit: Int = -1)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def conf = SparkSession.active.sessionState.newHadoopConf()
@@ -73,8 +75,8 @@ class ExcelMicroBatchStream(schema: StructType, opts: ExcelOptions,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ExcelPartitionReaderFactory(schema, opts, limit = -1,
-      new SerializableConfiguration(conf))
+    ExcelPartitionReaderFactory(fullSchema, schema, opts, limit,
+      new SerializableConfiguration(conf), filters)
 
   override def commit(end: Offset): Unit = () // offsets are self-contained
 

@@ -31,7 +31,8 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
 
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
-    pushed = filters.filter(ExcelFilters.supported(_, fullSchema))
+    pushed = org.apache.spark.sql.graftbridge.ColumnBridge
+      .supportedFilters(filters, fullSchema)
     filters // all stay post-scan: Spark re-applies (cheap, simple correctness)
   }
 
@@ -63,7 +64,8 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ExcelMicroBatchStream(requiredSchema, opts, checkpointLocation)
+    new ExcelMicroBatchStream(fullSchema, requiredSchema, opts,
+      checkpointLocation, filters, limit)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -74,7 +76,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    ExcelPartitionReaderFactory(requiredSchema, opts, limit, conf, filters)
+    ExcelPartitionReaderFactory(fullSchema, requiredSchema, opts, limit, conf, filters)
   }
 }
 
@@ -82,7 +84,8 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
   * connector.py:47-49). */
 case class ExcelInputPartition(filePath: String) extends InputPartition
 
-case class ExcelPartitionReaderFactory(requiredSchema: StructType,
+case class ExcelPartitionReaderFactory(fullSchema: StructType,
+    requiredSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: SerializableConfiguration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
@@ -90,7 +93,7 @@ case class ExcelPartitionReaderFactory(requiredSchema: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ExcelPartitionReader(
       partition.asInstanceOf[ExcelInputPartition].filePath,
-      requiredSchema, opts, limit, conf.value, filters)
+      fullSchema, requiredSchema, opts, limit, conf.value, filters)
 
   // columnar fast path — the reference's enableArrow branch, in-JVM
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -100,7 +103,7 @@ case class ExcelPartitionReaderFactory(requiredSchema: StructType,
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new ExcelColumnarPartitionReader(
       partition.asInstanceOf[ExcelInputPartition].filePath,
-      requiredSchema, opts, limit, conf.value, filters)
+      fullSchema, requiredSchema, opts, limit, conf.value, filters)
 }
 
 /** Streams one file's chosen sheet as InternalRows, converting only the
@@ -108,16 +111,22 @@ case class ExcelPartitionReaderFactory(requiredSchema: StructType,
   * (missing required column → error, matching the reference's tested
   * intent, tests/test_excel_connector.py:93-112; extra file columns are
   * ignored, :73-91); positional when header=false. */
-class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
+class ExcelPartitionReader(filePath: String, fullSchema: StructType,
+    requiredSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
-  // pushed-filter machinery: evaluate on converted values, AND semantics
-  private val fieldIdx: Map[String, Int] =
-    requiredSchema.fieldNames.zipWithIndex.toMap
-  private val applicableFilters =
-    filters.filter(f => ExcelFilters.supported(f, requiredSchema))
+  // pushed-filter evaluation via Catalyst's own OrderedFilters (exact Spark
+  // comparison semantics); an optimization only — Spark re-applies all
+  // filters above the scan regardless
+  private val structFilters = {
+    val applicable = org.apache.spark.sql.graftbridge.ColumnBridge
+      .supportedFilters(filters, requiredSchema)
+    if (applicable.isEmpty) None
+    else Some(org.apache.spark.sql.graftbridge.ColumnBridge
+      .orderedFilters(applicable.toSeq, requiredSchema))
+  }
 
   private val (localFile, isTemp) = ExcelFiles.toLocal(filePath, conf)
   // error normalization (reference wraps all read failures, connector.py:
@@ -152,8 +161,10 @@ class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
           (idx, it)
         }
       } else {
-        // positional: field i ← file column i
-        (requiredSchema.fields.indices.toArray, it)
+        // positional: field ← its position in the FULL schema (pruning must
+        // not shift positions — requiredSchema indices would read the wrong
+        // file columns after a select())
+        (requiredSchema.fields.map(f => fullSchema.fieldIndex(f.name)), it)
       }
     (colIndex, if (limit >= 0) dataIter.take(limit) else dataIter)
   }
@@ -170,10 +181,21 @@ class ExcelPartitionReader(filePath: String, requiredSchema: StructType,
         values(i) = ExcelSchema.convert(cell, requiredSchema.fields(i).dataType)
         i += 1
       }
-      val lookup: String => Any = name => values(fieldIdx(name))
-      if (applicableFilters.forall(f =>
-          ExcelFilters.evaluate(f, requiredSchema, lookup))) {
-        current = new GenericInternalRow(values)
+      val row = new GenericInternalRow(values)
+      val keep = structFilters match {
+        case None => true
+        case Some(sf) =>
+          sf.reset()
+          var i = 0
+          var skip = false
+          while (i < requiredSchema.length && !skip) {
+            if (sf.skipRow(row, i)) skip = true
+            i += 1
+          }
+          !skip
+      }
+      if (keep) {
+        current = row
         return true
       }
     }

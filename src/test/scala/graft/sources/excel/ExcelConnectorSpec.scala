@@ -229,6 +229,23 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().head.getInt(0) == 1)
   }
 
+  test("header=false + column pruning reads the right file columns") {
+    // regression: after select(), positions must map through the FULL
+    // schema, not the pruned one (the second column is still file col 1)
+    val dir = tmpDir()
+    val f = sampleFile(dir, "noheadprune.xlsx",
+      Seq(1 -> "Alice", 2 -> "Bob"), header = false)
+    val df = spark.read.format("excel")
+      .option("header", "false").load(f.getAbsolutePath)
+      .select("1") // prune to the second (string) column only
+    assert(df.collect().map(_.getString(0)).toSet == Set("Alice", "Bob"))
+    // and a pushed filter on the pruned read evaluates the right cells
+    val df2 = spark.read.format("excel")
+      .option("header", "false").load(f.getAbsolutePath)
+      .filter(col("1") === "Bob").select("1")
+    assert(df2.collect().map(_.getString(0)).toSeq == Seq("Bob"))
+  }
+
   test("column pruning reaches the scan") {
     val dir = tmpDir()
     sampleFile(dir, "prune.xlsx", Seq(1 -> "Alice", 2 -> "Bob"))
