@@ -443,9 +443,121 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q20
+  /** CUBE grouping sets (all four combinations). */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q20Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** UNION ALL + distinct aggregation over the union. */
+  def q21UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = t(spark, dir, "customer")
+      .select($"c_nationkey".as("nationkey"), lit("customer").as("side"))
+    val s = t(spark, dir, "supplier")
+      .select($"s_nationkey".as("nationkey"), lit("supplier").as("side"))
+    c.unionAll(s)
+      .groupBy($"nationkey")
+      .agg(count(lit(1)).as("n_parties"),
+        countDistinct($"side").as("n_sides"))
+      .orderBy($"nationkey")
+  }
+
+  val q21Sql: String =
+    """SELECT nationkey, COUNT(*) AS n_parties, COUNT(DISTINCT side) AS n_sides
+      |FROM (
+      |  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Uncorrelated scalar subquery: orders above the global average price. */
+  def q22ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = t(spark, dir, "orders")
+    // exact-decimal global average, same construction both engines
+    val avgPrice = ord.agg(
+      (sum(dec($"o_totalprice")).cast("double") /
+        count(lit(1)).cast("double")).as("a"))
+      .collect().head.getDouble(0)
+    ord.filter($"o_totalprice" > avgPrice)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_above_avg
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*)::DOUBLE
+      |  FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Pivot: order counts per priority pivoted on status. The oracle mirrors
+    * it with conditional aggregation (column names aligned). */
+  def q23Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot($"o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderpriority")
+  }
+
+  val q23Sql: String =
+    """SELECT o_orderpriority,
+      | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** JSON extraction from the events `props` column. */
+  def q24JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("bigint").as("k"))
+      .groupBy()
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+  }
+
+  val q24Sql: String =
+    """SELECT COUNT(*) AS n,
+      | SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+      | MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q19_approx_distinct" -> (q19ApproxDistinct _, null),
+    "q20_cube" -> (q20Cube _, q20Sql),
+    "q21_union_all" -> (q21UnionAll _, q21Sql),
+    "q22_scalar_subquery" -> (q22ScalarSubquery _, q22Sql),
+    "q23_pivot" -> (q23Pivot _, q23Sql),
+    "q24_json_extract" -> (q24JsonExtract _, q24Sql),
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
     "q02_filter_project" -> (q02FilterProject _, q02Sql),
     "q03_join_agg" -> (q03JoinAgg _, q03Sql),
