@@ -54,6 +54,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` deterministic
+    * centroid vectors partitions the corpus into cells; a query searches
+    * only its `nprobe` nearest cells with exact cosine.
+    *
+    * At scale the assignment is computed once and persisted partitioned by
+    * `cell`, so a query prunes to nprobe/nlist of the data before any
+    * distance math — the complementary scale path to sign-LSH banding
+    * (IVF: few coarse cells, good for clustered corpora; LSH: many hash
+    * buckets, good for high-similarity retrieval).
+    *
+    * Centroids here are a deterministic sample of the corpus (every
+    * `stride`-th vector) rather than k-means iterations — the partition/
+    * prune plumbing is identical and stays reproducible run to run. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+
+    // deterministic centroid sample (small: nlist rows to the driver)
+    val ids = df.select(col(idCol)).orderBy(col(idCol)).limit(100000)
+      .collect().map(_.get(0).toString.toDouble.toLong)
+    val stride = math.max(1, ids.length / nlist)
+    val centroidIds = ids.zipWithIndex.collect {
+      case (id, i) if i % stride == 0 => id
+    }.take(nlist)
+    val centroids: Array[(Int, Array[Double])] = df
+      .filter(col(idCol).isin(centroidIds.map(_.asInstanceOf[Any]): _*))
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }.toArray
+      }
+
+    // nprobe cells nearest to the query (driver-side: nlist tiny)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    val probeCells = centroids.sortBy { case (_, c) => -cos(query, c) }
+      .take(nprobe).map(_._1).toSet
+
+    // assignment: argmax cosine over the broadcast centroid array
+    val centroidLits = array(centroids.map { case (cid, vec) =>
+      struct(lit(cid).as("cell"), vecLit(vec).as("cvec"))
+    }: _*)
+    val assigned = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        // pick the struct with max cosine: sort by (-cos, cell) ascending
+        sort_array(transform(centroidLits, c =>
+          struct((-VectorFunctions.cosine(col("vec"), c.getField("cvec")))
+            .as("negcos"), c.getField("cell").as("cell"))), asc = true)
+          .getItem(0).getField("cell"))
+
+    assigned.filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosine(col("vec"), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Fetch one embedding as the query vector (driver-side, k rows ≪ data). */
   def vectorOf(spark: SparkSession, dir: String, vecId: Long): Array[Double] = {
     spark.read.parquet(s"$dir/embeddings.parquet")

@@ -44,8 +44,19 @@ object SimilarityQueries {
       bandBits = 6, bandCount = 12, seed = 42L)
   }
 
+  // ---------------------------------------------------------------- s03
+  /** IVF-bucketed ANN top-10: deterministic coarse centroids, nprobe-cell
+    * search. Approximate ⇒ rows-only; spec asserts recall on clustered
+    * data. */
+  def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    Similarity.ivfTopK(emb(spark, dir), "vec_id", "embedding", q, 10,
+      nlist = 16, nprobe = 4)
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),
     "s02_ann_lsh" -> (s02LshTopK _, null),
+    "s03_ann_ivf" -> (s03IvfTopK _, null),
   )
 }

@@ -120,6 +120,12 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall was $recall")
     // brute-force must rank cluster-0 members on top
     assert(brute.forall(_ < 50))
+
+    // IVF with generous probes must reach comparable recall on the same data
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", query, 20,
+      nlist = 16, nprobe = 6).collect().map(_.getLong(0)).toSet
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    assert(ivfRecall >= 0.8, s"IVF recall was $ivfRecall")
   }
 
   test("multimodal decode plumbing: schema, determinism, null payloads") {
