@@ -17,6 +17,15 @@ object GraftHash {
     h
   }
 
+  /** splitmix64 finalizer: full-avalanche mix of a 64-bit value. */
+  def mix64(v: Long): Long = {
+    var z = v
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
+
   /** Seeded variant (MinHash permutation family). */
   def fnv1a64Seeded(bytes: Array[Byte], seed: Long): Long = {
     var h = 0xcbf29ce484222325L ^ seed

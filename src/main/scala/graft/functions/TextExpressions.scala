@@ -80,14 +80,23 @@ object TextExpressions {
     override protected def nullSafeEval(v: Any): Any = {
       val sh = shingles(v.asInstanceOf[UTF8String], k)
       if (sh.isEmpty) return null
-      val shBytes = sh.map(_.getBytes("UTF-8"))
+      // standard construction: hash each shingle's bytes ONCE, derive the
+      // numHashes permutations by mixing (base ⊕ seed_j) — ~|bytes|× less
+      // hashing than re-hashing bytes per permutation, same LSH guarantees
+      val base = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) {
+        base(i) = GraftHash.fnv1a64(sh(i).getBytes("UTF-8"))
+        i += 1
+      }
       val sig = new Array[Long](numHashes)
       var j = 0
       while (j < numHashes) {
+        val seed = (j + 1) * 0x9e3779b97f4a7c15L
         var min = Long.MaxValue
-        var i = 0
-        while (i < shBytes.length) {
-          val h = GraftHash.fnv1a64Seeded(shBytes(i), j * 0x9e3779b97f4a7c15L)
+        i = 0
+        while (i < base.length) {
+          val h = GraftHash.mix64(base(i) ^ seed)
           if (h < min) min = h
           i += 1
         }
