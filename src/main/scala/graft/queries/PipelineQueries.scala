@@ -17,6 +17,11 @@ object PipelineQueries {
     val canon = docs
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      // nondeterministic barrier: stops the optimizer from inlining the
+      // (large) quality tree into both the pushed filter and the aggregate,
+      // which doubled codegen size and dominated cold-run Janino time;
+      // results are unaffected (column dropped, aggregates don't touch it)
+      .withColumn("__barrier", monotonically_increasing_id())
       // canonical row per identical text: lowest doc_id survives
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
