@@ -191,10 +191,11 @@ final class XlsxReader(file: File) extends AutoCloseable {
 
       private def decodeCell(t: String, s: String, v: String,
           inlineStr: String): Any = t match {
-        case "inlineStr" => inlineStr
+        case "inlineStr" => XlsxReader.unescapeOoxml(inlineStr)
         case "s" =>
           if (v == null) null else sharedStrings(v.trim.toInt)
-        case "str" => v // cached formula string result
+        case "str" =>
+          if (v == null) null else XlsxReader.unescapeOoxml(v) // cached formula result
         case "b" =>
           if (v == null) null
           else java.lang.Boolean.valueOf(v.trim == "1" || v.trim.equalsIgnoreCase("true"))
@@ -315,7 +316,7 @@ final class XlsxReader(file: File) extends AutoCloseable {
               if (inT) sb.append(r.getText)
             case XMLStreamConstants.END_ELEMENT =>
               r.getLocalName match {
-                case "si" => inSi = false; out += sb.toString
+                case "si" => inSi = false; out += XlsxReader.unescapeOoxml(sb.toString)
                 case "t" => inT = false
                 case _ => ()
               }
@@ -388,6 +389,37 @@ object DateKind extends Enumeration {
 }
 
 object XlsxReader {
+
+  /** Decode OOXML `_xHHHH_` character escapes (ECMA-376 §22.9.2.19 / the
+    * convention openpyxl applies): `_x000D_` → CR etc. A literal leading
+    * `_x005F_` escapes the underscore itself. */
+  def unescapeOoxml(s: String): String = {
+    if (!s.contains("_x")) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 6 < s.length && s.charAt(i) == '_' && s.charAt(i + 1) == 'x' &&
+        s.charAt(i + 6) == '_' && isHex(s, i + 2)) {
+        sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+        i += 7
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def isHex(s: String, from: Int): Boolean = {
+    var i = from
+    while (i < from + 4) {
+      val c = s.charAt(i)
+      val hex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      if (!hex) return false
+      i += 1
+    }
+    true
+  }
 
   /** "C5" → 0-based column index 2. */
   def colIndex(ref: String): Int = {

@@ -154,6 +154,14 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
     sheet.setLength(0)
   }
 
+  /** Is s(i) the start of a literal `_xHHHH_` sequence? */
+  private def looksLikeEscape(s: String, i: Int): Boolean =
+    i + 6 < s.length && s.charAt(i + 1) == 'x' && s.charAt(i + 6) == '_' &&
+      (i + 2 until i + 6).forall { j =>
+        val c = s.charAt(j)
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      }
+
   private def escapeXml(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 16)
     var i = 0
@@ -166,6 +174,8 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
         case '\r' => sb.append("&#13;") // literal CR would be normalized to LF
         case c if c < ' ' && c != '\t' && c != '\n' =>
           sb.append("_x").append(f"${c.toInt}%04X").append('_')
+        case '_' if looksLikeEscape(s, i) =>
+          sb.append("_x005F_") // literal "_xHHHH_" text must not decode as a char
         case c => sb.append(c)
       }
       i += 1

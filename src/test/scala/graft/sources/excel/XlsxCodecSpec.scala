@@ -200,6 +200,23 @@ class XlsxCodecSpec extends AnyFunSuite {
     assert(v == java.time.LocalDateTime.of(1899, 12, 30, 12, 0, 0))
   }
 
+  test("OOXML _xHHHH_ escapes: control chars round-trip, literal text preserved") {
+    // control char (vertical tab, 0x0B) is written as _x000B_ and decoded back
+    val f = tmpFile()
+    val w = new XlsxWriter(new FileOutputStream(f))
+    w.writeRow(Seq("ab", "literal _x000B_ text", "_x00ZZ_ not an escape"))
+    w.close()
+    val r = new XlsxReader(f)
+    val row = r.rowIterator(r.sheets.head).next()
+    r.close()
+    assert(row(0) == "ab")
+    assert(row(1) == "literal _x000B_ text") // _x005F_-protected on write
+    assert(row(2) == "_x00ZZ_ not an escape") // non-hex: untouched
+    // unit-level decode parity with openpyxl's convention
+    assert(XlsxReader.unescapeOoxml("_x000D_") == "\r")
+    assert(XlsxReader.unescapeOoxml("_x005F_x000D_") == "_x000D_")
+  }
+
   test("large integral numbers keep exact text representation") {
     val f = tmpFile()
     val w = new XlsxWriter(new FileOutputStream(f))
