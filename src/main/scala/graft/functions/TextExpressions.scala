@@ -53,7 +53,8 @@ object TextExpressions {
     * Shared tokenization for MinHash / SimHash / Jaccard so all sketches
     * see the same shingle universe. */
   def shingles(s: UTF8String, k: Int): Array[String] = {
-    val tokens = s.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val tokens = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
     if (tokens.length < k) {
       if (tokens.isEmpty) Array.empty else Array(tokens.mkString(" "))
     } else {

@@ -59,20 +59,35 @@ object VectorFunctions {
             s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
       }
 
+    // hoisted once per (deserialized) expression instance: element type and
+    // the deterministic hyperplane matrix — recomputing FNV+mix per row
+    // dominated the row-local cost at scale
+    @transient private lazy val elementIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    @transient private var planes: Array[Array[Double]] = _
+
+    private def planesFor(dim: Int): Array[Array[Double]] = {
+      if (planes == null || planes(0).length < dim) {
+        planes = Array.tabulate(bits, dim)((j, i) => hyperplane(j, i))
+      }
+      planes
+    }
+
     override protected def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      val p = planesFor(n)
       var bucket = 0
       var j = 0
       while (j < bits) {
+        val row = p(j)
         var acc = 0.0
         var i = 0
         while (i < n) {
-          val x = child.dataType match {
-            case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
-            case _ => arr.getDouble(i)
-          }
-          acc += x * hyperplane(j, i)
+          val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          acc += x * row(i)
           i += 1
         }
         if (acc >= 0) bucket |= (1 << j)

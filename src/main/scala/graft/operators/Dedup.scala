@@ -29,7 +29,9 @@ import graft.functions.TextExpressions
 object Dedup {
 
   /** Exact dedup: keep the lowest id per identical value of `key`.
-    * Shuffles only (fingerprint, id) pairs, not document bodies. */
+    * The group key is shuffled as-is — pass a fingerprint column (md5/
+    * fnv1a64 of the body) rather than raw document text so the shuffle
+    * stays fixed-width; see d01ExactDedup. */
   def exactCanonical(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     df.select(col(keyCol), col(idCol))
       .groupBy(col(keyCol))
@@ -56,7 +58,7 @@ object Dedup {
     // repartition on the join key puts an Exchange under both self-join
     // branches → ReusedExchange computes the (interpreted) minhash explode
     // once instead of once per branch, and the join is already co-partitioned
-    val banded = sig.select(col("doc_id"), col("sh"),
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * r + lit(1), lit(r)), b))).as(Seq("band", "bhash")))
       .repartition(col("band"), col("bhash"))

@@ -48,12 +48,11 @@ object Multimodal {
   /** Batched per-partition decode — the `mapInPandas` analogue. */
   def decodeBatch(records: Iterator[MediaRecord]): Iterator[DecodedRecord] =
     records.map { r =>
-      if (r.payload == null) {
-        DecodedRecord(r.doc_id, r.modality, 0L, 0, 0, 0, 0, Array.empty)
-      } else {
-        val (w, h, c, f, feat) = decodeStub(r.payload, r.modality)
-        DecodedRecord(r.doc_id, r.modality, r.payload.length.toLong, w, h, c, f, feat)
-      }
+      // null payload decodes as empty bytes: metadata keeps the stub's
+      // floors (width>=16 etc), mirrored by COALESCE in the m01 oracle
+      val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+      val (w, h, c, f, feat) = decodeStub(payload, r.modality)
+      DecodedRecord(r.doc_id, r.modality, payload.length.toLong, w, h, c, f, feat)
     }
 
   /** Attach decoded metadata to a DataFrame bearing (idCol, binaryCol,

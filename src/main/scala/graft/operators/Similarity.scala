@@ -74,7 +74,11 @@ object Similarity {
 
     // deterministic centroid sample (small: nlist rows to the driver)
     val ids = df.select(col(idCol)).orderBy(col(idCol)).limit(100000)
-      .collect().map(_.get(0).toString.toDouble.toLong)
+      .collect().map(_.get(0) match {
+        case n: java.lang.Number => n.longValue() // exact for int/long ids
+        case other => throw new IllegalArgumentException(
+          s"ivfTopK requires a numeric id column, got ${other.getClass}")
+      })
     val stride = math.max(1, ids.length / nlist)
     val centroidIds = ids.zipWithIndex.collect {
       case (id, i) if i % stride == 0 => id

@@ -20,11 +20,18 @@ object SkewJoin {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       factor: Int = 8): DataFrame = {
     require(factor > 0)
-    // deterministic salt: hash of all left columns → stable across retries
-    val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toSeq: _*), lit(factor)))
-    val replicated = right.withColumn("__salt",
+    val saltCol = "__graft_salt" // unlikely to collide with user columns
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"column $saltCol already exists")
+    // deterministic salt: hash of the hashable left columns (Spark's hash()
+    // rejects MapType) → stable across task retries
+    val hashable = left.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    val salted = left.withColumn(saltCol,
+      pmod(hash(hashable: _*), lit(factor)))
+    val replicated = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(factor - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }

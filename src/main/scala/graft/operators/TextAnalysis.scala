@@ -96,7 +96,10 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }
     val best = sort_array(array(scored: _*), asc = true).getItem(0)
-    when(best.getField("nscore") === 0, lit("und"))
+    // null text -> null prediction (matches SQL semantics; without the
+    // guard, null-propagated scores would sort to an arbitrary language)
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("nscore") === 0, lit("und"))
       .otherwise(best.getField("lang"))
   }
 }

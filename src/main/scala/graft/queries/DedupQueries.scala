@@ -18,15 +18,19 @@ object DedupQueries {
     spark.read.parquet(s"$dir/documents.parquet")
 
   // ---------------------------------------------------------------- d01
-  /** Exact dedup: canonical (min) doc_id per identical text. */
+  /** Exact dedup: canonical (min) doc_id per identical text, grouped on
+    * an md5 fingerprint so the shuffle is fixed-width (16 bytes) instead of
+    * document-sized — the form that holds at 100 TB. */
   def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactCanonical(docs(spark, dir), "doc_id", "text")
+    Dedup.exactCanonical(
+      docs(spark, dir).withColumn("fp", md5(col("text").cast("binary"))),
+      "doc_id", "fp")
       .select(col("canonical_id"), col("n_copies"))
       .orderBy("canonical_id")
 
   val d01Sql: String =
     """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+      |FROM documents GROUP BY MD5(text) ORDER BY canonical_id""".stripMargin
 
   /** Shared exact-Jaccard oracle for d02/d04 (word-3-gram shingles, pairs
     * ≥ 0.7). DuckDB mirrors the operator: shingle lists → inverted-index
@@ -37,9 +41,11 @@ object DedupQueries {
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id,
-      |    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 2, 0) + 1),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      |  FROM toks WHERE LEN(t) >= 3),
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
       |posting AS (SELECT doc_id, LEN(s) AS sz, UNNEST(s) AS shingle FROM sh),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza, b.sz AS szb,

@@ -28,7 +28,7 @@ object MultimodalQueries {
   val m01Sql: String =
     """WITH base AS (
       |  SELECT doc_id,
-      |    STRLEN(text) AS n,
+      |    COALESCE(STRLEN(text), 0) AS n,
       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
       |  FROM documents)
       |SELECT doc_id, modality,

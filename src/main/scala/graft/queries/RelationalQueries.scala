@@ -490,10 +490,12 @@ object RelationalQueries {
     import spark.implicits._
     val ord = t(spark, dir, "orders")
     // exact-decimal global average, same construction both engines
-    val avgPrice = ord.agg(
+    val avgRow = ord.agg(
       (sum(dec($"o_totalprice")).cast("double") /
         count(lit(1)).cast("double")).as("a"))
-      .collect().head.getDouble(0)
+      .collect().head
+    // empty table -> NULL average -> comparison never true (SQL semantics)
+    val avgPrice = if (avgRow.isNullAt(0)) Double.NaN else avgRow.getDouble(0)
     ord.filter($"o_totalprice" > avgPrice)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_above_avg"))
