@@ -31,7 +31,13 @@ object ExcelFiles {
     val status = fs.getFileStatus(path)
     if (status.isDirectory) {
       fs.listStatus(path).toSeq
-        .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+        .filter { s =>
+          val n = s.getPath.getName
+          // skip hidden/temp files (Spark file-source convention) so readers
+          // never admit a half-written sink temp into an offset
+          s.isFile && n.toLowerCase.endsWith(".xlsx") &&
+            !n.startsWith(".") && !n.startsWith("_")
+        }
         .map(_.getPath.toString)
         .sorted
     } else Seq(path.toString)

@@ -148,8 +148,11 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
         if (!it.hasNext) (requiredSchema.fields.map(_ => -1), it)
         else {
           val headerRow = it.next()
-          val names =
-            ExcelSchema.columnNames(Some(headerRow), headerRow.length, header = true)
+          // width must match inference (ExcelSchema.inferFromFile uses the
+          // max of header and widest sampled data row), so positional
+          // 'Unnamed: N' fallbacks resolve for data-wider-than-header files
+          val names = ExcelSchema.columnNames(Some(headerRow),
+            math.max(headerRow.length, fullSchema.length), header = true)
           val nameToIdx = names.zipWithIndex.toMap
           val idx = requiredSchema.fields.map { f =>
             nameToIdx.getOrElse(f.name,
@@ -166,11 +169,17 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
         // file columns after a select())
         (requiredSchema.fields.map(f => fullSchema.fieldIndex(f.name)), it)
       }
-    (colIndex, if (limit >= 0) dataIter.take(limit) else dataIter)
+    // raw-iterator take(limit) is only sound with no pushed filters; with
+    // filters, the limit must count KEPT rows (see `kept` in next()) or
+    // qualifying rows beyond the first `limit` raw rows would be dropped
+    (colIndex,
+      if (limit >= 0 && structFilters.isEmpty) dataIter.take(limit) else dataIter)
   }
   private var current: InternalRow = _
+  private var kept: Long = 0L
 
   override def next(): Boolean = {
+    if (limit >= 0 && kept >= limit) return false
     while (rowIter.hasNext) {
       val raw = rowIter.next()
       val values = new Array[Any](requiredSchema.length)
@@ -196,6 +205,7 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
       }
       if (keep) {
         current = row
+        kept += 1
         return true
       }
     }

@@ -33,7 +33,8 @@ object ExcelSchema {
           val v = if (i < hr.length) hr(i) else null
           v match {
             case null => s"Unnamed: $i"
-            case s: String if s.nonEmpty => s
+            case s: String if s.isEmpty => s"Unnamed: $i" // pandas names "" positionally too
+            case s: String => s
             case d: java.lang.Double => formatNumericString(d)
             case other => other.toString
           }

@@ -78,8 +78,10 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
     }
     val parts = messages.collect { case m: ExcelCommitMessage => m }
       .sortBy(_.partitionId)
-    val out = fs.create(target, true)
-    val writer = new XlsxWriter(out, opts.writeSheetName)
+    // stage under a dot-prefixed sibling and rename: a concurrent directory
+    // reader never lists a half-written workbook
+    val staging = new Path(target.getParent, s".${target.getName}.inprogress")
+    val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName)
     try {
       if (opts.header) writer.writeRow(schema.fieldNames.toSeq)
       parts.foreach { m =>
@@ -91,6 +93,11 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
     } finally {
       writer.close()
       fs.delete(new Path(tmpDir), true)
+    }
+    if (!fs.rename(staging, target)) {
+      fs.delete(staging, false)
+      throw new org.apache.spark.SparkException(
+        s"Excel sink failed to rename $staging to $target")
     }
   }
 
@@ -124,9 +131,13 @@ class ExcelStreamingWrite(schema: StructType, opts: ExcelOptions)
     val fs = outDir.getFileSystem(conf)
     fs.mkdirs(outDir)
     val target = new Path(outDir, f"batch-$epochId%05d.xlsx")
+    // write under a dot-prefixed name (invisible to ExcelFiles.list) and
+    // rename into place, so a concurrent excel streaming reader can never
+    // admit a half-written workbook into an offset
+    val staging = new Path(outDir, f".batch-$epochId%05d.xlsx.inprogress")
     val parts = messages.collect { case m: ExcelCommitMessage => m }
       .sortBy(_.partitionId)
-    val writer = new XlsxWriter(fs.create(target, true), opts.writeSheetName)
+    val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName)
     try {
       if (opts.header) writer.writeRow(schema.fieldNames.toSeq)
       parts.foreach { m =>
@@ -138,6 +149,12 @@ class ExcelStreamingWrite(schema: StructType, opts: ExcelOptions)
     } finally {
       writer.close()
       fs.delete(new Path(tmpDir(epochId)), true)
+    }
+    if (fs.exists(target)) fs.delete(target, false) // epoch replay: idempotent
+    if (!fs.rename(staging, target)) {
+      fs.delete(staging, false)
+      throw new org.apache.spark.SparkException(
+        s"Excel streaming sink failed to rename $staging to $target")
     }
   }
 
@@ -187,7 +204,10 @@ class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
         case BooleanType => r => java.lang.Boolean.valueOf(r.getBoolean(i))
         case DateType => r => LocalDate.ofEpochDay(r.getInt(i).toLong)
         case TimestampType => r => LocalDateTime.ofInstant(
-          java.time.Instant.EPOCH.plusNanos(r.getLong(i) * 1000L), ZoneOffset.UTC)
+          // microsToInstant, overflow-safe: micros*1000 as nanos overflows a
+          // Long past ~2262 even though Excel serials reach 9999
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(r.getLong(i)),
+          ZoneOffset.UTC)
         case other => throw new UnsupportedOperationException(other.toString)
       }
       (r: InternalRow) => if (r.isNullAt(i)) null else g(r)

@@ -1,0 +1,117 @@
+package graft.sources.excel
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.hadoop.conf.Configuration
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.GreaterThan
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the round-1 review findings (ADVICE.md):
+  * 1. data rows wider than the header must stay loadable (inference names
+  *    trailing columns `Unnamed: N`; the partition reader must resolve them),
+  * 2. a pushed limit must count rows KEPT by pushed filters, not raw rows,
+  * 3. timestamps past 2262 must round-trip (micros→nanos Long overflow),
+  * 4. an empty-string header cell names positionally (`Unnamed: N`),
+  * 5. in-progress sink temp files must be invisible to directory listings.
+  */
+class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(): File = {
+    val d = Files.createTempDirectory("graft-advice-spec").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  test("data rows wider than header: plain load() resolves Unnamed columns") {
+    val dir = tmpDir()
+    val f = new File(dir, "wide.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f))
+    w.writeRow(Seq("id", "name"))          // 2-column header
+    w.writeRow(Seq(1L, "Alice", "extraA")) // 3-column data rows
+    w.writeRow(Seq(2L, "Bob", "extraB"))
+    w.close()
+
+    val df = spark.read.format("excel").load(f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "name", "Unnamed: 2"))
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1, "Alice", "extraA"), (2, "Bob", "extraB")))
+  }
+
+  test("pushed limit counts filter-kept rows, not raw rows") {
+    val dir = tmpDir()
+    val f = new File(dir, "lim.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f))
+    w.writeRow(Seq("id", "name"))
+    (1 to 10).foreach(i => w.writeRow(Seq(i.toLong, s"row$i")))
+    w.close()
+
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val opts = ExcelOptions.fromMap(Map("path" -> f.getAbsolutePath))
+    // limit=3 with filter id>5: qualifying rows are 6..10; a reader that
+    // takes 3 raw rows before filtering would return nothing
+    val reader = new ExcelPartitionReader(f.getAbsolutePath, schema, schema,
+      opts, 3, new Configuration(), Array(GreaterThan("id", 5)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try while (reader.next()) got += reader.get().getInt(0)
+    finally reader.close()
+    assert(got.toSeq == Seq(6, 7, 8))
+  }
+
+  test("timestamps past 2262 round-trip through the sink") {
+    import spark.implicits._
+    val far = java.sql.Timestamp.valueOf(LocalDateTime.of(3000, 7, 4, 12, 30, 15))
+    val near = java.sql.Timestamp.valueOf(LocalDateTime.of(2024, 1, 2, 3, 4, 5))
+    val dir = tmpDir()
+    val out = new File(dir, "ts.xlsx").getAbsolutePath
+    Seq((1, far), (2, near)).toDF("id", "ts")
+      .repartition(1).write.format("excel").mode("overwrite").save(out)
+
+    val back = spark.read.format("excel")
+      .schema(StructType(Seq(
+        StructField("id", IntegerType), StructField("ts", TimestampType))))
+      .load(out)
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1))).toMap
+    assert(back(1) == far, "year-3000 timestamp must not overflow to garbage")
+    assert(back(2) == near)
+  }
+
+  test("empty-string header cell names positionally like pandas") {
+    val dir = tmpDir()
+    val f = new File(dir, "emptyhdr.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f))
+    w.writeRow(Seq("id", "", "name"))
+    w.writeRow(Seq(1L, "x", "Alice"))
+    w.close()
+    val df = spark.read.format("excel").load(f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "Unnamed: 1", "name"))
+  }
+
+  test("dot/underscore-prefixed files are invisible to directory listings") {
+    val dir = tmpDir()
+    val mk = (name: String) => {
+      val w = new XlsxWriter(new FileOutputStream(new File(dir, name)))
+      w.writeRow(Seq("id")); w.writeRow(Seq(1L)); w.close()
+    }
+    mk("visible.xlsx")
+    mk(".batch-00001.xlsx.inprogress.xlsx") // sink staging shape
+    mk("_committed.xlsx")
+    val listed = ExcelFiles.list(dir.getAbsolutePath, new Configuration())
+    assert(listed.map(p => new File(p).getName) == Seq("visible.xlsx"))
+  }
+}
