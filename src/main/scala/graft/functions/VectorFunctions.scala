@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -11,9 +10,12 @@ import org.apache.spark.sql.types._
 
 /** Vector ops over `array<float>` embedding columns.
   *
-  * `cosine`/`dot` are composed from `zip_with`/`aggregate` built-ins with
-  * strictly sequential folds and explicit double casts — deterministic and
-  * engine-portable (the DuckDB oracle mirrors the same fold order).
+  * `cosine` is a native codegen'd [[CosineSimilarity]] whose accumulation
+  * order is EXACTLY the sequential `aggregate(zip_with(...))` fold it
+  * replaces (and that the DuckDB oracle mirrors) — bit-identical results,
+  * but a tight primitive loop inside whole-stage codegen instead of an
+  * interpreted higher-order-function tree with per-element boxing. `dot`
+  * keeps the declarative fold form.
   * [[EmbeddingLshBucket]] is the row-local sign-random-projection sketch
   * used by the scale path ([[graft.operators.Similarity]] bucketed joins).
   */
@@ -29,9 +31,94 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null if either side has zero norm. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; null if either side has zero norm, mismatched
+    * length, or a null element (the semantics of the declarative
+    * `dot(a,b) / (norm(a) * norm(b))` fold this compiles down from). */
+  def cosine(a: Column, b: Column): Column = ColumnBridge.column(
+    CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native cosine: one pass accumulating dot/‖a‖²/‖b‖² in index order —
+    * the same operation sequence as the `aggregate(zip_with)` formulation
+    * (dot = ((0+x₀y₀)+x₁y₁)+…; norms likewise; result dot/(√na·√nb)), so
+    * values are bit-identical to it while staying in whole-stage codegen. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "cosine_sim"
+
+    private def elemOk(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (elemOk(left.dataType) && elemOk(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float>/array<double> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+    @transient private lazy val leftFloat = left.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    }
+    @transient private lazy val rightFloat = right.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      // zip_with pads the shorter side with null → null result
+      if (n != b.numElements()) return null
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val bad = ctx.freshName("bad")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val denom = ctx.freshName("denom")
+        val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+           |final int $n = $a.numElements();
+           |boolean $bad = ($n != $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |if (!$bad) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    final double $x = $getX;
+           |    final double $y = $getY;
+           |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |  }
+           |}
+           |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |if ($bad || $denom == 0.0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $dot / $denom;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+      copy(left = l, right = r)
+  }
 
   /** `bits`-bit sign-random-projection bucket id for an embedding.
     *
@@ -115,4 +202,73 @@ object VectorFunctions {
 
   def embLshBucket(c: Column, bits: Int, seed: Long): Column =
     ColumnBridge.column(EmbeddingLshBucket(ColumnBridge.expression(c), bits, seed))
+
+  /** IVF coarse-quantizer assignment: index (= cell id) of the centroid
+    * with max cosine similarity to the row vector; ties and the all-null
+    * cosine edge (zero-norm or dimension-mismatched row) pick the lowest
+    * cell, matching the `sort_array(transform(...))` (negcos, cell)-asc
+    * formulation this replaces — with the centroid matrix carried as plain
+    * expression state instead of a thousands-of-nodes literal tree the
+    * optimizer must re-walk on every run. */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+
+    require(centroids.nonEmpty, "NearestCentroid requires at least one centroid")
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = s"nearest_centroid_${centroids.length}"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+      }
+
+    @transient private lazy val elementIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    @transient private lazy val centroidNorms: Array[Double] =
+      centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val dim = centroids(0).length
+      if (n != dim) return java.lang.Integer.valueOf(0) // all cosines null → lowest cell
+      val vec = new Array[Double](n)
+      var i = 0
+      var na = 0.0
+      while (i < n) {
+        if (arr.isNullAt(i)) return java.lang.Integer.valueOf(0)
+        val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        vec(i) = x; na += x * x
+        i += 1
+      }
+      val normV = math.sqrt(na)
+      if (normV == 0.0) return java.lang.Integer.valueOf(0)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cv = centroids(c)
+        var dot = 0.0
+        i = 0
+        while (i < dim) { dot += vec(i) * cv(i); i += 1 }
+        val cos = dot / (normV * centroidNorms(c))
+        if (cos > bestCos) { bestCos = cos; best = c } // strict > keeps lowest cell on ties
+        c += 1
+      }
+      java.lang.Integer.valueOf(best)
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+  }
+
+  def nearestCentroid(c: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(c), centroids))
 }

@@ -48,10 +48,16 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // repartition materializes the signature table behind ONE exchange:
+    // the banding branch and both payload-reattach joins read it via
+    // ReusedExchange, so minhash + shingling run once over the corpus
+    // instead of once per consumer — at scale this is "materialize the
+    // signature table", the standard shape for LSH dedup
     val sig = df.select(col(idCol).as("doc_id"),
       TextExpressions.minhash(col(textCol), numHashes, k).as("sig"),
       TextExpressions.shingleSet(col(textCol), k).as("sh"))
       .filter(col("sig").isNotNull)
+      .repartition(col("doc_id"))
 
     // (doc, band, hash-of-band-slice): band key is a single long, so the
     // self-join shuffles fixed-width keys regardless of document size.
@@ -158,9 +164,14 @@ object Dedup {
     import graft.functions.VectorFunctions
     // narrow candidate generation (ids only), vectors re-attached after the
     // pair dedup — see minhashLshPairs for the rationale
-    val withBuckets = df.select(col(idCol).as("vid"),
+    // one exchange materializes (vid, vec): bucket branch and both payload
+    // joins reuse it instead of recomputing the (possibly derived) vector
+    // column per consumer — see minhashLshPairs
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .repartition(col("vid"))
+    val withBuckets = vecs.select(col("vid"),
       posexplode(array((0 until bandCount).map(b =>
-        VectorFunctions.embLshBucket(col(vecCol), bandBits, seed + b)): _*))
+        VectorFunctions.embLshBucket(col("vec"), bandBits, seed + b)): _*))
         .as(Seq("band", "bucket")))
     val l = withBuckets.select(col("vid").as("id_a"), col("band"), col("bucket"))
     val rt = withBuckets.select(col("vid").as("id_b"), col("band"), col("bucket"))
@@ -169,10 +180,9 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val vecTbl = df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
     candidates
-      .join(vecTbl.select(col("vid").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecTbl.select(col("vid").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .join(vecs.select(col("vid").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("vid").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cos", round(
         graft.functions.VectorFunctions.cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("cos") >= threshold)

@@ -102,17 +102,13 @@ object Similarity {
     val probeCells = centroids.sortBy { case (_, c) => -cos(query, c) }
       .take(nprobe).map(_._1).toSet
 
-    // assignment: argmax cosine over the broadcast centroid array
-    val centroidLits = array(centroids.map { case (cid, vec) =>
-      struct(lit(cid).as("cell"), vecLit(vec).as("cvec"))
-    }: _*)
+    // assignment: argmax cosine over the centroid matrix — a single native
+    // expression carrying the matrix as state (same argmax/tie semantics as
+    // a sort_array-of-(negcos,cell) formulation, without a thousands-of-
+    // nodes literal tree for the optimizer to re-walk per run)
+    val centroidMatrix = centroids.map(_._2) // index == cell id
     val assigned = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
-      .withColumn("cell",
-        // pick the struct with max cosine: sort by (-cos, cell) ascending
-        sort_array(transform(centroidLits, c =>
-          struct((-VectorFunctions.cosine(col("vec"), c.getField("cvec")))
-            .as("negcos"), c.getField("cell").as("cell"))), asc = true)
-          .getItem(0).getField("cell"))
+      .withColumn("cell", VectorFunctions.nearestCentroid(col("vec"), centroidMatrix))
 
     assigned.filter(col("cell").isin(probeCells.toSeq: _*))
       .select(col("vec_id"),
