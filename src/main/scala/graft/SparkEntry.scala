@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ConnectorQueries, DedupQueries, MultimodalQueries,
-  PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AdvancedJoinQueries, ConnectorQueries, DedupQueries,
+  MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries,
+  TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,7 @@ object SparkEntry {
   private def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     RelationalQueries.all ++ ConnectorQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ AdvancedJoinQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

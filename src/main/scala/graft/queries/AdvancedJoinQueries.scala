@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Temporal/interval join operators over `events` / `lineitem` — the join
+  * shapes Spark lacks natively, re-expressed as scalable compositions
+  * (union+window as-of; bucketed range join). Both are SQL-expressible in
+  * DuckDB (native ASOF JOIN / plain range predicate), so both gate queries
+  * are hash-checked against real oracles. */
+object AdvancedJoinQueries {
+
+  // ---------------------------------------------------------------- q25
+  /** Backward as-of join: every event against the most recent high-value
+    * (>= 99.0) event of the same type at-or-before it. Right side is
+    * pre-aggregated to one row per (type, ts) — the operator's uniqueness
+    * contract. Timestamps are normalized to epoch-MICROS on both engines
+    * first (events.parquet is TIMESTAMP(NANOS); DuckDB's scan truncates
+    * each value to µs, so Spark truncates identically with `div 1000` —
+    * sub-µs comparisons would otherwise diverge between the engines). */
+  def q25AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val refs = events.filter(col("value") >= 99.0)
+      .groupBy(col("event_type"), col("ts_us"))
+      .agg(max(col("value")).as("ref_value"))
+      .select(col("event_type"), col("ts_us").as("ref_ts_us"), col("ref_value"))
+    AsOfJoin.backward(
+      events.select(col("event_id"), col("event_type"), col("ts_us")),
+      refs, Seq("event_type"), "ts_us", "ref_ts_us")
+      .select(col("event_id"), col("event_type"), col("ref_value"),
+        (col("ts_us") - col("ref_ts_us")).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q25Sql: String =
+    """WITH refs AS (
+      |  SELECT event_type, ts, MAX(value) AS ref_value
+      |  FROM events WHERE value >= 99.0 GROUP BY event_type, ts)
+      |SELECT e.event_id, e.event_type, r.ref_value,
+      |  epoch_us(e.ts) - epoch_us(r.ts) AS lag_us
+      |FROM events e ASOF JOIN refs r
+      |  ON e.event_type = r.event_type AND e.ts >= r.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Bucketed range join: lineitem prices against (overlapping) price
+    * bands — a row on a band boundary or inside the catch-all band matches
+    * multiple intervals, proving interval (not equi) semantics. */
+  def q26RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice"))
+    val bands = Seq(
+      ("any", 0.0, 120000.0),
+      ("budget", 0.0, 20000.0),
+      ("mid", 20000.0, 50000.0),
+      ("premium", 50000.0, 120000.0)).toDF("band", "lo", "hi")
+    RangeJoin.bucketed(li, bands, "l_extendedprice", "lo", "hi",
+      bucketWidth = 5000.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("band"))
+  }
+
+  val q26Sql: String =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('any', 0.0, 120000.0), ('budget', 0.0, 20000.0),
+      |  ('mid', 20000.0, 50000.0), ('premium', 50000.0, 120000.0))
+      |SELECT band, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN bands
+      |  ON l_extendedprice >= lo AND l_extendedprice <= hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q25_asof_join" -> (q25AsofJoin _, q25Sql),
+    "q26_range_join" -> (q26RangeJoin _, q26Sql),
+  )
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground-truth semantics for [[AsOfJoin]] and [[RangeJoin]] on controlled
+  * data: inclusive matching, inner drop of unmatched rows, per-key
+  * isolation, boundary handling, and plan shape (no cartesian product). */
+class AsOfRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.collection.immutable.Seq
+
+  private def leftDf = {
+    import spark.implicits._
+    Seq(
+      ("a", 5L, 100),  // between refs at 3 and 7
+      ("a", 7L, 101),  // exactly on ref 7 → inclusive
+      ("a", 2L, 102),  // before first ref (3) → dropped backward
+      ("b", 9L, 103),  // key isolation: only b refs qualify
+      ("c", 4L, 104)   // key with no refs at all → dropped
+    ).toDF("k", "ts", "lv")
+  }
+
+  private def rightDf = {
+    import spark.implicits._
+    Seq(
+      ("a", 3L, "r3"), ("a", 7L, "r7"), ("a", 11L, "r11"),
+      ("b", 1L, "rb1"), ("b", 9L, "rb9")
+    ).toDF("k", "rts", "rv")
+  }
+
+  test("backward as-of: greatest right ts <= left ts, inclusive, inner") {
+    val got = AsOfJoin.backward(leftDf, rightDf, Seq("k"), "ts", "rts")
+      .select("lv", "rv", "rts")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((100, "r3", 3L), (101, "r7", 7L), (103, "rb9", 9L)))
+  }
+
+  test("forward as-of: smallest right ts >= left ts, inclusive, inner") {
+    val got = AsOfJoin.forward(leftDf, rightDf, Seq("k"), "ts", "rts")
+      .select("lv", "rv", "rts")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // lv=102 (ts=2) now matches r3; lv=104 (key c) still has nothing
+    assert(got == Set((100, "r7", 7L), (101, "r7", 7L), (102, "r3", 3L),
+      (103, "rb9", 9L)))
+  }
+
+  test("as-of rejects colliding right payload names") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(leftDf, rightDf.withColumnRenamed("rv", "lv"),
+        Seq("k"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("bucketed range join matches BETWEEN semantics incl. boundaries and overlaps") {
+    import spark.implicits._
+    val values = Seq(0.0, 9.99, 10.0, 10.01, 25.0, 50.0, 99.9).toDF("v")
+    val intervals = Seq(
+      ("lo", 0.0, 10.0),     // 10.0 inclusive on hi
+      ("hi", 10.0, 100.0),   // 10.0 inclusive on lo → 10.0 matches both
+      ("all", 0.0, 100.0)
+    ).toDF("name", "lo", "hi")
+
+    val got = RangeJoin.bucketed(values, intervals, "v", "lo", "hi", 7.0)
+      .select("v", "name")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    val expect = (for {
+      v <- Seq(0.0, 9.99, 10.0, 10.01, 25.0, 50.0, 99.9)
+      (n, lo, hi) <- Seq(("lo", 0.0, 10.0), ("hi", 10.0, 100.0), ("all", 0.0, 100.0))
+      if v >= lo && v <= hi
+    } yield (v, n)).toSet
+    assert(got == expect)
+  }
+
+  test("bucketed range join plans an equi-join, not a cartesian/BNLJ") {
+    import spark.implicits._
+    val values = spark.range(100).select((col("id") * 1.0).as("v"))
+    val intervals = Seq(("x", 10.0, 20.0)).toDF("name", "lo", "hi")
+    val plan = RangeJoin.bucketed(values, intervals, "v", "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
