@@ -19,12 +19,14 @@ class ExcelColumnarPartitionReader(filePath: String, fullSchema: StructType,
     opts: ExcelOptions, limit: Int,
     conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    batchSize: Int = 4096)
+    batchSize: Int = 4096,
+    startRow: Int = -1, endRowExcl: Int = -1)
     extends PartitionReader[ColumnarBatch] {
 
   // reuse the row reader's file/sheet/column-resolution/filter logic
   private val rowReader = new ExcelPartitionReader(
-    filePath, fullSchema, requiredSchema, opts, limit, conf, filters)
+    filePath, fullSchema, requiredSchema, opts, limit, conf, filters,
+    startRow, endRowExcl)
 
   private var vectors: Array[OnHeapColumnVector] = _
   private var batch: ColumnarBatch = _

@@ -57,6 +57,18 @@ final case class ExcelOptions(options: Map[String, String]) {
     n
   }
 
+  /** Row-range split size for parallel single-file reads (extension;
+    * unset = the reference's 1-file-1-partition contract). When set, a
+    * file's sheet is split into partitions of at most this many data rows
+    * — planning probes each file's last row number (its `<dimension>`
+    * header when present, a tag scan otherwise), so use it for directories
+    * of few large workbooks, not thousands of small ones. */
+  def maxRowsPerPartition: Option[Int] = get("maxrowsperpartition").map { s =>
+    val n = s.toInt
+    require(n > 0, s"maxRowsPerPartition must be positive, got $n")
+    n
+  }
+
   /** When true, a schema column absent from a file reads as nulls instead
     * of erroring (extension — needed for merged multi-file schemas; default
     * false keeps the reference's strict contract, tests/

@@ -69,8 +69,42 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    ExcelFiles.list(opts.path, conf)
-      .map(f => ExcelInputPartition(f): InputPartition).toArray
+    val files = ExcelFiles.list(opts.path, conf)
+    opts.maxRowsPerPartition match {
+      case None =>
+        files.map(f => ExcelInputPartition(f): InputPartition).toArray
+      case Some(maxRows) =>
+        files.flatMap(f => planRowRanges(f, maxRows, conf)).toArray
+    }
+  }
+
+  /** Split one file into row-range partitions of at most `maxRows` data
+    * rows. The probed last row may under-report (stale `<dimension>`), so
+    * the FINAL range is always unbounded — a wrong dimension can cost
+    * balance, never rows. */
+  private def planRowRanges(f: String, maxRows: Int,
+      conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
+    val (local, temp) = ExcelFiles.toLocal(f, conf)
+    val lastRow =
+      try {
+        val rd =
+          try new XlsxReader(local)
+          catch {
+            case e: Exception => throw new org.apache.spark.SparkException(
+              s"Failed to open excel file $f: ${e.getMessage}", e)
+          }
+        try rd.lastRowNumber(rd.resolveSheet(opts.sheetName))
+        finally rd.close()
+      } finally if (temp) local.delete()
+    val dataStart = if (opts.header) 2 else 1
+    val dataRows = math.max(0, lastRow - dataStart + 1)
+    val n = math.max(1, math.ceil(dataRows.toDouble / maxRows).toInt)
+    (0 until n).map { i =>
+      val start = dataStart + i.toLong * maxRows
+      val end = if (i == n - 1) Int.MaxValue else start + maxRows
+      ExcelInputPartition(f, start.toInt, math.min(end, Int.MaxValue).toInt)
+        : InputPartition
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -81,8 +115,10 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 }
 
 /** One partition == one xlsx file (reference `ExcelInputPartition`,
-  * connector.py:47-49). */
-case class ExcelInputPartition(filePath: String) extends InputPartition
+  * connector.py:47-49) — or, with `maxRowsPerPartition`, one dense-row
+  * range [startRow, endRowExcl) of a file (startRow <= 0 = whole file). */
+case class ExcelInputPartition(filePath: String, startRow: Int = -1,
+    endRowExcl: Int = -1) extends InputPartition
 
 case class ExcelPartitionReaderFactory(fullSchema: StructType,
     requiredSchema: StructType,
@@ -90,20 +126,24 @@ case class ExcelPartitionReaderFactory(fullSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ExcelPartitionReader(
-      partition.asInstanceOf[ExcelInputPartition].filePath,
-      fullSchema, requiredSchema, opts, limit, conf.value, filters)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ExcelInputPartition]
+    new ExcelPartitionReader(p.filePath,
+      fullSchema, requiredSchema, opts, limit, conf.value, filters,
+      p.startRow, p.endRowExcl)
+  }
 
   // columnar fast path — the reference's enableArrow branch, in-JVM
   override def supportColumnarReads(partition: InputPartition): Boolean =
     opts.enableArrow
 
   override def createColumnarReader(
-      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new ExcelColumnarPartitionReader(
-      partition.asInstanceOf[ExcelInputPartition].filePath,
-      fullSchema, requiredSchema, opts, limit, conf.value, filters)
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[ExcelInputPartition]
+    new ExcelColumnarPartitionReader(p.filePath,
+      fullSchema, requiredSchema, opts, limit, conf.value, filters,
+      startRow = p.startRow, endRowExcl = p.endRowExcl)
+  }
 }
 
 /** Streams one file's chosen sheet as InternalRows, converting only the
@@ -114,8 +154,11 @@ case class ExcelPartitionReaderFactory(fullSchema: StructType,
 class ExcelPartitionReader(filePath: String, fullSchema: StructType,
     requiredSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: org.apache.hadoop.conf.Configuration,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    startRow: Int = -1, endRowExcl: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  private val ranged = startRow > 0
 
   // pushed-filter evaluation via Catalyst's own OrderedFilters (exact Spark
   // comparison semantics); an optimization only — Spark re-applies all
@@ -142,12 +185,24 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
 
   private val (indices: Array[Int], rowIter: Iterator[Array[Any]]) = {
     val sheet = reader.resolveSheet(opts.sheetName)
-    val it = reader.rowIterator(sheet)
+    // ranged partition: the header (dense row 1) is outside the data range,
+    // so it is read through its own short-range stream; the data stream
+    // then decodes only [startRow, endRowExcl)
+    val it =
+      if (ranged) reader.rowIterator(sheet, startRow, endRowExcl)
+      else reader.rowIterator(sheet)
+    val headerOpt: Option[Array[Any]] =
+      if (!opts.header) None
+      else if (ranged) {
+        val hIt = reader.rowIterator(sheet, 1, 2)
+        if (hIt.hasNext) Some(hIt.next()) else None
+      } else if (it.hasNext) Some(it.next())
+      else None
     val (colIndex, dataIter) =
       if (opts.header) {
-        if (!it.hasNext) (requiredSchema.fields.map(_ => -1), it)
+        if (headerOpt.isEmpty) (requiredSchema.fields.map(_ => -1), it)
         else {
-          val headerRow = it.next()
+          val headerRow = headerOpt.get
           // width must match inference (ExcelSchema.inferFromFile uses the
           // max of header and widest sampled data row), so positional
           // 'Unnamed: N' fallbacks resolve for data-wider-than-header files

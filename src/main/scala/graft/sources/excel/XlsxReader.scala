@@ -64,24 +64,71 @@ final class XlsxReader(file: File) extends AutoCloseable {
 
   // ------------------------------------------------------------------ rows
 
+  /** Last (1-based) row number of a sheet, for row-range split planning:
+    * the `<dimension ref="A1:H5000">` header when present, else a
+    * streaming tag count (no cell decode). May legitimately under-report
+    * when a writer emits a stale dimension — callers must keep the final
+    * split unbounded so no row can be lost to a wrong dimension. */
+  def lastRowNumber(sheet: Sheet): Int = {
+    val in = open(sheet.entry).getOrElse(return 0)
+    val r = xmlIn.createXMLStreamReader(in)
+    try {
+      var last = 0
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "dimension" =>
+              val ref = attr(r, "ref")
+              if (ref != null) {
+                // "A1:H5000" → 5000; "A1" → 1
+                val lastCell = ref.substring(ref.indexOf(':') + 1)
+                var i = 0
+                while (i < lastCell.length && lastCell.charAt(i).isLetter) i += 1
+                val digits = lastCell.substring(i)
+                if (digits.nonEmpty && digits.forall(_.isDigit)) return digits.toInt
+              }
+            case "row" =>
+              val a = attr(r, "r")
+              last = if (a == null) last + 1 else a.toInt
+            case _ => ()
+          }
+        case _ => ()
+      }
+      last
+    } finally {
+      try { r.close(); in.close() } catch { case _: Exception => () }
+    }
+  }
+
   /** Stream the rows of one sheet. Each row is a possibly-ragged array —
     * trailing missing cells are simply absent; interior gaps are null.
     * Fully empty rows inside the data range come out as empty arrays. */
-  def rowIterator(sheet: Sheet): Iterator[Array[Any]] = {
+  def rowIterator(sheet: Sheet): Iterator[Array[Any]] =
+    rowIterator(sheet, 1, Int.MaxValue)
+
+  /** Stream rows whose dense (1-based) row number is in
+    * [startRow, endRowExcl). Because interior gaps materialize as empty
+    * arrays, the k-th dense row IS sheet row k, so ranges over emitted
+    * positions and over sheet row numbers coincide. Out-of-range `<row>`
+    * subtrees are skipped without cell decode, and the stream closes as
+    * soon as a row at/after endRowExcl is seen — a partition pays XML
+    * traversal for the prefix but value decode only for its own slice. */
+  def rowIterator(sheet: Sheet, startRow: Int,
+      endRowExcl: Int): Iterator[Array[Any]] = {
     val in = open(sheet.entry).getOrElse(
       throw new IllegalStateException(s"Missing worksheet part ${sheet.entry}"))
     val r = xmlIn.createXMLStreamReader(in)
     new Iterator[Array[Any]] with AutoCloseable {
       private var nextRow: Array[Any] = _
-      private var lastRowNum = 0 // 1-based row number of last emitted row
-      private var pendingGap = 0 // empty rows to emit before nextRow
+      private var lastRowNum = 0 // 1-based row number of last seen row
+      private var pendingGap = 0 // in-range empty rows to emit before nextRow
       private var exhausted = false
 
       advance()
 
       private def advance(): Unit = {
         nextRow = null
-        while (nextRow == null && !exhausted) {
+        while (nextRow == null && pendingGap == 0 && !exhausted) {
           if (!r.hasNext) { exhausted = true; closeQuietly() }
           else r.next() match {
             case XMLStreamConstants.START_ELEMENT if r.getLocalName == "row" =>
@@ -89,11 +136,36 @@ final class XlsxReader(file: File) extends AutoCloseable {
               val rowNum =
                 if (rAttr == null) lastRowNum + 1
                 else rAttr.toInt
-              pendingGap = math.max(0, rowNum - lastRowNum - 1)
-              lastRowNum = rowNum
-              nextRow = readRow()
+              if (rowNum >= endRowExcl) {
+                // emit any in-range gap before the out-of-range row, then stop
+                pendingGap = gapSize(lastRowNum, endRowExcl)
+                exhausted = true
+                closeQuietly()
+              } else {
+                pendingGap = gapSize(lastRowNum, rowNum)
+                lastRowNum = rowNum
+                if (rowNum >= startRow) nextRow = readRow()
+                else skipRow()
+              }
             case _ => ()
           }
+        }
+      }
+
+      /** Rows strictly between lastSeen and next that fall in range. */
+      private def gapSize(lastSeen: Int, next: Int): Int = {
+        val from = math.max(lastSeen + 1, startRow)
+        val to = math.min(next - 1, endRowExcl - 1)
+        math.max(0, to - from + 1)
+      }
+
+      /** Skip the current `<row>` subtree without decoding cells. */
+      private def skipRow(): Unit = {
+        var depth = 1
+        while (depth > 0) r.next() match {
+          case XMLStreamConstants.START_ELEMENT => depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ => ()
         }
       }
 
