@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.HeavyHitters
+
+/** Statistical / multi-grouping aggregation surface: GROUPING SETS,
+  * discrete percentiles, exact-decimal second-moment statistics, and the
+  * count-min heavy-hitter sketch.
+  *
+  * Determinism discipline (see RelationalQueries): correlation/stddev are
+  * NOT computed with the built-in `corr`/`stddev` (their double
+  * accumulation is partition-order dependent) but from exact DECIMAL sums
+  * cast to double, with the closed-form formula written with identical
+  * operation order in both engines — bit-identical results by IEEE
+  * determinism. */
+object StatQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  // ---------------------------------------------------------------- q27
+  /** GROUPING SETS ((status, priority), (status), ()) — the general form
+    * behind ROLLUP (q14) and CUBE (q20). */
+  def q27GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val q27Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Discrete percentiles (actual data values, no interpolation — the
+    * variant whose cross-engine semantics are exact). */
+  def q28PercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("q1_qty"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("med_qty"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("q3_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q28Sql: String =
+    """SELECT l_returnflag,
+      | quantile_disc(l_quantity, 0.25) AS q1_qty,
+      | quantile_disc(l_quantity, 0.5) AS med_qty,
+      | quantile_disc(l_quantity, 0.75) AS q3_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Pearson correlation + population stddev from exact decimal moments. */
+  def q29ExactStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sums = t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("nd"),
+        asDouble(sum(dec($"l_quantity"))).as("sx"),
+        asDouble(sum(dec($"l_extendedprice"))).as("sy"),
+        asDouble(sum(dec($"l_quantity") * dec($"l_quantity"))).as("sxx"),
+        asDouble(sum(dec($"l_extendedprice") * dec($"l_extendedprice"))).as("syy"),
+        asDouble(sum(dec($"l_quantity") * dec($"l_extendedprice"))).as("sxy"))
+    sums.select($"l_returnflag",
+      round(($"nd" * $"sxy" - $"sx" * $"sy") /
+        sqrt(($"nd" * $"sxx" - $"sx" * $"sx") * ($"nd" * $"syy" - $"sy" * $"sy")), 6)
+        .as("corr_qty_price"),
+      round(sqrt(($"sxx" - $"sx" * $"sx" / $"nd") / $"nd"), 6).as("stddev_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q29Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    COUNT(*)::DOUBLE AS nd,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  ROUND((nd * sxy - sx * sy) /
+      |    SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) AS corr_qty_price,
+      |  ROUND(SQRT((sxx - sx * sx / nd) / nd), 6) AS stddev_qty
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Count-min heavy hitters: estimated vs exact counts per event type.
+    * The oracle can assert est == exact because the sketch is deterministic
+    * (fixed seed) and the 5 event-type strings cannot all-rows-collide at
+    * width 8192 (p ≈ 2·10⁻¹⁵, and the key strings are scale-invariant —
+    * verified identical at every SF). */
+  def q30HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    HeavyHitters.keyFrequencies(
+      spark.read.parquet(s"$dir/events.parquet"), "event_type")
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type"))
+  }
+
+  val q30Sql: String =
+    """SELECT event_type, COUNT(*) AS exact_count, COUNT(*) AS est_count
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q27_grouping_sets" -> (q27GroupingSets _, q27Sql),
+    "q28_percentile_disc" -> (q28PercentileDisc _, q28Sql),
+    "q29_exact_stats" -> (q29ExactStats _, q29Sql),
+    "q30_heavy_hitters" -> (q30HeavyHitters _, q30Sql),
+  )
+}
