@@ -26,6 +26,14 @@ object GraftFunctions {
     build(exprs.head)
   }
 
+  private def binary(name: String)(build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments, got ${exprs.length}")
+    build(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     import TextExpressions.{DefaultNumHashes, DefaultShingleK}
@@ -42,5 +50,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("emb_lsh_bucket",
       unary("emb_lsh_bucket")(VectorFunctions.EmbeddingLshBucket(_,
         VectorFunctions.DefaultLshBits, VectorFunctions.DefaultLshSeed)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      binary("cosine_sim")(VectorFunctions.CosineSimilarity), "scala_udf")
   }
 }

@@ -31,6 +31,11 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 0xaf63dc4c8601ec8cL) // public FNV-1a vector
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 128)
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same, " +
+        "cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth, " +
+        "cosine_sim(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS zero").collect().head
+    assert(c.getDouble(0) == 1.0 && c.getDouble(1) == 0.0 && c.isNullAt(2))
   }
 
   test("wrong arity and wrong types are rejected at analysis") {

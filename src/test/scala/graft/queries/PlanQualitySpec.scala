@@ -87,6 +87,43 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q25: as-of join is one window pass, no join operator at all") {
+    val p = plan("q25_asof_join")
+    assert(p.contains("Window"), p)
+    // the union+window form must not degenerate into any join
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+      !p.contains("CartesianProduct"), s"as-of degenerated:\n$p")
+  }
+
+  test("q26: range join is an equi hash join on the bucket key") {
+    val p = plan("q26_range_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degenerated:\n$p")
+  }
+
+  test("q29: exact stats run as one aggregation pass over the scan") {
+    val p = plan("q29_exact_stats")
+    // one logical aggregation → exactly one shuffle-read pair of
+    // HashAggregates (partial+final); a second Exchange besides the final
+    // sort would mean the moments are computed in separate passes
+    assert("HashAggregate".r.findAllIn(p).size <= 2, s"extra agg passes:\n$p")
+    assert(p.contains("partial"), "expect map-side partial aggregation")
+  }
+
+  test("native cosine expression stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = emb.select(graft.functions.VectorFunctions
+      .cosine(col("embedding"), col("embedding")).as("c"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stage markers in:\n$p")
+    // and no interpreted higher-order functions in the hot path
+    assert(!p.toLowerCase.contains("lambdafunction"), p)
+    assert(df.count() > 0)
+  }
+
   test("excel scan prunes columns at the source") {
     import org.apache.spark.sql.functions._
     // reuse the roundtrip fixture: write then read a projection
