@@ -67,6 +67,68 @@ object Multimodal {
       .mapPartitions(decodeBatch _)
   }
 
+  /** One sampled frame reference. */
+  final case class FrameRef(doc_id: Long, frame_idx: Int, n_frames: Int)
+
+  /** Frame sampling for video payloads: every `stride`-th frame index —
+    * flatMap shape (one row in, ceil(n_frames/stride) rows out), batched
+    * per partition, no shuffle. The frame COUNT comes from the decode stub;
+    * a real implementation would additionally slice the container bytes per
+    * emitted index (the row fan-out, schema, and ordering stay the same). */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      modalityCol: String, stride: Int): Dataset[FrameRef] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("bigint").as("doc_id"),
+      col(binCol).as("payload"), col(modalityCol).as("modality"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        if (r.modality != "video") Iterator.empty
+        else {
+          val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+          val (_, _, _, nFrames, _) = decodeStub(payload, r.modality)
+          (0 until nFrames by stride).iterator
+            .map(i => FrameRef(r.doc_id, i, nFrames))
+        }
+      })
+  }
+
+  /** Aspect-preserving fit of (w, h) into (targetW, targetH) in pure
+    * integer arithmetic (truncating division — exactly mirrorable in SQL):
+    * the side that binds scales to the target, the other scales
+    * proportionally. Never upscales. */
+  def fitDims(w: Int, h: Int, targetW: Int, targetH: Int): (Int, Int) = {
+    if (w <= targetW && h <= targetH) (w, h)
+    else if (w.toLong * targetH <= h.toLong * targetW)
+      (math.max(1, (w.toLong * targetH / h).toInt), targetH)
+    else (targetW, math.max(1, (h.toLong * targetW / w).toInt))
+  }
+
+  final case class ResizedRecord(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int)
+
+  /** Resize-to-fit for image payloads — metadata transform driven by the
+    * decode stub's dimensions; a real implementation would also re-encode
+    * payload bytes per row (batched, narrow, no shuffle — unchanged). */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+      modalityCol: String, targetW: Int, targetH: Int): Dataset[ResizedRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("bigint").as("doc_id"),
+      col(binCol).as("payload"), col(modalityCol).as("modality"))
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        if (r.modality != "image") Iterator.empty
+        else {
+          val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+          val (w, h, _, _, _) = decodeStub(payload, r.modality)
+          val (ow, oh) = fitDims(w, h, targetW, targetH)
+          Iterator.single(ResizedRecord(r.doc_id, w, h, ow, oh))
+        }
+      })
+  }
+
   /** Deterministic fake corpus: documents' text bytes as payloads with a
     * modality derived from doc_id — exercises the full path on testdata. */
   def fakeMediaFrame(documents: DataFrame): DataFrame =

@@ -39,7 +39,67 @@ object MultimodalQueries {
       |  (CASE WHEN modality = 'video' THEN 1 + n % 29 ELSE 1 END)::BIGINT AS n_frames
       |FROM base ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m02
+  /** Frame sampling: every 5th frame of each fake video — the one-row-in,
+    * k-rows-out fan-out a video pipeline runs before per-frame featurizing.
+    * Frame counts come from the deterministic stub; the oracle mirrors the
+    * arithmetic and the RANGE fan-out. */
+  def m02FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Multimodal.sampleFrames(
+      Multimodal.fakeMediaFrame(docs), "doc_id", "payload", "modality",
+      stride = 5)
+      .toDF()
+      .select(col("doc_id"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        col("n_frames").cast("bigint").as("n_frames"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val m02Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id, 1 + COALESCE(STRLEN(text), 0) % 29 AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT doc_id,
+      |  UNNEST(RANGE(0, n_frames, 5))::BIGINT AS frame_idx,
+      |  n_frames::BIGINT AS n_frames
+      |FROM v ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- m03
+  /** Resize-to-fit 224x224 for fake images: aspect-preserving integer
+    * arithmetic (truncating division) mirrored exactly by the oracle. */
+  def m03Resize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Multimodal.resizeImages(
+      Multimodal.fakeMediaFrame(docs), "doc_id", "payload", "modality",
+      targetW = 224, targetH = 224)
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        col("out_w").cast("bigint").as("out_w"),
+        col("out_h").cast("bigint").as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  val m03Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    16 + COALESCE(STRLEN(text), 0) % 624 AS w,
+      |    16 + COALESCE(STRLEN(text), 0) % 464 AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+      |  (CASE WHEN w <= 224 AND h <= 224 THEN w
+      |        WHEN w * 224 <= h * 224 THEN GREATEST(1, (w * 224) // h)
+      |        ELSE 224 END)::BIGINT AS out_w,
+      |  (CASE WHEN w <= 224 AND h <= 224 THEN h
+      |        WHEN w * 224 <= h * 224 THEN 224
+      |        ELSE GREATEST(1, (h * 224) // w) END)::BIGINT AS out_h
+      |FROM img ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_meta" -> (m01DecodeMeta _, m01Sql),
+    "m02_frame_sample" -> (m02FrameSample _, m02Sql),
+    "m03_resize" -> (m03Resize _, m03Sql),
   )
 }
