@@ -78,8 +78,36 @@ object AdvancedJoinQueries {
       |  ON l_extendedprice >= lo AND l_extendedprice <= hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** RANGE-frame window (value frame over event time, peers included —
+    * the frame kind q10's ROWS running sum does not cover): per event
+    * type, the rolling 1-hour sum of value. Timestamps in micros (same
+    * cross-engine truncation discipline as q25); DECIMAL sum keeps the
+    * frame aggregation exact and order-independent. */
+  def q31RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_id"), col("event_type"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val q31Sql: String =
+    """SELECT event_id, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY event_type ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q25_asof_join" -> (q25AsofJoin _, q25Sql),
     "q26_range_join" -> (q26RangeJoin _, q26Sql),
+    "q31_range_frame" -> (q31RangeFrame _, q31Sql),
   )
 }
