@@ -129,8 +129,8 @@ object Dedup {
       .withColumn("sh_size", size(col("sh")))
       .filter(col("sh_size") > 0)
 
-    // shared Exchange: rare-filter and both join branches reuse one
-    // computation of the shingle explode (see minhashLshPairs note)
+    // shared Exchange: the df-count aggregate and the posting-list join
+    // reuse one computation of the shingle explode (see minhashLshPairs)
     val posting = sh.select(col("doc_id"), col("sh_size"),
       explode(col("sh")).as("shingle"))
       .repartition(col("shingle"))
@@ -138,13 +138,28 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap && col("df") >= 2) // df=1 can't form a pair
       .select("shingle")
+    // df-cap BEFORE materializing any posting list: a hot shingle is
+    // dropped by the count aggregate (constant memory) and never collected
     val filtered = posting.join(rare, "shingle")
 
-    val pairs = filtered.select(col("shingle"), col("doc_id").as("id_a"),
-      col("sh_size").as("size_a"))
-      .join(filtered.select(col("shingle"), col("doc_id").as("id_b"),
-        col("sh_size").as("size_b")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    // per-shingle posting list (≤ dfCap by construction), then each
+    // unordered doc pair generated exactly ONCE via positional slice —
+    // half the intermediate rows of a self-join, and `filtered` is
+    // computed once instead of once per join branch
+    val pairs = filtered
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"), explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+      .select(
+        when(col("a.doc_id") < col("b.doc_id"), col("a.doc_id"))
+          .otherwise(col("b.doc_id")).as("id_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.doc_id"))
+          .otherwise(col("a.doc_id")).as("id_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.sh_size"))
+          .otherwise(col("b.sh_size")).as("size_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.sh_size"))
+          .otherwise(col("a.sh_size")).as("size_b"))
       .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("common"))
 
