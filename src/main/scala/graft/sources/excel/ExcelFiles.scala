@@ -17,30 +17,58 @@ import org.apache.spark.sql.AnalysisException
   */
 object ExcelFiles {
 
-  /** path → sorted list of xlsx file URIs (dir: one level, `.xlsx` only,
-    * mirroring the reference; file: itself). Missing path → AnalysisException
-    * like the reference's error normalization. */
-  def list(pathStr: String, conf: Configuration): Seq[String] = {
+  /** path → sorted list of xlsx file URIs (dir: one level by default,
+    * `.xlsx` only, mirroring the reference; file: itself; glob pattern:
+    * every match, dirs expanded). `recursive=true` (the
+    * `recursiveFileLookup` option) descends into subdirectories — the
+    * date-partitioned `dt=.../part.xlsx` layout object stores use.
+    * Missing path → AnalysisException like the reference's error
+    * normalization. */
+  def list(pathStr: String, conf: Configuration,
+      recursive: Boolean = false): Seq[String] = {
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
+    if (hasGlob(pathStr)) {
+      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matches.isEmpty) {
+        throw new AnalysisException(
+          errorClass = "PATH_NOT_FOUND",
+          messageParameters = Map("path" -> pathStr))
+      }
+      return matches.flatMap { s =>
+        if (s.isDirectory) listDir(fs, s.getPath, recursive)
+        else Seq(s.getPath.toString)
+      }.distinct.sorted
+    }
     if (!fs.exists(path)) {
       throw new AnalysisException(
         errorClass = "PATH_NOT_FOUND",
         messageParameters = Map("path" -> pathStr))
     }
     val status = fs.getFileStatus(path)
-    if (status.isDirectory) {
-      fs.listStatus(path).toSeq
-        .filter { s =>
-          val n = s.getPath.getName
-          // skip hidden/temp files (Spark file-source convention) so readers
-          // never admit a half-written sink temp into an offset
-          s.isFile && n.toLowerCase.endsWith(".xlsx") &&
-            !n.startsWith(".") && !n.startsWith("_")
-        }
-        .map(_.getPath.toString)
-        .sorted
-    } else Seq(path.toString)
+    if (status.isDirectory) listDir(fs, path, recursive)
+    else Seq(path.toString)
+  }
+
+  private def hasGlob(p: String): Boolean =
+    p.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
+
+  private def listDir(fs: FileSystem, dir: Path, recursive: Boolean): Seq[String] = {
+    val (dirs, files) = fs.listStatus(dir).toSeq.partition(_.isDirectory)
+    // skip hidden/temp files AND directories (Spark file-source convention)
+    // so readers never admit a half-written sink temp into an offset
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    val here = files
+      .filter { s =>
+        val n = s.getPath.getName
+        n.toLowerCase.endsWith(".xlsx") && visible(n)
+      }
+      .map(_.getPath.toString)
+    val below =
+      if (!recursive) Seq.empty
+      else dirs.filter(d => visible(d.getPath.getName))
+        .flatMap(d => listDir(fs, d.getPath, recursive = true))
+    (here ++ below).sorted
   }
 
   /** Open an xlsx for random access. ZIP needs a seekable local file, so a

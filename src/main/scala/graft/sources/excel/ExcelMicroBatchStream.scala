@@ -36,11 +36,11 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
   @volatile private var availableNowFiles: Option[Seq[String]] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowFiles = Some(ExcelFiles.list(opts.path, conf).sorted)
+    availableNowFiles = Some(ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup).sorted)
   }
 
   private def currentListing(): Seq[String] =
-    availableNowFiles.getOrElse(ExcelFiles.list(opts.path, conf).sorted)
+    availableNowFiles.getOrElse(ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup).sorted)
 
   override def initialOffset(): Offset = ExcelStreamOffset(Nil)
 

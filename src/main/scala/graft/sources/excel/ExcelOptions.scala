@@ -57,6 +57,12 @@ final case class ExcelOptions(options: Map[String, String]) {
     n
   }
 
+  /** Descend into subdirectories when listing (extension; named after
+    * Spark's file-source option; default false = the reference's one-level
+    * contract). Hidden (dot/underscore) directories are never entered. */
+  def recursiveFileLookup: Boolean =
+    get("recursivefilelookup").exists(_.toBoolean)
+
   /** Row-range split size for parallel single-file reads (extension;
     * unset = the reference's 1-file-1-partition contract). When set, a
     * file's sheet is split into partitions of at most this many data rows

@@ -69,7 +69,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val files = ExcelFiles.list(opts.path, conf)
+    val files = ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup)
     opts.maxRowsPerPartition match {
       case None =>
         files.map(f => ExcelInputPartition(f): InputPartition).toArray

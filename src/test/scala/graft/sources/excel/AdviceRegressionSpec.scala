@@ -102,6 +102,51 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.columns.toSeq == Seq("id", "Unnamed: 1", "name"))
   }
 
+  test("recursiveFileLookup descends into visible subdirectories only") {
+    val dir = tmpDir()
+    val mk = (rel: String) => {
+      val f = new File(dir, rel)
+      f.getParentFile.mkdirs()
+      val w = new XlsxWriter(new FileOutputStream(f))
+      w.writeRow(Seq("id")); w.writeRow(Seq(1L)); w.close()
+    }
+    mk("top.xlsx")
+    mk("dt=2024-01-01/part.xlsx")
+    mk("dt=2024-01-02/nested/deep.xlsx")
+    mk("_hidden/skipme.xlsx")
+    val conf = new Configuration()
+    val flat = ExcelFiles.list(dir.getAbsolutePath, conf)
+    assert(flat.map(p => new File(p).getName) == Seq("top.xlsx"))
+    val rec = ExcelFiles.list(dir.getAbsolutePath, conf, recursive = true)
+    assert(rec.map(p => new File(p).getName).sorted ==
+      Seq("deep.xlsx", "part.xlsx", "top.xlsx"))
+
+    // end to end through the option
+    val df = spark.read.format("excel")
+      .option("recursiveFileLookup", "true")
+      .load(dir.getAbsolutePath)
+    assert(df.count() == 3)
+  }
+
+  test("glob paths expand to matching files and directories") {
+    val dir = tmpDir()
+    val mk = (rel: String) => {
+      val f = new File(dir, rel)
+      f.getParentFile.mkdirs()
+      val w = new XlsxWriter(new FileOutputStream(f))
+      w.writeRow(Seq("id")); w.writeRow(Seq(1L)); w.close()
+    }
+    mk("a_keep.xlsx"); mk("b_skip.xlsx"); mk("sub1/c.xlsx"); mk("sub2/d.xlsx")
+    val conf = new Configuration()
+    val files = ExcelFiles.list(s"${dir.getAbsolutePath}/a_*.xlsx", conf)
+    assert(files.map(p => new File(p).getName) == Seq("a_keep.xlsx"))
+    val dirs = ExcelFiles.list(s"${dir.getAbsolutePath}/sub*", conf)
+    assert(dirs.map(p => new File(p).getName).sorted == Seq("c.xlsx", "d.xlsx"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ExcelFiles.list(s"${dir.getAbsolutePath}/nope_*.xlsx", conf)
+    }
+  }
+
   test("dot/underscore-prefixed files are invisible to directory listings") {
     val dir = tmpDir()
     val mk = (name: String) => {
