@@ -19,11 +19,13 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var limit: Int = -1
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var countStarPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     this.requiredSchema = requiredSchema
@@ -43,8 +45,87 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     false // partial: each partition still caps rows, Spark re-applies the limit
   }
 
+  /** count(*) with no filters/grouping is answered by an XML tag scan —
+    * zero cell decode, zero string building. Partial pushdown: each file
+    * partition emits its row count; Spark sums them (so multi-file
+    * directories and AQE behave normally). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val onlyCountStar = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    // a pushed filter means rows are conditionally kept — counts must then
+    // come from the row reader, not the tag scan (Spark only offers the
+    // aggregate when it pushed all filters, but stay defensive)
+    if (onlyCountStar && pushed.isEmpty && limit < 0) {
+      countStarPushed = true
+      true
+    } else false
+  }
+
   override def build(): Scan =
-    new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed)
+    if (countStarPushed) new ExcelCountScan(opts)
+    else new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed)
+}
+
+/** Scan produced when count(*) was pushed: one partition per file, each
+  * emitting a single row with the file's dense row count (exact tag scan
+  * — never the `<dimension>` hint, which may be stale). */
+class ExcelCountScan(opts: ExcelOptions) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    new StructType().add("count_star", org.apache.spark.sql.types.LongType, false)
+
+  override def description(): String =
+    s"ExcelScan path=${opts.pathOpt.getOrElse("?")} PushedAggregation=[COUNT(*)]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup)
+      .map(f => ExcelInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    ExcelCountReaderFactory(opts, conf)
+  }
+}
+
+case class ExcelCountReaderFactory(opts: ExcelOptions,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val filePath = partition.asInstanceOf[ExcelInputPartition].filePath
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = {
+        val (local, temp) = ExcelFiles.toLocal(filePath, conf.value)
+        val n =
+          try {
+            val rd =
+              try new XlsxReader(local)
+              catch {
+                case e: Exception => throw new org.apache.spark.SparkException(
+                  s"Failed to open excel file $filePath: ${e.getMessage}", e)
+              }
+            try rd.lastRowNumber(rd.resolveSheet(opts.sheetName),
+              trustDimension = false)
+            finally rd.close()
+          } finally if (temp) local.delete()
+        val dataRows = math.max(0L, n.toLong - (if (opts.header) 1L else 0L))
+        new GenericInternalRow(Array[Any](dataRows))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class ExcelScan(fullSchema: StructType, requiredSchema: StructType,

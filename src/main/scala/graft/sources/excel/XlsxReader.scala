@@ -69,7 +69,12 @@ final class XlsxReader(file: File) extends AutoCloseable {
     * streaming tag count (no cell decode). May legitimately under-report
     * when a writer emits a stale dimension — callers must keep the final
     * split unbounded so no row can be lost to a wrong dimension. */
-  def lastRowNumber(sheet: Sheet): Int = {
+  def lastRowNumber(sheet: Sheet): Int = lastRowNumber(sheet, trustDimension = true)
+
+  /** With `trustDimension=false`: the EXACT last present row number via a
+    * full tag scan (still no cell decode) — what count(*) pushdown needs,
+    * since the dense row sequence the reader emits ends exactly there. */
+  def lastRowNumber(sheet: Sheet, trustDimension: Boolean): Int = {
     val in = open(sheet.entry).getOrElse(return 0)
     val r = xmlIn.createXMLStreamReader(in)
     try {
@@ -77,7 +82,7 @@ final class XlsxReader(file: File) extends AutoCloseable {
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "dimension" =>
+            case "dimension" if trustDimension =>
               val ref = attr(r, "ref")
               if (ref != null) {
                 // "A1:H5000" → 5000; "A1" → 1

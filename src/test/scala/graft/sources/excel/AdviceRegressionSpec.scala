@@ -147,6 +147,40 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("count(*) pushes down to a tag scan; filters disable the pushdown") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val mkRows = (name: String, n: Int) => {
+      val w = new XlsxWriter(new FileOutputStream(new File(dir, name)))
+      w.writeRow(Seq("id", "name"))
+      (1 to n).foreach(i => w.writeRow(Seq(i.toLong, s"r$i")))
+      w.close()
+    }
+    mkRows("a.xlsx", 120)
+    mkRows("b.xlsx", 80)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val df = spark.read.format("excel").schema(schema).load(dir.getAbsolutePath)
+
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[COUNT(*)]"), plan)
+    assert(counted.collect().head.getLong(0) == 200L)
+    assert(df.count() == 200L)
+
+    // with a filter the count must come from the row reader, not the probe
+    val filtered = df.filter(col("id") > 100)
+    assert(!filtered.groupBy().count().queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "filtered count must not push down")
+    assert(filtered.count() == 20L)
+
+    // header=false counts every row
+    val noHeader = spark.read.format("excel")
+      .option("header", "false").option("inferSchema", "false")
+      .load(new File(dir, "b.xlsx").getAbsolutePath)
+    assert(noHeader.count() == 81L) // 80 data rows + the header line
+  }
+
   test("dot/underscore-prefixed files are invisible to directory listings") {
     val dir = tmpDir()
     val mk = (name: String) => {
