@@ -164,6 +164,55 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** Stopword-profile language ID as a single native expression.
+    *
+    * Replicates EXACTLY the declarative form it replaces (5 literal-array
+    * `array_intersect`s + `sort_array` of structs — a >100-node tree whose
+    * per-query Janino compile and per-row interpreted set-builds dominated
+    * t02): distinct whitespace tokens of `lower(trim(text))` (Spark trim =
+    * spaces only; split keeps trailing empties), hit count per profile,
+    * most hits wins, ties to the lexicographically-first language, zero
+    * hits → "und". Profiles are plain expression state, probed against one
+    * per-row token set. */
+  case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "lang_id"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(prettyName, child)
+
+    @transient private lazy val sorted: Array[(String, Array[String])] =
+      profiles.sortBy(_._1).map { case (l, ws) => (l, ws.toArray) }.toArray
+
+    override protected def nullSafeEval(v: Any): Any = {
+      // same pipeline as lower(trim(text)) → split("\s+", -1) → distinct
+      val s = v.asInstanceOf[UTF8String].trim().toLowerCase.toString
+      val tokens = s.split("\\s+", -1)
+      val distinct = new java.util.HashSet[String](tokens.length * 2)
+      var i = 0
+      while (i < tokens.length) { distinct.add(tokens(i)); i += 1 }
+      var bestLang: String = null
+      var bestHits = 0
+      var p = 0
+      while (p < sorted.length) {
+        val (lang, ws) = sorted(p)
+        var hits = 0
+        var j = 0
+        while (j < ws.length) {
+          if (distinct.contains(ws(j))) hits += 1
+          j += 1
+        }
+        if (hits > bestHits) { bestHits = hits; bestLang = lang } // ties → first
+        p += 1
+      }
+      UTF8String.fromString(if (bestHits == 0) "und" else bestLang)
+    }
+
+    override protected def withNewChildInternal(c: Expression): LangId =
+      copy(child = c)
+  }
+
   // -------------------------------------------------------- Column API
 
   def fnv1a64(c: Column): Column = ColumnBridge.column(
@@ -178,4 +227,7 @@ object TextExpressions {
 
   def shingleSet(c: Column, k: Int = DefaultShingleK): Column = ColumnBridge.column(
     ShingleSet(ColumnBridge.expression(c), k))
+
+  def langId(c: Column, profiles: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangId(ColumnBridge.expression(c), profiles))
 }

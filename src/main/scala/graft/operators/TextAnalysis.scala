@@ -86,20 +86,10 @@ object TextAnalysis {
 
   /** N-gram/stopword-profile language ID: score = distinct-stopword hits
     * per language profile; highest score wins, ties broken by language code
-    * order, no hits → "und" (undetermined). Row-local, codegen-friendly. */
-  def langId(text: Column): Column = {
-    val w = array_distinct(words(text))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      // negated score so an ascending struct sort yields (max score,
-      // lexicographically-first lang) at position 0 — deterministic ties
-      struct((-size(array_intersect(w, array(sw.map(lit): _*)))).as("nscore"),
-        lit(lang).as("lang"))
-    }
-    val best = sort_array(array(scored: _*), asc = true).getItem(0)
-    // null text -> null prediction (matches SQL semantics; without the
-    // guard, null-propagated scores would sort to an arbitrary language)
-    when(text.isNull, lit(null).cast("string"))
-      .when(best.getField("nscore") === 0, lit("und"))
-      .otherwise(best.getField("lang"))
-  }
+    * order, no hits → "und" (undetermined); null text → null. Row-local —
+    * a single native expression ([[graft.functions.TextExpressions.LangId]])
+    * carrying the profiles as state, replacing a >100-node literal tree
+    * whose per-query compile and per-row interpreted intersects dominated. */
+  def langId(text: Column): Column =
+    graft.functions.TextExpressions.langId(text, stopwords.toSeq)
 }
