@@ -14,7 +14,17 @@ object PipelineQueries {
     * The full pass a pretraining pipeline runs first on raw text. */
   def p01CorpusClean(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // canonical doc per identical text (lowest doc_id), via a FIXED-WIDTH
+    // shuffle: aggregate min(doc_id) per md5 fingerprint (16 bytes + id
+    // move, never the document bodies — same md5-equals-text equivalence
+    // the d01 oracle uses), then semi-join the survivors back. Quality is
+    // scored only on canonical rows, after the dedup — not on the copies.
+    val withFp = docs.withColumn("fp", md5(col("text").cast("binary")))
+    val canonIds = withFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
     val canon = docs
+      .join(canonIds, Seq("doc_id"), "left_semi")
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
       // nondeterministic barrier: stops the optimizer from inlining the
@@ -22,11 +32,6 @@ object PipelineQueries {
       // which doubled codegen size and dominated cold-run Janino time;
       // results are unaffected (column dropped, aggregates don't touch it)
       .withColumn("__barrier", monotonically_increasing_id())
-      // canonical row per identical text: lowest doc_id survives
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("text")).orderBy(col("doc_id"))))
-      .filter(col("rk") === 1)
       .filter(col("quality") >= 0.5)
     // avg as exact-decimal sum / count: double avg is partition-order
     // dependent and would flake the oracle hash
