@@ -1,6 +1,9 @@
 package graft.functions
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
@@ -164,6 +167,47 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** Generator (UDTF): one output row per DISTINCT word-k-shingle of the
+    * input text, each carrying the document's distinct-shingle count —
+    * the streaming single-pass form of
+    * `explode(shingleSet(text))` + `size(shingleSet(text))`. The
+    * inverted-index dedup path uses it to build posting rows without
+    * materializing each document's shingle array (`GenericArrayData` of
+    * boxed strings, sorted) only to explode it again; null/shingle-less
+    * texts generate nothing, mirroring explode of an empty array. */
+  case class ShingleExplode(child: Expression, k: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Generator
+      with CodegenFallback {
+
+    override def elementSchema: StructType =
+      new StructType()
+        .add("shingle", StringType, nullable = false)
+        .add("sh_size", IntegerType, nullable = false)
+    override def prettyName: String = s"shingle_explode_$k"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(prettyName, child)
+
+    override def eval(input: InternalRow): scala.collection.IterableOnce[InternalRow] = {
+      val v = child.eval(input)
+      if (v == null) Iterator.empty
+      else {
+        val sh = shingles(v.asInstanceOf[UTF8String], k)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val seen = new java.util.LinkedHashSet[String](sh.length * 2)
+          sh.foreach(seen.add)
+          val n = seen.size
+          seen.iterator().asScala.map(s =>
+            InternalRow(UTF8String.fromString(s), n))
+        }
+      }
+    }
+
+    override protected def withNewChildInternal(c: Expression): ShingleExplode =
+      copy(child = c)
+  }
+
   /** Stopword-profile language ID as a single native expression.
     *
     * Replicates EXACTLY the declarative form it replaces (5 literal-array
@@ -230,4 +274,7 @@ object TextExpressions {
 
   def langId(c: Column, profiles: Seq[(String, Seq[String])]): Column =
     ColumnBridge.column(LangId(ColumnBridge.expression(c), profiles))
+
+  def shingleExplode(c: Column, k: Int = DefaultShingleK): Column =
+    ColumnBridge.column(ShingleExplode(ColumnBridge.expression(c), k))
 }

@@ -124,15 +124,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      TextExpressions.shingleSet(col(textCol), k).as("sh"))
-      .withColumn("sh_size", size(col("sh")))
-      .filter(col("sh_size") > 0)
-
-    // shared Exchange: the df-count aggregate and the posting-list join
-    // reuse one computation of the shingle explode (see minhashLshPairs)
-    val posting = sh.select(col("doc_id"), col("sh_size"),
-      explode(col("sh")).as("shingle"))
+    // ShingleExplode generator: posting rows (shingle, per-doc distinct
+    // count) stream straight out of tokenization — no per-doc shingle
+    // array materialized and re-exploded. Shared Exchange: the df-count
+    // aggregate and the posting-list join reuse one computation of it
+    // (see minhashLshPairs)
+    val posting = df.select(col(idCol).as("doc_id"),
+      TextExpressions.shingleExplode(col(textCol), k))
       .repartition(col("shingle"))
     val rare = posting.groupBy("shingle")
       .agg(count(lit(1)).as("df"))

@@ -38,6 +38,27 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.getDouble(0) == 1.0 && c.getDouble(1) == 0.0 && c.isNullAt(2))
   }
 
+  test("ShingleExplode generator matches explode(shingleSet) row for row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"),            // fewer tokens than k → single joined shingle
+      (3L, ""),               // empty → no rows
+      (4L, "x y z x y z x y z"), // repeated shingles → distinct only
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val viaGenerator = docs.select($"id",
+      graft.functions.TextExpressions.shingleExplode($"text", 3))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val viaArray = docs.select($"id",
+      graft.functions.TextExpressions.shingleSet($"text", 3).as("sh"))
+      .select($"id", explode($"sh").as("shingle"), size($"sh").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(viaGenerator == viaArray)
+    assert(viaGenerator.nonEmpty)
+  }
+
   test("wrong arity and wrong types are rejected at analysis") {
     GraftFunctions.register(spark)
     val e1 = intercept[Exception](spark.sql("SELECT fnv1a64()").collect())
