@@ -105,9 +105,53 @@ object AdvancedJoinQueries {
       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q32
+  /** Gap-based sessionization: a user's events belong to one session until
+    * a >30-minute silence; classic lag→flag→running-sum composition (one
+    * shuffle+sort per user partition). Deterministic under timestamp ties:
+    * tied events have gap 0, so tie order can't change session boundaries,
+    * counts, or min/max duration. */
+  def q32Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val runningSum = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L ||
+          lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(runningSum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q32Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+      |           OR LAG(epoch_us(ts), 1) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id::BIGINT AS session_id,
+      |  COUNT(*) AS n_events,
+      |  (MAX(ts_us) - MIN(ts_us))::BIGINT AS duration_us
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q25_asof_join" -> (q25AsofJoin _, q25Sql),
     "q26_range_join" -> (q26RangeJoin _, q26Sql),
     "q31_range_frame" -> (q31RangeFrame _, q31Sql),
+    "q32_sessionize" -> (q32Sessionize _, q32Sql),
   )
 }
