@@ -68,10 +68,10 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[ExcelStreamOffset].files.toSet
-    end.asInstanceOf[ExcelStreamOffset].files
-      .filterNot(seen)
-      .map(f => ExcelInputPartition(f): InputPartition)
-      .toArray
+    val fresh = end.asInstanceOf[ExcelStreamOffset].files.filterNot(seen)
+    // maxRowsPerPartition applies per admitted file: a large workbook
+    // landing in a micro-batch fans out across executors like in batch
+    ExcelSplitPlanner.plan(fresh, opts, conf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

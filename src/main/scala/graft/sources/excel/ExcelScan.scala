@@ -150,20 +150,42 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val files = ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup)
+    ExcelSplitPlanner.plan(
+      ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup), opts, conf)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    ExcelPartitionReaderFactory(fullSchema, requiredSchema, opts, limit, conf, filters)
+  }
+}
+
+/** One partition == one xlsx file (reference `ExcelInputPartition`,
+  * connector.py:47-49) — or, with `maxRowsPerPartition`, one dense-row
+  * range [startRow, endRowExcl) of a file (startRow <= 0 = whole file). */
+case class ExcelInputPartition(filePath: String, startRow: Int = -1,
+    endRowExcl: Int = -1) extends InputPartition
+
+/** Shared row-range split planning for batch scans and micro-batch
+  * streams. */
+object ExcelSplitPlanner {
+
+  /** Files → partitions, honoring `maxRowsPerPartition` when set. */
+  def plan(files: Seq[String], opts: ExcelOptions,
+      conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] =
     opts.maxRowsPerPartition match {
       case None =>
         files.map(f => ExcelInputPartition(f): InputPartition).toArray
       case Some(maxRows) =>
-        files.flatMap(f => planRowRanges(f, maxRows, conf)).toArray
+        files.flatMap(f => planRowRanges(f, maxRows, opts, conf)).toArray
     }
-  }
 
   /** Split one file into row-range partitions of at most `maxRows` data
     * rows. The probed last row may under-report (stale `<dimension>`), so
     * the FINAL range is always unbounded — a wrong dimension can cost
     * balance, never rows. */
-  private def planRowRanges(f: String, maxRows: Int,
+  private def planRowRanges(f: String, maxRows: Int, opts: ExcelOptions,
       conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
     val (local, temp) = ExcelFiles.toLocal(f, conf)
     val lastRow =
@@ -187,19 +209,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
         : InputPartition
     }
   }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SerializableConfiguration(
-      SparkSession.active.sessionState.newHadoopConf())
-    ExcelPartitionReaderFactory(fullSchema, requiredSchema, opts, limit, conf, filters)
-  }
 }
-
-/** One partition == one xlsx file (reference `ExcelInputPartition`,
-  * connector.py:47-49) — or, with `maxRowsPerPartition`, one dense-row
-  * range [startRow, endRowExcl) of a file (startRow <= 0 = whole file). */
-case class ExcelInputPartition(filePath: String, startRow: Int = -1,
-    endRowExcl: Int = -1) extends InputPartition
 
 case class ExcelPartitionReaderFactory(fullSchema: StructType,
     requiredSchema: StructType,

@@ -92,6 +92,39 @@ class ExcelSplitReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 10)
   }
 
+  test("split read composes with the columnar (enableArrow) path") {
+    val f = bigFile(tmpDir(), rows = 500)
+    val df = spark.read.format("excel").schema(idName)
+      .option("enableArrow", "true")
+      .option("maxRowsPerPartition", "200")
+      .load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 500)
+    assert(df.agg(sum(col("id"))).collect().head.getLong(0) == 500L * 501 / 2)
+  }
+
+  test("streaming read honors maxRowsPerPartition per admitted file") {
+    val in = tmpDir()
+    val out = Files.createTempDirectory("graft-split-sink").toFile
+    val ckpt = Files.createTempDirectory("graft-split-ckpt").toFile
+    bigFile(in, rows = 100)
+    val q = spark.readStream.format("excel").schema(idName)
+      .option("maxRowsPerPartition", "30")
+      .load(in.getAbsolutePath)
+      .writeStream.format("parquet")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(out.getAbsolutePath)
+      assert(got.count() == 100)
+      assert(got.agg(sum(col("id"))).collect().head.getLong(0) == 100L * 101 / 2)
+      // 4 splits → 4 files written by the parquet sink for the batch
+      assert(out.listFiles().count(_.getName.endsWith(".parquet")) == 4)
+    } finally q.stop()
+  }
+
   test("ranged row iterator: gaps, skip, and boundary semantics") {
     // craft a sheet with missing row numbers: rows 1,2,5,6 present (3,4 gap)
     val dir = tmpDir()
