@@ -51,6 +51,10 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"right payload columns collide with left columns: ${collisions.mkString(", ")}; " +
         "rename them before the as-of join")
+    val reserved = Set("__ts", "__tag", "__l", "__r", "__ref")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by the as-of join; rename them")
     val rType = StructType(rightPayload.map(c => right.schema(c)))
 
     val ul = left.select(

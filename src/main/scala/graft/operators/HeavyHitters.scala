@@ -77,6 +77,8 @@ object HeavyHitters {
   }
 
   /** Exact and sketch-estimated counts per distinct value of `keyCol`.
+    * Null keys are excluded (the sketch cannot count them — `reduce`
+    * skips nulls — so reporting them exact-only would be misleading).
     *
     * The sketch aggregation is fully distributed (one pass, partial
     * combine); the per-key estimate lookup collects the distinct keys —
@@ -88,6 +90,7 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
     val sketch = keys.as[String]
       .select(new CountMinAggregator(depth, width, seed).toColumn)
       .head()

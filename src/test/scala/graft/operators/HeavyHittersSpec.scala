@@ -48,6 +48,14 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sketchOf(1).toSeq == sketchOf(7).toSeq)
   }
 
+  test("null keys are excluded, not crashed on") {
+    import spark.implicits._
+    val withNulls = (Seq("a", "a", null, "b", null): Seq[String]).toDF("k")
+    val got = HeavyHitters.keyFrequencies(withNulls, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 2L, 2L), ("b", 1L, 1L)))
+  }
+
   test("too many distinct keys is rejected, not silently truncated") {
     import spark.implicits._
     val many = (1 to 50).map(i => s"k$i").toDF("k")
