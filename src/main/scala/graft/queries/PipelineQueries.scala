@@ -99,8 +99,34 @@ object PipelineQueries {
       |FROM events JOIN stats USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- p03
+  /** Deterministic stratified sampling: up to 40 docs per language, chosen
+    * by md5-hash order — the reproducible subsampling a training pipeline
+    * uses to build balanced mixes (same inputs → same sample, on any
+    * cluster, in any engine; no RNG state). One window shuffle; at scale
+    * the rank cut prunes everything else before any payload moves. */
+  def p03StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val byLangHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("rk", row_number().over(byLangHash))
+      .filter(col("rk") <= 40)
+      .select(col("doc_id"), col("lang"), col("rk").cast("bigint").as("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p03Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY MD5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang, rk::BIGINT AS rk
+      |FROM ranked WHERE rk <= 40 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p01_corpus_clean" -> (p01CorpusClean _, p01Sql),
     "p02_salted_join" -> (p02SaltedJoin _, p02Sql),
+    "p03_stratified_sample" -> (p03StratifiedSample _, p03Sql),
   )
 }
