@@ -20,13 +20,13 @@ class ExcelColumnarPartitionReader(filePath: String, fullSchema: StructType,
     conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     batchSize: Int = 4096,
-    startRow: Int = -1, endRowExcl: Int = -1)
+    startRow: Int = -1, endRowExcl: Int = -1, sheetOverride: String = null)
     extends PartitionReader[ColumnarBatch] {
 
   // reuse the row reader's file/sheet/column-resolution/filter logic
   private val rowReader = new ExcelPartitionReader(
     filePath, fullSchema, requiredSchema, opts, limit, conf, filters,
-    startRow, endRowExcl)
+    startRow, endRowExcl, sheetOverride)
 
   private var vectors: Array[OnHeapColumnVector] = _
   private var batch: ColumnarBatch = _

@@ -31,6 +31,11 @@ final case class ExcelOptions(options: Map[String, String]) {
   /** Sheet name or 0-based index; reference read default is index 0. */
   def sheetName: String = get("sheetname").getOrElse("0")
 
+  /** sheetName="*" (extension): read EVERY sheet of each workbook,
+    * unioned under the merged schema, with a synthesized `_sheet` string
+    * column appended (a real file column named `_sheet` is shadowed). */
+  def allSheets: Boolean = get("sheetname").contains("*")
+
   /** Write-side sheet name; reference default "Sheet1". */
   def writeSheetName: String = get("sheetname").getOrElse("Sheet1")
 

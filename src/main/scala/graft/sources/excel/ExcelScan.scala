@@ -61,7 +61,9 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     // a pushed filter means rows are conditionally kept — counts must then
     // come from the row reader, not the tag scan (Spark only offers the
     // aggregate when it pushed all filters, but stay defensive)
-    if (onlyCountStar && pushed.isEmpty && limit < 0) {
+    // multi-sheet reads fall back to the row reader (per-sheet counting
+    // would need the same probe anyway, and `_sheet` may be referenced)
+    if (onlyCountStar && pushed.isEmpty && limit < 0 && !opts.allSheets) {
       countStarPushed = true
       true
     } else false
@@ -163,50 +165,65 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 
 /** One partition == one xlsx file (reference `ExcelInputPartition`,
   * connector.py:47-49) — or, with `maxRowsPerPartition`, one dense-row
-  * range [startRow, endRowExcl) of a file (startRow <= 0 = whole file). */
+  * range [startRow, endRowExcl) of a file (startRow <= 0 = whole file),
+  * and with `sheetName="*"`, one (file, sheet) combination (`sheet` null =
+  * use the configured sheetName). */
 case class ExcelInputPartition(filePath: String, startRow: Int = -1,
-    endRowExcl: Int = -1) extends InputPartition
+    endRowExcl: Int = -1, sheet: String = null) extends InputPartition
 
-/** Shared row-range split planning for batch scans and micro-batch
-  * streams. */
+/** Shared partition planning for batch scans and micro-batch streams:
+  * per-file by default, fanned out per sheet (`sheetName="*"`) and/or per
+  * row range (`maxRowsPerPartition`). */
 object ExcelSplitPlanner {
 
-  /** Files → partitions, honoring `maxRowsPerPartition` when set. */
   def plan(files: Seq[String], opts: ExcelOptions,
-      conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] =
-    opts.maxRowsPerPartition match {
-      case None =>
-        files.map(f => ExcelInputPartition(f): InputPartition).toArray
-      case Some(maxRows) =>
-        files.flatMap(f => planRowRanges(f, maxRows, opts, conf)).toArray
-    }
+      conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {
+    if (!opts.allSheets && opts.maxRowsPerPartition.isEmpty)
+      return files.map(f => ExcelInputPartition(f): InputPartition).toArray
+    files.flatMap { f =>
+      probe(f, conf) { rd =>
+        val sheets: Seq[(String, XlsxReader.Sheet)] =
+          if (opts.allSheets) rd.sheets.map(s => (s.name, s))
+          else Seq((null, rd.resolveSheet(opts.sheetName)))
+        sheets.flatMap { case (sheetName, sheet) =>
+          opts.maxRowsPerPartition match {
+            case None => Seq(ExcelInputPartition(f, sheet = sheetName))
+            case Some(maxRows) =>
+              planRowRanges(f, sheetName, rd.lastRowNumber(sheet), maxRows, opts)
+          }
+        }
+      }
+    }.toArray
+  }
 
-  /** Split one file into row-range partitions of at most `maxRows` data
+  private def probe[T](f: String, conf: org.apache.hadoop.conf.Configuration)(
+      body: XlsxReader => T): T = {
+    val (local, temp) = ExcelFiles.toLocal(f, conf)
+    try {
+      val rd =
+        try new XlsxReader(local)
+        catch {
+          case e: Exception => throw new org.apache.spark.SparkException(
+            s"Failed to open excel file $f: ${e.getMessage}", e)
+        }
+      try body(rd) finally rd.close()
+    } finally if (temp) local.delete()
+  }
+
+  /** Split one sheet into row-range partitions of at most `maxRows` data
     * rows. The probed last row may under-report (stale `<dimension>`), so
     * the FINAL range is always unbounded — a wrong dimension can cost
     * balance, never rows. */
-  private def planRowRanges(f: String, maxRows: Int, opts: ExcelOptions,
-      conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
-    val (local, temp) = ExcelFiles.toLocal(f, conf)
-    val lastRow =
-      try {
-        val rd =
-          try new XlsxReader(local)
-          catch {
-            case e: Exception => throw new org.apache.spark.SparkException(
-              s"Failed to open excel file $f: ${e.getMessage}", e)
-          }
-        try rd.lastRowNumber(rd.resolveSheet(opts.sheetName))
-        finally rd.close()
-      } finally if (temp) local.delete()
+  private def planRowRanges(f: String, sheetName: String, lastRow: Int,
+      maxRows: Int, opts: ExcelOptions): Seq[InputPartition] = {
     val dataStart = if (opts.header) 2 else 1
     val dataRows = math.max(0, lastRow - dataStart + 1)
     val n = math.max(1, math.ceil(dataRows.toDouble / maxRows).toInt)
     (0 until n).map { i =>
       val start = dataStart + i.toLong * maxRows
       val end = if (i == n - 1) Int.MaxValue else start + maxRows
-      ExcelInputPartition(f, start.toInt, math.min(end, Int.MaxValue).toInt)
-        : InputPartition
+      ExcelInputPartition(f, start.toInt, math.min(end, Int.MaxValue).toInt,
+        sheetName): InputPartition
     }
   }
 }
@@ -221,7 +238,7 @@ case class ExcelPartitionReaderFactory(fullSchema: StructType,
     val p = partition.asInstanceOf[ExcelInputPartition]
     new ExcelPartitionReader(p.filePath,
       fullSchema, requiredSchema, opts, limit, conf.value, filters,
-      p.startRow, p.endRowExcl)
+      p.startRow, p.endRowExcl, p.sheet)
   }
 
   // columnar fast path — the reference's enableArrow branch, in-JVM
@@ -233,7 +250,7 @@ case class ExcelPartitionReaderFactory(fullSchema: StructType,
     val p = partition.asInstanceOf[ExcelInputPartition]
     new ExcelColumnarPartitionReader(p.filePath,
       fullSchema, requiredSchema, opts, limit, conf.value, filters,
-      startRow = p.startRow, endRowExcl = p.endRowExcl)
+      startRow = p.startRow, endRowExcl = p.endRowExcl, sheetOverride = p.sheet)
   }
 }
 
@@ -246,10 +263,14 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
     requiredSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    startRow: Int = -1, endRowExcl: Int = -1)
+    startRow: Int = -1, endRowExcl: Int = -1, sheetOverride: String = null)
     extends PartitionReader[InternalRow] {
 
   private val ranged = startRow > 0
+  // multi-sheet mode: sheets legitimately differ in columns → absent
+  // columns read as nulls, and `_sheet` is synthesized (index marker -2)
+  private val allowMissing = opts.allowMissingColumns || opts.allSheets
+  private val SheetIdx = -2
 
   // pushed-filter evaluation via Catalyst's own OrderedFilters (exact Spark
   // comparison semantics); an optimization only — Spark re-applies all
@@ -274,8 +295,13 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
           s"Failed to open excel file $filePath: ${e.getMessage}", e)
     }
 
+  private val resolvedSheet = reader.resolveSheet(
+    if (sheetOverride != null) sheetOverride else opts.sheetName)
+  private val sheetNameValue =
+    org.apache.spark.unsafe.types.UTF8String.fromString(resolvedSheet.name)
+
   private val (indices: Array[Int], rowIter: Iterator[Array[Any]]) = {
-    val sheet = reader.resolveSheet(opts.sheetName)
+    val sheet = resolvedSheet
     // ranged partition: the header (dense row 1) is outside the data range,
     // so it is read through its own short-range stream; the data stream
     // then decodes only [startRow, endRowExcl)
@@ -301,8 +327,9 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
             math.max(headerRow.length, fullSchema.length), header = true)
           val nameToIdx = names.zipWithIndex.toMap
           val idx = requiredSchema.fields.map { f =>
-            nameToIdx.getOrElse(f.name,
-              if (opts.allowMissingColumns) -1
+            if (opts.allSheets && f.name == ExcelSchema.SheetColumn) SheetIdx
+            else nameToIdx.getOrElse(f.name,
+              if (allowMissing) -1
               else throw new org.apache.spark.SparkException(
                 s"Column '${f.name}' not found in $filePath " +
                   s"(sheet columns: ${names.mkString(", ")})"))
@@ -313,7 +340,10 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
         // positional: field ← its position in the FULL schema (pruning must
         // not shift positions — requiredSchema indices would read the wrong
         // file columns after a select())
-        (requiredSchema.fields.map(f => fullSchema.fieldIndex(f.name)), it)
+        (requiredSchema.fields.map { f =>
+          if (opts.allSheets && f.name == ExcelSchema.SheetColumn) SheetIdx
+          else fullSchema.fieldIndex(f.name)
+        }, it)
       }
     // raw-iterator take(limit) is only sound with no pushed filters; with
     // filters, the limit must count KEPT rows (see `kept` in next()) or
@@ -332,8 +362,12 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
       var i = 0
       while (i < indices.length) {
         val src = indices(i)
-        val cell = if (src >= 0 && src < raw.length) raw(src) else null
-        values(i) = ExcelSchema.convert(cell, requiredSchema.fields(i).dataType)
+        if (src == SheetIdx) {
+          values(i) = sheetNameValue
+        } else {
+          val cell = if (src >= 0 && src < raw.length) raw(src) else null
+          values(i) = ExcelSchema.convert(cell, requiredSchema.fields(i).dataType)
+        }
         i += 1
       }
       val row = new GenericInternalRow(values)

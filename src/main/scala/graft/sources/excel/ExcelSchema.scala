@@ -112,18 +112,30 @@ object ExcelSchema {
             messageParameters = Map("format" -> s"excel ($filePath: ${e.getMessage})"))
       }
     try {
-      val sheet = reader.resolveSheet(opts.sheetName)
-      val it = reader.rowIterator(sheet)
-      val headerRow = if (opts.header && it.hasNext) Some(it.next()) else None
-      val sample = it.take(opts.inferSampleRows).toSeq
-      val width = math.max(headerRow.map(_.length).getOrElse(0),
-        if (sample.isEmpty) 0 else sample.map(_.length).max)
-      val names = columnNames(headerRow, width, opts.header)
-      if (opts.inferSchema) inferFromRows(names, sample) else allStrings(names)
+      if (opts.allSheets) {
+        // every sheet probed, schemas merged, `_sheet` column appended
+        val merged = merge(reader.sheets.map(s => inferSheet(reader, s, opts)))
+        if (merged.fieldNames.contains(SheetColumn)) merged
+        else merged.add(SheetColumn, StringType, nullable = true)
+      } else inferSheet(reader, reader.resolveSheet(opts.sheetName), opts)
     } finally {
       reader.close()
       if (temp) file.delete()
     }
+  }
+
+  /** Synthesized sheet-name column for `sheetName="*"` reads. */
+  final val SheetColumn = "_sheet"
+
+  private def inferSheet(reader: XlsxReader, sheet: XlsxReader.Sheet,
+      opts: ExcelOptions): StructType = {
+    val it = reader.rowIterator(sheet)
+    val headerRow = if (opts.header && it.hasNext) Some(it.next()) else None
+    val sample = it.take(opts.inferSampleRows).toSeq
+    val width = math.max(headerRow.map(_.length).getOrElse(0),
+      if (sample.isEmpty) 0 else sample.map(_.length).max)
+    val names = columnNames(headerRow, width, opts.header)
+    if (opts.inferSchema) inferFromRows(names, sample) else allStrings(names)
   }
 
   /** Merge per-file schemas (union of columns in first-seen order, types

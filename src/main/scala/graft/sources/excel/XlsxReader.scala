@@ -37,8 +37,7 @@ final class XlsxReader(file: File) extends AutoCloseable {
   private def open(entry: String): Option[InputStream] =
     Option(zip.getEntry(entry)).map(zip.getInputStream)
 
-  /** One sheet: display name + ZIP entry of its worksheet part. */
-  final case class Sheet(name: String, entry: String)
+  import XlsxReader.Sheet
 
   val (sheets: Seq[Sheet], date1904: Boolean) = parseWorkbook()
   private val sharedStrings: IndexedSeq[String] = parseSharedStrings()
@@ -466,6 +465,9 @@ object DateKind extends Enumeration {
 }
 
 object XlsxReader {
+
+  /** One sheet: display name + ZIP entry of its worksheet part. */
+  final case class Sheet(name: String, entry: String)
 
   /** Decode OOXML `_xHHHH_` character escapes (ECMA-376 §22.9.2.19 / the
     * convention openpyxl applies): `_x000D_` → CR etc. A literal leading

@@ -23,9 +23,21 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
   private val sheet = new java.lang.StringBuilder(1 << 16)
   private var rowNum = 0
   private var closed = false
+  private val sheetNames = scala.collection.mutable.ArrayBuffer(sheetName)
 
   writeStaticParts()
   startSheetStream()
+
+  /** Finish the current sheet and begin a new one (multi-sheet workbooks;
+    * the workbook catalog parts are emitted at close, when all names are
+    * known). Row numbering restarts per sheet. */
+  def startSheet(name: String): Unit = {
+    require(!closed, "writer is closed")
+    require(!sheetNames.contains(name), s"duplicate sheet name '$name'")
+    endSheetStream()
+    sheetNames += name
+    startSheetStream()
+  }
 
   /** Append one row; values per the accepted cell types above. */
   def writeRow(values: Iterable[Any]): Unit = {
@@ -86,11 +98,17 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
   def close(): Unit = {
     if (!closed) {
       closed = true
-      sheet.append("</sheetData></worksheet>")
-      flushSheet()
-      zip.closeEntry()
+      endSheetStream()
+      writeCatalogParts()
       zip.close()
     }
+  }
+
+  private def endSheetStream(): Unit = {
+    sheet.append("</sheetData></worksheet>")
+    flushSheet()
+    zip.closeEntry()
+    rowNum = 0
   }
 
   // ----------------------------------------------------------- internals
@@ -101,31 +119,12 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
     zip.closeEntry()
   }
 
+  /** Parts independent of the sheet list — written up front. */
   private def writeStaticParts(): Unit = {
-    entry("[Content_Types].xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-        |<Default Extension="xml" ContentType="application/xml"/>
-        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-        |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
-        |</Types>""".stripMargin)
     entry("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
-        |</Relationships>""".stripMargin)
-    entry("xl/workbook.xml",
-      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-         |<sheets><sheet name="${escapeXml(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
-         |</workbook>""".stripMargin)
-    entry("xl/_rels/workbook.xml.rels",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
         |</Relationships>""".stripMargin)
     // style 0: General; style 1: builtin date (14); style 2: builtin datetime (22)
     entry("xl/styles.xml",
@@ -143,8 +142,42 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
         |</styleSheet>""".stripMargin)
   }
 
+  /** Catalog parts that enumerate the sheets — written at close, when the
+    * final sheet list is known (multi-sheet support). */
+  private def writeCatalogParts(): Unit = {
+    val overrides = sheetNames.indices.map(i =>
+      s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+      .mkString("\n")
+    entry("[Content_Types].xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+         |<Default Extension="xml" ContentType="application/xml"/>
+         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |$overrides
+         |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+         |</Types>""".stripMargin)
+    val sheetsXml = sheetNames.zipWithIndex.map { case (n, i) =>
+      s"""<sheet name="${escapeXml(n)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets>$sheetsXml</sheets>
+         |</workbook>""".stripMargin)
+    val rels = sheetNames.indices.map(i =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""")
+      .mkString("\n")
+    entry("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |$rels
+         |<Relationship Id="rId${sheetNames.length + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+         |</Relationships>""".stripMargin)
+  }
+
   private def startSheetStream(): Unit = {
-    zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${sheetNames.length}.xml"))
     sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
       .append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
   }

@@ -1,0 +1,108 @@
+package graft.sources.excel
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-sheet workbooks: writer `startSheet` support, and the
+  * `sheetName="*"` read extension — every sheet unioned under the merged
+  * schema with a synthesized `_sheet` column; per-(file, sheet)
+  * partitions; columns absent from a sheet read as nulls. */
+class ExcelMultiSheetSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(): File = {
+    val d = Files.createTempDirectory("graft-multisheet").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  /** Two sheets: east(id, name), west(id, score) — overlapping + disjoint
+    * columns. */
+  private def regionsFile(dir: File): File = {
+    val f = new File(dir, "regions.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f), "east")
+    w.writeRow(Seq("id", "name"))
+    w.writeRow(Seq(1L, "Alice"))
+    w.writeRow(Seq(2L, "Bob"))
+    w.startSheet("west")
+    w.writeRow(Seq("id", "score"))
+    w.writeRow(Seq(3L, 9.5))
+    w.close()
+    f
+  }
+
+  test("multi-sheet writer round-trips through the reader by name and index") {
+    val f = regionsFile(tmpDir())
+    val rd = new XlsxReader(f)
+    try {
+      assert(rd.sheets.map(_.name) == Seq("east", "west"))
+      assert(rd.rowIterator(rd.resolveSheet("east")).size == 3)
+      assert(rd.rowIterator(rd.resolveSheet("1")).size == 2)
+    } finally rd.close()
+    // single-sheet reads through Spark still address sheets individually
+    val west = spark.read.format("excel")
+      .option("sheetName", "west").load(f.getAbsolutePath)
+    assert(west.columns.toSeq == Seq("id", "score"))
+    assert(west.count() == 1)
+  }
+
+  test("sheetName=* unions all sheets with merged schema and _sheet column") {
+    val f = regionsFile(tmpDir())
+    val df = spark.read.format("excel")
+      .option("sheetName", "*").load(f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "name", "score", "_sheet"))
+    assert(df.rdd.getNumPartitions == 2) // one per (file, sheet)
+    val rows = df.collect().map(r => (r.getInt(0),
+      Option(r.getString(1)), Option(r.get(2)), r.getString(3))).toSet
+    assert(rows == Set(
+      (1, Some("Alice"), None, "east"),
+      (2, Some("Bob"), None, "east"),
+      (3, None, Some(9.5), "west")))
+  }
+
+  test("sheetName=* composes with filters and column selection") {
+    val f = regionsFile(tmpDir())
+    val df = spark.read.format("excel")
+      .option("sheetName", "*").load(f.getAbsolutePath)
+      .filter(col("_sheet") === "east")
+      .select(col("id"), col("name"))
+    assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set(1 -> "Alice", 2 -> "Bob"))
+    // count over all sheets (aggregate pushdown is bypassed in * mode)
+    val all = spark.read.format("excel")
+      .option("sheetName", "*").load(f.getAbsolutePath)
+    assert(all.count() == 3)
+  }
+
+  test("sheetName=* with maxRowsPerPartition splits within each sheet") {
+    val dir = tmpDir()
+    val f = new File(dir, "big2.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f), "s1")
+    w.writeRow(Seq("id"))
+    (1 to 50).foreach(i => w.writeRow(Seq(i.toLong)))
+    w.startSheet("s2")
+    w.writeRow(Seq("id"))
+    (51 to 70).foreach(i => w.writeRow(Seq(i.toLong)))
+    w.close()
+    val df = spark.read.format("excel")
+      .option("sheetName", "*")
+      .option("maxRowsPerPartition", "20")
+      .load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 4) // s1: 3 splits, s2: 1
+    assert(df.agg(sum(col("id"))).collect().head.getLong(0) == (1L to 70L).sum)
+  }
+}
