@@ -62,6 +62,13 @@ final case class ExcelOptions(options: Map[String, String]) {
     n
   }
 
+  /** Write-side extension: `path` is a DIRECTORY and every task writes its
+    * own `part-NNNNN.xlsx` shard in parallel (atomic per-file renames at
+    * commit) instead of the driver merging one workbook — the scale-out
+    * write mode. The reader's directory contract consumes the output
+    * as-is. Default false = the reference's single-file contract. */
+  def shardedOutput: Boolean = get("shardedoutput").exists(_.toBoolean)
+
   /** Descend into subdirectories when listing (extension; named after
     * Spark's file-source option; default false = the reference's one-level
     * contract). Hidden (dot/underscore) directories are never entered. */

@@ -60,13 +60,43 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    ExcelDataWriterFactory(schema, opts, tmpDir, conf)
+    if (opts.shardedOutput)
+      // shards stream straight into the target directory under hidden
+      // temp names (no driver merge, no second copy); each task writes
+      // its own header
+      ExcelDataWriterFactory(schema, opts, opts.path, conf, sharded = true)
+    else ExcelDataWriterFactory(schema, opts, tmpDir, conf)
   }
 
   private val queryId = java.util.UUID.randomUUID().toString.take(8)
   private def tmpDir: String = s"${opts.path}.__graft_tmp_$queryId"
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (opts.shardedOutput) commitSharded(messages) else commitMerged(messages)
+
+  /** Scale-out commit: rename every shard to its visible name — O(parts)
+    * metadata operations, zero data movement. */
+  private def commitSharded(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val dir = new Path(opts.path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val existing = ExcelFiles.list(opts.path, conf)
+    if (existing.nonEmpty) {
+      if (truncate) existing.foreach(f => fs.delete(new Path(f), false))
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "PATH_ALREADY_EXISTS",
+        messageParameters = Map("outputPath" -> opts.path))
+    }
+    messages.collect { case m: ExcelCommitMessage => m }.foreach { m =>
+      val target = new Path(dir, f"part-${m.partitionId}%05d.xlsx")
+      if (!fs.rename(new Path(m.tempPath), target))
+        throw new org.apache.spark.SparkException(
+          s"Excel sharded sink failed to rename ${m.tempPath} to $target")
+    }
+  }
+
+  private def commitMerged(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val target = new Path(opts.path)
     val fs = target.getFileSystem(conf)
@@ -103,8 +133,14 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val fs = new Path(tmpDir).getFileSystem(conf)
-    fs.delete(new Path(tmpDir), true)
+    if (opts.shardedOutput) {
+      val fs = new Path(opts.path).getFileSystem(conf)
+      messages.collect { case m: ExcelCommitMessage => m }
+        .foreach(m => fs.delete(new Path(m.tempPath), false))
+    } else {
+      val fs = new Path(tmpDir).getFileSystem(conf)
+      fs.delete(new Path(tmpDir), true)
+    }
   }
 }
 
@@ -176,21 +212,30 @@ case class ExcelStreamingWriterFactory(schema: StructType, opts: ExcelOptions,
 }
 
 case class ExcelDataWriterFactory(schema: StructType, opts: ExcelOptions,
-    tmpDir: String, conf: SerializableConfiguration) extends DataWriterFactory {
+    tmpDir: String, conf: SerializableConfiguration,
+    sharded: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ExcelDataWriter(schema, opts, tmpDir, partitionId, taskId, conf.value)
+    new ExcelDataWriter(schema, opts, tmpDir, partitionId, taskId, conf.value,
+      sharded)
 }
 
-/** Streams one partition into a headerless temp workbook on the target FS. */
+/** Streams one partition into a temp workbook on the target FS —
+  * headerless when destined for a driver-side merge, self-contained
+  * (dot-prefixed name + own header) in sharded mode. */
 class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
     partitionId: Int, taskId: Long,
-    conf: org.apache.hadoop.conf.Configuration) extends DataWriter[InternalRow] {
+    conf: org.apache.hadoop.conf.Configuration,
+    sharded: Boolean = false) extends DataWriter[InternalRow] {
 
   private val tempPath =
-    new Path(tmpDir, f"part-$partitionId%05d-$taskId.xlsx")
+    if (sharded) // hidden in-place temp, renamed at commit
+      new Path(tmpDir, f".part-$partitionId%05d-$taskId.xlsx.inprogress")
+    else new Path(tmpDir, f"part-$partitionId%05d-$taskId.xlsx")
   private val fs = tempPath.getFileSystem(conf)
-  private val writer = new XlsxWriter(fs.create(tempPath, true), "data")
+  private val writer = new XlsxWriter(fs.create(tempPath, true),
+    if (sharded) opts.writeSheetName else "data")
+  if (sharded && opts.header) writer.writeRow(schema.fieldNames.toSeq)
   private var closed = false
 
   private val getters: Array[InternalRow => Any] =

@@ -88,6 +88,38 @@ class ExcelMultiSheetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 3)
   }
 
+  test("sharded write: one visible part per partition, parallel, re-readable") {
+    import spark.implicits._
+    val out = new File(tmpDir(), "shards")
+    val df = spark.range(1, 101)
+      .select(col("id").cast("int").as("id"), concat(lit("n"), col("id")).as("name"))
+      .repartition(4)
+    df.write.format("excel")
+      .option("shardedOutput", "true")
+      .mode("overwrite").save(out.getAbsolutePath)
+
+    val files = out.listFiles().filterNot(_.getName.startsWith(".")).map(_.getName).sorted
+    assert(files.length == 4 && files.forall(_.matches("part-\\d{5}\\.xlsx")), files.toSeq)
+    assert(out.listFiles().forall(f => !f.getName.contains("inprogress")))
+
+    val back = spark.read.format("excel")
+      .schema(StructType(Seq(StructField("id", IntegerType), StructField("name", StringType))))
+      .load(out.getAbsolutePath)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      (1 to 100).map(i => (i, s"n$i")).toSet)
+
+    // overwrite truncates the previous shards (no stale parts survive)
+    df.coalesce(2).write.format("excel")
+      .option("shardedOutput", "true")
+      .mode("overwrite").save(out.getAbsolutePath)
+    assert(out.listFiles().filterNot(_.getName.startsWith(".")).length == 2)
+    val back2 = spark.read.format("excel")
+      .schema(StructType(Seq(StructField("id", IntegerType), StructField("name", StringType))))
+      .load(out.getAbsolutePath)
+    assert(back2.count() == 100)
+  }
+
   test("sheetName=* with maxRowsPerPartition splits within each sheet") {
     val dir = tmpDir()
     val f = new File(dir, "big2.xlsx")
