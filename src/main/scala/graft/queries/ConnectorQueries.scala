@@ -26,7 +26,34 @@ object ConnectorQueries {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Scale-out connector path: customer pushed through a SHARDED directory
+    * write (4 parallel part files, rename-only commit) and read back with
+    * row-range splits (maxRowsPerPartition) — write and read parallelism
+    * both exercised, hash-checked against the source table. */
+  def excelShardedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+    val out = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_sharded_${math.abs(dir.hashCode)}").getAbsolutePath
+    customer.repartition(4).write.format("excel")
+      .option("shardedOutput", "true")
+      .mode("overwrite").save(out)
+    spark.read.format("excel").schema(customer.schema)
+      .option("maxRowsPerPartition", "200")
+      .load(out)
+      .orderBy(col("c_custkey"))
+  }
+
+  val excelShardedRoundtripSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),
+    "excel_sharded_roundtrip" -> (excelShardedRoundtrip _, excelShardedRoundtripSql),
   )
 }
