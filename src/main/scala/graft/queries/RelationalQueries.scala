@@ -552,8 +552,65 @@ object RelationalQueries {
       | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** Correlated EXISTS through SQL text — exercises Catalyst's subquery
+    * decorrelation (RewritePredicateSubquery → semi join), a different
+    * optimizer path from the DataFrame left_semi of q07: customers with at
+    * least one urgent order above a price floor. */
+  def q33ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT'
+        |    AND o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q33Sql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_orderpriority = '1-URGENT'
+      |    AND o_totalprice > 150000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Correlated NOT EXISTS (anti decorrelation) with an extra correlated
+    * conjunct: customers with no order in their own nation-segment price
+    * band. */
+  def q34NotExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_totalprice > c_acctbal * 50)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q34Sql: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey
+      |    AND o_totalprice > c_acctbal * 50)
+      |ORDER BY c_custkey""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q33_exists_subquery" -> (q33ExistsSubquery _, q33Sql),
+    "q34_not_exists_subquery" -> (q34NotExistsSubquery _, q34Sql),
     "q19_approx_distinct" -> (q19ApproxDistinct _, null),
     "q20_cube" -> (q20Cube _, q20Sql),
     "q21_union_all" -> (q21UnionAll _, q21Sql),
