@@ -166,6 +166,22 @@ class ExcelStreamingWrite(schema: StructType, opts: ExcelOptions)
     val outDir = new Path(opts.path)
     val fs = outDir.getFileSystem(conf)
     fs.mkdirs(outDir)
+    if (opts.shardedOutput) {
+      // scale-out epochs: every task's shard renames into place —
+      // batch-<epoch>-part-<partition>.xlsx. Idempotent on epoch replay:
+      // any earlier attempt's shards for this epoch are removed first.
+      Option(fs.globStatus(new Path(outDir, f"batch-$epochId%05d-part-*.xlsx")))
+        .foreach(_.foreach(s => fs.delete(s.getPath, false)))
+      messages.collect { case m: ExcelCommitMessage => m }.foreach { m =>
+        val target = new Path(outDir,
+          f"batch-$epochId%05d-part-${m.partitionId}%05d.xlsx")
+        if (!fs.rename(new Path(m.tempPath), target))
+          throw new org.apache.spark.SparkException(
+            s"Excel streaming sink failed to rename ${m.tempPath} to $target")
+      }
+      fs.delete(new Path(tmpDir(epochId)), true)
+      return
+    }
     val target = new Path(outDir, f"batch-$epochId%05d.xlsx")
     // write under a dot-prefixed name (invisible to ExcelFiles.list) and
     // rename into place, so a concurrent excel streaming reader can never
@@ -208,7 +224,8 @@ case class ExcelStreamingWriterFactory(schema: StructType, opts: ExcelOptions,
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new ExcelDataWriter(schema, opts,
-      s"${opts.path}/.__graft_stream_tmp_$epochId", partitionId, taskId, conf.value)
+      s"${opts.path}/.__graft_stream_tmp_$epochId", partitionId, taskId,
+      conf.value, sharded = opts.shardedOutput)
 }
 
 case class ExcelDataWriterFactory(schema: StructType, opts: ExcelOptions,

@@ -120,6 +120,38 @@ class ExcelMultiSheetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back2.count() == 100)
   }
 
+  test("sharded streaming sink: per-epoch parallel shards, re-readable") {
+    import spark.implicits._
+    val in = tmpDir()
+    val out = new File(tmpDir(), "stream-shards")
+    val ckpt = Files.createTempDirectory("graft-shard-ckpt").toFile
+    val w = new XlsxWriter(new FileOutputStream(new File(in, "a.xlsx")))
+    w.writeRow(Seq("id", "name"))
+    (1 to 40).foreach(i => w.writeRow(Seq(i.toLong, s"n$i")))
+    w.close()
+
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType)))
+    val q = spark.readStream.format("excel").schema(schema)
+      .option("maxRowsPerPartition", "10") // 4 read splits → 4 shards
+      .load(in.getAbsolutePath)
+      .writeStream.format("excel")
+      .outputMode("append")
+      .option("shardedOutput", "true")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val visible = out.listFiles().filterNot(_.getName.startsWith(".")).map(_.getName)
+      assert(visible.length == 4 &&
+        visible.forall(_.matches("batch-\\d{5}-part-\\d{5}\\.xlsx")), visible.toSeq)
+      val back = spark.read.format("excel").schema(schema).load(out.getAbsolutePath)
+      assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+        (1 to 40).map(i => (i, s"n$i")).toSet)
+    } finally q.stop()
+  }
+
   test("sheetName=* with maxRowsPerPartition splits within each sheet") {
     val dir = tmpDir()
     val f = new File(dir, "big2.xlsx")
