@@ -71,7 +71,7 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
     val fresh = end.asInstanceOf[ExcelStreamOffset].files.filterNot(seen)
     // maxRowsPerPartition applies per admitted file: a large workbook
     // landing in a micro-batch fans out across executors like in batch
-    ExcelSplitPlanner.plan(fresh, opts, conf)
+    ExcelSplitPlanner.plan(fresh, opts, conf, filters)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -153,7 +153,8 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     ExcelSplitPlanner.plan(
-      ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup), opts, conf)
+      ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup), opts, conf,
+      filters)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -177,13 +178,17 @@ case class ExcelInputPartition(filePath: String, startRow: Int = -1,
 object ExcelSplitPlanner {
 
   def plan(files: Seq[String], opts: ExcelOptions,
-      conf: org.apache.hadoop.conf.Configuration): Array[InputPartition] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : Array[InputPartition] = {
     if (!opts.allSheets && opts.maxRowsPerPartition.isEmpty)
       return files.map(f => ExcelInputPartition(f): InputPartition).toArray
     files.flatMap { f =>
       probe(f, conf) { rd =>
         val sheets: Seq[(String, XlsxReader.Sheet)] =
-          if (opts.allSheets) rd.sheets.map(s => (s.name, s))
+          if (opts.allSheets)
+            rd.sheets.map(s => (s.name, s))
+              .filter { case (name, _) => sheetMayMatch(name, filters) }
           else Seq((null, rd.resolveSheet(opts.sheetName)))
         sheets.flatMap { case (sheetName, sheet) =>
           opts.maxRowsPerPartition match {
@@ -194,6 +199,23 @@ object ExcelSplitPlanner {
         }
       }
     }.toArray
+  }
+
+  /** Partition pruning on the synthesized `_sheet` column: a sheet whose
+    * name PROVABLY fails a pushed `_sheet` predicate is never planned,
+    * parsed, or decoded. Only exactly-evaluable shapes prune (EqualTo /
+    * In / IsNotNull on `_sheet`); everything else conservatively keeps the
+    * sheet — Spark re-applies all filters above the scan regardless, so
+    * pruning is a pure optimization, never a correctness risk. */
+  private def sheetMayMatch(name: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    filters.forall {
+      case EqualTo(ExcelSchema.SheetColumn, v) => v == name
+      case In(ExcelSchema.SheetColumn, vs) => vs.contains(name)
+      case IsNotNull(ExcelSchema.SheetColumn) => true // synthesized, never null
+      case _ => true
+    }
   }
 
   private def probe[T](f: String, conf: org.apache.hadoop.conf.Configuration)(

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q32's manual sessionization (lag → boundary flag → running sum) must
+  * agree with Spark's built-in `session_window` on the events data: same
+  * number of sessions per user and the same (n_events, duration) multiset.
+  * (The two differ only on gaps of EXACTLY the threshold — q32 keeps them
+  * in-session, session_window starts a new one — impossible on this
+  * sub-microsecond-timestamped data, asserted below.) */
+class SessionizeEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("manual lag-sum sessions equal built-in session_window sessions") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+
+    // no gap is exactly the 30-minute threshold (the only divergence case)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val exactGaps = events
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap") === 1800000000L).count()
+    assert(exactGaps == 0, "data has an exact-threshold gap; comparison invalid")
+
+    val manual = AdvancedJoinQueries.q32Sessionize(spark, dir)
+      .select(col("user_id"), col("n_events"), col("duration_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+    val builtin = events
+      .withColumn("ts_ts", expr("timestamp_micros(ts_us)"))
+      .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts_ts"))) - unix_micros(min(col("ts_ts"))))
+          .as("duration_us"))
+      .select(col("user_id"), col("n_events"), col("duration_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+    assert(manual == builtin)
+  }
+}

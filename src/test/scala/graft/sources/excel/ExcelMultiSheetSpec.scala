@@ -88,6 +88,21 @@ class ExcelMultiSheetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 3)
   }
 
+  test("a pushed _sheet filter prunes non-matching sheets at planning") {
+    val f = regionsFile(tmpDir())
+    val df = spark.read.format("excel")
+      .option("sheetName", "*").load(f.getAbsolutePath)
+      .filter(col("_sheet") === "east")
+    assert(df.rdd.getNumPartitions == 1, "west sheet should never be planned")
+    assert(df.select("id").collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // IN-list pruning keeps both listed sheets
+    val both = spark.read.format("excel")
+      .option("sheetName", "*").load(f.getAbsolutePath)
+      .filter(col("_sheet").isin("east", "west"))
+    assert(both.rdd.getNumPartitions == 2)
+    assert(both.count() == 3)
+  }
+
   test("sharded write: one visible part per partition, parallel, re-readable") {
     import spark.implicits._
     val out = new File(tmpDir(), "shards")
