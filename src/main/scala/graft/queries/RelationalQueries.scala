@@ -607,10 +607,38 @@ object RelationalQueries {
       |    AND o_totalprice > c_acctbal * 50)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Array aggregation family: collect_set → sort_array → concat_ws,
+    * plus a filtered higher-order count. Output stays scalar (joined
+    * string) so the oracle compares exactly; the array itself is
+    * deterministic because it is sorted before rendering. */
+  def q35ArrayAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        concat_ws(",", sort_array(collect_set($"o_orderstatus")))
+          .as("statuses"),
+        size(sort_array(collect_set($"o_orderstatus"))).cast("bigint")
+          .as("n_statuses"),
+        countDistinct($"o_custkey").as("n_custs"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q35Sql: String =
+    """SELECT o_orderpriority,
+      | STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      | COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      | COUNT(DISTINCT o_custkey) AS n_custs
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q33_exists_subquery" -> (q33ExistsSubquery _, q33Sql),
     "q34_not_exists_subquery" -> (q34NotExistsSubquery _, q34Sql),
+    "q35_array_agg" -> (q35ArrayAgg _, q35Sql),
     "q19_approx_distinct" -> (q19ApproxDistinct _, null),
     "q20_cube" -> (q20Cube _, q20Sql),
     "q21_union_all" -> (q21UnionAll _, q21Sql),
