@@ -60,6 +60,37 @@ class ExcelMultiSheetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(west.count() == 1)
   }
 
+  test("sheet names with XML-special characters round-trip") {
+    val dir = tmpDir()
+    val f = new File(dir, "escaped.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f), """R&D <Q1> "beta"""")
+    w.writeRow(Seq("id"))
+    w.writeRow(Seq(1L))
+    w.startSheet("später & 中文")
+    w.writeRow(Seq("id"))
+    w.writeRow(Seq(2L))
+    w.close()
+    val rd = new XlsxReader(f)
+    try assert(rd.sheets.map(_.name) ==
+      Seq("""R&D <Q1> "beta"""", "später & 中文"))
+    finally rd.close()
+    val df = spark.read.format("excel")
+      .option("sheetName", "später & 中文").load(f.getAbsolutePath)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2))
+    val all = spark.read.format("excel")
+      .option("sheetName", "*").load(f.getAbsolutePath)
+    assert(all.select("_sheet").collect().map(_.getString(0)).toSet ==
+      Set("""R&D <Q1> "beta"""", "später & 中文"))
+  }
+
+  test("duplicate sheet names are rejected at write time") {
+    val w = new XlsxWriter(new FileOutputStream(
+      new File(tmpDir(), "dup.xlsx")), "one")
+    val e = intercept[IllegalArgumentException](w.startSheet("one"))
+    assert(e.getMessage.contains("duplicate"))
+    w.close()
+  }
+
   test("sheetName=* unions all sheets with merged schema and _sheet column") {
     val f = regionsFile(tmpDir())
     val df = spark.read.format("excel")
