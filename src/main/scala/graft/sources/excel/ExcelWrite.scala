@@ -94,7 +94,16 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
         throw new org.apache.spark.SparkException(
           s"Excel sharded sink failed to rename ${m.tempPath} to $target")
     }
+    cleanupShardTemps(fs, dir) // losers of speculative/retried attempts
   }
+
+  /** Remove leftover hidden shard temps (failed or speculative task
+    * attempts whose commit message lost). Invisible to readers either
+    * way; this keeps the directory from accumulating litter. */
+  private def cleanupShardTemps(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit =
+    Option(fs.globStatus(new Path(dir, ".part-*.xlsx.inprogress")))
+      .foreach(_.foreach(s => fs.delete(s.getPath, false)))
 
   private def commitMerged(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -134,9 +143,11 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     if (opts.shardedOutput) {
-      val fs = new Path(opts.path).getFileSystem(conf)
+      val dir = new Path(opts.path)
+      val fs = dir.getFileSystem(conf)
       messages.collect { case m: ExcelCommitMessage => m }
         .foreach(m => fs.delete(new Path(m.tempPath), false))
+      if (fs.exists(dir)) cleanupShardTemps(fs, dir)
     } else {
       val fs = new Path(tmpDir).getFileSystem(conf)
       fs.delete(new Path(tmpDir), true)
