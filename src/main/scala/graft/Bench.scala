@@ -39,6 +39,15 @@ object Bench {
         .groupBy(col("rk")).count()
         .orderBy(col("rk"))
         .write.mode("overwrite").format("noop").save()
+      // list-aggregation / generator / higher-order-function machinery
+      // (collect_list buffers, Generate, lambda evaluation) — the shapes
+      // the dedup pipeline queries hit on first use
+      warm.groupBy(col("r_regionkey"))
+        .agg(collect_list(struct(col("r_name"))).as("xs"))
+        .select(posexplode(col("xs")).as(Seq("i", "x")), col("xs"))
+        .select(explode(slice(col("xs"), col("i") + lit(1), size(col("xs")))).as("y"))
+        .select(transform(array(lit(1), lit(2)), e => e + 1).as("t"))
+        .write.mode("overwrite").format("noop").save()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
