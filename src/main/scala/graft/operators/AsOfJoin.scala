@@ -57,12 +57,17 @@ object AsOfJoin {
       s"column names ${clash.mkString(", ")} are reserved by the as-of join; rename them")
     val rType = StructType(rightPayload.map(c => right.schema(c)))
 
-    val ul = left.select(
+    // Null timestamps can never satisfy the as-of predicate (rightTs <=
+    // leftTs is null), so drop them up front — matching pandas merge_asof /
+    // DuckDB ASOF JOIN. Without this, a null right __ts sorts to the
+    // partition head and last(__r, ignoreNulls) would carry it into left
+    // rows that have no genuine preceding match.
+    val ul = left.filter(col(leftTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__tag"),
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast(rType).as("__r")): _*)
-    val ur = right.select(
+    val ur = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__tag"),
         lit(null).cast(lType).as("__l"),

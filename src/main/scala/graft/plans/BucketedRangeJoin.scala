@@ -53,11 +53,21 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
 
             // Sequence is TimeZoneAwareExpression: unresolved until a zone
             // is set, even for integral sequences
-            val seq = new Sequence(bucketOf(lo), bucketOf(hi),
+            val bucketLo = bucketOf(lo)
+            val bucketHi = bucketOf(hi)
+            val seq = new Sequence(bucketLo, bucketHi,
               Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+            // Sequence(start, stop, 1) throws on start > stop; an inverted
+            // interval (lo > hi) must instead produce zero buckets, matching
+            // the original BETWEEN which such a row can never satisfy. A null
+            // bound makes the guard null → else branch → zero buckets, which
+            // also matches (null bounds fail BETWEEN).
+            val guarded = If(LessThanOrEqual(bucketLo, bucketHi), seq,
+              Literal.create(Array.empty[Long],
+                org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
             val iBucket = AttributeReference("__graft_bucket_i", LongType,
               nullable = false)()
-            val intervalGen = Generate(Explode(seq), Nil, outer = false,
+            val intervalGen = Generate(Explode(guarded), Nil, outer = false,
               None, Seq(iBucket), intervalSide)
 
             val eq = EqualTo(vBucket.toAttribute, iBucket)

@@ -113,9 +113,15 @@ object ExcelSchema {
       }
     try {
       if (opts.allSheets) {
-        // every sheet probed, schemas merged, `_sheet` column appended
+        // every sheet probed, schemas merged, `_sheet` column appended.
+        // The synthesized column SHADOWS any real `_sheet` data column: the
+        // reader always writes the sheet name (a string) into that slot, so
+        // the field must be StringType even if inference saw numbers there.
         val merged = merge(reader.sheets.map(s => inferSheet(reader, s, opts)))
-        if (merged.fieldNames.contains(SheetColumn)) merged
+        if (merged.fieldNames.contains(SheetColumn))
+          StructType(merged.fields.map(f =>
+            if (f.name == SheetColumn) f.copy(dataType = StringType, nullable = true)
+            else f))
         else merged.add(SheetColumn, StringType, nullable = true)
       } else inferSheet(reader, reader.resolveSheet(opts.sheetName), opts)
     } finally {

@@ -41,7 +41,15 @@ object StreamingDedup {
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
 
-    df.groupByKey(r => String.valueOf(r.get(kIdx)))(Encoders.STRING)
+    // Key encoding must not collide: String.valueOf(null) == "null" would
+    // merge a null-fingerprint row with a row whose key is the literal
+    // string "null", letting one suppress the other. Real keys get a "k"
+    // prefix; null maps to a sentinel no prefixed key can equal (so null
+    // fingerprints form their own dedup group, emitted once like any key).
+    df.groupByKey { r =>
+      val k = r.get(kIdx)
+      if (k == null) "\u0000" else "k" + k
+    }(Encoders.STRING)
       .flatMapGroupsWithState[Boolean, Row](OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) {

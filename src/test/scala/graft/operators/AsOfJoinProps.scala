@@ -63,4 +63,16 @@ object AsOfJoinProps extends Properties("asof.join") {
       }.toSet
       got == expect
     }
+
+  // ScalaCheck Properties has no afterAll: properties run in registration
+  // order, so this last "property" tears the session down. Leaving the
+  // local[2] session alive would hand it (via getOrCreate) to whatever
+  // suite runs next in the shared test JVM — e.g. a suite expecting its
+  // own extensions or parallelism.
+  property("zz (teardown: stop the shared session)") = {
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    Prop.passed
+  }
 }

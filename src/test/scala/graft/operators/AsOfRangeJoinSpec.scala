@@ -56,6 +56,22 @@ class AsOfRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       (103, "rb9", 9L)))
   }
 
+  test("null timestamps on either side never match") {
+    import spark.implicits._
+    val l = Seq(("a", Some(5L), 100), ("a", None, 101))
+      .toDF("k", "ts", "lv")
+    // the null right ts sorts first ascending; without the pre-filter it
+    // would be carried forward into left rows that precede every real ref
+    val r = Seq(("a", None, "rNull"), ("a", Some(7L), "r7"))
+      .toDF("k", "rts", "rv")
+    val back = AsOfJoin.backward(l, r, Seq("k"), "ts", "rts")
+      .select("lv", "rv").collect().map(x => (x.getInt(0), x.getString(1))).toSet
+    assert(back.isEmpty, s"ts=5 has no ref <= 5 once null is excluded: $back")
+    val fwd = AsOfJoin.forward(l, r, Seq("k"), "ts", "rts")
+      .select("lv", "rv").collect().map(x => (x.getInt(0), x.getString(1))).toSet
+    assert(fwd == Set(100 -> "r7"), "null left ts row must be dropped")
+  }
+
   test("as-of rejects colliding right payload names") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.backward(leftDf, rightDf.withColumnRenamed("rv", "lv"),

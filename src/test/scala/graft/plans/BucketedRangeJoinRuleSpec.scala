@@ -11,7 +11,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * including boundary rows, overlapping intervals, and null bounds. */
 class BucketedRangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
+  // extensions bind at session CREATION: a leftover session from an earlier
+  // suite in the same JVM would be returned by getOrCreate without the rule
+  // installed, so tear any such session down first
+  private lazy val spark = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.extensions", classOf[GraftSparkExtensions].getName)
@@ -20,6 +28,7 @@ class BucketedRangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // genuine BNLJ and the rewrite's effect is visible
     .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .getOrCreate()
+  }
 
   override def afterAll(): Unit = spark.stop()
 
@@ -62,6 +71,26 @@ class BucketedRangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.contains((100L, "a")) && got.contains((100L, "b")), "boundary overlap")
       assert(got.contains((500L, "c")), "degenerate interval")
       assert(!got.exists(_._2 == "d"), "null bound must not match")
+    } finally spark.conf.unset(BucketedRangeJoinRule.WidthConf)
+  }
+
+  test("inverted interval (lo > hi) yields zero rows, not an exception") {
+    import spark.implicits._
+    spark.range(0, 100).select((col("id") * 1.0).as("v"), col("id"))
+      .createOrReplaceTempView("vals_inv")
+    Seq(("ok", 10.0, 20.0), ("inverted", 90.0, 5.0))
+      .toDF("name", "lo", "hi").createOrReplaceTempView("bands_inv")
+    val q = """SELECT id, name FROM vals_inv JOIN bands_inv
+              |ON v >= lo AND v <= hi""".stripMargin
+    spark.conf.set(BucketedRangeJoinRule.WidthConf, "8.0")
+    try {
+      val rewritten = spark.sql(q)
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("__graft_bucket"),
+        "rule should have fired")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // Sequence(start > stop, step=1) would throw; the guard must instead
+      // produce the BETWEEN semantics: inverted interval matches nothing.
+      assert(got == (10L to 20L).map((_, "ok")).toSet)
     } finally spark.conf.unset(BucketedRangeJoinRule.WidthConf)
   }
 

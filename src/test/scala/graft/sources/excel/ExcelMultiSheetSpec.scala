@@ -105,6 +105,27 @@ class ExcelMultiSheetSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3, None, Some(9.5), "west")))
   }
 
+  test("a real non-string _sheet column is shadowed as StringType") {
+    val dir = tmpDir()
+    val f = new File(dir, "shadow.xlsx")
+    val w = new XlsxWriter(new FileOutputStream(f), "alpha")
+    w.writeRow(Seq("id", "_sheet")) // real numeric column named _sheet
+    w.writeRow(Seq(1L, 42L))
+    w.startSheet("beta")
+    w.writeRow(Seq("id", "_sheet"))
+    w.writeRow(Seq(2L, 43L))
+    w.close()
+    val df = spark.read.format("excel")
+      .option("sheetName", "*").load(f.getAbsolutePath)
+    // inference would type the data column as integral; the synthesized
+    // sheet-name column shadows it, so the schema must say String and the
+    // values must be the sheet names — not a ClassCastException.
+    assert(df.schema("_sheet").dataType == StringType)
+    assert(df.collect().map(r =>
+      (r.getInt(0), r.getString(df.schema.fieldIndex("_sheet")))).toSet ==
+      Set(1 -> "alpha", 2 -> "beta"))
+  }
+
   test("sheetName=* composes with filters and column selection") {
     val f = regionsFile(tmpDir())
     val df = spark.read.format("excel")

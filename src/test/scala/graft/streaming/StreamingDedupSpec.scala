@@ -54,6 +54,17 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((3L, "x"), (5L, "y")))
   }
 
+  test("null fingerprint does not collide with the literal string \"null\"") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Some("null")), (3L, Some("null")),
+      (4L, Option.empty[String])).toDF("doc_id", "fp")
+    val got = StreamingDedup.firstOccurrence(df, "fp", "doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    // null keys and "null" keys are distinct groups; each emits its own
+    // lowest-tiebreak first occurrence instead of one suppressing the other
+    assert(got == Set((1L, None), (2L, Some("null"))))
+  }
+
   test("rejects a non-long tiebreak column") {
     import spark.implicits._
     val df = Seq(("a", "x")).toDF("doc_id", "fp")
