@@ -123,7 +123,41 @@ object Dedup {
     *              such overlap is weak evidence anyway)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, dfCap: Int = 1000): DataFrame =
+    ngramPairCounts(df, idCol, textCol, k, dfCap)
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Exact n-gram CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|).
+    *
+    * Containment is the substring-dedup scorer Jaccard cannot be: a short
+    * document fully embedded in a much longer one (a quoted excerpt, a
+    * boilerplate-wrapped copy) has near-zero Jaccard — the union is
+    * dominated by the long side — but containment ≈ 1, since every shingle
+    * of the short side appears in the long side. Shingle containment is the
+    * scalable approximation of suffix-based exact substring detection: a
+    * true substring of ≥ k words implies containment 1.0 exactly, while
+    * requiring only the same inverted-index machinery as Jaccard (one
+    * shuffle on shingle, pair counts, no suffix array).
+    *
+    * Same posting/df-cap plumbing as [[ngramJaccardPairs]]; only the
+    * scoring differs. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.9, dfCap: Int = 1000): DataFrame =
+    ngramPairCounts(df, idCol, textCol, k, dfCap)
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("size_a"), col("size_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
+  /** Shared inverted-index pair counting for the exact n-gram scorers:
+    * (id_a, id_b, size_a, size_b, common) with id_a < id_b, `common` the
+    * count of shared distinct shingles and size_* each side's distinct
+    * shingle count. */
+  private def ngramPairCounts(df: DataFrame, idCol: String, textCol: String,
+      k: Int, dfCap: Int): DataFrame = {
     // ShingleExplode generator: posting rows (shingle, per-doc distinct
     // count) stream straight out of tokenization — no per-doc shingle
     // array materialized and re-exploded. Shared Exchange: the df-count
@@ -144,7 +178,7 @@ object Dedup {
     // unordered doc pair generated exactly ONCE via positional slice —
     // half the intermediate rows of a self-join, and `filtered` is
     // computed once instead of once per join branch
-    val pairs = filtered
+    filtered
       .groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("sh_size"))).as("ds"))
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
@@ -160,12 +194,6 @@ object Dedup {
           .otherwise(col("a.sh_size")).as("size_b"))
       .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("common"))
-
-    pairs
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Embedding cosine near-dup pairs via sign-random-projection banding:

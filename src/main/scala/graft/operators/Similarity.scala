@@ -117,6 +117,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch KNN join: for EVERY query row, the top-k corpus rows by cosine.
+    *
+    * The single-query searches above answer "one vector, one lookup"; a
+    * training-data pipeline asks the batch form — "for these N probe
+    * vectors, the k nearest corpus rows each" (retrieval eval, hard-negative
+    * mining, cluster labeling). Shape: the query side is BROADCAST (a probe
+    * batch is bounded — thousands, not billions), the corpus streams
+    * through the broadcast join without shuffling data rows, and the only
+    * exchange is of fixed-width (qid, id, cos) triples into the per-query
+    * top-k window. Corpus size × probe count is the honest cost of exact
+    * brute force; cap the probe batch, or use [[knnJoinLsh]] to prune.
+    *
+    * Output: (qid, vec_id, cos, rank), rank 1..k, ties broken by vec_id —
+    * deterministic, so cross-engine comparable. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, qIdCol: String,
+      qVecCol: String, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosine(col("vec"), col("qvec")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate batch KNN join: candidates are (query, corpus) pairs
+    * sharing at least one sign-random-projection band bucket — an ordinary
+    * equi-join on (band, bucket) instead of a cross product — then exact
+    * cosine + per-query top-k among candidates only.
+    *
+    * This is the shape that survives scale on BOTH sides: corpus and query
+    * band keys shuffle as fixed-width longs, the join fan-out is bucket-
+    * collision-bounded, and no row ever meets more than its bucket mates.
+    * Recall tunes with (bandBits ↓, bandCount ↑) exactly as [[lshTopK]]. */
+  def knnJoinLsh(queries: DataFrame, corpus: DataFrame, qIdCol: String,
+      qVecCol: String, idCol: String, vecCol: String, k: Int,
+      bandBits: Int = 8, bandCount: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(df: DataFrame, id: String, vec: String, outId: String) =
+      df.select(col(id).as(outId), col(vec).as(s"${outId}_vec"),
+        posexplode(array((0 until bandCount).map(b =>
+          VectorFunctions.embLshBucket(col(vec), bandBits, seed + b)): _*))
+          .as(Seq("band", "bucket")))
+    // candidate generation stays NARROW (ids only) and vectors re-attach
+    // after the pair dedup — same rationale as Dedup.minhashLshPairs: the
+    // dedup shuffle carries fixed-width ids, never embedding arrays
+    val qb = banded(queries, qIdCol, qVecCol, "qid").drop("qid_vec")
+    val cb = banded(corpus, idCol, vecCol, "vec_id").drop("vec_id_vec")
+    val candidates = qb.join(cb, Seq("band", "bucket"))
+      .select(col("qid"), col("vec_id"))
+      .dropDuplicates("qid", "vec_id")
+      .join(broadcast(queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qvec"))), "qid")
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec")), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosine(col("cvec"), col("qvec")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Fetch one embedding as the query vector (driver-side, k rows ≪ data). */
   def vectorOf(spark: SparkSession, dir: String, vecId: Long): Array[Double] = {
     spark.read.parquet(s"$dir/embeddings.parquet")

@@ -114,6 +114,59 @@ object DedupQueries {
       .groupPairSimilarity(docs(spark, dir), "lang", "text")
       .orderBy("grp_a", "grp_b")
 
+  // ---------------------------------------------------------------- d07
+  /** Substring/containment dedup: C(A,B) = |A∩B| / min(|A|,|B|) over
+    * 3-gram shingles. The corpus's planted near-dups have high Jaccard AND
+    * high containment; to exercise the case Jaccard MISSES, the query
+    * plants an excerpt (first half of the words) of every 20th document
+    * under id + 2·10⁶ — a true substring, so containment is exactly 1.0
+    * while Jaccard is ≈0.5. The oracle rebuilds the identical corpus and
+    * formula in SQL. */
+  def d07Containment(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val t = split(trim(col("text")), "\\s+")
+    val excerpts = d
+      .filter(pmod(col("doc_id"), lit(20)) === 0 && size(t) >= 6)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", slice(t, lit(1), (size(t) / 2).cast("int"))).as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionByName(excerpts)
+    Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+      k = 3, threshold = 0.9, dfCap = 1000000)
+      .orderBy("id_a", "id_b")
+  }
+
+  val d07Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |         ARRAY_TO_STRING(t[1:CAST(LEN(t) // 2 AS BIGINT)], ' ') AS text
+      |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+      |        FROM documents)
+      |  WHERE doc_id % 20 = 0 AND LEN(t) >= 6),
+      |toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
+      |posting AS (SELECT doc_id, LEN(s) AS sz, UNNEST(s) AS shingle FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza, b.sz AS szb,
+      |         COUNT(*) AS common
+      |  FROM posting a JOIN posting b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b,
+      |  ROUND(common::DOUBLE / LEAST(sza, szb)::DOUBLE, 6) AS containment
+      |FROM pairs
+      |WHERE common::DOUBLE / LEAST(sza, szb)::DOUBLE >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, null),
@@ -121,5 +174,6 @@ object DedupQueries {
     "d03_simhash" -> (d03Simhash _, null),
     "d04_ngram_jaccard" -> (d04NgramJaccard _, d04Sql),
     "d05_embedding_neardup" -> (d05EmbeddingNearDup _, null),
+    "d07_containment" -> (d07Containment _, d07Sql),
   )
 }

@@ -634,6 +634,89 @@ object RelationalQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Window navigation family: lag / lead / first_value / ntile in one
+    * pass over a single (partition, order) spec — one shuffle + sort
+    * serves all four frames. */
+  def q36WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    t(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        first($"o_orderkey").over(w).as("first_order"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderkey,
+      | LAG(o_totalprice) OVER w AS prev_price,
+      | LEAD(o_totalprice) OVER w AS next_price,
+      | FIRST_VALUE(o_orderkey) OVER w AS first_order,
+      | CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** String/regexp function family beyond q16: regexp extract/replace,
+    * padding, position, reverse, split_part — all codegen'd built-ins. */
+  def q37StringFns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        regexp_extract($"o_orderpriority", "(\\d+)", 1).as("pri_num"),
+        regexp_replace($"o_orderpriority", "-", "_").as("pri_sub"),
+        lpad($"o_orderstatus", 3, "*").as("padded"),
+        instr($"o_orderpriority", "-").cast("bigint").as("dash_pos"),
+        reverse($"o_orderpriority").as("rev"),
+        expr("split_part(o_orderpriority, '-', 2)").as("word"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderkey,
+      | REGEXP_EXTRACT(o_orderpriority, '(\d+)', 1) AS pri_num,
+      | REPLACE(o_orderpriority, '-', '_') AS pri_sub,
+      | LPAD(o_orderstatus, 3, '*') AS padded,
+      | CAST(POSITION('-' IN o_orderpriority) AS BIGINT) AS dash_pos,
+      | REVERSE(o_orderpriority) AS rev,
+      | SPLIT_PART(o_orderpriority, '-', 2) AS word
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Date/time arithmetic family: truncation, interval add, quarter,
+    * month-end, day difference — cross-engine-exact because o_orderdate
+    * is a midnight-aligned timestamp in both engines. */
+  def q38DateArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        date_trunc("month", $"o_orderdate").as("mon_start"),
+        ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("due_ts"),
+        quarter($"o_orderdate").cast("bigint").as("qtr"),
+        last_day($"o_orderdate").as("eom"),
+        datediff($"o_orderdate", to_date(lit("1995-01-01")))
+          .cast("bigint").as("days_since"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q38Sql: String =
+    """SELECT o_orderkey,
+      | DATE_TRUNC('month', o_orderdate) AS mon_start,
+      | o_orderdate + INTERVAL 30 DAY AS due_ts,
+      | CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+      | LAST_DAY(o_orderdate::DATE) AS eom,
+      | CAST(DATE_DIFF('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q33_exists_subquery" -> (q33ExistsSubquery _, q33Sql),
@@ -663,5 +746,8 @@ object RelationalQueries {
     "q16_scalar_fns" -> (q16ScalarFns _, q16Sql),
     "q17_case_agg" -> (q17CaseAgg _, q17Sql),
     "q18_events_hourly" -> (q18EventsHourly _, q18Sql),
+    "q36_window_nav" -> (q36WindowNav _, q36Sql),
+    "q37_string_fns" -> (q37StringFns _, q37Sql),
+    "q38_date_arithmetic" -> (q38DateArithmetic _, q38Sql),
   )
 }

@@ -54,9 +54,58 @@ object SimilarityQueries {
       nlist = 16, nprobe = 4)
   }
 
+  // ---------------------------------------------------------------- s04
+  /** Batch KNN join: top-5 corpus neighbors for EACH of the 5 probe
+    * vectors (vec_id 0..4) in one pass — query side broadcast, per-query
+    * rank window. Exact, so fully oracled: DuckDB mirrors the cross
+    * product, sequential-fold cosine, and (cos DESC, vec_id ASC) rank. */
+  def s04KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = emb(spark, dir)
+    Similarity.knnJoin(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val s04Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |           WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS cos
+      |  FROM embeddings e, q),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, vec_id, cos, rank FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------- s05
+  /** Approximate batch KNN join: band-bucket equi-join candidates instead
+    * of the cross product, exact cosine + rank among candidates only.
+    * Approximate ⇒ rows-only; the spec pins recall vs the exact join. */
+  def s05KnnJoinLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = emb(spark, dir)
+    Similarity.knnJoinLsh(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, bandBits = 6, bandCount = 12, seed = 42L)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),
     "s02_ann_lsh" -> (s02LshTopK _, null),
     "s03_ann_ivf" -> (s03IvfTopK _, null),
+    "s04_knn_join" -> (s04KnnJoin _, s04Sql),
+    "s05_knn_join_lsh" -> (s05KnnJoinLsh _, null),
   )
 }

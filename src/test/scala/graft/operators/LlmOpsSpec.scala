@@ -128,6 +128,73 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRecall >= 0.8, s"IVF recall was $ivfRecall")
   }
 
+  test("containment: substring pair ≈1.0 where jaccard is low; disjoint absent") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "alpha beta gamma delta epsilon zeta" // first 6 words: true substring
+    val df = Seq(
+      (1L, long),
+      (2L, excerpt),
+      (3L, "unrelated words entirely different in every position here now")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.9, dfCap = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every 3-shingle of the excerpt appears in the long doc → exactly 1.0
+    assert(cont.get((1L, 2L)).contains(1.0), s"got $cont")
+    assert(!cont.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // the same pair is INVISIBLE to Jaccard at any usable threshold:
+    // |A∩B| = 4 shingles, |A∪B| = 18 → j ≈ 0.22
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.5, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "jaccard should miss the substring pair")
+  }
+
+  test("knn join: exact top-k per probe matches the naive ranking; LSH recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian()))
+    val pts = for (c <- centers.indices; j <- 0 until 30) yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+      ((c * 30 + j).toLong, v)
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val queries = pts.filter(p => p._1 % 30 == 0).take(3).toDF("vec_id", "embedding")
+
+    val got = Similarity.knnJoin(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("rank")), r.getLong(1)))
+
+    // naive per-query ranking with the same (cos desc, id asc) tiebreak
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val byId = pts.toMap
+    val expect = queries.collect().map(_.getLong(0)).flatMap { qid =>
+      pts.map { case (id, v) =>
+        (qid, BigDecimal(cos(byId(qid), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP), id)
+      }.sortBy { case (_, c, id) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((q, _, id), i) => (q, i + 1, id) }
+    }.toSet
+    assert(got.toSet == expect, s"got=${got.toSet}\nexpect=$expect")
+
+    // each probe's top-5 is its own cluster (sanity on the data shape)
+    assert(got.forall { case (qid, _, id) => id / 30 == qid / 30 })
+
+    // LSH variant: recall vs exact on the same probes
+    val lsh = Similarity.knnJoinLsh(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, bandBits = 6, bandCount = 10, seed = 7L)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id"))))
+      .toSet
+    val exact = got.map { case (q, _, id) => (q, id) }.toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"knn-join LSH recall was $recall")
+  }
+
   test("multimodal decode plumbing: schema, determinism, null payloads") {
     import spark.implicits._
     val df = Seq(
