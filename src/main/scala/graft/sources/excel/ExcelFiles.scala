@@ -50,6 +50,52 @@ object ExcelFiles {
     else Seq(path.toString)
   }
 
+  /** Like [[list]] but returning (uri, modificationTimeMs) pairs — the
+    * streaming source's retention compaction needs mtimes to expire old
+    * entries from its offset. Same visibility/suffix/recursion semantics. */
+  def listWithTimes(pathStr: String, conf: Configuration,
+      recursive: Boolean = false): Seq[(String, Long)] = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    if (hasGlob(pathStr)) {
+      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matches.isEmpty) {
+        throw new AnalysisException(
+          errorClass = "PATH_NOT_FOUND",
+          messageParameters = Map("path" -> pathStr))
+      }
+      return matches.flatMap { s =>
+        if (s.isDirectory) listDirWithTimes(fs, s.getPath, recursive)
+        else Seq(s.getPath.toString -> s.getModificationTime)
+      }.distinctBy(_._1).sortBy(_._1)
+    }
+    if (!fs.exists(path)) {
+      throw new AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> pathStr))
+    }
+    val status = fs.getFileStatus(path)
+    if (status.isDirectory) listDirWithTimes(fs, path, recursive)
+    else Seq(path.toString -> status.getModificationTime)
+  }
+
+  private def listDirWithTimes(fs: FileSystem, dir: Path,
+      recursive: Boolean): Seq[(String, Long)] = {
+    val (dirs, files) = fs.listStatus(dir).toSeq.partition(_.isDirectory)
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    val here = files
+      .filter { s =>
+        val n = s.getPath.getName
+        n.toLowerCase.endsWith(".xlsx") && visible(n)
+      }
+      .map(s => s.getPath.toString -> s.getModificationTime)
+    val below =
+      if (!recursive) Seq.empty
+      else dirs.filter(d => visible(d.getPath.getName))
+        .flatMap(d => listDirWithTimes(fs, d.getPath, recursive = true))
+    (here ++ below).sortBy(_._1)
+  }
+
   private def hasGlob(p: String): Boolean =
     p.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
 

@@ -16,9 +16,19 @@ import org.apache.spark.util.SerializableConfiguration
   * offset IS the state: a sorted list of every file visible at that point,
   * so `planInputPartitions(start, end)` = `end.files − start.files` is a
   * pure function of offsets — replayable from any checkpoint, no driver
-  * state, exactly-once per file. Offset size grows with the file count;
-  * a production deployment would compact (e.g. retention window on
-  * mtime), which is noted rather than implemented here.
+  * state, exactly-once per file.
+  *
+  * Offset size: exact offsets grow with the directory's lifetime file
+  * count — fine for thousands of files, a real cost at millions (every
+  * offset is serialized into the checkpoint log each batch). The opt-in
+  * `maxFileAgeMs` retention window bounds it: the offset carries
+  * (file, mtime) entries plus a high-watermark (max mtime ever seen), and
+  * entries older than `watermark − maxFileAgeMs` are dropped — AND newly
+  * listed files older than that are ignored, so a dropped entry can never
+  * be re-admitted (its mtime is fixed while the watermark only advances).
+  * Offset size is then O(files per retention window). The trade — a file
+  * landing with an mtime older than the window is never read — is the
+  * same one Spark's FileStreamSource `maxFileAge` makes.
   */
 class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
     opts: ExcelOptions, checkpointLocation: String,
@@ -28,23 +38,36 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
 
   private def conf = SparkSession.active.sessionState.newHadoopConf()
 
+  private val retention: Option[Long] = opts.maxFileAgeMs
+
   /** Under Trigger.AvailableNow, the listing captured at query start: the
     * stream must drain exactly this set (in maxFilesPerTrigger-bounded
     * batches) and then stop. Implementing [[SupportsTriggerAvailableNow]]
     * keeps Spark from wrapping us in AvailableNowDataStreamWrapper, which
     * would silently discard the ReadMaxFiles limit. */
-  @volatile private var availableNowFiles: Option[Seq[String]] = None
+  @volatile private var availableNowFiles: Option[Seq[(String, Long)]] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowFiles = Some(ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup).sorted)
+    availableNowFiles =
+      Some(ExcelFiles.listWithTimes(opts.path, conf, opts.recursiveFileLookup))
   }
 
-  private def currentListing(): Seq[String] =
-    availableNowFiles.getOrElse(ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup).sorted)
+  private def currentListing(): Seq[(String, Long)] =
+    availableNowFiles.getOrElse(
+      ExcelFiles.listWithTimes(opts.path, conf, opts.recursiveFileLookup))
 
-  override def initialOffset(): Offset = ExcelStreamOffset(Nil)
+  override def initialOffset(): Offset =
+    ExcelStreamOffset(Nil, 0L, compacted = retention.isDefined)
 
-  override def latestOffset(): Offset = ExcelStreamOffset(currentListing())
+  override def latestOffset(): Offset = {
+    val listing = currentListing()
+    retention match {
+      case None => ExcelStreamOffset(listing)
+      case Some(ret) =>
+        val wm = if (listing.isEmpty) 0L else listing.map(_._2).max
+        ExcelStreamOffset(listing.filter(_._2 >= wm - ret), wm, compacted = true)
+    }
+  }
 
   /** Admission control: `maxFilesPerTrigger` bounds each micro-batch so a
     * backlogged directory (or a 100 TB bootstrap) drains in bounded-size
@@ -53,22 +76,38 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
     opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[ExcelStreamOffset].files
-    val seenSet = seen.toSet
-    val fresh = currentListing().filterNot(seenSet)
-    val admitted = limit match {
+    val so = start.asInstanceOf[ExcelStreamOffset]
+    val listing = currentListing()
+    def admit(fresh: Seq[(String, Long)]): Seq[(String, Long)] = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    ExcelStreamOffset((seen ++ admitted).sorted)
+    retention match {
+      case None =>
+        val seenSet = so.names.toSet
+        val admitted = admit(listing.filterNot(e => seenSet(e._1)))
+        ExcelStreamOffset((so.entries ++ admitted).sortBy(_._1))
+      case Some(ret) =>
+        // the watermark only advances, so once an entry expires it stays
+        // expired; listing entries below the cutoff are ignored by the
+        // same rule, so expiry can never cause a re-read
+        val wm = (so.watermark +: listing.map(_._2)).max
+        val cutoff = wm - ret
+        val keptSeen = so.entries.filter(_._2 >= cutoff)
+        val seenSet = so.names.toSet // full pre-expiry set: skip by NAME
+        val admitted = admit(listing.filter { case (n, t) =>
+          t >= cutoff && !seenSet(n)
+        })
+        ExcelStreamOffset((keptSeen ++ admitted).sortBy(_._1), wm, compacted = true)
+    }
   }
 
   override def deserializeOffset(json: String): Offset =
     ExcelStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[ExcelStreamOffset].files.toSet
-    val fresh = end.asInstanceOf[ExcelStreamOffset].files.filterNot(seen)
+    val seen = start.asInstanceOf[ExcelStreamOffset].names.toSet
+    val fresh = end.asInstanceOf[ExcelStreamOffset].names.filterNot(seen)
     // maxRowsPerPartition applies per admitted file: a large workbook
     // landing in a micro-batch fans out across executors like in batch
     ExcelSplitPlanner.plan(fresh, opts, conf, filters)
@@ -83,33 +122,89 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
   override def stop(): Unit = ()
 }
 
-/** JSON-serializable offset: the sorted set of files visible at this point. */
-case class ExcelStreamOffset(files: Seq[String]) extends Offset {
+/** JSON-serializable offset.
+  *
+  * Two wire formats, chosen by `compacted`:
+  *  - exact (default): `{"files":["a","b"]}` — name list only, byte-stable
+  *    with every checkpoint written before retention existed;
+  *  - compacted: `{"wm":<maxMtime>,"files":[["a",<mtime>],...]}` — entries
+  *    carry mtimes so expiry is a pure function of the offset.
+  * `fromJson` accepts both; legacy entries get mtime=Long.MaxValue so a
+  * checkpoint written without retention never expires entries spuriously
+  * (and thus never re-reads) when retention is later enabled. */
+case class ExcelStreamOffset(entries: Seq[(String, Long)], watermark: Long = 0L,
+    compacted: Boolean = false) extends Offset {
+
+  def names: Seq[String] = entries.map(_._1)
+
+  private def esc(f: String): String =
+    "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("{\"files\":[", ",", "]}")
+    if (!compacted) names.map(esc).mkString("{\"files\":[", ",", "]}")
+    else entries.map { case (n, t) => s"[${esc(n)},$t]" }
+      .mkString(s"""{"wm":$watermark,"files":[""", ",", "]}")
 }
 
 object ExcelStreamOffset {
-  /** Minimal parser for the exact shape `{"files":["a","b"]}` we emit. */
+
+  /** Minimal parser for the two exact shapes [[ExcelStreamOffset.json]]
+    * emits. */
   def fromJson(json: String): ExcelStreamOffset = {
-    val body = json.trim
-      .stripPrefix("{\"files\":[").stripSuffix("]}")
-    if (body.isEmpty) ExcelStreamOffset(Nil)
-    else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val sb = new StringBuilder
-      var inStr = false
-      var esc = false
-      body.foreach { c =>
-        if (esc) { sb.append(c); esc = false }
-        else if (c == '\\') esc = true
-        else if (c == '"') {
-          if (inStr) { out += sb.toString; sb.clear() }
-          inStr = !inStr
-        } else if (inStr) sb.append(c)
-      }
-      ExcelStreamOffset(out.toSeq)
+    val trimmed = json.trim
+    if (trimmed.startsWith("{\"wm\":")) {
+      val afterWm = trimmed.stripPrefix("{\"wm\":")
+      val comma = afterWm.indexOf(",\"files\":[")
+      val wm = afterWm.substring(0, comma).toLong
+      val body = afterWm.substring(comma + ",\"files\":[".length).stripSuffix("]}")
+      ExcelStreamOffset(parseEntries(body), wm, compacted = true)
+    } else {
+      val body = trimmed.stripPrefix("{\"files\":[").stripSuffix("]}")
+      ExcelStreamOffset(parseStrings(body).map(_ -> Long.MaxValue), 0L,
+        compacted = false)
     }
+  }
+
+  /** `"a","b"` → names (quote/backslash escapes honored). */
+  private def parseStrings(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var esc = false
+    body.foreach { c =>
+      if (esc) { sb.append(c); esc = false }
+      else if (c == '\\') esc = true
+      else if (c == '"') {
+        if (inStr) { out += sb.toString; sb.clear() }
+        inStr = !inStr
+      } else if (inStr) sb.append(c)
+    }
+    out.toSeq
+  }
+
+  /** `["a",1],["b",2]` → (name, mtime) pairs. */
+  private def parseEntries(body: String): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val sb = new StringBuilder
+    val num = new StringBuilder
+    var inStr = false
+    var esc = false
+    var name: String = null
+    body.foreach { c =>
+      if (esc) { sb.append(c); esc = false }
+      else if (inStr) {
+        if (c == '\\') esc = true
+        else if (c == '"') { name = sb.toString; sb.clear(); inStr = false }
+        else sb.append(c)
+      } else c match {
+        case '"' => inStr = true
+        case d if d.isDigit || d == '-' => num.append(d)
+        case ']' if name != null =>
+          out += (name -> num.toString.toLong)
+          name = null; num.clear()
+        case _ => ()
+      }
+    }
+    out.toSeq
   }
 }

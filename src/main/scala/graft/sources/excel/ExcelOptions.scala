@@ -87,6 +87,20 @@ final case class ExcelOptions(options: Map[String, String]) {
     n
   }
 
+  /** Streaming offset compaction (extension): files whose modification
+    * time is older than (max mtime seen − maxFileAgeMs) are dropped from
+    * the offset's seen-set AND ignored if newly listed — bounding offset
+    * size by the retention window instead of the directory's lifetime file
+    * count. The standard windowed-ingestion trade (Spark's own
+    * FileStreamSource `maxFileAge` makes the same one): a file landing
+    * with an mtime older than the window is never read. Unset = exact
+    * offsets, no expiry. */
+  def maxFileAgeMs: Option[Long] = get("maxfileagems").map { s =>
+    val n = s.toLong
+    require(n > 0, s"maxFileAgeMs must be positive, got $n")
+    n
+  }
+
   /** When true, a schema column absent from a file reads as nulls instead
     * of erroring (extension — needed for merged multi-file schemas; default
     * false keeps the reference's strict contract, tests/

@@ -152,9 +152,64 @@ class ExcelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("offset JSON round-trips") {
-    val o = ExcelStreamOffset(Seq("/p/a \"x\".xlsx", "/p/b\\c.xlsx"))
-    assert(ExcelStreamOffset.fromJson(o.json()) == o)
+    // exact format: names only on the wire; parse restores MaxValue times
+    // (never-expire) by design
+    val o = ExcelStreamOffset(
+      Seq("/p/a \"x\".xlsx" -> 1L, "/p/b\\c.xlsx" -> 2L))
+    assert(o.json() == """{"files":["/p/a \"x\".xlsx","/p/b\\c.xlsx"]}""")
+    assert(ExcelStreamOffset.fromJson(o.json()).names == o.names)
     assert(ExcelStreamOffset.fromJson(ExcelStreamOffset(Nil).json()) ==
-      ExcelStreamOffset(Nil))
+      ExcelStreamOffset(Nil).copy(entries = Nil))
+
+    // compacted format: (name, mtime) entries + watermark survive exactly
+    val c = ExcelStreamOffset(
+      Seq("/p/a \"x\".xlsx" -> 11L, "/p/b\\c.xlsx" -> 22L),
+      watermark = 99L, compacted = true)
+    assert(ExcelStreamOffset.fromJson(c.json()) == c)
+
+    // a legacy checkpoint parsed under retention must never expire: times
+    // come back as MaxValue
+    val legacy = ExcelStreamOffset.fromJson("""{"files":["/p/old.xlsx"]}""")
+    assert(legacy.entries == Seq("/p/old.xlsx" -> Long.MaxValue))
+    assert(!legacy.compacted)
+  }
+
+  test("maxFileAgeMs compacts offsets and ignores too-old files") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.range(1).count() // ensure an active session for the stream's conf
+    val dir = Files.createTempDirectory("graft-retention").toFile
+    writeFile(dir, "a.xlsx", Seq(1 -> "one"))
+    writeFile(dir, "b.xlsx", Seq(2 -> "two"))
+    assert(new File(dir, "a.xlsx").setLastModified(1000000L)) // old
+    assert(new File(dir, "b.xlsx").setLastModified(2000000L)) // fresh
+
+    val opts = ExcelOptions.fromMap(Map(
+      "path" -> dir.getAbsolutePath, "maxFileAgeMs" -> "500000"))
+    val stream = new ExcelMicroBatchStream(idName, idName, opts, "/tmp/ckpt-x")
+
+    val start = stream.initialOffset().asInstanceOf[ExcelStreamOffset]
+    assert(start.compacted)
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[ExcelStreamOffset]
+    // watermark = b's mtime; a is older than wm − 500s → never admitted
+    assert(end.watermark == 2000000L)
+    assert(end.names.exists(_.endsWith("b.xlsx")) &&
+      !end.names.exists(_.endsWith("a.xlsx")), end.names)
+
+    // c arrives fresher still: watermark advances past b's expiry point,
+    // so b ages OUT of the offset (compaction) yet is never re-planned
+    writeFile(dir, "c.xlsx", Seq(3 -> "three"))
+    assert(new File(dir, "c.xlsx").setLastModified(2600000L))
+    val end2 = stream.latestOffset(end, ReadLimit.allAvailable())
+      .asInstanceOf[ExcelStreamOffset]
+    assert(end2.watermark == 2600000L)
+    assert(end2.names.count(_.endsWith("c.xlsx")) == 1)
+    assert(!end2.names.exists(_.endsWith("b.xlsx")),
+      s"b should have aged out of the offset: ${end2.names}")
+    val parts = stream.planInputPartitions(end, end2)
+    assert(parts.length == 1, "only c.xlsx should be planned")
+
+    // round-trip through the checkpoint wire format preserves everything
+    assert(stream.deserializeOffset(end2.json()) == end2)
   }
 }
