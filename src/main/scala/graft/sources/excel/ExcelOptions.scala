@@ -87,6 +87,14 @@ final case class ExcelOptions(options: Map[String, String]) {
     n
   }
 
+  /** Write-side extension: route each row to a sheet named by this STRING
+    * column's value — the workbook analogue of `partitionBy`. The routing
+    * column is dropped from the written rows (like partitionBy's directory
+    * encoding); a `sheetName="*"` read restores it as `_sheet`, so
+    * route-by-column writes round-trip. Merged single-workbook mode only
+    * (a sharded shard is one streamed sheet). */
+  def sheetColumn: Option[String] = get("sheetcolumn")
+
   /** Streaming offset compaction (extension): files whose modification
     * time is older than (max mtime seen − maxFileAgeMs) are dropped from
     * the offset's seen-set AND ignored if newly listed — bounding offset

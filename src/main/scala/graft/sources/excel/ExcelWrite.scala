@@ -41,6 +41,16 @@ class ExcelWriteBuilder(schema: StructType, opts: ExcelOptions)
           s"Excel sink does not support column '${f.name}' of type $other")
       }
     }
+    opts.sheetColumn.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"sheetColumn '$c' is not in the write schema ${schema.fieldNames.mkString(", ")}")
+      require(schema(c).dataType == StringType,
+        s"sheetColumn '$c' must be StringType, got ${schema(c).dataType}")
+      require(schema.fields.length > 1,
+        s"sheetColumn '$c' would leave no data columns")
+      if (opts.shardedOutput) throw new UnsupportedOperationException(
+        "sheetColumn is not supported with shardedOutput (a shard is one streamed sheet)")
+    }
     new ExcelWrite(schema, opts, doTruncate)
   }
 }
@@ -54,8 +64,11 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
     * `batch-<epochId>.xlsx` (epoch-named → idempotent on epoch replay).
     * The reference has no streaming sink at all; this composes with the
     * directory reader so excel→transform→excel streams round-trip. */
-  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (opts.sheetColumn.isDefined) throw new UnsupportedOperationException(
+      "sheetColumn is not supported by the streaming excel sink")
     new ExcelStreamingWrite(schema, opts)
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new SerializableConfiguration(
@@ -115,24 +128,48 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
         errorClass = "PATH_ALREADY_EXISTS",
         messageParameters = Map("outputPath" -> opts.path))
     }
-    val parts = messages.collect { case m: ExcelCommitMessage => m }
-      .sortBy(_.partitionId)
     // stage under a dot-prefixed sibling and rename: a concurrent directory
     // reader never lists a half-written workbook
     val staging = new Path(target.getParent, s".${target.getName}.inprogress")
-    val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName)
-    try {
-      if (opts.header) writer.writeRow(schema.fieldNames.toSeq)
-      parts.foreach { m =>
-        val (local, temp) = ExcelFiles.toLocal(m.tempPath, conf)
-        val r = new XlsxReader(local)
-        try r.rowIterator(r.sheets.head).foreach(row => writer.writeRow(row.toSeq))
-        finally { r.close(); if (temp) local.delete() }
-      }
-    } finally {
-      writer.close()
-      fs.delete(new Path(tmpDir), true)
+    def mergeTempInto(writer: XlsxWriter, tempPath: String): Unit = {
+      val (local, temp) = ExcelFiles.toLocal(tempPath, conf)
+      val r = new XlsxReader(local)
+      try r.rowIterator(r.sheets.head).foreach(row => writer.writeRow(row.toSeq))
+      finally { r.close(); if (temp) local.delete() }
     }
+    try {
+      if (opts.sheetColumn.isEmpty) {
+        val parts = messages.collect { case m: ExcelCommitMessage => m }
+          .sortBy(_.partitionId)
+        val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName)
+        try {
+          if (opts.header) writer.writeRow(schema.fieldNames.toSeq)
+          parts.foreach(m => mergeTempInto(writer, m.tempPath))
+        } finally writer.close()
+      } else {
+        // sheet-routed merge: one sheet per distinct routing value (sheet
+        // order = sorted values — deterministic regardless of which task
+        // saw a value first), each concatenating its temps in partition
+        // order; data columns exclude the routing column
+        val parts = messages.collect { case m: ExcelSheetCommitMessage => m }
+          .sortBy(_.partitionId)
+        val sheetNames = parts.flatMap(_.sheets.map(_._1)).distinct.sorted
+        val dataNames = schema.fieldNames.filterNot(_ == opts.sheetColumn.get)
+        val writer = new XlsxWriter(fs.create(staging, true),
+          sheetNames.headOption.getOrElse(opts.writeSheetName))
+        try {
+          if (sheetNames.isEmpty) { // empty input: keep the header contract
+            if (opts.header) writer.writeRow(dataNames.toSeq)
+          } else sheetNames.zipWithIndex.foreach { case (s, i) =>
+            if (i > 0) writer.startSheet(s)
+            if (opts.header) writer.writeRow(dataNames.toSeq)
+            parts.foreach(_.sheets.collect {
+              case (`s`, tempPath) => mergeTempInto(writer, tempPath)
+            })
+          }
+        } finally writer.close()
+      }
+    } finally fs.delete(new Path(tmpDir), true)
     if (!fs.rename(staging, target)) {
       fs.delete(staging, false)
       throw new org.apache.spark.SparkException(
@@ -157,6 +194,11 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
 
 case class ExcelCommitMessage(partitionId: Int, tempPath: String)
     extends WriterCommitMessage
+
+/** Sheet-routing commit: this task's (sheet value → temp workbook) map,
+  * sheet-sorted. */
+case class ExcelSheetCommitMessage(partitionId: Int,
+    sheets: Seq[(String, String)]) extends WriterCommitMessage
 
 class ExcelStreamingWrite(schema: StructType, opts: ExcelOptions)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
@@ -250,54 +292,101 @@ case class ExcelDataWriterFactory(schema: StructType, opts: ExcelOptions,
 
 /** Streams one partition into a temp workbook on the target FS —
   * headerless when destined for a driver-side merge, self-contained
-  * (dot-prefixed name + own header) in sharded mode. */
+  * (dot-prefixed name + own header) in sharded mode.
+  *
+  * With `sheetColumn`, the task instead keeps one temp workbook open PER
+  * routing value seen (xlsx streams forward only — a sheet cannot be
+  * reopened, so interleaved values need separate files) and the commit
+  * message maps value → temp path; the driver merge concatenates each
+  * value's temps in partition order under one sheet. */
 class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
     partitionId: Int, taskId: Long,
     conf: org.apache.hadoop.conf.Configuration,
     sharded: Boolean = false) extends DataWriter[InternalRow] {
 
-  private val tempPath =
-    if (sharded) // hidden in-place temp, renamed at commit
-      new Path(tmpDir, f".part-$partitionId%05d-$taskId.xlsx.inprogress")
-    else new Path(tmpDir, f"part-$partitionId%05d-$taskId.xlsx")
-  private val fs = tempPath.getFileSystem(conf)
-  private val writer = new XlsxWriter(fs.create(tempPath, true),
-    if (sharded) opts.writeSheetName else "data")
-  if (sharded && opts.header) writer.writeRow(schema.fieldNames.toSeq)
+  private val sheetColIdx: Int =
+    opts.sheetColumn.map(schema.fieldIndex).getOrElse(-1)
+
+  private val fs = new Path(tmpDir).getFileSystem(conf)
   private var closed = false
 
-  private val getters: Array[InternalRow => Any] =
-    schema.fields.zipWithIndex.map { case (f, i) =>
-      val g: InternalRow => Any = f.dataType match {
-        case StringType => r => r.getUTF8String(i).toString
-        case IntegerType => r => java.lang.Long.valueOf(r.getInt(i).toLong)
-        case LongType => r => java.lang.Long.valueOf(r.getLong(i))
-        case DoubleType => r => java.lang.Double.valueOf(r.getDouble(i))
-        case FloatType => r => java.lang.Double.valueOf(r.getFloat(i).toDouble)
-        case BooleanType => r => java.lang.Boolean.valueOf(r.getBoolean(i))
-        case DateType => r => LocalDate.ofEpochDay(r.getInt(i).toLong)
-        case TimestampType => r => LocalDateTime.ofInstant(
-          // microsToInstant, overflow-safe: micros*1000 as nanos overflows a
-          // Long past ~2262 even though Excel serials reach 9999
-          org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(r.getLong(i)),
-          ZoneOffset.UTC)
-        case other => throw new UnsupportedOperationException(other.toString)
-      }
-      (r: InternalRow) => if (r.isNullAt(i)) null else g(r)
+  // single-workbook mode state (sheetColumn unset)
+  private val tempPath =
+    if (sheetColIdx >= 0) null
+    else if (sharded) // hidden in-place temp, renamed at commit
+      new Path(tmpDir, f".part-$partitionId%05d-$taskId.xlsx.inprogress")
+    else new Path(tmpDir, f"part-$partitionId%05d-$taskId.xlsx")
+  private val writer =
+    if (sheetColIdx >= 0) null
+    else new XlsxWriter(fs.create(tempPath, true),
+      if (sharded) opts.writeSheetName else "data")
+  if (writer != null && sharded && opts.header)
+    writer.writeRow(schema.fieldNames.toSeq)
+
+  // sheet-routing mode state: value → (writer, temp path), insertion-kept
+  private val routed =
+    scala.collection.mutable.LinkedHashMap.empty[String, (XlsxWriter, Path)]
+  private def routedWriter(sheet: String): XlsxWriter =
+    routed.getOrElseUpdate(sheet, {
+      val p = new Path(tmpDir,
+        f"part-$partitionId%05d-$taskId-s${routed.size}.xlsx")
+      (new XlsxWriter(fs.create(p, true), "data"), p)
+    })._1
+
+  private def mkGetter(f: StructField, i: Int): InternalRow => Any = {
+    val g: InternalRow => Any = f.dataType match {
+      case StringType => r => r.getUTF8String(i).toString
+      case IntegerType => r => java.lang.Long.valueOf(r.getInt(i).toLong)
+      case LongType => r => java.lang.Long.valueOf(r.getLong(i))
+      case DoubleType => r => java.lang.Double.valueOf(r.getDouble(i))
+      case FloatType => r => java.lang.Double.valueOf(r.getFloat(i).toDouble)
+      case BooleanType => r => java.lang.Boolean.valueOf(r.getBoolean(i))
+      case DateType => r => LocalDate.ofEpochDay(r.getInt(i).toLong)
+      case TimestampType => r => LocalDateTime.ofInstant(
+        // microsToInstant, overflow-safe: micros*1000 as nanos overflows a
+        // Long past ~2262 even though Excel serials reach 9999
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(r.getLong(i)),
+        ZoneOffset.UTC)
+      case other => throw new UnsupportedOperationException(other.toString)
     }
+    (r: InternalRow) => if (r.isNullAt(i)) null else g(r)
+  }
+
+  /** Getters over the DATA columns: everything except the routing column. */
+  private val getters: Array[InternalRow => Any] =
+    schema.fields.zipWithIndex
+      .filter { case (_, i) => i != sheetColIdx }
+      .map { case (f, i) => mkGetter(f, i) }
 
   override def write(row: InternalRow): Unit =
-    writer.writeRow(getters.map(_(row)).toSeq)
+    if (sheetColIdx < 0) writer.writeRow(getters.map(_(row)).toSeq)
+    else {
+      if (row.isNullAt(sheetColIdx))
+        throw new org.apache.spark.SparkException(
+          s"sheetColumn '${opts.sheetColumn.get}' is null for a row; " +
+            "null sheet names are not representable — filter or fill first")
+      routedWriter(row.getUTF8String(sheetColIdx).toString)
+        .writeRow(getters.map(_(row)).toSeq)
+    }
 
   override def commit(): WriterCommitMessage = {
-    writer.close(); closed = true
-    ExcelCommitMessage(partitionId, tempPath.toString)
+    closeAll()
+    if (sheetColIdx < 0) ExcelCommitMessage(partitionId, tempPath.toString)
+    else ExcelSheetCommitMessage(partitionId,
+      routed.map { case (s, (_, p)) => s -> p.toString }.toSeq.sortBy(_._1))
   }
 
   override def abort(): Unit = {
-    if (!closed) { writer.close(); closed = true }
-    fs.delete(tempPath, false)
+    closeAll()
+    if (sheetColIdx < 0) fs.delete(tempPath, false)
+    else routed.values.foreach { case (_, p) => fs.delete(p, false) }
   }
 
-  override def close(): Unit = if (!closed) { writer.close(); closed = true }
+  override def close(): Unit = closeAll()
+
+  private def closeAll(): Unit = if (!closed) {
+    if (writer != null) writer.close()
+    routed.values.foreach(_._1.close())
+    closed = true
+  }
 }

@@ -155,6 +155,64 @@ class ExcelMultiSheetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.count() == 3)
   }
 
+  test("sheetColumn write routes rows to sheets and round-trips via _sheet") {
+    import spark.implicits._
+    val out = new File(tmpDir(), "routed.xlsx")
+    val df = Seq(
+      (1, "alpha", "east"), (2, "beta", "west"), (3, "gamma", "east"),
+      (4, "delta", "north"), (5, "epsilon", "west"))
+      .toDF("id", "name", "region")
+      .repartition(3) // routing must survive multi-partition interleaving
+    df.write.format("excel")
+      .option("sheetColumn", "region")
+      .mode("overwrite").save(out.getAbsolutePath)
+
+    // the workbook has one sheet per region, sorted, data columns only
+    val rd = new XlsxReader(out)
+    try assert(rd.sheets.map(_.name) == Seq("east", "north", "west"))
+    finally rd.close()
+
+    // reading all sheets restores the routing value as _sheet
+    val back = spark.read.format("excel")
+      .option("sheetName", "*").load(out.getAbsolutePath)
+    assert(back.columns.toSeq == Seq("id", "name", "_sheet"))
+    val got = back.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1, "alpha", "east"), (2, "beta", "west"),
+      (3, "gamma", "east"), (4, "delta", "north"), (5, "epsilon", "west")))
+
+    // single-sheet addressing works too
+    val west = spark.read.format("excel")
+      .option("sheetName", "west").load(out.getAbsolutePath)
+    assert(west.collect().map(_.getInt(0)).toSet == Set(2, 5))
+  }
+
+  test("sheetColumn rejects null routing values, bad columns, sharded mode") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val withNull = Seq((1, Some("east")), (2, Option.empty[String]))
+      .toDF("id", "region")
+    val e = intercept[Exception] {
+      withNull.write.format("excel").option("sheetColumn", "region")
+        .mode("overwrite").save(new File(dir, "n.xlsx").getAbsolutePath)
+    }
+    assert(e.getMessage != null)
+
+    val ok = Seq((1, "east")).toDF("id", "region")
+    val e2 = intercept[IllegalArgumentException] {
+      ok.write.format("excel").option("sheetColumn", "nope")
+        .mode("overwrite").save(new File(dir, "m.xlsx").getAbsolutePath)
+    }
+    assert(e2.getMessage.contains("not in the write schema"))
+
+    val e3 = intercept[UnsupportedOperationException] {
+      ok.write.format("excel").option("sheetColumn", "region")
+        .option("shardedOutput", "true")
+        .mode("overwrite").save(new File(dir, "s").getAbsolutePath)
+    }
+    assert(e3.getMessage.contains("shardedOutput"))
+  }
+
   test("sharded write: one visible part per partition, parallel, re-readable") {
     import spark.implicits._
     val out = new File(tmpDir(), "shards")
