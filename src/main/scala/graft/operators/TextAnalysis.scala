@@ -84,6 +84,35 @@ object TextAnalysis {
     round((lenOk * 0.4 + punctOk * 0.3 + tokOk * 0.3), 4)
   }
 
+  /** Intra-document repetition: fraction of word n-grams that are repeats,
+    * `1 − distinct/total` (0 when fewer than n tokens). The standard
+    * boilerplate/spam signal (Gopher's "duplicate n-gram fraction") —
+    * high values mean the document repeats itself. Row-local: tokens →
+    * n-gram array via a sequence transform → distinct count, all inside
+    * whole-stage codegen's higher-order machinery. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    val w = words(text)
+    val total = size(w) - lit(n - 1)
+    val ngrams = transform(sequence(lit(1), total),
+      i => array_join(slice(w, i, lit(n)), " "))
+    when(length(trim(text)) === 0 || total <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(ngrams)).cast("double") / total.cast("double"))
+  }
+
+  /** RE2-safe (no lookaround) PII patterns, identical under Java regex and
+    * DuckDB's RE2 — shared by the operator and its SQL oracle. */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val LongNumberRe = "[0-9]{4,}"
+
+  /** PII-style scrubbing: mask email addresses, then 4+-digit runs
+    * (ids, phone fragments, account numbers). Email masking runs first so
+    * a digit-bearing address is one `<EMAIL>`, not a mix. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongNumberRe, "<NUM>")
+
   /** N-gram/stopword-profile language ID: score = distinct-stopword hits
     * per language profile; highest score wins, ties broken by language code
     * order, no hits → "und" (undetermined); null text → null. Row-local —

@@ -717,6 +717,34 @@ object RelationalQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Higher-order array functions over the embedding column: transform +
+    * aggregate (sequential fold — proven cross-engine-exact by s01),
+    * filter, array_max. All lambda machinery, no UDFs, no shuffle. */
+  def q39HigherOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "embeddings")
+      .select(
+        $"vec_id",
+        round(aggregate(
+          transform($"embedding", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 6).as("l2_sq"),
+        size(filter($"embedding", x => x > 0.0f)).cast("bigint").as("n_pos"),
+        round(array_max(transform($"embedding",
+          x => abs(x.cast("double")))), 6).as("max_abs"))
+      .orderBy($"vec_id")
+  }
+
+  val q39Sql: String =
+    """SELECT vec_id,
+      | ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+      |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2_sq,
+      | LEN(LIST_FILTER(embedding, x -> x > 0))::BIGINT AS n_pos,
+      | ROUND(LIST_MAX(LIST_TRANSFORM(embedding,
+      |   x -> ABS(CAST(x AS DOUBLE)))), 6) AS max_abs
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q33_exists_subquery" -> (q33ExistsSubquery _, q33Sql),
@@ -749,5 +777,6 @@ object RelationalQueries {
     "q36_window_nav" -> (q36WindowNav _, q36Sql),
     "q37_string_fns" -> (q37StringFns _, q37Sql),
     "q38_date_arithmetic" -> (q38DateArithmetic _, q38Sql),
+    "q39_higher_order" -> (q39HigherOrder _, q39Sql),
   )
 }

@@ -130,6 +130,79 @@ object TextQueries {
       graft.functions.TextExpressions.fnv1a64(col("text")).as("fp_fnv64"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- t07
+  /** Intra-document repetition (duplicate-bigram fraction, the Gopher-style
+    * boilerplate signal). To guarantee non-trivial values on the synthetic
+    * corpus, every 10th document is measured with its own first 5 words
+    * appended once — a controlled repetition both engines construct
+    * identically. */
+  def t07Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val boosted = when(pmod(col("doc_id"), lit(10)) === 0 && size(t) >= 5,
+      concat_ws(" ", col("text"), concat_ws(" ", slice(t, 1, 5))))
+      .otherwise(col("text"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      round(TextAnalysis.repetitionRatio(boosted, n = 2), 6).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val t07Sql: String =
+    """WITH boosted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 AND LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) >= 5
+      |      THEN text || ' ' ||
+      |        ARRAY_TO_STRING(STRING_SPLIT_REGEX(TRIM(text), '\s+')[1:5], ' ')
+      |      ELSE text END AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w
+      |  FROM boosted),
+      |grams AS (
+      |  SELECT doc_id, LEN(w) - 1 AS total,
+      |    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 0) + 1),
+      |      i -> w[i] || ' ' || w[i+1]) AS ng
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CASE WHEN total <= 0 THEN 0.0
+      |       ELSE ROUND(1.0 - LEN(LIST_DISTINCT(ng))::DOUBLE / total::DOUBLE, 6)
+      |  END AS rep_ratio
+      |FROM grams ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t08
+  /** PII-style scrubbing: the corpus is synthetic/clean, so each document
+    * gets a deterministic doc-derived contact suffix appended first; the
+    * scrubber must then mask the email and the long number, and both
+    * engines hash the scrubbed text for compact comparison. */
+  def t08PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com id "), (col("doc_id") * 7919L).cast("string"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      regexp_count(withPii, lit(TextAnalysis.EmailRe)).cast("bigint")
+        .as("n_emails"),
+      regexp_count(withPii, lit(TextAnalysis.LongNumberRe)).cast("bigint")
+        .as("n_longnums"),
+      md5(TextAnalysis.scrubPii(withPii).cast("binary")).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
+  val t08Sql: String = {
+    val email = TextAnalysis.EmailRe // literal chars incl. \. survive into SQL
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com id ' ||
+       |      (doc_id * 7919) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  LEN(REGEXP_EXTRACT_ALL(t, '$email'))::BIGINT AS n_emails,
+       |  LEN(REGEXP_EXTRACT_ALL(t, '[0-9]{4,}'))::BIGINT AS n_longnums,
+       |  MD5(REGEXP_REPLACE(REGEXP_REPLACE(t, '$email', '<EMAIL>', 'g'),
+       |      '[0-9]{4,}', '<NUM>', 'g')) AS scrub_fp
+       |FROM pii ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t02_lang_id" -> (t02LangId _, t02Sql),
@@ -137,5 +210,7 @@ object TextQueries {
     "t04_fingerprint" -> (t04Fingerprint _, t04Sql),
     "t05_subword_stats" -> (t05SubwordStats _, null),
     "t06_fnv_fingerprint" -> (t06FnvFingerprint _, null),
+    "t07_repetition" -> (t07Repetition _, t07Sql),
+    "t08_pii_scrub" -> (t08PiiScrub _, t08Sql),
   )
 }
