@@ -91,13 +91,14 @@ object TextAnalysis {
     * n-gram array via a sequence transform → distinct count, all inside
     * whole-stage codegen's higher-order machinery. */
   def repetitionRatio(text: Column, n: Int = 2): Column = {
-    val w = words(text)
-    val total = size(w) - lit(n - 1)
-    val ngrams = transform(sequence(lit(1), total),
-      i => array_join(slice(w, i, lit(n)), " "))
+    // distinct n-grams via the shared ShingleSet expression (one pass,
+    // same tokenization as the dedup sketches) — a sequence+transform+
+    // array_distinct formulation is interpreted per element by Spark's
+    // higher-order machinery and ran ~10× slower
+    val total = size(words(text)) - lit(n - 1)
+    val distinctN = size(graft.functions.TextExpressions.shingleSet(text, n))
     when(length(trim(text)) === 0 || total <= 0, lit(0.0))
-      .otherwise(lit(1.0) -
-        size(array_distinct(ngrams)).cast("double") / total.cast("double"))
+      .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
   }
 
   /** RE2-safe (no lookaround) PII patterns, identical under Java regex and
