@@ -95,6 +95,34 @@ final case class ExcelOptions(options: Map[String, String]) {
     * (a sharded shard is one streamed sheet). */
   def sheetColumn: Option[String] = get("sheetcolumn")
 
+  /** Write-side style extension: render the header row bold (default
+    * false = the reference's plain output). */
+  def headerBold: Boolean = get("headerbold").exists(_.toBoolean)
+
+  /** Write-side style extension: per-column widths in characters, e.g.
+    * `"id=8,name=32"` (field name = width). Unlisted columns keep Excel's
+    * default width; unknown names are rejected at write planning. */
+  def columnWidths: Map[String, Double] =
+    get("columnwidths").map { s =>
+      s.split(",").filter(_.nonEmpty).map { kv =>
+        val eq = kv.lastIndexOf('=')
+        require(eq > 0 && eq < kv.length - 1,
+          s"columnWidths entry '$kv' is not name=width")
+        val w = kv.substring(eq + 1).trim.toDouble
+        require(w > 0, s"columnWidths width must be positive in '$kv'")
+        kv.substring(0, eq).trim -> w
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** [[columnWidths]] resolved against a write schema's field order →
+    * (0-based column index, width) for [[XlsxWriter]]. Names already
+    * validated by the write builder. */
+  def widthsFor(fieldNames: Seq[String]): Seq[(Int, Double)] =
+    columnWidths.toSeq.flatMap { case (n, w) =>
+      val i = fieldNames.indexOf(n)
+      if (i < 0) None else Some(i -> w)
+    }.sortBy(_._1)
+
   /** Streaming offset compaction (extension): files whose modification
     * time is older than (max mtime seen − maxFileAgeMs) are dropped from
     * the offset's seen-set AND ignored if newly listed — bounding offset

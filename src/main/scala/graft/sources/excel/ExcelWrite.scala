@@ -51,6 +51,10 @@ class ExcelWriteBuilder(schema: StructType, opts: ExcelOptions)
       if (opts.shardedOutput) throw new UnsupportedOperationException(
         "sheetColumn is not supported with shardedOutput (a shard is one streamed sheet)")
     }
+    opts.columnWidths.keys.foreach { n =>
+      require(schema.fieldNames.contains(n),
+        s"columnWidths names column '$n' which is not in the write schema")
+    }
     new ExcelWrite(schema, opts, doTruncate)
   }
 }
@@ -141,9 +145,10 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
       if (opts.sheetColumn.isEmpty) {
         val parts = messages.collect { case m: ExcelCommitMessage => m }
           .sortBy(_.partitionId)
-        val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName)
+        val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName,
+          opts.widthsFor(schema.fieldNames))
         try {
-          if (opts.header) writer.writeRow(schema.fieldNames.toSeq)
+          if (opts.header) ExcelWrite.header(writer, schema.fieldNames, opts)
           parts.foreach(m => mergeTempInto(writer, m.tempPath))
         } finally writer.close()
       } else {
@@ -156,13 +161,14 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
         val sheetNames = parts.flatMap(_.sheets.map(_._1)).distinct.sorted
         val dataNames = schema.fieldNames.filterNot(_ == opts.sheetColumn.get)
         val writer = new XlsxWriter(fs.create(staging, true),
-          sheetNames.headOption.getOrElse(opts.writeSheetName))
+          sheetNames.headOption.getOrElse(opts.writeSheetName),
+          opts.widthsFor(dataNames))
         try {
           if (sheetNames.isEmpty) { // empty input: keep the header contract
-            if (opts.header) writer.writeRow(dataNames.toSeq)
+            if (opts.header) ExcelWrite.header(writer, dataNames, opts)
           } else sheetNames.zipWithIndex.foreach { case (s, i) =>
             if (i > 0) writer.startSheet(s)
-            if (opts.header) writer.writeRow(dataNames.toSeq)
+            if (opts.header) ExcelWrite.header(writer, dataNames, opts)
             parts.foreach(_.sheets.collect {
               case (`s`, tempPath) => mergeTempInto(writer, tempPath)
             })
@@ -190,6 +196,13 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
       fs.delete(new Path(tmpDir), true)
     }
   }
+}
+
+object ExcelWrite {
+  /** Header row on a FINAL workbook: bold when `headerBold` is set. */
+  private[excel] def header(w: XlsxWriter, names: Seq[String],
+      opts: ExcelOptions): Unit =
+    if (opts.headerBold) w.writeHeaderRow(names) else w.writeRow(names)
 }
 
 case class ExcelCommitMessage(partitionId: Int, tempPath: String)
@@ -242,9 +255,10 @@ class ExcelStreamingWrite(schema: StructType, opts: ExcelOptions)
     val staging = new Path(outDir, f".batch-$epochId%05d.xlsx.inprogress")
     val parts = messages.collect { case m: ExcelCommitMessage => m }
       .sortBy(_.partitionId)
-    val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName)
+    val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName,
+      opts.widthsFor(schema.fieldNames))
     try {
-      if (opts.header) writer.writeRow(schema.fieldNames.toSeq)
+      if (opts.header) ExcelWrite.header(writer, schema.fieldNames, opts)
       parts.foreach { m =>
         val (local, temp) = ExcelFiles.toLocal(m.tempPath, conf)
         val r = new XlsxReader(local)
@@ -318,10 +332,12 @@ class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
     else new Path(tmpDir, f"part-$partitionId%05d-$taskId.xlsx")
   private val writer =
     if (sheetColIdx >= 0) null
-    else new XlsxWriter(fs.create(tempPath, true),
-      if (sharded) opts.writeSheetName else "data")
+    else if (sharded) // a shard IS final output: styles apply
+      new XlsxWriter(fs.create(tempPath, true), opts.writeSheetName,
+        opts.widthsFor(schema.fieldNames))
+    else new XlsxWriter(fs.create(tempPath, true), "data")
   if (writer != null && sharded && opts.header)
-    writer.writeRow(schema.fieldNames.toSeq)
+    ExcelWrite.header(writer, schema.fieldNames, opts)
 
   // sheet-routing mode state: value → (writer, temp path), insertion-kept
   private val routed =

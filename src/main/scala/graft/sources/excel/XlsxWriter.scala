@@ -16,8 +16,14 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   *
   * Accepted cell types: String, java.lang.Boolean, numbers (Byte…Double),
   * LocalDate / LocalDateTime, java.sql.Date / java.sql.Timestamp, null.
+  *
+  * Presentation extensions (both optional, applied to every sheet):
+  * `columnWidths` — (0-based column index, width in characters) pairs
+  * emitted as a `<cols>` block; [[writeHeaderRow]] — a row rendered with
+  * the bold header style.
   */
-final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
+final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1",
+    columnWidths: Seq[(Int, Double)] = Nil) {
 
   private val zip = new ZipOutputStream(new BufferedOutputStream(out))
   private val sheet = new java.lang.StringBuilder(1 << 16)
@@ -40,8 +46,16 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
   }
 
   /** Append one row; values per the accepted cell types above. */
-  def writeRow(values: Iterable[Any]): Unit = {
+  def writeRow(values: Iterable[Any]): Unit = writeRow(values, headerStyle = false)
+
+  /** Append a row rendered with the bold header style (style extension —
+    * the data semantics are identical to [[writeRow]]). */
+  def writeHeaderRow(values: Iterable[Any]): Unit = writeRow(values, headerStyle = true)
+
+  private def writeRow(values: Iterable[Any], headerStyle: Boolean): Unit = {
     rowNum += 1
+    val strAttrs =
+      if (headerStyle) "\" s=\"3\" t=\"inlineStr\"" else "\" t=\"inlineStr\""
     sheet.append("<row r=\"").append(rowNum).append("\">")
     var col = 0
     values.foreach { v =>
@@ -49,7 +63,7 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
       v match {
         case null => () // sparse
         case s: String =>
-          sheet.append("<c r=\"").append(ref).append("\" t=\"inlineStr\"><is><t xml:space=\"preserve\">")
+          sheet.append("<c r=\"").append(ref).append(strAttrs).append("><is><t xml:space=\"preserve\">")
             .append(escapeXml(s)).append("</t></is></c>")
         case b: java.lang.Boolean =>
           sheet.append("<c r=\"").append(ref).append("\" t=\"b\"><v>")
@@ -126,18 +140,20 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
         |</Relationships>""".stripMargin)
-    // style 0: General; style 1: builtin date (14); style 2: builtin datetime (22)
+    // style 0: General; style 1: builtin date (14); style 2: builtin
+    // datetime (22); style 3: bold header (General format, bold font)
     entry("xl/styles.xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-        |<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>
+        |<fonts count="2"><font><sz val="11"/><name val="Calibri"/></font><font><b/><sz val="11"/><name val="Calibri"/></font></fonts>
         |<fills count="1"><fill><patternFill patternType="none"/></fill></fills>
         |<borders count="1"><border/></borders>
         |<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>
-        |<cellXfs count="3">
+        |<cellXfs count="4">
         |<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>
         |<xf numFmtId="14" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>
         |<xf numFmtId="22" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>
+        |<xf numFmtId="0" fontId="1" fillId="0" borderId="0" xfId="0" applyFont="1"/>
         |</cellXfs>
         |</styleSheet>""".stripMargin)
   }
@@ -179,7 +195,17 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1") {
   private def startSheetStream(): Unit = {
     zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${sheetNames.length}.xml"))
     sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-      .append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      .append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    if (columnWidths.nonEmpty) {
+      sheet.append("<cols>")
+      columnWidths.sortBy(_._1).foreach { case (idx, w) =>
+        sheet.append("<col min=\"").append(idx + 1).append("\" max=\"")
+          .append(idx + 1).append("\" width=\"").append(w)
+          .append("\" customWidth=\"1\"/>")
+      }
+      sheet.append("</cols>")
+    }
+    sheet.append("<sheetData>")
   }
 
   private def flushSheet(): Unit = {

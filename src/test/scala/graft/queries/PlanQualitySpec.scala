@@ -80,11 +80,22 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pair operators never plan cartesian/nested-loop joins") {
     Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
-      "d05_embedding_neardup").foreach { q =>
-      val p = plan(q)
-      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
-        s"$q degenerated:\n$p")
-    }
+      "d05_embedding_neardup", "d07_containment", "s05_knn_join_lsh")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+          s"$q degenerated:\n$p")
+      }
+  }
+
+  test("s04: exact knn join broadcasts the probe side, corpus unshuffled") {
+    val p = plan("s04_knn_join")
+    // the probe batch rides a broadcast join (corpus never shuffles for
+    // the join itself); only the fixed-width rank window exchanges
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe side should broadcast:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n$p")
   }
 
   test("q25: as-of join is one window pass, no join operator at all") {

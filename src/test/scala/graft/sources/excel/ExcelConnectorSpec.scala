@@ -151,6 +151,48 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(1 -> "Alice", 2 -> "Bob", 3 -> "Charlie"))
   }
 
+  test("headerBold + columnWidths style the workbook without changing data") {
+    val dir = tmpDir()
+    val out = new File(dir, "styled.xlsx")
+    import spark.implicits._
+    val df = Seq((1, "Alice"), (2, "Bob")).toDF("id", "name")
+    df.coalesce(1).write.format("excel")
+      .option("headerBold", "true")
+      .option("columnWidths", "id=8,name=32")
+      .mode("overwrite").save(out.getAbsolutePath)
+
+    // data round-trips unchanged through our reader (styles are ignored)
+    val back = spark.read.format("excel").schema(idName)
+      .load(out.getAbsolutePath)
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set(1 -> "Alice", 2 -> "Bob"))
+
+    // the OOXML parts carry the styling: a <cols> block with both widths
+    // and a bold header xf referenced by the header cells
+    val zf = new java.util.zip.ZipFile(out)
+    def part(n: String): String = {
+      val in = zf.getInputStream(zf.getEntry(n))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    try {
+      val sheet1 = part("xl/worksheets/sheet1.xml")
+      assert(sheet1.contains("<cols>") &&
+        sheet1.contains("min=\"1\" max=\"1\" width=\"8.0\"") &&
+        sheet1.contains("min=\"2\" max=\"2\" width=\"32.0\""), sheet1.take(400))
+      assert(sheet1.contains("s=\"3\""), "header cells should use the bold xf")
+      val styles = part("xl/styles.xml")
+      assert(styles.contains("<b/>"), "bold font must exist")
+      assert(styles.contains("fontId=\"1\""), "an xf must reference it")
+    } finally zf.close()
+
+    // unknown width column name is rejected at planning
+    val e = intercept[IllegalArgumentException] {
+      df.write.format("excel").option("columnWidths", "nope=9")
+        .mode("overwrite").save(new File(dir, "x.xlsx").getAbsolutePath)
+    }
+    assert(e.getMessage.contains("not in the write schema"))
+  }
+
   test("write: multi-partition merge preserves partition order into ONE file") {
     val dir = tmpDir()
     val out = new File(dir, "merged.xlsx").getAbsolutePath
