@@ -25,7 +25,7 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
   private var requiredSchema: StructType = fullSchema
   private var limit: Int = -1
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var countStarPushed = false
+  private var pushedAggs: Seq[PushedExcelAgg] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     this.requiredSchema = requiredSchema
@@ -45,34 +45,57 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     false // partial: each partition still caps rows, Spark re-applies the limit
   }
 
-  /** count(*) with no filters/grouping is answered by an XML tag scan —
-    * zero cell decode, zero string building. Partial pushdown: each file
-    * partition emits its row count; Spark sums them (so multi-file
-    * directories and AQE behave normally). */
+  /** Unfiltered, ungrouped COUNT(*)/MIN/MAX are answered in-scan — a pure
+    * count by an XML tag scan (zero cell decode), MIN/MAX (optionally
+    * beside COUNT) by a single pass that decodes ONLY the referenced
+    * columns and emits one partial row per partition. Partial pushdown
+    * (supportCompletePushDown=false): Spark merges the per-file partials,
+    * so multi-file directories and AQE behave normally. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val onlyCountStar = agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    // a pushed filter means rows are conditionally kept — counts must then
-    // come from the row reader, not the tag scan (Spark only offers the
-    // aggregate when it pushed all filters, but stay defensive)
-    // multi-sheet reads fall back to the row reader (per-sheet counting
-    // would need the same probe anyway, and `_sheet` may be referenced)
-    if (onlyCountStar && pushed.isEmpty && limit < 0 && !opts.allSheets) {
-      countStarPushed = true
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    // a pushed filter means rows are conditionally kept — aggregates must
+    // then come from the row reader (Spark only offers the aggregate when
+    // it pushed all filters, but stay defensive). Multi-sheet reads fall
+    // back to the row reader (`_sheet` may be referenced; per-sheet scans
+    // would need the same probe anyway).
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0 ||
+      opts.allSheets) return false
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0)).filter(n => fullSchema.fieldNames.contains(n))
+        case _ => None
+      }
+    val resolved: Seq[Option[PushedExcelAgg]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(PushedCountStar)
+        case m: Min => colOf(m.column).map(PushedMin)
+        case m: Max => colOf(m.column).map(PushedMax)
+        case _ => None
+      }
+    if (resolved.nonEmpty && resolved.forall(_.isDefined)) {
+      pushedAggs = resolved.map(_.get)
       true
     } else false
   }
 
-  override def build(): Scan =
-    if (countStarPushed) new ExcelCountScan(opts)
-    else new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed)
+  override def build(): Scan = pushedAggs match {
+    case Nil => new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed)
+    case Seq(PushedCountStar) => new ExcelCountScan(opts) // tag-scan fast path
+    case aggs => new ExcelAggScan(fullSchema, opts, aggs)
+  }
 }
+
+/** An aggregate the excel scan can answer itself. */
+sealed trait PushedExcelAgg
+case object PushedCountStar extends PushedExcelAgg
+case class PushedMin(col: String) extends PushedExcelAgg
+case class PushedMax(col: String) extends PushedExcelAgg
 
 /** Scan produced when count(*) was pushed: one partition per file, each
   * emitting a single row with the file's dense row count (exact tag scan
@@ -124,6 +147,106 @@ case class ExcelCountReaderFactory(opts: ExcelOptions,
           } finally if (temp) local.delete()
         val dataRows = math.max(0L, n.toLong - (if (opts.header) 1L else 0L))
         new GenericInternalRow(Array[Any](dataRows))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Scan produced when MIN/MAX (± COUNT(*)) were pushed: one partial row
+  * per partition, decoding ONLY the referenced columns — column pruning
+  * and aggregation collapse into the scan, so a `SELECT min(a), max(b)`
+  * over a wide workbook never builds full rows. Extremes are accumulated
+  * with Spark's own per-type interpreted ordering, so in-scan results
+  * agree exactly with the engine's final merge. */
+class ExcelAggScan(fullSchema: StructType, opts: ExcelOptions,
+    aggs: Seq[PushedExcelAgg]) extends Scan with Batch {
+
+  private[excel] val referenced: Seq[String] = aggs.collect {
+    case PushedMin(c) => c
+    case PushedMax(c) => c
+  }.distinct
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case PushedCountStar =>
+      org.apache.spark.sql.types.StructField("count_star",
+        org.apache.spark.sql.types.LongType, nullable = false)
+    case PushedMin(c) =>
+      org.apache.spark.sql.types.StructField(s"min($c)",
+        fullSchema(c).dataType, nullable = true)
+    case PushedMax(c) =>
+      org.apache.spark.sql.types.StructField(s"max($c)",
+        fullSchema(c).dataType, nullable = true)
+  })
+
+  override def description(): String = {
+    val rendered = aggs.map {
+      case PushedCountStar => "COUNT(*)"
+      case PushedMin(c) => s"MIN($c)"
+      case PushedMax(c) => s"MAX($c)"
+    }
+    s"ExcelScan path=${opts.pathOpt.getOrElse("?")} " +
+      s"PushedAggregation=[${rendered.mkString(", ")}]"
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    ExcelSplitPlanner.plan(
+      ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup), opts, conf)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    ExcelAggReaderFactory(fullSchema, StructType(referenced.map(fullSchema(_))),
+      opts, conf, aggs)
+  }
+}
+
+case class ExcelAggReaderFactory(fullSchema: StructType, readFields: StructType,
+    opts: ExcelOptions, conf: SerializableConfiguration,
+    aggs: Seq[PushedExcelAgg]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ExcelInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = {
+        val inner = new ExcelPartitionReader(p.filePath, fullSchema,
+          readFields, opts, -1, conf.value,
+          startRow = p.startRow, endRowExcl = p.endRowExcl, sheetOverride = p.sheet)
+        val orderings = readFields.fields.map(f =>
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .interpretedOrdering(f.dataType))
+        val mins = new Array[Any](readFields.length)
+        val maxs = new Array[Any](readFields.length)
+        var count = 0L
+        try {
+          while (inner.next()) {
+            val row = inner.get()
+            count += 1L
+            var j = 0
+            while (j < readFields.length) {
+              val v = row.get(j, readFields.fields(j).dataType)
+              if (v != null) { // SQL MIN/MAX ignore nulls
+                if (mins(j) == null || orderings(j).compare(v, mins(j)) < 0)
+                  mins(j) = v
+                if (maxs(j) == null || orderings(j).compare(v, maxs(j)) > 0)
+                  maxs(j) = v
+              }
+              j += 1
+            }
+          }
+        } finally inner.close()
+        val out = aggs.map {
+          case PushedCountStar => count.asInstanceOf[Any]
+          case PushedMin(c) => mins(readFields.fieldIndex(c))
+          case PushedMax(c) => maxs(readFields.fieldIndex(c))
+        }.toArray
+        new GenericInternalRow(out)
       }
       override def close(): Unit = ()
     }

@@ -147,6 +147,48 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("min/max push down to a single-column scan; mixed with count(*)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val mk = (name: String, rows: Seq[(Long, String, Double)]) => {
+      val w = new XlsxWriter(new FileOutputStream(new File(dir, name)))
+      w.writeRow(Seq("id", "name", "score"))
+      rows.foreach { case (i, n, s) => w.writeRow(Seq(i, n, s)) }
+      w.close()
+    }
+    mk("a.xlsx", Seq((5L, "eve", 1.5), (2L, "bob", 9.25)))
+    mk("b.xlsx", Seq((9L, "ann", -3.0), (7L, "zed", 4.0)))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = spark.read.format("excel").schema(schema).load(dir.getAbsolutePath)
+
+    val agg = df.agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+      max(col("name")).as("mxs"), min(col("score")).as("mns"),
+      count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[MIN(id), MAX(id), MAX(name), MIN(score), COUNT(*)]"),
+      plan)
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)) ==
+      ((2L, 9L, "zed", -3.0, 4L)))
+
+    // a filter must disable the in-scan aggregation (rows conditionally kept)
+    val filtered = df.filter(col("id") > 4).agg(min(col("id")))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(filtered.collect().head.getLong(0) == 5L)
+
+    // null cells are ignored like SQL MIN/MAX
+    val w = new XlsxWriter(new FileOutputStream(new File(dir, "c.xlsx")))
+    w.writeRow(Seq("id", "name", "score"))
+    w.writeRow(Seq(null, null, null))
+    w.close()
+    val withNulls = spark.read.format("excel").schema(schema)
+      .load(dir.getAbsolutePath).agg(min(col("id")), max(col("name")))
+    val r2 = withNulls.collect().head
+    assert((r2.getLong(0), r2.getString(1)) == ((2L, "zed")))
+  }
+
   test("count(*) pushes down to a tag scan; filters disable the pushdown") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir()
