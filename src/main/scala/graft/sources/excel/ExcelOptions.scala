@@ -87,6 +87,18 @@ final case class ExcelOptions(options: Map[String, String]) {
     n
   }
 
+  /** Upper bound on row-range splits per (file, sheet) — xlsx has no
+    * random access inside the deflate stream, so split P must re-parse
+    * rows 1..start: P splits of one file cost O(P²·rows) parse work. The
+    * cap keeps that quadratic bounded; when a sheet would exceed it,
+    * rows-per-split grows instead (maxRowsPerPartition is best-effort
+    * above the cap). Default 64 ≈ ≤32× re-parse amplification. */
+  def maxSplitsPerFile: Int = get("maxsplitsperfile").map { s =>
+    val n = s.toInt
+    require(n > 0, s"maxSplitsPerFile must be positive, got $n")
+    n
+  }.getOrElse(64)
+
   /** Write-side extension: route each row to a sheet named by this STRING
     * column's value — the workbook analogue of `partitionBy`. The routing
     * column is dropped from the written rows (like partitionBy's directory

@@ -306,22 +306,47 @@ object ExcelSplitPlanner {
       : Array[InputPartition] = {
     if (!opts.allSheets && opts.maxRowsPerPartition.isEmpty)
       return files.map(f => ExcelInputPartition(f): InputPartition).toArray
-    files.flatMap { f =>
-      probe(f, conf) { rd =>
-        val sheets: Seq[(String, XlsxReader.Sheet)] =
-          if (opts.allSheets)
-            rd.sheets.map(s => (s.name, s))
-              .filter { case (name, _) => sheetMayMatch(name, filters) }
-          else Seq((null, rd.resolveSheet(opts.sheetName)))
-        sheets.flatMap { case (sheetName, sheet) =>
-          opts.maxRowsPerPartition match {
-            case None => Seq(ExcelInputPartition(f, sheet = sheetName))
-            case Some(maxRows) =>
-              planRowRanges(f, sheetName, rd.lastRowNumber(sheet), maxRows, opts)
-          }
+    // each probe opens + header-parses one workbook — independent work, so
+    // a directory of many files probes on a bounded driver-side pool
+    // instead of one at a time; results keep the input file order
+    probeAll(files, conf) { (f, rd) =>
+      val sheets: Seq[(String, XlsxReader.Sheet)] =
+        if (opts.allSheets)
+          rd.sheets.map(s => (s.name, s))
+            .filter { case (name, _) => sheetMayMatch(name, filters) }
+        else Seq((null, rd.resolveSheet(opts.sheetName)))
+      sheets.flatMap { case (sheetName, sheet) =>
+        opts.maxRowsPerPartition match {
+          case None => Seq(ExcelInputPartition(f, sheet = sheetName))
+          case Some(maxRows) =>
+            planRowRanges(f, sheetName, rd.lastRowNumber(sheet), maxRows, opts)
         }
       }
     }.toArray
+  }
+
+  /** Probe every file on a bounded thread pool (planning is driver-side;
+    * each probe is an open + header parse, often against remote storage —
+    * serial probing of a 1000-file directory is the planner bottleneck the
+    * scan itself never recovers from). Results preserve `files` order so
+    * partition numbering stays deterministic. */
+  private def probeAll[T](files: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration)(
+      body: (String, XlsxReader) => Seq[T]): Seq[T] = {
+    if (files.lengthCompare(1) <= 0)
+      return files.flatMap(f => probe(f, conf)(rd => body(f, rd)))
+    val parallelism = math.min(files.size,
+      math.min(Runtime.getRuntime.availableProcessors(), 16))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futures = files.map { f =>
+        scala.concurrent.Future(probe(f, conf)(rd => body(f, rd)))
+      }
+      futures.flatMap(fu =>
+        scala.concurrent.Await.result(fu, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** Partition pruning on the synthesized `_sheet` column: a sheet whose
@@ -356,17 +381,21 @@ object ExcelSplitPlanner {
   }
 
   /** Split one sheet into row-range partitions of at most `maxRows` data
-    * rows. The probed last row may under-report (stale `<dimension>`), so
-    * the FINAL range is always unbounded — a wrong dimension can cost
+    * rows, capped at `maxSplitsPerFile` splits (split P re-parses rows
+    * 1..start — the cap bounds that quadratic; rows-per-split grows
+    * instead). The probed last row may under-report (stale `<dimension>`),
+    * so the FINAL range is always unbounded — a wrong dimension can cost
     * balance, never rows. */
   private def planRowRanges(f: String, sheetName: String, lastRow: Int,
       maxRows: Int, opts: ExcelOptions): Seq[InputPartition] = {
     val dataStart = if (opts.header) 2 else 1
     val dataRows = math.max(0, lastRow - dataStart + 1)
-    val n = math.max(1, math.ceil(dataRows.toDouble / maxRows).toInt)
+    val wanted = math.max(1, math.ceil(dataRows.toDouble / maxRows).toInt)
+    val n = math.min(wanted, opts.maxSplitsPerFile)
+    val perSplit = math.max(maxRows, math.ceil(dataRows.toDouble / n).toInt)
     (0 until n).map { i =>
-      val start = dataStart + i.toLong * maxRows
-      val end = if (i == n - 1) Int.MaxValue else start + maxRows
+      val start = dataStart + i.toLong * perSplit
+      val end = if (i == n - 1) Int.MaxValue else start + perSplit
       ExcelInputPartition(f, start.toInt, math.min(end, Int.MaxValue).toInt,
         sheetName): InputPartition
     }

@@ -374,15 +374,28 @@ class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
       .filter { case (_, i) => i != sheetColIdx }
       .map { case (f, i) => mkGetter(f, i) }
 
+  // reusable row buffer: the hot write loop allocates nothing per row
+  // beyond the boxed cell values themselves (XlsxWriter consumes the
+  // values synchronously, so handing it the same wrapper each call is safe)
+  private val rowBuf = new Array[Any](getters.length)
+  private val rowView: collection.Seq[Any] =
+    scala.collection.mutable.ArraySeq.make(rowBuf)
+
+  private def fillRowBuf(row: InternalRow): Unit = {
+    var i = 0
+    while (i < getters.length) { rowBuf(i) = getters(i)(row); i += 1 }
+  }
+
   override def write(row: InternalRow): Unit =
-    if (sheetColIdx < 0) writer.writeRow(getters.map(_(row)).toSeq)
+    if (sheetColIdx < 0) { fillRowBuf(row); writer.writeRow(rowView) }
     else {
       if (row.isNullAt(sheetColIdx))
         throw new org.apache.spark.SparkException(
           s"sheetColumn '${opts.sheetColumn.get}' is null for a row; " +
             "null sheet names are not representable — filter or fill first")
-      routedWriter(row.getUTF8String(sheetColIdx).toString)
-        .writeRow(getters.map(_(row)).toSeq)
+      val w = routedWriter(row.getUTF8String(sheetColIdx).toString)
+      fillRowBuf(row)
+      w.writeRow(rowView)
     }
 
   override def commit(): WriterCommitMessage = {

@@ -125,6 +125,41 @@ class ExcelSplitReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("splits per file are capped (maxSplitsPerFile) with rows intact") {
+    val f = bigFile(tmpDir(), rows = 1000)
+    // wanted = 100 splits of 10 rows; cap 8 → 8 splits of 125
+    val df = spark.read.format("excel").schema(idName)
+      .option("maxRowsPerPartition", "10")
+      .option("maxSplitsPerFile", "8")
+      .load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 1000)
+    assert(df.agg(sum(col("id"))).collect().head.getLong(0) == 1000L * 1001 / 2)
+    // default cap (64) also binds
+    val dfDefault = spark.read.format("excel").schema(idName)
+      .option("maxRowsPerPartition", "2")
+      .load(f.getAbsolutePath)
+    assert(dfDefault.rdd.getNumPartitions == 64)
+    assert(dfDefault.count() == 1000)
+  }
+
+  test("planning a 100-file directory probes in parallel with stable output") {
+    val dir = tmpDir()
+    (0 until 100).foreach { i =>
+      val f = new File(dir, f"part-$i%03d.xlsx")
+      val w = new XlsxWriter(new FileOutputStream(f))
+      w.writeRow(Seq("id", "name"))
+      (1 to 50).foreach(j => w.writeRow(Seq((i * 50 + j).toLong, s"r$j")))
+      w.close()
+    }
+    val df = spark.read.format("excel").schema(idName)
+      .option("maxRowsPerPartition", "20")
+      .load(dir.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 300) // 100 files x ceil(50/20)
+    assert(df.count() == 5000)
+    assert(df.agg(sum(col("id"))).collect().head.getLong(0) == 5000L * 5001 / 2)
+  }
+
   test("ranged row iterator: gaps, skip, and boundary semantics") {
     // craft a sheet with missing row numbers: rows 1,2,5,6 present (3,4 gap)
     val dir = tmpDir()
