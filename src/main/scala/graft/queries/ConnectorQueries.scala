@@ -52,8 +52,57 @@ object ConnectorQueries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Streaming connector path, end-to-end: supplier staged as a directory
+    * of workbooks → `readStream.format("excel")` (micro-batch discovery,
+    * replayable offsets — SURVEY §2.1 rows 5-8) → a stateless transform →
+    * the STREAMING excel sink (epoch-named workbooks) under
+    * Trigger.AvailableNow → batch read-back, hash-checked against the
+    * source table. Covers offset management, stream batch planning, the
+    * shared stream scan, commit, and the streaming sink in one oracle. */
+  def excelStreamRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, upper}
+    val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_stream_${math.abs(dir.hashCode)}")
+    // clean slate: a prior run's checkpoint/epoch files would double-count
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val out = new File(base, "out")
+    val ckpt = new File(base, "ckpt")
+    supplier.repartition(3).write.format("excel")
+      .option("shardedOutput", "true")
+      .mode("overwrite").save(in.getAbsolutePath)
+    val q = spark.readStream.format("excel").schema(supplier.schema)
+      .load(in.getAbsolutePath)
+      .withColumn("name_up", upper(col("s_name")))
+      .writeStream.format("excel")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val outSchema = supplier.schema
+      .add("name_up", org.apache.spark.sql.types.StringType)
+    spark.read.format("excel").schema(outSchema).load(out.getAbsolutePath)
+      .orderBy(col("s_suppkey"))
+  }
+
+  val excelStreamRoundtripSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+      |       upper(s_name) AS name_up
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),
     "excel_sharded_roundtrip" -> (excelShardedRoundtrip _, excelShardedRoundtripSql),
+    "excel_stream_roundtrip" -> (excelStreamRoundtrip _, excelStreamRoundtripSql),
   )
 }
