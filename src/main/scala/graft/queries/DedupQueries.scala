@@ -71,11 +71,54 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- d03
   /** SimHash near-dup pairs within Hamming distance 3 (64-bit sketch,
-    * 4×16-bit pigeonhole candidates). No SQL oracle (sketch-specific);
-    * deterministic rows-only check + spec-level ground-truth assertions. */
+    * 4×16-bit pigeonhole candidates). Oracle: full sketch mirror in DuckDB
+    * — same shingling as the Jaccard oracle (duplicates KEPT: SimHash
+    * weights by occurrence), FNV-1a64 per shingle via HUGEINT fold,
+    * 64-bit majority vote, then brute-force pairs with bit_count(xor) ≤ 3.
+    * The pigeonhole candidate step has full recall at Hamming ≤ 3, so the
+    * brute-force oracle is semantics-equivalent. */
   def d03Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", k = 3, maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  val d03Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
+      |hs AS (
+      |  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+      |    LIST_TRANSFORM(s, sg -> list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(sg, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT)),
+      |    u -> CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |              THEN u - 18446744073709551616::HUGEINT
+      |              ELSE u END AS BIGINT))) AS h
+      |  FROM sh),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM hs CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS b)
+      |  GROUP BY doc_id, b),
+      |sims AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN
+      |      CASE WHEN b = 63 THEN -9223372036854775808::HUGEINT
+      |           ELSE (1::BIGINT << b)::HUGEINT END
+      |    ELSE 0::HUGEINT END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- d04
   /** Exact n-gram Jaccard pairs via inverted-index join (the no-sketch
@@ -171,7 +214,7 @@ object DedupQueries {
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, null),
     "d02_minhash_lsh" -> (d02MinhashLsh _, d02Sql),
-    "d03_simhash" -> (d03Simhash _, null),
+    "d03_simhash" -> (d03Simhash _, d03Sql),
     "d04_ngram_jaccard" -> (d04NgramJaccard _, d04Sql),
     "d05_embedding_neardup" -> (d05EmbeddingNearDup _, null),
     "d07_containment" -> (d07Containment _, d07Sql),

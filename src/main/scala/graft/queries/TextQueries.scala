@@ -122,13 +122,29 @@ object TextQueries {
 
   // ---------------------------------------------------------------- t06
   /** Rolling-hash (FNV-1a64, codegen Catalyst expression) fingerprint.
-    * Not DuckDB-expressible → rows-only; value correctness is pinned by
-    * public FNV test vectors in LlmOpsSpec/SqlSurfaceSpec. */
+    * Oracle: byte-exact FNV-1a mirror in DuckDB — HUGEINT fold over the
+    * text's characters (corpus is ASCII, so codepoint == UTF-8 byte) with
+    * multiply mod 2⁶⁴, re-signed to BIGINT. Value correctness is further
+    * pinned by public FNV test vectors in LlmOpsSpec/SqlSurfaceSpec. */
   def t06FnvFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
       graft.functions.TextExpressions.fnv1a64(col("text")).as("fp_fnv64"))
       .orderBy("doc_id")
+
+  val t06Sql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+      |       THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp_fnv64
+      |FROM (SELECT doc_id,
+      |        CASE WHEN text = '' THEN 14695981039346656037::HUGEINT
+      |             ELSE list_reduce(
+      |               list_prepend(14695981039346656037::HUGEINT,
+      |                 [unicode(c)::HUGEINT for c in string_split(text, '')]),
+      |               (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                           % 18446744073709551616::HUGEINT) END AS fnv
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t07
   /** Intra-document repetition (duplicate-bigram fraction, the Gopher-style
@@ -209,7 +225,7 @@ object TextQueries {
     "t03_quality" -> (t03Quality _, t03Sql),
     "t04_fingerprint" -> (t04Fingerprint _, t04Sql),
     "t05_subword_stats" -> (t05SubwordStats _, null),
-    "t06_fnv_fingerprint" -> (t06FnvFingerprint _, null),
+    "t06_fnv_fingerprint" -> (t06FnvFingerprint _, t06Sql),
     "t07_repetition" -> (t07Repetition _, t07Sql),
     "t08_pii_scrub" -> (t08PiiScrub _, t08Sql),
   )
