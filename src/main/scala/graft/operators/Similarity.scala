@@ -64,29 +64,24 @@ object Similarity {
     * (IVF: few coarse cells, good for clustered corpora; LSH: many hash
     * buckets, good for high-similarity retrieval).
     *
-    * Centroids here are a deterministic sample of the corpus (every
-    * `stride`-th vector) rather than k-means iterations — the partition/
-    * prune plumbing is identical and stays reproducible run to run. */
+    * Centroids here are a deterministic pseudo-random sample of the corpus
+    * (the `nlist` rows with the smallest xxhash64(id) — uniform over the
+    * corpus, stable run to run) rather than k-means iterations — the
+    * partition/prune plumbing is identical and stays reproducible. The
+    * sample is ONE bounded distributed job: TakeOrdered merges per-
+    * partition top-nlist, so exactly `nlist` rows ever reach the driver —
+    * never an id universe. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = df.sparkSession
-    import org.apache.spark.sql.Row
-
-    // deterministic centroid sample (small: nlist rows to the driver)
-    val ids = df.select(col(idCol)).orderBy(col(idCol)).limit(100000)
-      .collect().map(_.get(0) match {
-        case n: java.lang.Number => n.longValue() // exact for int/long ids
-        case other => throw new IllegalArgumentException(
-          s"ivfTopK requires a numeric id column, got ${other.getClass}")
-      })
-    val stride = math.max(1, ids.length / nlist)
-    val centroidIds = ids.zipWithIndex.collect {
-      case (id, i) if i % stride == 0 => id
-    }.take(nlist)
+    // deterministic centroid sample (small: nlist rows to the driver);
+    // the (hash, id) sort makes the collect order — and so cell numbering
+    // — independent of partition merge order
     val centroids: Array[(Int, Array[Double])] = df
-      .filter(col(idCol).isin(centroidIds.map(_.asInstanceOf[Any]): _*))
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol))
-      .collect().zipWithIndex.map { case (r, i) =>
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Any](1).map {
           case f: java.lang.Float => f.toDouble
           case d: java.lang.Double => d.doubleValue()
