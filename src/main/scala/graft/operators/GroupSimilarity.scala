@@ -60,12 +60,30 @@ object GroupSimilarity {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / size(a).cast("double")
 
-  /** Per-`groupCol` MinHash signatures, then all group-pair similarity
+  /** Per-`groupCol` MinHash signatures, then group-pair similarity
     * estimates. The per-doc signature is row-local; the aggregation is one
-    * shuffle of fixed-width arrays; the pair join is over G groups
-    * (G ≪ rows). */
+    * shuffle of fixed-width arrays.
+    *
+    * The pair step adapts to the group count G (one cheap count over the
+    * persisted G-row signature table — fixed-width rows, a few KB per
+    * group, the classic "materialize the sketch table" shape):
+    *
+    *  - G ≤ `maxAllPairsGroups`: exact all-pairs over the G sketches.
+    *    G² stays trivial (≤ ~32k pairs at the default cap) and every pair —
+    *    including dissimilar ones — gets an estimate.
+    *  - G > `maxAllPairsGroups`: LSH banding over the GROUP signatures
+    *    (same banding as [[Dedup.minhashLshPairs]], reusing the unioned
+    *    sketch as the banding input), so the pair step is an equi-join on
+    *    (band, bandHash) — O(candidates), never G². Pairs sharing no band
+    *    are dropped, which is the point: at 10⁵⁺ groups only
+    *    high-similarity pairs are wanted, and band collision probability
+    *    1−(1−j^r)^b is the standard recall knob (bands=32, r=4 at the
+    *    default numHashes=128 gives >0.99 recall at j ≥ 0.5).
+    */
   def groupPairSimilarity(df: DataFrame, groupCol: String, textCol: String,
-      numHashes: Int = 128, k: Int = 3): DataFrame = {
+      numHashes: Int = 128, k: Int = 3, bands: Int = 32,
+      maxAllPairsGroups: Int = 256): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val agg = new MinHashUnion(numHashes).toColumn
     val spark = df.sparkSession
     import spark.implicits._
@@ -78,12 +96,41 @@ object GroupSimilarity {
       .mapValues(_._2)
       .agg(agg.name("gsig"))
       .toDF("grp", "gsig")
+      // persisted: the G-row sketch table is read by the path-choosing
+      // count AND (on the banded path) three consumers; recomputing the
+      // full-corpus aggregation per consumer would be the real scale bug
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val l = sigs.select(col("grp").as("grp_a"), col("gsig").as("sig_a"))
-    val r = sigs.select(col("grp").as("grp_b"), col("gsig").as("sig_b"))
-    l.crossJoin(r).filter(col("grp_a") < col("grp_b"))
-      .select(col("grp_a"), col("grp_b"),
-        round(estimatedJaccard(col("sig_a"), col("sig_b")), 6)
-          .as("est_jaccard"))
+    val groupCount = sigs.count()
+    if (groupCount <= maxAllPairsGroups) {
+      val l = sigs.select(col("grp").as("grp_a"), col("gsig").as("sig_a"))
+      val r = sigs.select(col("grp").as("grp_b"), col("gsig").as("sig_b"))
+      l.crossJoin(r).filter(col("grp_a") < col("grp_b"))
+        .select(col("grp_a"), col("grp_b"),
+          round(estimatedJaccard(col("sig_a"), col("sig_b")), 6)
+            .as("est_jaccard"))
+    } else {
+      // banded equi-join: identical candidate generation to
+      // Dedup.minhashLshPairs, but over G unioned sketches instead of N
+      // per-doc ones. Candidates stay narrow (group keys only); sketches
+      // are re-attached after the pair dedup.
+      val r = numHashes / bands
+      val banded = sigs.select(col("grp"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("gsig"), b * r + lit(1), lit(r)), b)))
+          .as(Seq("band", "bhash")))
+      val left = banded.select(col("grp").as("grp_a"), col("band"), col("bhash"))
+      val right = banded.select(col("grp").as("grp_b"), col("band"), col("bhash"))
+      val candidates = left.join(right, Seq("band", "bhash"))
+        .filter(col("grp_a") < col("grp_b"))
+        .select("grp_a", "grp_b")
+        .dropDuplicates("grp_a", "grp_b")
+      candidates
+        .join(sigs.select(col("grp").as("grp_a"), col("gsig").as("sig_a")), "grp_a")
+        .join(sigs.select(col("grp").as("grp_b"), col("gsig").as("sig_b")), "grp_b")
+        .select(col("grp_a"), col("grp_b"),
+          round(estimatedJaccard(col("sig_a"), col("sig_b")), 6)
+            .as("est_jaccard"))
+    }
   }
 }

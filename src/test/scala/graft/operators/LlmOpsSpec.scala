@@ -254,6 +254,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"estimate $est vs exact $exact")
   }
 
+  test("banded group similarity recovers the similar pair among many groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 300).map(i => s"w$i")
+    def doc(words: Seq[String]) = Seq.fill(25)(words(rnd.nextInt(words.size))).mkString(" ")
+    // 25 groups of disjoint-ish vocab slices; groups T1/T2 are near-copies
+    val noise = (0 until 25).flatMap(g =>
+      (0 until 4).map(_ => (s"n$g", doc(vocab.slice(g * 12, g * 12 + 12)))))
+    val twinDocs = (0 until 4).map(_ => doc(vocab.take(40)))
+    val twins = twinDocs.map(("t1", _)) ++ twinDocs.map(("t2", _))
+    val df = (noise ++ twins).toDF("grp", "text")
+    val got = GroupSimilarity.groupPairSimilarity(df, "grp", "text",
+      numHashes = 128, bands = 32, maxAllPairsGroups = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // identical doc sets → signature agreement 1.0; the banded path must
+    // surface exactly this pair with estimate 1.0
+    assert(got.contains(("t1", "t2")), s"banded path missed the twin pair: $got")
+    assert(got(("t1", "t2")) == 1.0, s"twin estimate ${got(("t1", "t2"))}")
+  }
+
   test("subword count splits on case and letter/digit boundaries") {
     import spark.implicits._
     val got = Seq("helloWorld abc123", "", "plain words here")

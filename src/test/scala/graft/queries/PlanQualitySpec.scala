@@ -135,6 +135,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("group similarity above the all-pairs cap bands to an equi-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 30 groups with the cap forced to 10 → the banded path must plan the
+    // pair step as an equi hash/merge join, never G² cartesian
+    val rows = (0 until 30).flatMap(g => (0 until 3).map(d =>
+      (s"g$g", s"alpha bravo charlie delta echo g$g d$d foxtrot golf hotel")))
+    val df = rows.toDF("grp", "text")
+    val out = graft.operators.GroupSimilarity.groupPairSimilarity(
+      df, "grp", "text", numHashes = 64, bands = 16, maxAllPairsGroups = 10)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"group-pair step degenerated to all-pairs:\n$p")
+  }
+
   test("excel scan prunes columns at the source") {
     import org.apache.spark.sql.functions._
     // reuse the roundtrip fixture: write then read a projection
