@@ -55,6 +55,7 @@ class ExcelWriteBuilder(schema: StructType, opts: ExcelOptions)
       require(schema.fieldNames.contains(n),
         s"columnWidths names column '$n' which is not in the write schema")
     }
+    ExcelWrite.validateSheetName(opts.writeSheetName, "option 'sheetName'")
     new ExcelWrite(schema, opts, doTruncate)
   }
 }
@@ -159,6 +160,19 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
         val parts = messages.collect { case m: ExcelSheetCommitMessage => m }
           .sortBy(_.partitionId)
         val sheetNames = parts.flatMap(_.sheets.map(_._1)).distinct.sorted
+        // Excel sheet names are case-INSENSITIVE: two routing values
+        // differing only in case came from different tasks' rows and would
+        // merge into a workbook Excel refuses to open (our reader would
+        // still round-trip it — exactly the silent-corruption hazard).
+        // Within one task the writer already rejects this at the first row.
+        val caseCollisions = sheetNames
+          .groupBy(_.toLowerCase(java.util.Locale.ROOT))
+          .filter(_._2.size > 1)
+        if (caseCollisions.nonEmpty)
+          throw new org.apache.spark.SparkException(
+            "sheetColumn values collide case-insensitively (Excel treats " +
+              "sheet names as case-insensitive): " +
+              caseCollisions.values.map(_.mkString(" / ")).mkString("; "))
         val dataNames = schema.fieldNames.filterNot(_ == opts.sheetColumn.get)
         val writer = new XlsxWriter(fs.create(staging, true),
           sheetNames.headOption.getOrElse(opts.writeSheetName),
@@ -203,6 +217,27 @@ object ExcelWrite {
   private[excel] def header(w: XlsxWriter, names: Seq[String],
       opts: ExcelOptions): Unit =
     if (opts.headerBold) w.writeHeaderRow(names) else w.writeRow(names)
+
+  private val ForbiddenSheetChars = ":\\/?*[]"
+
+  /** Excel's own sheet-name rules, enforced at write time so a bad name
+    * (fixed via `sheetName` or data-dependent via `sheetColumn`) fails the
+    * job with a clear message instead of producing a workbook Excel
+    * refuses to open — our reader round-trips such names fine, which is
+    * exactly why they'd otherwise slip through. */
+  private[excel] def validateSheetName(name: String, source: String): Unit = {
+    def fail(reason: String): Nothing =
+      throw new org.apache.spark.SparkException(
+        s"Invalid Excel sheet name '$name' from $source: $reason " +
+          "(Excel requires 1-31 chars, none of : \\ / ? * [ ], and no " +
+          "leading/trailing apostrophe)")
+    if (name.isEmpty) fail("sheet names must be non-empty")
+    if (name.length > 31) fail(s"${name.length} chars exceeds Excel's 31-char limit")
+    name.find(ForbiddenSheetChars.contains(_)).foreach(c =>
+      fail(s"character '$c' is forbidden"))
+    if (name.startsWith("'") || name.endsWith("'"))
+      fail("sheet names cannot begin or end with an apostrophe")
+  }
 }
 
 case class ExcelCommitMessage(partitionId: Int, tempPath: String)
@@ -339,15 +374,47 @@ class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
   if (writer != null && sharded && opts.header)
     ExcelWrite.header(writer, schema.fieldNames, opts)
 
-  // sheet-routing mode state: value → (writer, temp path), insertion-kept
+  // sheet-routing mode state: value → (writer, temp path), kept in LRU
+  // order (a get re-inserts). Open writers are capped at
+  // opts.maxOpenSheetWriters: past the cap the least-recently-used one is
+  // closed and parked in `finishedSegments`; a value that reappears opens
+  // a fresh temp segment (xlsx streams forward-only), and the driver merge
+  // concatenates a sheet's segments in emission order.
   private val routed =
     scala.collection.mutable.LinkedHashMap.empty[String, (XlsxWriter, Path)]
+  private val finishedSegments =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+  // case-insensitive collision guard: Excel sheet names are
+  // case-insensitive, so "Foo" and "foo" routing values would produce a
+  // workbook Excel rejects; fail at the first offending row instead
+  private val lowerSeen = scala.collection.mutable.HashMap.empty[String, String]
+  private var segmentSeq = 0
   private def routedWriter(sheet: String): XlsxWriter =
-    routed.getOrElseUpdate(sheet, {
-      val p = new Path(tmpDir,
-        f"part-$partitionId%05d-$taskId-s${routed.size}.xlsx")
-      (new XlsxWriter(fs.create(p, true), "data"), p)
-    })._1
+    routed.remove(sheet) match {
+      case Some(entry) => routed.put(sheet, entry); entry._1 // LRU refresh
+      case None =>
+        ExcelWrite.validateSheetName(sheet,
+          s"sheetColumn '${opts.sheetColumn.get}' row value")
+        val lower = sheet.toLowerCase(java.util.Locale.ROOT)
+        lowerSeen.get(lower).filter(_ != sheet).foreach(prev =>
+          throw new org.apache.spark.SparkException(
+            s"sheetColumn values '$prev' and '$sheet' collide " +
+              "case-insensitively (Excel treats sheet names as " +
+              "case-insensitive)"))
+        lowerSeen.update(lower, sheet)
+        if (routed.size >= opts.maxOpenSheetWriters) {
+          val (lruSheet, (w, p)) = routed.head
+          w.close()
+          finishedSegments += lruSheet -> p
+          routed.remove(lruSheet)
+        }
+        val p = new Path(tmpDir,
+          f"part-$partitionId%05d-$taskId-s$segmentSeq.xlsx")
+        segmentSeq += 1
+        val w = new XlsxWriter(fs.create(p, true), "data")
+        routed.put(sheet, (w, p))
+        w
+    }
 
   private def mkGetter(f: StructField, i: Int): InternalRow => Any = {
     val g: InternalRow => Any = f.dataType match {
@@ -402,13 +469,19 @@ class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
     closeAll()
     if (sheetColIdx < 0) ExcelCommitMessage(partitionId, tempPath.toString)
     else ExcelSheetCommitMessage(partitionId,
-      routed.map { case (s, (_, p)) => s -> p.toString }.toSeq.sortBy(_._1))
+      // evicted segments first, then still-open ones; the sort is stable,
+      // so a sheet's segments stay in emission (= row) order
+      (finishedSegments.toSeq ++ routed.map { case (s, (_, p)) => s -> p })
+        .map { case (s, p) => s -> p.toString }.sortBy(_._1))
   }
 
   override def abort(): Unit = {
     closeAll()
     if (sheetColIdx < 0) fs.delete(tempPath, false)
-    else routed.values.foreach { case (_, p) => fs.delete(p, false) }
+    else {
+      routed.values.foreach { case (_, p) => fs.delete(p, false) }
+      finishedSegments.foreach { case (_, p) => fs.delete(p, false) }
+    }
   }
 
   override def close(): Unit = closeAll()

@@ -39,7 +39,9 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1",
     * known). Row numbering restarts per sheet. */
   def startSheet(name: String): Unit = {
     require(!closed, "writer is closed")
-    require(!sheetNames.contains(name), s"duplicate sheet name '$name'")
+    // Excel compares sheet names case-insensitively
+    require(!sheetNames.exists(_.equalsIgnoreCase(name)),
+      s"duplicate sheet name '$name'")
     endSheetStream()
     sheetNames += name
     startSheetStream()

@@ -223,6 +223,82 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noHeader.count() == 81L) // 80 data rows + the header line
   }
 
+  test("invalid sheet names fail the write with a clear message") {
+    import spark.implicits._
+    val dir = tmpDir()
+    def routedWrite(values: Seq[String]): Unit =
+      values.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "region")
+        .coalesce(1).write.format("excel").option("sheetColumn", "region")
+        .mode("overwrite").save(new File(dir, "bad.xlsx").getAbsolutePath)
+
+    // data-dependent: empty, over-long, forbidden char, apostrophe edge
+    for (bad <- Seq("", "x" * 32, "a/b", "q[1]", "'quoted'")) {
+      val e = intercept[Exception] { routedWrite(Seq("ok", bad)) }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("Invalid Excel sheet name")),
+        s"value '$bad' → ${msgs(e)}")
+    }
+
+    // fixed name via option fails at planning, before any task runs
+    val e = intercept[Exception] {
+      Seq((1, "a")).toDF("id", "v").write.format("excel")
+        .option("sheetName", "bad:name")
+        .mode("overwrite").save(new File(dir, "opt.xlsx").getAbsolutePath)
+    }
+    assert(e.getMessage.contains("Invalid Excel sheet name"), e.getMessage)
+  }
+
+  test("case-insensitively colliding routing values are rejected") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // same task sees both → fails at the offending row
+    val e = intercept[Exception] {
+      Seq((1, "East"), (2, "east")).toDF("id", "region")
+        .coalesce(1).write.format("excel").option("sheetColumn", "region")
+        .mode("overwrite").save(new File(dir, "c1.xlsx").getAbsolutePath)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("case-insensitively")), msgs(e).toString)
+
+    // different tasks see them → the driver merge catches the collision
+    val e2 = intercept[Exception] {
+      Seq((1, "East"), (2, "east")).toDF("id", "region")
+        .repartition(2, org.apache.spark.sql.functions.col("id"))
+        .write.format("excel")
+        .option("sheetColumn", "region")
+        .mode("overwrite").save(new File(dir, "c2.xlsx").getAbsolutePath)
+    }
+    assert(msgs(e2).exists(_.contains("case-insensitively")), msgs(e2).toString)
+  }
+
+  test("routed writers are capped; evicted sheets keep rows and order") {
+    import spark.implicits._
+    // 6 routing values interleaved twice through a cap of 2: every value is
+    // evicted and reopened at least once, so each sheet has 2 temp segments
+    val rows = (0 until 2).flatMap(rep =>
+      (0 until 6).map(s => (rep * 6 + s, s"sheet$s")))
+    val out = new File(tmpDir(), "capped.xlsx")
+    rows.toDF("id", "region").coalesce(1)
+      .sortWithinPartitions("id") // deterministic emission order
+      .write.format("excel").option("sheetColumn", "region")
+      .option("maxOpenSheetWriters", "2")
+      .mode("overwrite").save(out.getAbsolutePath)
+
+    val back = spark.read.format("excel")
+      .option("sheetName", "*").load(out.getAbsolutePath)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(back.length == 12)
+    // all rows present under their routing value
+    assert(back.toSet == rows.map { case (i, s) => (i, s) }.toSet)
+    // within each sheet, segment concatenation preserved row order
+    back.groupBy(_._2).foreach { case (s, rs) =>
+      val ids = rs.map(_._1).toSeq
+      assert(ids == ids.sorted, s"sheet $s rows out of order: $ids")
+    }
+  }
+
   test("dot/underscore-prefixed files are invisible to directory listings") {
     val dir = tmpDir()
     val mk = (name: String) => {
