@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
@@ -45,13 +45,125 @@ object Multimodal {
     (width, height, channels, nFrames, features)
   }
 
+  // ------------------------------------------------- real header parsing
+  // JDK-only container-header parsers. These read REAL metadata (the part
+  // of "decoding" that needs no codec library); only pixel/sample decoding
+  // remains stubbed. Each returns None on any structural mismatch so
+  // unrecognized bytes fall back to the stub.
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG IHDR: (width, height, channels). The IHDR chunk is required to be
+    * first (PNG spec §11.2.2), at byte 16 after the 8-byte signature and
+    * 8-byte chunk header; channels derive from the color type. */
+  def parsePngHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 26) return None
+    if (!b.startsWith(PngSignature)) return None
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0) return None
+    val channels = b(25) match { // color type
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette
+      case 4 => 2 // gray+alpha
+      case 6 => 4 // truecolor+alpha
+      case _ => return None
+    }
+    Some((w, h, channels))
+  }
+
+  /** JPEG SOF0/SOF2: walk marker segments from SOI to the first
+    * start-of-frame; (width, height, components). */
+  def parseJpegHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None // SOI
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // lost marker sync
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone markers carry no length
+      } else if (marker == 0xda || marker == 0xd9) {
+        return None // entropy-coded data / EOI before any SOF
+      } else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        // SOF0 (baseline) or SOF2 (progressive): precision(1) height(2)
+        // width(2) ncomponents(1)
+        if (marker == 0xc0 || marker == 0xc2) {
+          if (len < 8) return None
+          val h = be16(b, i + 5); val w = be16(b, i + 7)
+          val comps = b(i + 9) & 0xff
+          if (w <= 0 || h <= 0 || comps <= 0) return None
+          return Some((w, h, comps))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** WAV RIFF `fmt ` chunk: (sampleRate, bitsPerSample, channels). */
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    while (i + 8 <= b.length) { // chunk walk: id(4) size(4 LE) payload
+      val size = le32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        val channels = le16(b, i + 10)
+        val sampleRate = le32(b, i + 12)
+        val bits = le16(b, i + 22)
+        if (channels <= 0 || sampleRate <= 0 || bits <= 0) return None
+        return Some((sampleRate, bits, channels))
+      }
+      if (size < 0) return None
+      i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** Decode dispatch: sniff the container by magic bytes and parse the REAL
+    * header when one is present; anything unrecognized falls back to
+    * [[decodeStub]]. Mapping into the uniform record: images report pixel
+    * (width, height, channels); WAV audio reports (sampleRate,
+    * bitsPerSample, channels) in the (width, height, channels) slots — the
+    * natural per-modality "dimensions" — with n_frames 1 (frame counting
+    * needs a full container walk, still stubbed for video). Features stay
+    * stubbed in all cases (no codec libraries in this environment). */
+  def decodeMedia(payload: Array[Byte], modality: String): (Int, Int, Int, Int, Array[Float]) = {
+    val stub = decodeStub(payload, modality)
+    val parsed = parsePngHeader(payload)
+      .orElse(parseJpegHeader(payload))
+      .orElse(parseWavHeader(payload))
+    parsed match {
+      case Some((a, b, c)) => (a, b, c, 1, stub._5)
+      case None => stub
+    }
+  }
+
   /** Batched per-partition decode — the `mapInPandas` analogue. */
   def decodeBatch(records: Iterator[MediaRecord]): Iterator[DecodedRecord] =
     records.map { r =>
       // null payload decodes as empty bytes: metadata keeps the stub's
       // floors (width>=16 etc), mirrored by COALESCE in the m01 oracle
       val payload = if (r.payload == null) Array.empty[Byte] else r.payload
-      val (w, h, c, f, feat) = decodeStub(payload, r.modality)
+      val (w, h, c, f, feat) = decodeMedia(payload, r.modality)
       DecodedRecord(r.doc_id, r.modality, payload.length.toLong, w, h, c, f, feat)
     }
 
@@ -87,7 +199,7 @@ object Multimodal {
         if (r.modality != "video") Iterator.empty
         else {
           val payload = if (r.payload == null) Array.empty[Byte] else r.payload
-          val (_, _, _, nFrames, _) = decodeStub(payload, r.modality)
+          val (_, _, _, nFrames, _) = decodeMedia(payload, r.modality)
           (0 until nFrames by stride).iterator
             .map(i => FrameRef(r.doc_id, i, nFrames))
         }
@@ -122,19 +234,57 @@ object Multimodal {
         if (r.modality != "image") Iterator.empty
         else {
           val payload = if (r.payload == null) Array.empty[Byte] else r.payload
-          val (w, h, _, _, _) = decodeStub(payload, r.modality)
+          val (w, h, _, _, _) = decodeMedia(payload, r.modality)
           val (ow, oh) = fitDims(w, h, targetW, targetH)
           Iterator.single(ResizedRecord(r.doc_id, w, h, ow, oh))
         }
       })
   }
 
-  /** Deterministic fake corpus: documents' text bytes as payloads with a
-    * modality derived from doc_id — exercises the full path on testdata. */
-  def fakeMediaFrame(documents: DataFrame): DataFrame =
+  /** Deterministic fake corpus with REAL container headers: image rows get
+    * a genuine PNG signature + IHDR (width 16 + doc_id % 624, height
+    * 16 + doc_id % 464, truecolor), audio rows a genuine RIFF/WAVE `fmt `
+    * chunk (sample rate 8000·(1 + doc_id % 5), 16-bit,
+    * 1 + doc_id % 2 channels), each followed by the document's text bytes
+    * as fake pixel/sample data; video rows stay raw text bytes so the stub
+    * fallback path is exercised too. [[decodeMedia]] must parse the planted
+    * headers back out — which is what the m01/m03 oracles verify. */
+  def fakeMediaFrame(documents: DataFrame): DataFrame = {
+    def bytes(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+    def byteHex(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+    def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+    def le16(c: Column): Column =
+      unhex(concat(byteHex(c), byteHex(shiftright(c, 8))))
+    def le32(c: Column): Column =
+      unhex(concat(byteHex(c), byteHex(shiftright(c, 8)),
+        byteHex(shiftright(c, 16)), byteHex(shiftright(c, 24))))
+
+    val id = col("doc_id")
+    val body = coalesce(col("text"), lit("")).cast("binary")
+    val imgW = lit(16) + pmod(id, lit(624))
+    val imgH = lit(16) + pmod(id, lit(464))
+    // PNG: signature, IHDR length 13, "IHDR", w, h, bit depth 8, color
+    // type 2 (truecolor), compression/filter/interlace 0, CRC (unchecked)
+    val png = concat(
+      bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13, 0x49, 0x48, 0x44, 0x52),
+      be32(imgW), be32(imgH), bytes(8, 2, 0, 0, 0, 0, 0, 0, 0), body)
+    val rate = (lit(1) + pmod(id, lit(5))) * lit(8000)
+    val chans = lit(1) + pmod(id, lit(2))
+    // WAV: "RIFF" + size + "WAVE", canonical 16-byte PCM `fmt ` chunk
+    val wav = concat(
+      bytes(0x52, 0x49, 0x46, 0x46, 36, 0, 0, 0, 0x57, 0x41, 0x56, 0x45,
+        0x66, 0x6d, 0x74, 0x20, 16, 0, 0, 0, 1, 0),
+      le16(chans), le32(rate), le32(rate * chans * lit(2)),
+      le16(chans * lit(2)), le16(lit(16)), body)
+
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(id, lit(3)) + 1).cast("int"))
     documents.select(
       col("doc_id"),
-      col("text").cast("binary").as("payload"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"))
+      when(modality === "image", png)
+        .when(modality === "audio", wav)
+        .otherwise(body).as("payload"),
+      modality.as("modality"))
+  }
 }

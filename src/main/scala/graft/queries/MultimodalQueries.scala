@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** Multimodal-plumbing query: documents' bytes as fake payloads through the
-  * batched per-partition decode stub ([[Multimodal.decodeBatch]]). The
-  * decode is a deterministic STUB (no codecs in this container) whose
-  * arithmetic is mirrored in the oracle, so the whole binary→metadata
-  * pipeline is hash-checked even though the codec is fake. */
+/** Multimodal queries: a fake media corpus carrying REAL container headers
+  * (PNG IHDR for images, RIFF/WAVE `fmt ` for audio — planted by
+  * [[Multimodal.fakeMediaFrame]] with dimensions derived from doc_id)
+  * through the batched per-partition decode ([[Multimodal.decodeBatch]]).
+  * The decoder must parse the planted headers back out, so the oracles
+  * verify genuine byte-level header parsing for image/audio; video rows
+  * carry no header and pin the deterministic stub fallback. Pixel/sample
+  * decoding itself stays stubbed (no codecs in this container). */
 object MultimodalQueries {
 
   def m01DecodeMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -25,6 +28,9 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Image/audio rows: header fields the decoder must parse back out of
+    * the planted PNG (33-byte prefix) / WAV (36-byte prefix) headers.
+    * Video rows: the stub fallback over the raw text bytes. */
   val m01Sql: String =
     """WITH base AS (
       |  SELECT doc_id,
@@ -32,10 +38,17 @@ object MultimodalQueries {
       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
       |  FROM documents)
       |SELECT doc_id, modality,
-      |  n::BIGINT AS n_bytes,
-      |  (16 + n % 624)::BIGINT AS width,
-      |  (16 + n % 464)::BIGINT AS height,
-      |  (CASE WHEN modality = 'audio' THEN 1 ELSE 3 END)::BIGINT AS channels,
+      |  (CASE modality WHEN 'image' THEN n + 33 WHEN 'audio' THEN n + 36
+      |        ELSE n END)::BIGINT AS n_bytes,
+      |  (CASE modality WHEN 'image' THEN 16 + doc_id % 624
+      |        WHEN 'audio' THEN 8000 * (1 + doc_id % 5)
+      |        ELSE 16 + n % 624 END)::BIGINT AS width,
+      |  (CASE modality WHEN 'image' THEN 16 + doc_id % 464
+      |        WHEN 'audio' THEN 16
+      |        ELSE 16 + n % 464 END)::BIGINT AS height,
+      |  (CASE modality WHEN 'image' THEN 3
+      |        WHEN 'audio' THEN 1 + doc_id % 2
+      |        ELSE 3 END)::BIGINT AS channels,
       |  (CASE WHEN modality = 'video' THEN 1 + n % 29 ELSE 1 END)::BIGINT AS n_frames
       |FROM base ORDER BY doc_id""".stripMargin
 
@@ -66,8 +79,9 @@ object MultimodalQueries {
       |FROM v ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- m03
-  /** Resize-to-fit 224x224 for fake images: aspect-preserving integer
-    * arithmetic (truncating division) mirrored exactly by the oracle. */
+  /** Resize-to-fit 224x224: source dimensions are PARSED from each planted
+    * PNG IHDR; the aspect-preserving fit is pure integer arithmetic
+    * (truncating division) mirrored exactly by the oracle. */
   def m03Resize(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     Multimodal.resizeImages(
@@ -85,8 +99,8 @@ object MultimodalQueries {
   val m03Sql: String =
     """WITH img AS (
       |  SELECT doc_id,
-      |    16 + COALESCE(STRLEN(text), 0) % 624 AS w,
-      |    16 + COALESCE(STRLEN(text), 0) % 464 AS h
+      |    16 + doc_id % 624 AS w,
+      |    16 + doc_id % 464 AS h
       |  FROM documents WHERE doc_id % 3 = 0)
       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
       |  (CASE WHEN w <= 224 AND h <= 224 THEN w

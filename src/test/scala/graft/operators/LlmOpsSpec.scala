@@ -216,6 +216,64 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again(1L) == out(1L).features.toSeq)
   }
 
+  test("container header parsers read real PNG/JPEG/WAV metadata") {
+    // PNG: signature + IHDR, 640x480 truecolor+alpha
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0,
+      0xde, 0xad, 0xbe, 0xef).map(_.toByte)
+    assert(Multimodal.parsePngHeader(png).contains((640, 480, 4)))
+
+    // JPEG: SOI, APP0 (skipped), SOF0 120x200, 3 components
+    val jpeg = Array(0xff, 0xd8,
+      0xff, 0xe0, 0, 4, 0x4a, 0x46, // APP0, len 4
+      0xff, 0xc0, 0, 11, 8, 0, 120, 0, 200, 3, 1, 0x11, 0).map(_.toByte)
+    assert(Multimodal.parseJpegHeader(jpeg).contains((200, 120, 3)))
+
+    // WAV: RIFF/WAVE with an extra chunk before fmt (chunk walk)
+    val wav = (Array[Int]('R', 'I', 'F', 'F', 100, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'J', 'U', 'N', 'K', 2, 0, 0, 0, 9, 9, // junk chunk, word-aligned size 2
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 2, 0) ++
+      Array[Int](0x44, 0xac, 0, 0) ++ // 44100 LE
+      Array[Int](0x10, 0xb1, 0x02, 0, 4, 0, 16, 0)).map(_.toByte)
+    assert(Multimodal.parseWavHeader(wav).contains((44100, 16, 2)))
+
+    // unrecognized bytes fall back to the stub
+    val junk = "just some text".getBytes("UTF-8")
+    assert(Multimodal.parsePngHeader(junk).isEmpty)
+    assert(Multimodal.parseJpegHeader(junk).isEmpty)
+    assert(Multimodal.parseWavHeader(junk).isEmpty)
+    val (w, h, c, f, _) = Multimodal.decodeMedia(junk, "video")
+    assert((w, h, c, f) == (16 + junk.length % 624, 16 + junk.length % 464,
+      3, 1 + junk.length % 29))
+    // truncated headers must not crash, just fall back
+    for (k <- 0 to png.length) assert(
+      Multimodal.decodeMedia(png.take(k), "image") != null)
+    for (k <- 0 to jpeg.length if k < 12)
+      assert(Multimodal.parseJpegHeader(jpeg.take(k)).isEmpty)
+    for (k <- 0 to wav.length) assert(
+      Multimodal.decodeMedia(wav.take(k), "audio") != null)
+  }
+
+  test("fake media frame plants parseable headers") {
+    import spark.implicits._
+    val docs = Seq((0L, "pix"), (1L, "aud"), (2L, "vid"), (600L, "x"))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.withDecodedMeta(
+      Multimodal.fakeMediaFrame(docs), "doc_id", "payload", "modality")
+      .collect().map(r => r.doc_id -> r).toMap
+    // doc 0: PNG 16x16 truecolor, n_bytes = 3 + 33
+    assert(rows(0L).width == 16 && rows(0L).height == 16)
+    assert(rows(0L).channels == 3 && rows(0L).n_bytes == 36)
+    // doc 600: PNG (16 + 600) x (16 + 600 % 464 = 152)
+    assert(rows(600L).width == 616 && rows(600L).height == 152)
+    // doc 1: WAV 16000 Hz (1 + 1 % 5 = 2), 16-bit, 2 channels
+    assert(rows(1L).width == 16000 && rows(1L).height == 16)
+    assert(rows(1L).channels == 2 && rows(1L).n_bytes == 3 + 36)
+    // doc 2: video = raw bytes, stub arithmetic
+    assert(rows(2L).n_bytes == 3 && rows(2L).n_frames == 1 + 3 % 29)
+  }
+
   test("language id picks profile languages deterministically") {
     import spark.implicits._
     val df = Seq(
