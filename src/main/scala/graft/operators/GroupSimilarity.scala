@@ -107,8 +107,7 @@ object GroupSimilarity {
       val r = sigs.select(col("grp").as("grp_b"), col("gsig").as("sig_b"))
       l.crossJoin(r).filter(col("grp_a") < col("grp_b"))
         .select(col("grp_a"), col("grp_b"),
-          round(estimatedJaccard(col("sig_a"), col("sig_b")), 6)
-            .as("est_jaccard"))
+          estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
     } else {
       // banded equi-join: identical candidate generation to
       // Dedup.minhashLshPairs, but over G unioned sketches instead of N
@@ -129,8 +128,7 @@ object GroupSimilarity {
         .join(sigs.select(col("grp").as("grp_a"), col("gsig").as("sig_a")), "grp_a")
         .join(sigs.select(col("grp").as("grp_b"), col("gsig").as("sig_b")), "grp_b")
         .select(col("grp_a"), col("grp_b"),
-          round(estimatedJaccard(col("sig_a"), col("sig_b")), 6)
-            .as("est_jaccard"))
+          estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
     }
   }
 }

@@ -150,12 +150,65 @@ object DedupQueries {
   // ---------------------------------------------------------------- d06
   /** Corpus-vs-corpus overlap: per-`lang` MinHash-union signatures (custom
     * typed Aggregator with map-side combine) → pairwise estimated Jaccard.
-    * Sketch estimate ⇒ no SQL oracle; LlmOpsSpec pins estimate-vs-exact
-    * accuracy on controlled data. */
+    * The sketch is deterministic integer arithmetic, so the oracle mirrors
+    * it EXACTLY in DuckDB (same technique as d03): FNV-1a64 per distinct
+    * shingle via HUGEINT fold, the 128 splitmix64-mixed permutations
+    * (64-bit multiplies done as 32×32 split products to stay inside
+    * HUGEINT), per-(lang, j) signed MIN, then agreement fraction per lang
+    * pair. est_jaccard is k/128 — exact in binary, so full-precision
+    * compare is safe with no rounding on either side. ASCII corpus
+    * assumption as d03/t06 (unicode(c) vs UTF-8 bytes). */
   def d06GroupSimilarity(spark: SparkSession, dir: String): DataFrame =
     graft.operators.GroupSimilarity
       .groupPairSimilarity(docs(spark, dir), "lang", "text")
       .orderBy("grp_a", "grp_b")
+
+  val d06Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |sh AS (
+      |  SELECT lang,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
+      |base AS (
+      |  SELECT DISTINCT lang, UNNEST(LIST_TRANSFORM(s, sg -> list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(sg, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT))) AS b
+      |  FROM sh),
+      |seeds AS (
+      |  SELECT j, ((j + 1)::HUGEINT * 11400714819323198485::HUGEINT)
+      |           % 18446744073709551616::HUGEINT AS seed
+      |  FROM (SELECT UNNEST(RANGE(0, 128)) AS j)),
+      |m0 AS (SELECT lang, j, xor(b, seed) AS z FROM base CROSS JOIN seeds),
+      |m1 AS (SELECT lang, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m0),
+      |m2 AS (SELECT lang, j,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT lang, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT lang, j,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT lang, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m4),
+      |gsig AS (
+      |  SELECT lang, j, MIN(CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+      |      THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT)) AS sig
+      |  FROM m5 GROUP BY lang, j)
+      |SELECT a.lang AS grp_a, b.lang AS grp_b,
+      |  SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)::DOUBLE / 128.0 AS est_jaccard
+      |FROM gsig a JOIN gsig b ON a.j = b.j AND a.lang < b.lang
+      |GROUP BY 1, 2 ORDER BY grp_a, grp_b""".stripMargin
 
   // ---------------------------------------------------------------- d07
   /** Substring/containment dedup: C(A,B) = |A∩B| / min(|A|,|B|) over
@@ -212,7 +265,7 @@ object DedupQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
-    "d06_group_similarity" -> (d06GroupSimilarity _, null),
+    "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),
     "d02_minhash_lsh" -> (d02MinhashLsh _, d02Sql),
     "d03_simhash" -> (d03Simhash _, d03Sql),
     "d04_ngram_jaccard" -> (d04NgramJaccard _, d04Sql),
