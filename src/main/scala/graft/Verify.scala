@@ -15,6 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The d03/t06/d06 oracles mirror FNV-1a64 in DuckDB by folding
+    // unicode(c) codepoints, while the Scala side folds UTF-8 bytes, and
+    // DuckDB LOWER differs from java toLowerCase outside ASCII — the
+    // mirrors are only valid on a pure-ASCII corpus. Enforce that here so
+    // a future corpus change fails loudly instead of producing a bogus
+    // oracle result.
+    locally {
+      import org.apache.spark.sql.functions._
+      val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull && col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      require(nonAscii == 0,
+        s"documents.text has $nonAscii non-ASCII rows; the DuckDB FNV " +
+          "oracle mirrors (d03/t06/d06) assume a pure-ASCII corpus — " +
+          "switch their folds to UTF-8 bytes before accepting such data")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

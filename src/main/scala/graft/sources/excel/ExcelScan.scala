@@ -344,8 +344,18 @@ object ExcelSplitPlanner {
       val futures = files.map { f =>
         scala.concurrent.Future(probe(f, conf)(rd => body(f, rd)))
       }
-      futures.flatMap(fu =>
-        scala.concurrent.Await.result(fu, scala.concurrent.duration.Duration.Inf))
+      try
+        futures.flatMap(fu =>
+          scala.concurrent.Await.result(fu, scala.concurrent.duration.Duration.Inf))
+      catch {
+        case e: Throwable =>
+          // first failure aborts planning: interrupt in-flight probes and
+          // drop queued ones instead of letting them run (and fail) into a
+          // dead plan; their own errors are suppressed deliberately —
+          // the first one is what the user needs to see
+          pool.shutdownNow()
+          throw e
+      }
     } finally pool.shutdown()
   }
 
@@ -391,8 +401,14 @@ object ExcelSplitPlanner {
     val dataStart = if (opts.header) 2 else 1
     val dataRows = math.max(0, lastRow - dataStart + 1)
     val wanted = math.max(1, math.ceil(dataRows.toDouble / maxRows).toInt)
-    val n = math.min(wanted, opts.maxSplitsPerFile)
-    val perSplit = math.max(maxRows, math.ceil(dataRows.toDouble / n).toInt)
+    val capped = math.min(wanted, opts.maxSplitsPerFile)
+    val perSplit = math.max(maxRows, math.ceil(dataRows.toDouble / capped).toInt)
+    // the cap can grow perSplit past maxRows, covering the sheet in fewer
+    // splits than `capped`; recompute so no split starts past the probed
+    // last row — an empty trailing split still re-parses rows 1..start,
+    // the exact quadratic the cap exists to bound
+    val n = math.min(capped,
+      math.max(1, math.ceil(dataRows.toDouble / perSplit).toInt))
     (0 until n).map { i =>
       val start = dataStart + i.toLong * perSplit
       val end = if (i == n - 1) Int.MaxValue else start + perSplit

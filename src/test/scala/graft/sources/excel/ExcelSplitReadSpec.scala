@@ -135,11 +135,13 @@ class ExcelSplitReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.rdd.getNumPartitions == 8)
     assert(df.count() == 1000)
     assert(df.agg(sum(col("id"))).collect().head.getLong(0) == 1000L * 1001 / 2)
-    // default cap (64) also binds
+    // default cap (64) also binds: perSplit grows to ceil(1000/64) = 16,
+    // which covers the sheet in ceil(1000/16) = 63 splits — the split
+    // count is recomputed so no empty trailing split is planned
     val dfDefault = spark.read.format("excel").schema(idName)
       .option("maxRowsPerPartition", "2")
       .load(f.getAbsolutePath)
-    assert(dfDefault.rdd.getNumPartitions == 64)
+    assert(dfDefault.rdd.getNumPartitions == 63)
     assert(dfDefault.count() == 1000)
   }
 
