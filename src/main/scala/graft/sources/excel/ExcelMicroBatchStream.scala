@@ -93,7 +93,16 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
         // same rule, so expiry can never cause a re-read
         val wm = (so.watermark +: listing.map(_._2)).max
         val cutoff = wm - ret
-        val keptSeen = so.entries.filter(_._2 >= cutoff)
+        // refresh kept entries from the current listing (max of stored and
+        // listed mtime): a file overwritten IN PLACE after ingestion lists
+        // with a newer mtime — with only the stored ingestion-time mtime it
+        // would expire while still visible and fresh, and the next batch
+        // would re-admit (duplicate-read) it
+        val listedTimes = listing.toMap
+        val keptSeen = so.entries
+          .map { case (n, t) =>
+            n -> math.max(t, listedTimes.getOrElse(n, Long.MinValue)) }
+          .filter(_._2 >= cutoff)
         val seenSet = so.names.toSet // full pre-expiry set: skip by NAME
         val admitted = admit(listing.filter { case (n, t) =>
           t >= cutoff && !seenSet(n)

@@ -27,7 +27,17 @@ object StreamingDedup {
   /** @param keyCol      fingerprint column (any type; compared as string)
     * @param tiebreakCol LongType column; lowest value wins within a batch
     * @param stateTtlMs  processing-time TTL for idle keys; <= 0 = keep
-    *                    state forever */
+    *                    state forever
+    *
+    * @note CHECKPOINT COMPATIBILITY: the state schema (one Boolean per
+    *       key) and the key encoding ("k"-prefixed strings, the NUL sentinel for
+    *       null) are part of a running query's checkpoint contract.
+    *       Changing either — or toggling `stateTtlMs` across the
+    *       zero/positive boundary, which switches the
+    *       `GroupStateTimeout` mode — is NOT compatible with restarting
+    *       from an existing checkpoint; Spark will fail the restart (or,
+    *       for the key encoding, silently treat old keys as unseen).
+    *       Start a new checkpoint when changing any of them. */
   def firstOccurrence(df: DataFrame, keyCol: String, tiebreakCol: String,
       stateTtlMs: Long = -1L): DataFrame = {
     val schema = df.schema

@@ -212,4 +212,41 @@ class ExcelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // round-trip through the checkpoint wire format preserves everything
     assert(stream.deserializeOffset(end2.json()) == end2)
   }
+
+  test("overwriting an ingested file within retention never re-reads it") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.range(1).count()
+    val dir = Files.createTempDirectory("graft-retention-ow").toFile
+    writeFile(dir, "a.xlsx", Seq(1 -> "one"))
+    assert(new File(dir, "a.xlsx").setLastModified(1000000L))
+    val opts = ExcelOptions.fromMap(Map(
+      "path" -> dir.getAbsolutePath, "maxFileAgeMs" -> "500000"))
+    val stream = new ExcelMicroBatchStream(idName, idName, opts, "/tmp/ckpt-ow")
+    val start = stream.initialOffset().asInstanceOf[ExcelStreamOffset]
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[ExcelStreamOffset]
+    assert(stream.planInputPartitions(start, end).length == 1) // a ingested
+
+    // overwrite a in place (newer mtime, still inside the window) and land
+    // b far enough ahead that a's ORIGINAL mtime falls past the cutoff:
+    // the kept entry must refresh to the listed mtime, not expire
+    writeFile(dir, "a.xlsx", Seq(9 -> "nine"))
+    assert(new File(dir, "a.xlsx").setLastModified(1400000L))
+    writeFile(dir, "b.xlsx", Seq(2 -> "two"))
+    assert(new File(dir, "b.xlsx").setLastModified(1600000L))
+    val end2 = stream.latestOffset(end, ReadLimit.allAvailable())
+      .asInstanceOf[ExcelStreamOffset]
+    assert(stream.planInputPartitions(end, end2).length == 1, "only b is new")
+    assert(end2.names.count(_.endsWith("a.xlsx")) == 1,
+      s"a must stay in the offset with a refreshed mtime: ${end2.entries}")
+
+    // advance the watermark again: a still must not be re-planned
+    writeFile(dir, "c.xlsx", Seq(3 -> "three"))
+    assert(new File(dir, "c.xlsx").setLastModified(1800000L))
+    val end3 = stream.latestOffset(end2, ReadLimit.allAvailable())
+      .asInstanceOf[ExcelStreamOffset]
+    assert(stream.planInputPartitions(end2, end3).length == 1,
+      s"only c should be planned: ${end3.names}")
+    assert(end3.names.count(_.endsWith("a.xlsx")) == 1, end3.names.toString)
+  }
 }
