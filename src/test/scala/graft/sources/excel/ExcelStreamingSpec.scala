@@ -213,6 +213,27 @@ class ExcelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.deserializeOffset(end2.json()) == end2)
   }
 
+  test("streaming sink writers are the batch writer class (no forked path)") {
+    // the streaming factory must delegate to the SAME per-task writer the
+    // batch factory builds — if the two paths ever fork, writer fixes
+    // (validation, buffering, temp-file hygiene) silently apply to one
+    // side only
+    import org.apache.spark.util.SerializableConfiguration
+    val dir = Files.createTempDirectory("graft-writer-reuse").toFile
+    val opts = ExcelOptions.fromMap(Map("path" -> dir.getAbsolutePath))
+    val conf = new SerializableConfiguration(
+      new org.apache.hadoop.conf.Configuration())
+    val batch = ExcelDataWriterFactory(idName, opts,
+      new File(dir, "b").getAbsolutePath, conf).createWriter(0, 0L)
+    val streaming = ExcelStreamingWriterFactory(idName, opts, conf)
+      .createWriter(0, 0L, epochId = 1L)
+    try {
+      assert(batch.getClass == classOf[ExcelDataWriter])
+      assert(streaming.getClass == classOf[ExcelDataWriter],
+        s"streaming sink forked to ${streaming.getClass}")
+    } finally { batch.abort(); streaming.abort() }
+  }
+
   test("overwriting an ingested file within retention never re-reads it") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     spark.range(1).count()
