@@ -52,6 +52,34 @@ object ConnectorQueries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Columnar connector path (SURVEY §2.1 row 2): part pushed through a
+    * sharded write and read back on the `enableArrow=true` fast path —
+    * cells decode straight into OnHeapColumnVectors / ColumnarBatches,
+    * composed with row-range splits, hash-checked against the source
+    * table. Converts the columnar scan from spec-only to oracle-checked. */
+  def excelArrowRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice"))
+    val out = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_arrow_${math.abs(dir.hashCode)}").getAbsolutePath
+    part.repartition(2).write.format("excel")
+      .option("shardedOutput", "true")
+      .mode("overwrite").save(out)
+    spark.read.format("excel").schema(part.schema)
+      .option("enableArrow", "true")
+      .option("maxRowsPerPartition", "500")
+      .load(out)
+      .orderBy(col("p_partkey"))
+  }
+
+  val excelArrowRoundtripSql: String =
+    """SELECT p_partkey, p_name, p_size, p_retailprice
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   /** Streaming connector path, end-to-end: supplier staged as a directory
     * of workbooks → `readStream.format("excel")` (micro-batch discovery,
     * replayable offsets — SURVEY §2.1 rows 5-8) → a stateless transform →
@@ -103,6 +131,7 @@ object ConnectorQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),
     "excel_sharded_roundtrip" -> (excelShardedRoundtrip _, excelShardedRoundtripSql),
+    "excel_arrow_roundtrip" -> (excelArrowRoundtrip _, excelArrowRoundtripSql),
     "excel_stream_roundtrip" -> (excelStreamRoundtrip _, excelStreamRoundtripSql),
   )
 }
