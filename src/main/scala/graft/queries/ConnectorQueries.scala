@@ -128,10 +128,68 @@ object ConnectorQueries {
       |FROM supplier
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Streaming windowed aggregation, oracle-checked (SURVEY §2.2 streaming
+    * row): a deterministic sample of orders staged as excel shards →
+    * `readStream` → event-time watermark → 30-day tumbling window
+    * count/sum (exact DECIMAL sum, then cast — double sum order is
+    * partition-dependent) → memory sink in complete mode under
+    * AvailableNow. Complete mode makes the final table a pure function of
+    * the input (the watermark operator runs but does not gate emission —
+    * append/update semantics are pinned in ExcelStreamWindowSpec). Window
+    * origin is the epoch, mirrored in SQL as 30-day integer buckets. */
+  def excelStreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(37)) === 0)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_totalprice"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_window_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    orders.repartition(2).write.format("excel")
+      .option("shardedOutput", "true")
+      .mode("overwrite").save(in.getAbsolutePath)
+    val qname = s"excel_stream_window_${math.abs(dir.hashCode)}"
+    val q = spark.readStream.format("excel").schema(orders.schema)
+      .load(in.getAbsolutePath)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "30 days"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+      .select(col("window.start").cast("date").as("window_start"),
+        col("n_orders"), col("total"))
+      .orderBy("window_start")
+  }
+
+  val excelStreamWindowSql: String =
+    """SELECT DATE '1970-01-01'
+      |         + ((date_diff('day', DATE '1970-01-01', o_orderdate) // 30)
+      |            * 30)::INTEGER AS window_start,
+      |       COUNT(*) AS n_orders,
+      |       (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total
+      |FROM orders WHERE o_orderkey % 37 = 0
+      |GROUP BY 1 ORDER BY window_start""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),
     "excel_sharded_roundtrip" -> (excelShardedRoundtrip _, excelShardedRoundtripSql),
     "excel_arrow_roundtrip" -> (excelArrowRoundtrip _, excelArrowRoundtripSql),
     "excel_stream_roundtrip" -> (excelStreamRoundtrip _, excelStreamRoundtripSql),
+    "excel_stream_window" -> (excelStreamWindow _, excelStreamWindowSql),
   )
 }
