@@ -263,6 +263,60 @@ object DedupQueries {
       |WHERE common::DOUBLE / LEAST(sza, szb)::DOUBLE >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- d08
+  /** STREAMING first-occurrence dedup, oracle-checked. Two excel batches
+    * staged in controlled discovery order (listing is name-sorted;
+    * maxFilesPerTrigger=1 → one file per micro-batch): batch a = docs with
+    * doc_id % 3 = 0, batch b = ALL docs plus an exact copy of every 10th
+    * doc under id + 10⁶. The fnv1a64-keyed stateful dedup must suppress
+    * batch-b re-occurrences of batch-a keys (cross-batch state) and
+    * resolve within-batch dups to the min doc_id (tiebreak), so the
+    * output is exactly the original corpus — every planted copy dropped —
+    * which is what the oracle states. Corpus texts are distinct (d01
+    * pins 500 groups for 500 docs), making the winner set exact. */
+  def d08StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import java.io.File
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_dedup_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    val batch1 = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val copies = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val batch2 = d.unionByName(copies)
+    batch1.coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    batch2.coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"d08_stream_dedup_${math.abs(dir.hashCode)}"
+    val q = spark.readStream.format("excel").schema(d.schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(in.getAbsolutePath)
+      .withColumn("fp", graft.functions.TextExpressions.fnv1a64(col("text")))
+      .transform(df =>
+        graft.streaming.StreamingDedup.firstOccurrence(df, "fp", "doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val d08Sql: String =
+    """SELECT doc_id, MD5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),
@@ -271,5 +325,6 @@ object DedupQueries {
     "d04_ngram_jaccard" -> (d04NgramJaccard _, d04Sql),
     "d05_embedding_neardup" -> (d05EmbeddingNearDup _, null),
     "d07_containment" -> (d07Containment _, d07Sql),
+    "d08_streaming_dedup" -> (d08StreamingDedup _, d08Sql),
   )
 }
