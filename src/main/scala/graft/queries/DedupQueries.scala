@@ -270,10 +270,14 @@ object DedupQueries {
     * doc_id % 3 = 0, batch b = ALL docs plus an exact copy of every 10th
     * doc under id + 10⁶. The fnv1a64-keyed stateful dedup must suppress
     * batch-b re-occurrences of batch-a keys (cross-batch state) and
-    * resolve within-batch dups to the min doc_id (tiebreak), so the
-    * output is exactly the original corpus — every planted copy dropped —
-    * which is what the oracle states. Corpus texts are distinct (d01
-    * pins 500 groups for 500 docs), making the winner set exact. */
+    * resolve within-batch dups to the min doc_id (tiebreak). The winner
+    * per distinct text is therefore: the min batch-a doc if the text
+    * occurs in batch a, else the min doc overall — exactly the
+    * ROW_NUMBER window in the oracle (the larger corpora DO contain
+    * exact-dup texts whose only batch-a member is not the global min, so
+    * the oracle genuinely distinguishes first-batch-wins from global-min
+    * semantics). Planted copies can never win: they ride batch b with
+    * ids above every original. */
   def d08StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
     import java.io.File
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
@@ -314,8 +318,12 @@ object DedupQueries {
   }
 
   val d08Sql: String =
-    """SELECT doc_id, MD5(text) AS fp
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """SELECT doc_id, fp FROM (
+      |  SELECT doc_id, MD5(text) AS fp,
+      |    ROW_NUMBER() OVER (PARTITION BY MD5(text)
+      |      ORDER BY (doc_id % 3 <> 0), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
