@@ -196,6 +196,50 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus documents whose word-k-shingle
+    * containment against ANY blocklist document (eval/benchmark text)
+    * reaches `threshold` — the standard pre-training hygiene pass that
+    * keeps test sets out of training data.
+    *
+    * Score per (doc, block) pair: |shingles(doc) ∩ shingles(block)| /
+    * |shingles(doc)| — the fraction of the CORPUS document already present
+    * in the blocklist entry. Bipartite inverted-index join on the shingle
+    * key (same shape as [[ngramJaccardPairs]], but corpus×blocklist
+    * instead of self-join): both sides shuffle once on `shingle`, pair
+    * volume is bounded by shingle co-occurrence, never |corpus|×|blocklist|.
+    * The df-cap drops shingles appearing in more than `dfCap` blocklist
+    * entries (boilerplate guard — blocklists are small and curated, so a
+    * hot blocklist shingle is noise, not signal).
+    *
+    * Returns one row per flagged doc: (doc_id, max_contamination, n_hits ≥
+    * threshold). Exact arithmetic (integer counts, one IEEE division) —
+    * fully SQL-mirrorable. */
+  def contaminationFlags(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, blocklist: DataFrame, blockIdCol: String,
+      blockTextCol: String, k: Int = 3, threshold: Double = 0.5,
+      dfCap: Int = 1000): DataFrame = {
+    val cp = corpus.select(col(corpusIdCol).as("doc_id"),
+      TextExpressions.shingleExplode(col(corpusTextCol), k))
+      .repartition(col("shingle"))
+    val bp = blocklist.select(col(blockIdCol).as("block_id"),
+      TextExpressions.shingleExplode(col(blockTextCol), k))
+      .select(col("block_id"), col("shingle"))
+      .repartition(col("shingle"))
+    val rare = bp.groupBy("shingle")
+      .agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= dfCap)
+      .select("shingle")
+    val hits = cp.join(bp.join(rare, "shingle"), "shingle")
+      .groupBy("doc_id", "block_id", "sh_size")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") / col("sh_size").cast("double"))
+    hits.filter(col("containment") >= threshold)
+      .groupBy("doc_id")
+      .agg(max(col("containment")).as("max_contamination"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** Embedding cosine near-dup pairs via sign-random-projection banding:
     * `bandCount` independent `bandBits`-bit sketches; a pair is a candidate
     * if any band matches; verified with exact sequential-fold cosine. */

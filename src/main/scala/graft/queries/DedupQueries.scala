@@ -263,6 +263,67 @@ object DedupQueries {
       |WHERE common::DOUBLE / LEAST(sza, szb)::DOUBLE >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- d09
+  /** Benchmark decontamination: a planted "eval set" (first half of every
+    * 25th document — the d07 excerpt construction) is used as the
+    * blocklist; the operator must flag exactly the corpus documents whose
+    * shingle containment against some blocklist entry is ≥ 0.4 — the
+    * sources themselves (score ≈ 0.5) and their planted near-dup partners.
+    * Exact integer counts + one IEEE division ⇒ full-precision oracle, no
+    * rounding on either side. */
+  def d09Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val t = split(trim(col("text")), "\\s+")
+    val blocklist = d
+      .filter(pmod(col("doc_id"), lit(25)) === 0 && size(t) >= 6)
+      .select(col("doc_id").as("block_id"),
+        concat_ws(" ", slice(t, lit(1), (size(t) / 2).cast("int"))).as("text"))
+    Dedup.contaminationFlags(d, "doc_id", "text",
+      blocklist, "block_id", "text",
+      k = 3, threshold = 0.4, dfCap = 1000000)
+      .orderBy("doc_id")
+  }
+
+  val d09Sql: String =
+    """WITH corpus_toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |csh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM corpus_toks WHERE LEN(t) >= 1),
+      |bsrc AS (
+      |  SELECT doc_id AS block_id,
+      |         ARRAY_TO_STRING(t[1:CAST(LEN(t) // 2 AS BIGINT)], ' ') AS text
+      |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+      |        FROM documents)
+      |  WHERE doc_id % 25 = 0 AND LEN(t) >= 6),
+      |btoks AS (
+      |  SELECT block_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM bsrc),
+      |bsh AS (
+      |  SELECT block_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM btoks WHERE LEN(t) >= 1),
+      |cpost AS (SELECT doc_id, LEN(s) AS sz, UNNEST(s) AS shingle FROM csh),
+      |bpost AS (SELECT block_id, UNNEST(s) AS shingle FROM bsh),
+      |hits AS (
+      |  SELECT doc_id, block_id, sz, COUNT(*) AS common
+      |  FROM cpost JOIN bpost USING (shingle)
+      |  GROUP BY 1, 2, 3)
+      |SELECT doc_id,
+      |  MAX(common::DOUBLE / sz::DOUBLE) AS max_contamination,
+      |  COUNT(*) AS n_hits
+      |FROM hits
+      |WHERE common::DOUBLE / sz::DOUBLE >= 0.4
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d08
   /** STREAMING first-occurrence dedup, oracle-checked. Two excel batches
     * staged in controlled discovery order (listing is name-sorted;
@@ -334,5 +395,6 @@ object DedupQueries {
     "d05_embedding_neardup" -> (d05EmbeddingNearDup _, null),
     "d07_containment" -> (d07Containment _, d07Sql),
     "d08_streaming_dedup" -> (d08StreamingDedup _, d08Sql),
+    "d09_decontamination" -> (d09Decontamination _, d09Sql),
   )
 }
