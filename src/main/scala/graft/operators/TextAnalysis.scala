@@ -122,4 +122,34 @@ object TextAnalysis {
     * whose per-query compile and per-row interpreted intersects dominated. */
   def langId(text: Column): Column =
     graft.functions.TextExpressions.langId(text, stopwords.toSeq)
+
+  /** Per-document top-k keyword extraction by TF/DF weight (rank-equivalent
+    * to TF-IDF for a fixed corpus: idf = ln(N/df) is monotone decreasing in
+    * df, so ordering by tf/df orders identically, while integer tf/df
+    * outputs stay exactly SQL-mirrorable — no transcendental whose
+    * libm rounding could differ across engines).
+    *
+    * Shape at scale: (doc, word) counts hash-aggregate with map-side
+    * partials (one shuffle), document frequency is a second key-bounded
+    * aggregate over the (doc, word) pairs, the tf⋈df join is co-partitioned
+    * on `word`, and the per-doc top-k is one rank window. No driver
+    * scalars, no collects.
+    *
+    * Ties break by word ascending — fully deterministic. `minLen` drops
+    * short stopwordy tokens (an ASCII length filter, mirrorable). */
+  def topKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int = 3, minLen: Int = 4): org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= minLen)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df").cast("double")).desc,
+        col("word").asc)
+    tf.join(dfreq, "word")
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"))
+  }
 }

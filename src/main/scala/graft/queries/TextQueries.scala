@@ -219,8 +219,35 @@ object TextQueries {
        |FROM pii ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t09
+  /** Top-3 keywords per document by TF/DF weight (rank-equivalent to
+    * TF-IDF, integer outputs — see
+    * [[graft.operators.TextAnalysis.topKeywords]]); ties by word asc. */
+  def t09Keywords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.topKeywords(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      topK = 3, minLen = 4)
+      .orderBy("doc_id", "rank")
+
+  val t09Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |         UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+      |  FROM documents),
+      |fw AS (SELECT doc_id, word FROM words WHERE LEN(word) >= 4),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM fw GROUP BY 1, 2),
+      |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      |ranked AS (
+      |  SELECT doc_id, word, tf, df,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tf::DOUBLE / df::DOUBLE DESC, word) AS rank
+      |  FROM tf JOIN dfreq USING (word))
+      |SELECT doc_id, rank, word, tf, df FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
+    "t09_keywords" -> (t09Keywords _, t09Sql),
     "t02_lang_id" -> (t02LangId _, t02Sql),
     "t03_quality" -> (t03Quality _, t03Sql),
     "t04_fingerprint" -> (t04Fingerprint _, t04Sql),

@@ -216,6 +216,27 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again(1L) == out(1L).features.toSeq)
   }
 
+  test("decontamination flags docs containing blocklist text") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated content about spark execution plans here"),
+      (3L, "the quick brown fox jumps over something else entirely today")
+    ).toDF("doc_id", "text")
+    // blocklist entry = a verbatim span of doc 1 (and a prefix of doc 3)
+    val block = Seq((100L, "the quick brown fox jumps over"))
+      .toDF("block_id", "text")
+    val got = Dedup.contaminationFlags(corpus, "doc_id", "text",
+      block, "block_id", "text", k = 3, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    // doc 1: 4 of its 11 shingles are in the block entry → 4/11
+    // doc 3: 4 of its 8 shingles → 0.5; doc 2: zero overlap → absent
+    assert(got.keySet == Set(1L, 3L), got.toString)
+    assert(got(1L) == (4.0 / 11, 1L), got(1L).toString)
+    assert(got(3L) == (0.5, 1L), got(3L).toString)
+  }
+
   test("container header parsers read real PNG/JPEG/WAV metadata") {
     // PNG: signature + IHDR, 640x480 truecolor+alpha
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
