@@ -111,14 +111,46 @@ object TextQueries {
 
   // ---------------------------------------------------------------- t05
   /** BPE-ish subword counting (whitespace + case/digit-boundary splits).
-    * The boundary regex uses lookarounds, which DuckDB's RE2 lacks → no
-    * SQL oracle; deterministic rows-only check + LlmOpsSpec ground truth. */
+    * The boundary regex uses lookarounds, which DuckDB's RE2 lacks — but
+    * the SEMANTICS need no regex at all: piece count = 1 + whitespace-run
+    * starts + adjacent-char transitions (lower→upper, letter→digit,
+    * digit→letter), with Java-split quirks preserved (limit -1 keeps
+    * leading/trailing empty pieces from non-space whitespace that Spark's
+    * space-only trim leaves in place). The oracle computes exactly that
+    * with character-pair list comprehensions — converted from rows-only. */
   def t05SubwordStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"),
       TextAnalysis.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
+
+  val t05Sql: String =
+    """WITH base AS (SELECT doc_id, TRIM(text) AS s FROM documents),
+      |ch AS (SELECT doc_id, s, STRING_SPLIT(s, '') AS c, LENGTH(s) AS n
+      |       FROM base)
+      |SELECT doc_id,
+      |  CASE WHEN LENGTH(s) = 0 THEN 0
+      |       ELSE LEN(STRING_SPLIT_REGEX(s, '\s+')) END::BIGINT AS n_tokens,
+      |  CASE WHEN s IS NULL THEN NULL
+      |       WHEN LENGTH(s) = 0 THEN 0
+      |       ELSE 1
+      |         + LEN([i FOR i IN RANGE(1, n + 1)
+      |                IF list_contains([' ', CHR(9), CHR(10), CHR(11),
+      |                                  CHR(12), CHR(13)], c[i])
+      |                   AND (i = 1 OR NOT list_contains([' ', CHR(9),
+      |                     CHR(10), CHR(11), CHR(12), CHR(13)], c[i-1]))])
+      |         + LEN([i FOR i IN RANGE(2, n + 1) IF
+      |                ((c[i-1] BETWEEN 'a' AND 'z')
+      |                 AND (c[i] BETWEEN 'A' AND 'Z'))
+      |             OR (((c[i-1] BETWEEN 'a' AND 'z')
+      |                  OR (c[i-1] BETWEEN 'A' AND 'Z'))
+      |                 AND (c[i] BETWEEN '0' AND '9'))
+      |             OR ((c[i-1] BETWEEN '0' AND '9')
+      |                 AND ((c[i] BETWEEN 'a' AND 'z')
+      |                      OR (c[i] BETWEEN 'A' AND 'Z')))])
+      |       END::BIGINT AS n_subwords
+      |FROM ch ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t06
   /** Rolling-hash (FNV-1a64, codegen Catalyst expression) fingerprint.
@@ -251,7 +283,7 @@ object TextQueries {
     "t02_lang_id" -> (t02LangId _, t02Sql),
     "t03_quality" -> (t03Quality _, t03Sql),
     "t04_fingerprint" -> (t04Fingerprint _, t04Sql),
-    "t05_subword_stats" -> (t05SubwordStats _, null),
+    "t05_subword_stats" -> (t05SubwordStats _, t05Sql),
     "t06_fnv_fingerprint" -> (t06FnvFingerprint _, t06Sql),
     "t07_repetition" -> (t07Repetition _, t07Sql),
     "t08_pii_scrub" -> (t08PiiScrub _, t08Sql),
