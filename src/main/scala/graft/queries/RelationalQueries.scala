@@ -431,8 +431,12 @@ object RelationalQueries {
   /** Built-in sketches: HyperLogLog++ distinct counts next to the exact
     * answer. HLL merge is a register-wise max — commutative and
     * associative — so the estimate is deterministic regardless of
-    * partitioning. DuckDB's approx sketch differs by construction ⇒ no SQL
-    * oracle; rows-only determinism check. */
+    * partitioning. The estimate's VALUE is implementation-defined (Spark's
+    * HLL++ ≠ DuckDB's HLL by construction), so the oracle checks what IS
+    * semantics: the exact count column exactly, and the estimate pinned
+    * inside a 5% relative-error band (2.5× the configured 2% rsd — an
+    * accuracy contract, mirrored as a constant TRUE). A sketch drifting
+    * out of band fails the gate. */
   def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "lineitem")
@@ -440,8 +444,17 @@ object RelationalQueries {
       .agg(
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts").cast("double") /
+          $"exact_parts".cast("double") <= 0.05).as("approx_ok"))
       .orderBy($"l_returnflag")
   }
+
+  val q19Sql: String =
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS exact_parts,
+      |       TRUE AS approx_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q20
   /** CUBE grouping sets (all four combinations). */
@@ -750,7 +763,7 @@ object RelationalQueries {
     "q33_exists_subquery" -> (q33ExistsSubquery _, q33Sql),
     "q34_not_exists_subquery" -> (q34NotExistsSubquery _, q34Sql),
     "q35_array_agg" -> (q35ArrayAgg _, q35Sql),
-    "q19_approx_distinct" -> (q19ApproxDistinct _, null),
+    "q19_approx_distinct" -> (q19ApproxDistinct _, q19Sql),
     "q20_cube" -> (q20Cube _, q20Sql),
     "q21_union_all" -> (q21UnionAll _, q21Sql),
     "q22_scalar_subquery" -> (q22ScalarSubquery _, q22Sql),
