@@ -133,19 +133,48 @@ object DedupQueries {
   // ---------------------------------------------------------------- d05
   /** Embedding cosine near-dup: the corpus itself has no high-cosine pairs
     * (max ≈0.33), so the query plants one deterministic jittered copy per
-    * 50th vector (id + 10⁶) and the operator must recover exactly those
-    * pairs via LSH banding + exact-cosine verify ≥ 0.99. */
+    * 50th vector (id + 10⁶, jitter scaled by the SHIFTED id mod 7 — made
+    * explicit via sequential withColumn; the original one-select form was
+    * silently resolving the lambda's `vec_id` to the lateral alias) and
+    * the operator must recover exactly those pairs via LSH banding +
+    * exact-cosine verify ≥ 0.99.
+    *
+    * Oracle (converted from rows-only): the planted pairs' cosines are
+    * pure double arithmetic — float→double casts are exact, the jitter is
+    * double, and the cosine fold (dot / (√na·√nb), sequential order) is
+    * bit-reproducible in DuckDB — and on this corpus the ≥ 0.99 set IS
+    * the planted-pair set (everything else ≈0.33). The oracle therefore
+    * also pins full banding recall on near-identical pairs: a banding
+    * change that starts MISSING a planted copy fails the gate. */
   def d05EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val jittered = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"),
-          x => x + (pmod(col("vec_id"), lit(7)) - lit(3.0)) * lit(1e-4)).as("embedding"))
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding", transform(col("embedding"),
+        x => x + (pmod(col("vec_id"), lit(7)) - lit(3.0)) * lit(1e-4)))
+      .select(col("vec_id"), col("embedding"))
     val union = emb.select(col("vec_id"), col("embedding")).unionByName(jittered)
     Dedup.embeddingNearDupPairs(union, "vec_id", "embedding",
       threshold = 0.99, bandBits = 12, bandCount = 4, seed = 42L)
       .orderBy("id_a", "id_b")
   }
+
+  val d05Sql: String =
+    """WITH pairs AS (
+      |  SELECT s.vec_id AS id_a, s.vec_id + 1000000 AS id_b,
+      |    LIST_TRANSFORM(s.embedding, x -> CAST(x AS DOUBLE)) AS va,
+      |    LIST_TRANSFORM(s.embedding, x -> CAST(x AS DOUBLE)
+      |      + ((s.vec_id + 1000000) % 7 - 3.0) * 0.0001) AS vb
+      |  FROM embeddings s WHERE s.vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(va) + 1), i -> va[i] * vb[i]))
+      |      / (SQRT(LIST_SUM(LIST_TRANSFORM(va, x -> x * x)))
+      |         * SQRT(LIST_SUM(LIST_TRANSFORM(vb, x -> x * x)))), 6) AS cos
+      |  FROM pairs)
+      |SELECT id_a, id_b, cos FROM scored
+      |WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- d06
   /** Corpus-vs-corpus overlap: per-`lang` MinHash-union signatures (custom
@@ -392,7 +421,7 @@ object DedupQueries {
     "d02_minhash_lsh" -> (d02MinhashLsh _, d02Sql),
     "d03_simhash" -> (d03Simhash _, d03Sql),
     "d04_ngram_jaccard" -> (d04NgramJaccard _, d04Sql),
-    "d05_embedding_neardup" -> (d05EmbeddingNearDup _, null),
+    "d05_embedding_neardup" -> (d05EmbeddingNearDup _, d05Sql),
     "d07_containment" -> (d07Containment _, d07Sql),
     "d08_streaming_dedup" -> (d08StreamingDedup _, d08Sql),
     "d09_decontamination" -> (d09Decontamination _, d09Sql),
