@@ -124,9 +124,54 @@ object PipelineQueries {
       |SELECT doc_id, lang, rk::BIGINT AS rk
       |FROM ranked WHERE rk <= 40 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p04
+  /** Deterministic epoch shuffle + shard assignment: the last step before
+    * training ingestion. Each document gets a seeded pseudo-random hash
+    * (md5 of seed‖doc_id — reshuffling is just a new seed); the hash's
+    * first hex digit assigns one of 16 shards, and the epoch order is
+    * (shard, within-shard hash order). Every worker can thus materialize
+    * its own shard independently, and two runs of the same seed produce
+    * byte-identical epochs.
+    *
+    * Deliberately NOT a global row_number: an unpartitioned rank window
+    * funnels the corpus through one partition — dead at scale. The
+    * per-shard rank windows parallelize across shards, and the only
+    * shuffle is the hash-partitioned sort each window needs. Oracle
+    * mirrors the md5 order, hex-digit shard arithmetic, and per-shard
+    * ranks exactly. */
+  def p04EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val withHash = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("h", md5(concat(lit("epoch7:"), col("doc_id").cast("string"))))
+    val a = ascii(substring(col("h"), 1, 1))
+    val sharded = withHash.withColumn("shard",
+      ((a - lit(48) - when(a >= 97, lit(39)).otherwise(lit(0))) % 16)
+        .cast("bigint"))
+    val perShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    sharded
+      .withColumn("pos", row_number().over(perShard).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val p04Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, MD5('epoch7:' || doc_id::VARCHAR) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, h,
+      |    (ASCII(SUBSTR(h, 1, 1)) - 48
+      |     - CASE WHEN ASCII(SUBSTR(h, 1, 1)) >= 97 THEN 39 ELSE 0 END)
+      |    % 16 AS shard
+      |  FROM m)
+      |SELECT doc_id, shard::BIGINT AS shard,
+      |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p01_corpus_clean" -> (p01CorpusClean _, p01Sql),
     "p02_salted_join" -> (p02SaltedJoin _, p02Sql),
     "p03_stratified_sample" -> (p03StratifiedSample _, p03Sql),
+    "p04_epoch_shuffle" -> (p04EpochShuffle _, p04Sql),
   )
 }
