@@ -168,10 +168,46 @@ object PipelineQueries {
       |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT AS pos
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------- p05
+  /** Sequence packing: greedy next-fit of documents into 512-token
+    * training sequences within deterministic 100-id buckets (see
+    * [[graft.operators.Packing]]). The oracle replays the identical
+    * recurrence with a recursive CTE per bucket. */
+  def p05SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      budget = 512, bucketSize = 100)
+      .orderBy("doc_id")
+
+  val p05Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, doc_id // 100 AS bucket,
+      |    CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0 THEN 0
+      |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS t
+      |  FROM documents),
+      |ord AS (
+      |  SELECT doc_id, bucket, t,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      |  FROM toks),
+      |pack AS (
+      |  SELECT bucket, rn, doc_id, t, t AS fill, 0 AS bin
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.bucket, o.rn, o.doc_id, o.t,
+      |    CASE WHEN p.fill > 0 AND p.fill + o.t > 512
+      |         THEN o.t ELSE p.fill + o.t END,
+      |    CASE WHEN p.fill > 0 AND p.fill + o.t > 512
+      |         THEN p.bin + 1 ELSE p.bin END
+      |  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+      |SELECT doc_id, bucket::BIGINT AS bucket, bin::BIGINT AS bin,
+      |       t::BIGINT AS n_tokens
+      |FROM pack ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p01_corpus_clean" -> (p01CorpusClean _, p01Sql),
     "p02_salted_join" -> (p02SaltedJoin _, p02Sql),
     "p03_stratified_sample" -> (p03StratifiedSample _, p03Sql),
     "p04_epoch_shuffle" -> (p04EpochShuffle _, p04Sql),
+    "p05_sequence_packing" -> (p05SequencePacking _, p05Sql),
   )
 }

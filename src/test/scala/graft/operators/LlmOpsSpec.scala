@@ -216,6 +216,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again(1L) == out(1L).features.toSeq)
   }
 
+  test("sequence packing: next-fit within buckets, oversize docs isolated") {
+    import spark.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (0L, words(6)),   // bin 0 (fill 6)
+      (1L, words(3)),   // bin 0 (fill 9)
+      (2L, words(4)),   // overflow → bin 1 (fill 4)
+      (3L, words(20)),  // oversize alone → bin 2
+      (4L, words(1)),   // bin 3 (oversize closed its bin at next doc)
+      (100L, words(2)), // new bucket: bin 0
+      (101L, null.asInstanceOf[String])) // 0 tokens: stays in bin 0
+      .toDF("doc_id", "text")
+    val got = Packing.packSequences(docs, "doc_id", "text",
+      budget = 10, bucketSize = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(0L) == (0L, 0L, 6L) && got(1L) == (0L, 0L, 3L))
+    assert(got(2L) == (0L, 1L, 4L))
+    assert(got(3L) == (0L, 2L, 20L), got(3L).toString)
+    assert(got(4L) == (0L, 3L, 1L))
+    assert(got(100L) == (1L, 0L, 2L))
+    assert(got(101L) == (1L, 0L, 0L))
+  }
+
   test("decontamination flags docs containing blocklist text") {
     import spark.implicits._
     val corpus = Seq(
