@@ -277,9 +277,41 @@ object TextQueries {
       |SELECT doc_id, rank, word, tf, df FROM ranked
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- t10
+  /** Domain extraction + provenance histogram: the curation step that
+    * groups a web corpus by source domain (domain filters, per-domain
+    * caps, provenance audits). URLs are planted deterministically (20
+    * domains keyed by doc_id) since the corpus has none; extraction takes
+    * the LAST url match so organic text can never shadow the planted one.
+    * RE2-safe pattern shared verbatim with the oracle. */
+  def t10DomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val withUrl = concat(col("text"),
+      lit(" source: https://host"), pmod(col("doc_id"), lit(20)).cast("string"),
+      lit(".example.org/p/"), col("doc_id").cast("string"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      element_at(regexp_extract_all(withUrl,
+        lit("https?://([A-Za-z0-9.-]+)"), lit(1)), -1).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("domain")
+  }
+
+  val t10Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (REGEXP_EXTRACT_ALL(
+      |       text || ' source: https://host' || (doc_id % 20)
+      |            || '.example.org/p/' || doc_id,
+      |       'https?://([A-Za-z0-9.-]+)', 1))[-1] AS domain
+      |  FROM documents)
+      |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM u GROUP BY domain ORDER BY domain""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
+    "t10_domain_stats" -> (t10DomainStats _, t10Sql),
     "t02_lang_id" -> (t02LangId _, t02Sql),
     "t03_quality" -> (t03Quality _, t03Sql),
     "t04_fingerprint" -> (t04Fingerprint _, t04Sql),
