@@ -66,6 +66,67 @@ object TextExpressions {
     }
   }
 
+  // ------------------------------------------------------ static kernels
+  // Top-level static entry points for the sketch expressions' doGenCode:
+  // whole-stage codegen emits a single static call per row instead of the
+  // CodegenFallback path (boxed eval() through an expression reference),
+  // keeping the surrounding stage fused and allocation-light.
+
+  /** MinHash signature kernel; null when the text has no shingles. */
+  def minhashKernel(s: UTF8String, numHashes: Int, k: Int): ArrayData = {
+    val sh = shingles(s, k)
+    if (sh.isEmpty) return null
+    val base = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      base(i) = GraftHash.fnv1a64(sh(i).getBytes("UTF-8"))
+      i += 1
+    }
+    val sig = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val seed = (j + 1) * 0x9e3779b97f4a7c15L
+      var min = Long.MaxValue
+      i = 0
+      while (i < base.length) {
+        val h = GraftHash.mix64(base(i) ^ seed)
+        if (h < min) min = h
+        i += 1
+      }
+      sig(j) = min
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash kernel; null when the text has no shingles. */
+  def simhashKernel(s: UTF8String, k: Int): java.lang.Long = {
+    val sh = shingles(s, k)
+    if (sh.isEmpty) return null
+    val counts = new Array[Int](64)
+    sh.foreach { sg =>
+      val h = GraftHash.fnv1a64(sg.getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  /** Distinct sorted shingle-set kernel (never null). */
+  def shingleSetKernel(s: UTF8String, k: Int): ArrayData = {
+    val sh = shingles(s, k).distinct.sorted
+    new GenericArrayData(sh.map(UTF8String.fromString): Array[Any])
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum hash over the document's word-`k`-shingles. Returns
     * array<bigint> of length `numHashes`; null/shingle-less docs → nulls.
@@ -74,41 +135,26 @@ object TextExpressions {
     * that consumes it is where the (shuffle-based, scalable) pair search
     * happens — see [[graft.operators.Dedup]]. */
   case class MinHashSignature(child: Expression, numHashes: Int, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
     override def prettyName: String = s"minhash_$numHashes"
     override def checkInputDataTypes(): TypeCheckResult =
       requireString(prettyName, child)
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val sh = shingles(v.asInstanceOf[UTF8String], k)
-      if (sh.isEmpty) return null
-      // standard construction: hash each shingle's bytes ONCE, derive the
-      // numHashes permutations by mixing (base ⊕ seed_j) — ~|bytes|× less
-      // hashing than re-hashing bytes per permutation, same LSH guarantees
-      val base = new Array[Long](sh.length)
-      var i = 0
-      while (i < sh.length) {
-        base(i) = GraftHash.fnv1a64(sh(i).getBytes("UTF-8"))
-        i += 1
-      }
-      val sig = new Array[Long](numHashes)
-      var j = 0
-      while (j < numHashes) {
-        val seed = (j + 1) * 0x9e3779b97f4a7c15L
-        var min = Long.MaxValue
-        i = 0
-        while (i < base.length) {
-          val h = GraftHash.mix64(base(i) ^ seed)
-          if (h < min) min = h
-          i += 1
-        }
-        sig(j) = min
-        j += 1
-      }
-      new GenericArrayData(sig)
-    }
+    // standard construction (see minhashKernel): hash each shingle's bytes
+    // ONCE, derive the numHashes permutations by mixing (base ⊕ seed_j) —
+    // ~|bytes|× less hashing than re-hashing bytes per permutation, same
+    // LSH guarantees
+    override protected def nullSafeEval(v: Any): Any =
+      minhashKernel(v.asInstanceOf[UTF8String], numHashes, k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExpressions.minhashKernel($c, $numHashes, $k);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
 
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
@@ -117,33 +163,26 @@ object TextExpressions {
   /** 64-bit SimHash over word `k`-shingles: bit b of the result is the
     * sign of the sum over shingles of ±1 at bit b of each shingle's hash. */
   case class SimHash64(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true
     override def prettyName: String = "simhash64"
     override def checkInputDataTypes(): TypeCheckResult =
       requireString(prettyName, child)
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val sh = shingles(v.asInstanceOf[UTF8String], k)
-      if (sh.isEmpty) return null
-      val counts = new Array[Int](64)
-      sh.foreach { s =>
-        val h = GraftHash.fnv1a64(s.getBytes("UTF-8"))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
+    override protected def nullSafeEval(v: Any): Any =
+      simhashKernel(v.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long ${ev.value}_r = graft.functions.TextExpressions.simhashKernel($c, $k);
+        if (${ev.value}_r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ${ev.value}_r.longValue();
         }
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (counts(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+      """)
 
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
@@ -151,17 +190,19 @@ object TextExpressions {
 
   /** Distinct word-k-shingles as array<string> (exact Jaccard inputs). */
   case class ShingleSet(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = s"shingles_$k"
     override def checkInputDataTypes(): TypeCheckResult =
       requireString(prettyName, child)
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val sh = shingles(v.asInstanceOf[UTF8String], k).distinct.sorted
-      new GenericArrayData(sh.map(UTF8String.fromString): Array[Any])
-    }
+    override protected def nullSafeEval(v: Any): Any =
+      shingleSetKernel(v.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextExpressions.shingleSetKernel($c, $k)")
 
     override protected def withNewChildInternal(c: Expression): ShingleSet =
       copy(child = c)

@@ -136,6 +136,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("sketch expressions (minhash/simhash/shingles) stay inside codegen") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        graft.functions.TextExpressions.minhash(col("text"), 128, 3).as("m"),
+        graft.functions.TextExpressions.simhash(col("text"), 3).as("s"),
+        graft.functions.TextExpressions.shingleSet(col("text"), 3).as("sh"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stage markers in:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("group similarity above the all-pairs cap bands to an equi-join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
