@@ -131,8 +131,85 @@ object VectorFunctions {
   final val DefaultLshBits = 12
   final val DefaultLshSeed = 42L
 
+  // ------------------------------------------------------ static kernels
+  // Static entry points for doGenCode (see TextExpressions' kernels): one
+  // direct static call per row instead of CodegenFallback's boxed eval().
+
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Long, Int), Array[Array[Double]]]()
+
+  /** Sign-random-projection bucket kernel. Hyperplanes are deterministic
+    * in (bits, seed, dim) and cached statically per executor. */
+  def lshBucketKernel(arr: ArrayData, bits: Int, seed: Long,
+      isFloat: Boolean): Int = {
+    val n = arr.numElements()
+    val p = planeCache.computeIfAbsent((bits, seed, n), _ =>
+      Array.tabulate(bits, n)((j, i) => hyperplane(j, i, seed)))
+    var bucket = 0
+    var j = 0
+    while (j < bits) {
+      val row = p(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        acc += x * row(i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Deterministic pseudo-random in [-1, 1). FNV-1a alone has weak
+    * high-bit avalanche on tiny inputs (observed: every hyperplane nearly
+    * collinear → 2 distinct buckets); the splitmix64 finalizer fixes the
+    * bit mixing. */
+  private def hyperplane(j: Int, i: Int, seed: Long): Double = {
+    var z = GraftHash.fnv1a64Seeded(
+      Array((j >> 8).toByte, j.toByte, (i >> 8).toByte, i.toByte), seed)
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** IVF coarse-cell assignment kernel; ties and degenerate rows (null
+    * element, zero norm, dimension mismatch) pick the lowest cell. */
+  def nearestCentroidKernel(arr: ArrayData, centroids: Array[Array[Double]],
+      norms: Array[Double], isFloat: Boolean): Int = {
+    val n = arr.numElements()
+    val dim = centroids(0).length
+    if (n != dim) return 0
+    val vec = new Array[Double](n)
+    var i = 0
+    var na = 0.0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      vec(i) = x; na += x * x
+      i += 1
+    }
+    val normV = math.sqrt(na)
+    if (normV == 0.0) return 0
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += vec(i) * cv(i); i += 1 }
+      val cos = dot / (normV * norms(c))
+      if (cos > bestCos) { bestCos = cos; best = c } // strict > keeps lowest cell
+      c += 1
+    }
+    best
+  }
+
   case class EmbeddingLshBucket(child: Expression, bits: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = IntegerType
     override def prettyName: String = s"emb_lsh_$bits"
@@ -146,55 +223,18 @@ object VectorFunctions {
             s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
       }
 
-    // hoisted once per (deserialized) expression instance: element type and
-    // the deterministic hyperplane matrix — recomputing FNV+mix per row
-    // dominated the row-local cost at scale
     @transient private lazy val elementIsFloat: Boolean = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    @transient private var planes: Array[Array[Double]] = _
 
-    private def planesFor(dim: Int): Array[Array[Double]] = {
-      if (planes == null || planes(0).length < dim) {
-        planes = Array.tabulate(bits, dim)((j, i) => hyperplane(j, i))
-      }
-      planes
-    }
+    override protected def nullSafeEval(v: Any): Any =
+      java.lang.Integer.valueOf(
+        lshBucketKernel(v.asInstanceOf[ArrayData], bits, seed, elementIsFloat))
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val p = planesFor(n)
-      var bucket = 0
-      var j = 0
-      while (j < bits) {
-        val row = p(j)
-        var acc = 0.0
-        var i = 0
-        while (i < n) {
-          val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-          acc += x * row(i)
-          i += 1
-        }
-        if (acc >= 0) bucket |= (1 << j)
-        j += 1
-      }
-      java.lang.Integer.valueOf(bucket)
-    }
-
-    /** Deterministic pseudo-random in [-1, 1). FNV-1a alone has weak
-      * high-bit avalanche on tiny inputs (observed: every hyperplane nearly
-      * collinear → 2 distinct buckets); the splitmix64 finalizer fixes the
-      * bit mixing. */
-    private def hyperplane(j: Int, i: Int): Double = {
-      var z = GraftHash.fnv1a64Seeded(
-        Array((j >> 8).toByte, j.toByte, (i >> 8).toByte, i.toByte), seed)
-      z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
-      z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
-      z ^= z >>> 33
-      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorFunctions.lshBucketKernel($c, $bits, ${seed}L, $elementIsFloat)")
 
     override protected def withNewChildInternal(c: Expression): EmbeddingLshBucket =
       copy(child = c)
@@ -211,7 +251,7 @@ object VectorFunctions {
     * expression state instead of a thousands-of-nodes literal tree the
     * optimizer must re-walk on every run. */
   case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     require(centroids.nonEmpty, "NearestCentroid requires at least one centroid")
 
@@ -234,35 +274,16 @@ object VectorFunctions {
     @transient private lazy val centroidNorms: Array[Double] =
       centroids.map(c => math.sqrt(c.map(x => x * x).sum))
 
-    override protected def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val dim = centroids(0).length
-      if (n != dim) return java.lang.Integer.valueOf(0) // all cosines null → lowest cell
-      val vec = new Array[Double](n)
-      var i = 0
-      var na = 0.0
-      while (i < n) {
-        if (arr.isNullAt(i)) return java.lang.Integer.valueOf(0)
-        val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        vec(i) = x; na += x * x
-        i += 1
-      }
-      val normV = math.sqrt(na)
-      if (normV == 0.0) return java.lang.Integer.valueOf(0)
-      var best = 0
-      var bestCos = Double.NegativeInfinity
-      var c = 0
-      while (c < centroids.length) {
-        val cv = centroids(c)
-        var dot = 0.0
-        i = 0
-        while (i < dim) { dot += vec(i) * cv(i); i += 1 }
-        val cos = dot / (normV * centroidNorms(c))
-        if (cos > bestCos) { bestCos = cos; best = c } // strict > keeps lowest cell on ties
-        c += 1
-      }
-      java.lang.Integer.valueOf(best)
+    override protected def nullSafeEval(v: Any): Any =
+      java.lang.Integer.valueOf(nearestCentroidKernel(
+        v.asInstanceOf[ArrayData], centroids, centroidNorms, elementIsFloat))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // centroid matrix + norms ride into the generated class as references
+      val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val normRef = ctx.addReferenceObj("centroidNorms", centroidNorms, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorFunctions.nearestCentroidKernel($c, $centRef, $normRef, $elementIsFloat)")
     }
 
     override protected def withNewChildInternal(c: Expression): NearestCentroid =
