@@ -127,6 +127,32 @@ object TextExpressions {
     new GenericArrayData(sh.map(UTF8String.fromString): Array[Any])
   }
 
+  /** Stopword-profile language-id kernel; profiles are pre-sorted by
+    * language code (ties → first). */
+  def langIdKernel(s: UTF8String,
+      sorted: Array[(String, Array[String])]): UTF8String = {
+    val str = s.trim().toLowerCase.toString
+    val tokens = str.split("\\s+", -1)
+    val distinct = new java.util.HashSet[String](tokens.length * 2)
+    var i = 0
+    while (i < tokens.length) { distinct.add(tokens(i)); i += 1 }
+    var bestLang: String = null
+    var bestHits = 0
+    var p = 0
+    while (p < sorted.length) {
+      val (lang, ws) = sorted(p)
+      var hits = 0
+      var j = 0
+      while (j < ws.length) {
+        if (distinct.contains(ws(j))) hits += 1
+        j += 1
+      }
+      if (hits > bestHits) { bestHits = hits; bestLang = lang }
+      p += 1
+    }
+    UTF8String.fromString(if (bestHits == 0) "und" else bestLang)
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum hash over the document's word-`k`-shingles. Returns
     * array<bigint> of length `numHashes`; null/shingle-less docs → nulls.
@@ -260,7 +286,7 @@ object TextExpressions {
     * hits → "und". Profiles are plain expression state, probed against one
     * per-row token set. */
   case class LangId(child: Expression, profiles: Seq[(String, Seq[String])])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = StringType
     override def prettyName: String = "lang_id"
@@ -270,28 +296,16 @@ object TextExpressions {
     @transient private lazy val sorted: Array[(String, Array[String])] =
       profiles.sortBy(_._1).map { case (l, ws) => (l, ws.toArray) }.toArray
 
-    override protected def nullSafeEval(v: Any): Any = {
-      // same pipeline as lower(trim(text)) → split("\s+", -1) → distinct
-      val s = v.asInstanceOf[UTF8String].trim().toLowerCase.toString
-      val tokens = s.split("\\s+", -1)
-      val distinct = new java.util.HashSet[String](tokens.length * 2)
-      var i = 0
-      while (i < tokens.length) { distinct.add(tokens(i)); i += 1 }
-      var bestLang: String = null
-      var bestHits = 0
-      var p = 0
-      while (p < sorted.length) {
-        val (lang, ws) = sorted(p)
-        var hits = 0
-        var j = 0
-        while (j < ws.length) {
-          if (distinct.contains(ws(j))) hits += 1
-          j += 1
-        }
-        if (hits > bestHits) { bestHits = hits; bestLang = lang } // ties → first
-        p += 1
-      }
-      UTF8String.fromString(if (bestHits == 0) "und" else bestLang)
+    // same pipeline as lower(trim(text)) → split("\s+", -1) → distinct;
+    // ties → first language code (see langIdKernel)
+    override protected def nullSafeEval(v: Any): Any =
+      langIdKernel(v.asInstanceOf[UTF8String], sorted)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // profile matrix rides into the generated class as a reference
+      val profRef = ctx.addReferenceObj("profiles", sorted, "scala.Tuple2[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextExpressions.langIdKernel($c, $profRef)")
     }
 
     override protected def withNewChildInternal(c: Expression): LangId =
