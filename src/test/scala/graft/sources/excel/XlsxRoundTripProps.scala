@@ -67,4 +67,55 @@ object XlsxRoundTripProps extends Properties("xlsx.roundtrip") {
       }
     } finally f.delete()
   }
+
+  // ------------------------------------------------------- multi-sheet
+  // Random Excel-VALID sheet names (1-31 chars, none of : \ / ? * [ ],
+  // no edge apostrophe, case-insensitively distinct — the rules the
+  // writer enforces) with independent row sets per sheet: the workbook
+  // must read back sheet-for-sheet, row-for-row, in creation order.
+  private val genSheetName: Gen[String] = for {
+    n <- Gen.chooseNum(1, 31)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('-', '_', '.', ' '),
+      1 -> Gen.oneOf('é', '中', '&', '<', '"')))
+  } yield cs.mkString
+
+  private val genWorkbook: Gen[Seq[(String, Seq[Seq[Any]])]] = for {
+    k <- Gen.chooseNum(1, 4)
+    rawNames <- Gen.listOfN(k, genSheetName)
+    tables <- Gen.listOfN(k, for {
+      nRows <- Gen.chooseNum(0, 10)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(3, nullable(genString)))
+    } yield rows)
+  } yield {
+    // keep first of any case-insensitive name collision (writer rejects dups)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    rawNames.zip(tables).filter { case (n, _) =>
+      seen.add(n.toLowerCase(java.util.Locale.ROOT)) }
+  }
+
+  property("multi-sheet write-read identity") = Prop.forAll(genWorkbook) { sheets =>
+    val f = File.createTempFile("graft-prop-ms", ".xlsx")
+    try {
+      val w = new XlsxWriter(new FileOutputStream(f), sheets.head._1)
+      sheets.head._2.foreach(w.writeRow)
+      sheets.tail.foreach { case (name, rows) =>
+        w.startSheet(name)
+        rows.foreach(w.writeRow)
+      }
+      w.close()
+      val r = new XlsxReader(f)
+      try {
+        r.sheets.map(_.name) == sheets.map(_._1) &&
+          r.sheets.zip(sheets).forall { case (sh, (_, rows)) =>
+            val got = r.rowIterator(sh).toVector
+            val want = rows.map(_.map(expected))
+            got.size == want.size && got.zip(want).forall { case (g, ww) =>
+              g.padTo(ww.length, null).toSeq == ww
+            }
+          }
+      } finally r.close()
+    } finally f.delete()
+  }
 }
