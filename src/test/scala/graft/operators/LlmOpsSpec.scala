@@ -216,6 +216,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again(1L) == out(1L).features.toSeq)
   }
 
+  test("banded group similarity executes at 2000 groups") {
+    import spark.implicits._
+    // the G where the old crossJoin path would build 4M pairs: 2000
+    // groups, one doc each, two planted twin groups — must complete
+    // quickly on the banded path and surface the twin pair
+    val docs = (0 until 2000).map(g =>
+      (s"g$g", s"alpha$g bravo$g charlie$g delta$g echo$g foxtrot$g golf$g"))
+    val twin = Seq(("tw1", "same words in both twin groups here now"),
+      ("tw2", "same words in both twin groups here now"))
+    val df = (docs ++ twin).toDF("grp", "text")
+    val got = GroupSimilarity.groupPairSimilarity(df, "grp", "text",
+      numHashes = 32, bands = 8, maxAllPairsGroups = 100)
+      .filter(col("est_jaccard") >= 0.99)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got.contains(("tw1", "tw2")), s"twin pair missing: $got")
+  }
+
   test("sequence packing: next-fit within buckets, oversize docs isolated") {
     import spark.implicits._
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
