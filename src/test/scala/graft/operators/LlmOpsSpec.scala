@@ -128,6 +128,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivfRecall >= 0.8, s"IVF recall was $ivfRecall")
   }
 
+  test("ANN self-retrieval: an in-corpus query returns itself at rank 1") {
+    import spark.implicits._
+    // the contract every ANN index must honor REGARDLESS of tuning: an
+    // identical vector shares all LSH bands / the same IVF cell, so the
+    // query vector's own row must always surface first with cos 1.0
+    val rnd = new scala.util.Random(23)
+    val pts = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = pts.toDF("vec_id", "embedding")
+    val q = pts(137)._2.map(_.toDouble)
+    for ((name, got) <- Seq(
+        "lsh" -> Similarity.lshTopK(df, "vec_id", "embedding", q, 5,
+          bandBits = 10, bandCount = 4),
+        "ivf" -> Similarity.ivfTopK(df, "vec_id", "embedding", q, 5,
+          nlist = 8, nprobe = 1))) {
+      val top = got.collect().head
+      assert(top.getLong(0) == 137L, s"$name top-1 was ${top.getLong(0)}")
+      assert(top.getDouble(1) == 1.0, s"$name self-cos ${top.getDouble(1)}")
+    }
+  }
+
   test("containment: substring pair ≈1.0 where jaccard is low; disjoint absent") {
     import spark.implicits._
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
