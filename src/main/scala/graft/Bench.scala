@@ -79,8 +79,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver only captures the last ~2000 chars of stdout; with 76+
+    // queries the full line above overflows that window and its leading
+    // "value" is cut off, so no round has ever parsed. Persist the full
+    // detail to a file and end stdout with a compact line (headline total +
+    // slowest queries only) guaranteed to fit the tail window intact.
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // bench must not fail on a log file
+    val budget = 1400 // chars for the "queries" object in the compact line
+    val slowestFirst = results.sortBy(-_._2)
+    val sb = new StringBuilder
+    var kept = 0
+    slowestFirst.foreach { case (k, v) =>
+      val piece = (if (kept == 0) "" else ",") + "\"" + k + "\":" + f"$v%.3f"
+      if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
+    }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

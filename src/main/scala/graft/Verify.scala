@@ -31,7 +31,13 @@ object Verify {
           "oracle mirrors (d03/t06/d06) assume a pure-ASCII corpus — " +
           "switch their folds to UTF-8 bytes before accepting such data")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (comma-separated names); the driver never sets
+    // it, so per-round runs always dump every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

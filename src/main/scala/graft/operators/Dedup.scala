@@ -240,6 +240,118 @@ object Dedup {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Exact duplicated-substring SPAN detection — the word-level analogue of
+    * suffix-array substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022), re-expressed as a linear
+    * shuffle plan instead of a suffix array:
+    *
+    *  1. every word position emits its forward `gramLen`-gram (a bounded
+    *     string: `gramLen` words);
+    *  2. one map-side-combining aggregate counts occurrences per gram —
+    *     a gram occurring at ≥ 2 (doc, pos) sites anywhere in the corpus is
+    *     "duplicated";
+    *  3. occurrences join back on the gram key (both sides hash-partitioned
+    *     by gram — co-partitioned shuffle join, no pair explosion: unlike
+    *     pairwise dedup this marks POSITIONS, so cost is linear in corpus
+    *     size, never quadratic in duplicate cluster size);
+    *  4. per document, runs of consecutive duplicated gram starts merge
+    *     into maximal spans via the gaps-and-islands window (partitioned by
+    *     doc — bounded by document length, not corpus size).
+    *
+    * A true repeated substring of ≥ gramLen words is always found (every
+    * gram inside it repeats); spans shorter than gramLen words are below
+    * the detection floor, the standard precision/recall dial (Lee et al.
+    * use 50 BPE tokens).
+    *
+    * Returns (doc_id, span_start, span_len, n_grams): 1-based word index,
+    * span length in words, and the number of duplicated gram starts merged
+    * into the span. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    dupGramOccurrences(df, idCol, textCol, gramLen)
+      .select("doc_id", "p")
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) - min(col("p")) + gramLen).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("n_grams"))
+  }
+
+  /** Substring-level corpus CLEANING on top of [[duplicateSpans]]'
+    * machinery: every duplicated gram keeps exactly one canonical
+    * occurrence — the global minimum (doc_id, pos) site — and every word
+    * covered by a non-canonical occurrence is removed; the survivors are
+    * re-joined in order. This is Lee-et-al's "remove all but one copy of
+    * each duplicated substring", with the canonical-site choice made
+    * deterministic so the result is oracle-exact.
+    *
+    * Scale shape: the canonical site comes from the same partial-agg
+    * gram count (min over a packed (doc,pos) key — map-side combine, no
+    * per-gram window); covered-position expansion is a narrow generate;
+    * the reassembly groups by doc_id only (bounded by document length).
+    *
+    * Returns one row per non-empty document: (doc_id, n_removed,
+    * cleaned_text) — cleaned_text is the whitespace-normalized lowercase
+    * rejoin of surviving words ('' when the whole document was removed). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 8): DataFrame = {
+    val toks = tokens(df, idCol, textCol)
+    val noncanon = dupGramOccurrences(df, idCol, textCol, gramLen)
+      .filter(col("pk") =!= col("min_pk"))
+    val covered = noncanon
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(gramLen - 1))).as("pos"))
+      .distinct()
+    val words = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i", "w")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("pos"), col("w"))
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val cleaned = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("cleaned"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_words"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+  }
+
+  /** Whitespace tokenization shared by the substring-dedup family —
+    * lowercase + trim + split on runs of whitespace, empty docs dropped
+    * (mirrors the DuckDB STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')
+    * oracle side exactly). */
+  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("t"))
+
+  /** Duplicated-gram occurrence sites: (doc_id, p, gram, pk, min_pk) for
+    * every (doc, 1-based word position) whose forward `gramLen`-gram occurs
+    * ≥ 2 times corpus-wide. `pk` packs (doc_id, p) into one orderable long
+    * (positions are bounded by document length ≪ 10⁶, documented invariant)
+    * so the canonical site is a plain `min` — partial-aggregatable, unlike
+    * a per-gram window. */
+  private def dupGramOccurrences(df: DataFrame, idCol: String,
+      textCol: String, gramLen: Int): DataFrame = {
+    val occ = tokens(df, idCol, textCol)
+      .filter(size(col("t")) >= gramLen)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (gramLen - 1))).as("p0"))
+      .select(col("doc_id"), col("p0").cast("long").as("p"),
+        concat_ws(" ", slice(col("t"), col("p0"), lit(gramLen))).as("gram"))
+      .withColumn("pk", col("doc_id") * lit(1000000L) + col("p"))
+    val dup = occ.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"), min(col("pk")).as("min_pk"))
+      .filter(col("cnt") >= 2)
+      .select("gram", "min_pk")
+    occ.join(dup, "gram")
+  }
+
   /** Embedding cosine near-dup pairs via sign-random-projection banding:
     * `bandCount` independent `bandBits`-bit sketches; a pair is a candidate
     * if any band matches; verified with exact sequential-fold cosine. */

@@ -353,6 +353,82 @@ object DedupQueries {
       |WHERE common::DOUBLE / sz::DOUBLE >= 0.4
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+  /** Exact duplicated-substring spans (word-8-gram floor): maximal runs of
+    * corpus-duplicated 8-grams per document. The planted near-dup pairs
+    * share nearly their whole text, so each member carries one long span
+    * (~45 docs at sf0.001 … ~530 at sf0.1). Integer positions only —
+    * full-precision oracle. */
+  def d10SubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(docs(spark, dir), "doc_id", "text", gramLen = 8)
+      .orderBy("doc_id", "span_start")
+
+  val d10Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |occ AS (
+      |  SELECT doc_id, UNNEST(RANGE(1, LEN(t) - 8 + 2)) AS p, t
+      |  FROM toks WHERE LEN(t) >= 8),
+      |grams AS (
+      |  SELECT doc_id, p, ARRAY_TO_STRING(t[p:p+7], ' ') AS gram FROM occ),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+      |duppos AS (SELECT g.doc_id, g.p FROM grams g JOIN dup USING (gram)),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      |  FROM duppos)
+      |SELECT doc_id, MIN(p) AS span_start, MAX(p) - MIN(p) + 8 AS span_len,
+      |       COUNT(*) AS n_grams
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------- d11
+  /** Substring-level corpus cleaning: each duplicated 8-gram keeps its
+    * global-min (doc_id, pos) occurrence; words covered only by
+    * non-canonical occurrences are dropped and the survivors rejoined.
+    * Output is one row per non-empty doc with the removed-word count and
+    * the cleaned text — exact string equality against the DuckDB mirror. */
+  def d11SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(docs(spark, dir), "doc_id", "text", gramLen = 8)
+      .orderBy("doc_id")
+
+  val d11Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |occ AS (
+      |  SELECT doc_id, UNNEST(RANGE(1, LEN(t) - 8 + 2)) AS p, t
+      |  FROM toks WHERE LEN(t) >= 8),
+      |grams AS (
+      |  SELECT doc_id, p, doc_id * 1000000 + p AS pk,
+      |         ARRAY_TO_STRING(t[p:p+7], ' ') AS gram FROM occ),
+      |dup AS (
+      |  SELECT gram, MIN(pk) AS min_pk FROM grams
+      |  GROUP BY gram HAVING COUNT(*) >= 2),
+      |noncanon AS (
+      |  SELECT g.doc_id, g.p FROM grams g JOIN dup d USING (gram)
+      |  WHERE g.pk <> d.min_pk),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, pos FROM (
+      |    SELECT doc_id, UNNEST(RANGE(p, p + 8)) AS pos FROM noncanon)),
+      |words AS (
+      |  SELECT doc_id, UNNEST(t) AS w, UNNEST(RANGE(1, LEN(t) + 1)) AS pos
+      |  FROM toks),
+      |kept AS (
+      |  SELECT w.doc_id, w.w, w.pos
+      |  FROM words w LEFT JOIN covered c
+      |    ON w.doc_id = c.doc_id AND w.pos = c.pos
+      |  WHERE c.pos IS NULL),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         STRING_AGG(w, ' ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, LEN(t.t) - COALESCE(a.n_kept, 0) AS n_removed,
+      |       COALESCE(a.cleaned, '') AS cleaned_text
+      |FROM toks t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d08
   /** STREAMING first-occurrence dedup, oracle-checked. Two excel batches
     * staged in controlled discovery order (listing is name-sorted;
@@ -425,5 +501,7 @@ object DedupQueries {
     "d07_containment" -> (d07Containment _, d07Sql),
     "d08_streaming_dedup" -> (d08StreamingDedup _, d08Sql),
     "d09_decontamination" -> (d09Decontamination _, d09Sql),
+    "d10_substring_spans" -> (d10SubstringSpans _, d10Sql),
+    "d11_substring_dedup" -> (d11SubstringDedup _, d11Sql),
   )
 }

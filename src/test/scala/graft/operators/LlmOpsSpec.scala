@@ -52,6 +52,40 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getLong(out.head.fieldIndex("n_copies")) == 2L)
   }
 
+  test("duplicateSpans finds maximal duplicated word spans") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),       // span source
+      (2L, "y1 y2 w1 w2 w3 w4 w5 w6 w7 w8 y3"),    // same 8-word span at offset 3
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),       // exact copy of doc 1
+      (4L, "z1 z2")                                 // below the gram floor
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", gramLen = 4)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1 and 3 duplicate entirely (span covers all 10 words); doc 2
+    // shares only the 8-word w-run; doc 4 has no grams at all
+    assert(spans.toSeq == Seq((1L, 1L, 10L), (2L, 3L, 8L), (3L, 1L, 10L)))
+  }
+
+  test("substringDedup keeps the canonical occurrence and cleans the rest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),
+      (2L, "y1 y2 w1 w2 w3 w4 w5 w6 w7 w8 y3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"),
+      (4L, "z1 z2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", gramLen = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2"), // canonical sites: untouched
+      (2L, 8L, "y1 y2 y3"),                      // span removed, frame kept
+      (3L, 10L, ""),                             // whole doc was a copy
+      (4L, 0L, "z1 z2")))                        // below floor: untouched
+  }
+
   test("minhash-LSH finds near-dup and exact-dup pairs, not the distinct doc") {
     val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
       numHashes = 128, bands = 32, threshold = 0.6)
