@@ -429,6 +429,37 @@ object DedupQueries {
       |FROM toks t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** Duplicate-cluster formation: connected components over the exact
+    * n-gram Jaccard ≥ 0.7 pair graph (same edges as d04), cluster label =
+    * min doc_id reachable. Spark side: iterative hash-min propagation;
+    * oracle: DuckDB recursive CTE computing the transitive closure. The
+    * corpus's clusters happen to be cliques (up to 4 members), so the
+    * multi-hop path is pinned separately by a planted-chain spec test
+    * (LlmOpsSpec); the gate pins the grouping itself. */
+  def d12DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    graft.operators.DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val d12Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${d04Sql}
+       |),
+       |sym AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach(id, m) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.id)
+       |SELECT id AS doc_id, MIN(m) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d08
   /** STREAMING first-occurrence dedup, oracle-checked. Two excel batches
     * staged in controlled discovery order (listing is name-sorted;
@@ -503,5 +534,6 @@ object DedupQueries {
     "d09_decontamination" -> (d09Decontamination _, d09Sql),
     "d10_substring_spans" -> (d10SubstringSpans _, d10Sql),
     "d11_substring_dedup" -> (d11SubstringDedup _, d11Sql),
+    "d12_dedup_clusters" -> (d12DedupClusters _, d12Sql),
   )
 }

@@ -758,8 +758,26 @@ object RelationalQueries {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): a 12-row month series
+    * generated by the recursion anchoring a LEFT JOIN + aggregate —
+    * exercises the UnionLoop execution path; identical SQL runs on the
+    * oracle side. */
+  def q40RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q40Sql)
+  }
+
+  val q40Sql: String =
+    """WITH RECURSIVE m(n) AS (
+      |  SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+      |SELECT n AS month, COUNT(o_orderkey) AS n_orders
+      |FROM m LEFT JOIN orders ON MONTH(o_orderdate) = n
+      |GROUP BY n ORDER BY n""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q40_recursive_cte" -> (q40RecursiveCte _, q40Sql),
     "q33_exists_subquery" -> (q33ExistsSubquery _, q33Sql),
     "q34_not_exists_subquery" -> (q34NotExistsSubquery _, q34Sql),
     "q35_array_agg" -> (q35ArrayAgg _, q35Sql),

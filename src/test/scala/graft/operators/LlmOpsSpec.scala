@@ -86,6 +86,18 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 0L, "z1 z2")))                        // below floor: untouched
   }
 
+  test("connectedComponents closes multi-hop chains to one cluster") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, NOT a clique), separate pair 10-11, and
+    // a triangle 20-21-22 — labels must be the component-min everywhere
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val out = DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("minhash-LSH finds near-dup and exact-dup pairs, not the distinct doc") {
     val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
       numHashes = 128, bands = 32, threshold = 0.6)
