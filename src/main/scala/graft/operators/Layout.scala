@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: how 100 TB gets ARRANGED matters as much as how
+  * it is computed — multi-dimensional clustering is what turns min/max
+  * file statistics into real data skipping when queries filter on more
+  * than one column.
+  *
+  * Z-order (Morton) curve: interleave the bits of the dimension values so
+  * that range-partitioning on the single interleaved key keeps rows close
+  * in EVERY dimension within each partition. A query filtering on any
+  * clustered dimension then prunes most partitions by their min/max
+  * stats, instead of only queries on the leading sort column (the linear
+  * `ORDER BY a, b` layout degenerates to a full scan for filters on `b`).
+  *
+  * The key is pure bit arithmetic over builtin expressions — shifts, and,
+  * or — so it rides whole-stage codegen with no UDF and no custom
+  * Expression, and the clustering itself is `repartitionByRange` +
+  * `sortWithinPartitions`: Spark's own range sampler balances partition
+  * sizes even when the z-key distribution is skewed.
+  */
+object Layout {
+
+  /** `bits`-bit Morton interleave of the given dimension columns (already
+    * reduced to `[0, 2^bits)` non-negative longs by the caller — use
+    * `pmod`, bucketing, or range scaling). Dimension j's bit i lands at
+    * output bit `i * dims + j`, so the result fits `bits * dims` bits;
+    * with the 63-bit signed-long budget, `bits * dims <= 62`. */
+  def zorderKey(dims: Seq[Column], bits: Int = 10): Column = {
+    require(dims.nonEmpty, "zorderKey needs at least one dimension")
+    require(bits * dims.size <= 62,
+      s"bits=$bits over ${dims.size} dims exceeds the signed-long budget")
+    val d = dims.size
+    dims.zipWithIndex.map { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * d + j)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** The matching ANSI-SQL text for [[zorderKey]] (same unrolled shift/
+    * mask arithmetic), for oracle mirrors: pass the SQL of each dimension
+    * expression, get the SQL of the interleaved key. */
+  def zorderKeySql(dimSql: Seq[String], bits: Int = 10): String = {
+    val d = dimSql.size
+    dimSql.zipWithIndex.flatMap { case (s, j) =>
+      (0 until bits).map(i => s"((((${s}) >> $i) & 1) << ${i * d + j})")
+    }.mkString(" | ")
+  }
+
+  /** Cluster `df` for multi-dimensional data skipping: range-partition on
+    * the z-key (Spark samples the key distribution, so partitions stay
+    * balanced under skew) and sort within each partition so row-group
+    * min/max stats are tight after a parquet write. The z-key column is
+    * kept under the given name for stats/audit; drop it after writing if
+    * undesired. */
+  def clusterByZOrder(df: DataFrame, dims: Seq[Column], bits: Int = 10,
+      numPartitions: Int = 0, keyName: String = "_zkey"): DataFrame = {
+    val keyed = df.withColumn(keyName, zorderKey(dims, bits))
+    val ranged =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col(keyName))
+      else keyed.repartitionByRange(col(keyName))
+    ranged.sortWithinPartitions(col(keyName))
+  }
+}

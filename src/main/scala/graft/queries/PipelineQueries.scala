@@ -203,7 +203,78 @@ object PipelineQueries {
       |       t::BIGINT AS n_tokens
       |FROM pack ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p06
+  /** Z-order layout clustering: the Morton key over (user_id, event_id)
+    * low bits — `Layout.zorderKey` is pure builtin bit arithmetic, so the
+    * whole computation codegens and the oracle mirrors it with the same
+    * unrolled shifts. The layout effect (range-partition on the key →
+    * tight per-partition bounding boxes in BOTH dimensions) is pinned in
+    * LayoutSpec; the gate pins the key itself. */
+  def p06ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS); schema inference needs the legacy
+    // mapping even though ts is pruned from this read (see q18)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    val clustered = graft.operators.Layout.clusterByZOrder(
+      e, Seq(pmod(col("user_id"), lit(1024L)), pmod(col("event_id"), lit(1024L))),
+      bits = 10, keyName = "zkey")
+    clustered.select(col("event_id"), col("zkey")).orderBy("event_id")
+  }
+
+  val p06Sql: String = {
+    val z = graft.operators.Layout.zorderKeySql(
+      Seq("user_id % 1024", "event_id % 1024"), bits = 10)
+    s"""SELECT event_id, ($z)::BIGINT AS zkey
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- p07
+  /** SCD2 snapshot merge (lakehouse upsert history): a second snapshot
+    * revises every 7th order's price; merging snapshots into slowly-
+    * changing-dimension history is one union + one per-key window pass
+    * (valid_from/valid_to chaining via lead) — no driver loop, no MERGE
+    * statement needed. Exact arithmetic: one IEEE double multiply. */
+  def p07Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val base = o.select(col("o_orderkey"),
+      col("o_totalprice").as("price"),
+      lit(1L).as("version"),
+      lit(java.sql.Date.valueOf("2026-01-01")).as("valid_from"))
+    val upd = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * lit(1.1d)).as("price"),
+        lit(2L).as("version"),
+        lit(java.sql.Date.valueOf("2026-06-01")).as("valid_from"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("version"))
+    base.unionByName(upd)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_orderkey"), col("version"), col("price"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("o_orderkey", "version")
+  }
+
+  val p07Sql: String =
+    """WITH hist AS (
+      |  SELECT o_orderkey, o_totalprice AS price, 1::BIGINT AS version,
+      |         DATE '2026-01-01' AS valid_from
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice * CAST(1.1 AS DOUBLE) AS price,
+      |         2::BIGINT AS version, DATE '2026-06-01' AS valid_from
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderkey, version, price, valid_from,
+      |  LEAD(valid_from, 1) OVER (PARTITION BY o_orderkey ORDER BY version)
+      |    AS valid_to,
+      |  LEAD(valid_from, 1) OVER (PARTITION BY o_orderkey ORDER BY version)
+      |    IS NULL AS is_current
+      |FROM hist ORDER BY o_orderkey, version""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p06_zorder_layout" -> (p06ZorderLayout _, p06Sql),
+    "p07_scd2_merge" -> (p07Scd2Merge _, p07Sql),
     "p01_corpus_clean" -> (p01CorpusClean _, p01Sql),
     "p02_salted_join" -> (p02SaltedJoin _, p02Sql),
     "p03_stratified_sample" -> (p03StratifiedSample _, p03Sql),

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: key arithmetic ground truth + the actual layout
+  * property (tight per-partition bounding boxes in every clustered
+  * dimension, which is what enables multi-column min/max data skipping). */
+class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("zorderKey interleaves bits (known vectors)") {
+    import spark.implicits._
+    val out = Seq((3L, 0L), (0L, 3L), (1L, 1L), (2L, 3L))
+      .toDF("x", "y")
+      .select(Layout.zorderKey(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .collect().map(_.getLong(0))
+    // dim 0 bit i -> out bit 2i; dim 1 bit i -> out bit 2i+1
+    assert(out.toSeq == Seq(
+      5L,  // x=0b11 -> bits 0,2
+      10L, // y=0b11 -> bits 1,3
+      3L,  // x bit0 + y bit1
+      14L  // x=0b10 -> bit 2; y=0b11 -> bits 1,3
+    ))
+  }
+
+  test("zorderKeySql mirrors zorderKey") {
+    import spark.implicits._
+    val df = spark.range(500).select(
+      (col("id") * 37 % 64).as("x"), (col("id") * 53 % 64).as("y"))
+    val viaSql = df.selectExpr(
+      s"(${Layout.zorderKeySql(Seq("x", "y"), bits = 6)}) AS z")
+    val viaCol = df.select(Layout.zorderKey(Seq(col("x"), col("y")), 6).as("z"))
+    assert(viaSql.collect().map(_.getLong(0)).toSeq ==
+      viaCol.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("z-order layout keeps both dimensions tight per partition") {
+    import spark.implicits._
+    // 64x64 grid, one row per cell — any layout must spread 4096 cells
+    // over 16 partitions; z-order should bound BOTH x and y ranges per
+    // partition, while the linear (sort by x) layout leaves y unbounded
+    val grid = spark.range(4096).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    def avgYRange(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid").agg((max("y") - min("y")).as("yr"))
+        .agg(avg("yr")).collect()(0).getDouble(0)
+      r
+    }
+    val z = Layout.clusterByZOrder(grid, Seq(col("x"), col("y")),
+      bits = 6, numPartitions = 16)
+    val linear = grid.repartitionByRange(16, col("x"))
+    val zy = avgYRange(z)
+    val ly = avgYRange(linear)
+    // z-order: each partition is ~a 16x16-ish tile => y-range ~16-32;
+    // linear-by-x: each partition spans all 64 y values
+    assert(zy < 40, s"z-order avg y-range $zy should be tile-bounded")
+    assert(ly > 60, s"linear layout should span y fully, got $ly")
+    assert(zy < ly / 2)
+  }
+}
