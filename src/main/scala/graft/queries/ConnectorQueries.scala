@@ -185,7 +185,57 @@ object ConnectorQueries {
       |FROM orders WHERE o_orderkey % 37 = 0
       |GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------ excel_stream_join
+  /** Stream-static join, oracle-checked: documents staged as two excel
+    * batches (id parity) → `readStream` → broadcast join against a static
+    * per-language totals aggregate → append-mode memory sink under
+    * AvailableNow. The static side is planned once and broadcast to every
+    * micro-batch — the standard dimension-enrichment shape for streaming
+    * ingestion (at scale the stream side never shuffles). */
+  def excelStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val langTotals = docs.groupBy("lang").agg(count(lit(1)).as("lang_total"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_sjoin_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
+      .write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
+      .write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"excel_stream_join_${math.abs(dir.hashCode)}"
+    val q = spark.readStream.format("excel").schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(in.getAbsolutePath)
+      .join(broadcast(langTotals), "lang")
+      .select(col("doc_id"), col("lang"), col("lang_total"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).orderBy("doc_id")
+  }
+
+  val excelStreamJoinSql: String =
+    """SELECT d.doc_id, d.lang, l.lang_total
+      |FROM documents d JOIN (
+      |  SELECT lang, COUNT(*) AS lang_total FROM documents GROUP BY lang) l
+      |USING (lang) ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),
     "excel_sharded_roundtrip" -> (excelShardedRoundtrip _, excelShardedRoundtripSql),
     "excel_arrow_roundtrip" -> (excelArrowRoundtrip _, excelArrowRoundtripSql),

@@ -65,6 +65,39 @@ object StatQueries {
       | quantile_disc(l_quantity, 0.75) AS q3_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Approximate percentile (GK sketch) validated against its own rank
+    * guarantee, beside the exact discrete median — the q19 pattern applied
+    * to quantiles: the sketch's returned value is implementation-defined,
+    * so the gate pins (a) the exact median cross-engine and (b) a boolean
+    * that the sketch's rank error is within 10× its contract (accuracy
+    * 10000 → eps 1e-4; band 1e-3). The rank check joins the 3-row sketch
+    * output back broadcast — no second shuffle of lineitem. */
+  def q41ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem").select($"l_returnflag", $"l_extendedprice")
+    val sk = li.groupBy($"l_returnflag").agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .as("med_price"),
+      count(lit(1)).as("n"))
+    li.join(broadcast(sk), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(first($"med_price").as("med_price"), first($"n").as("n"),
+        sum(when($"l_extendedprice" <= $"ap", 1L).otherwise(0L)).as("cle"),
+        sum(when($"l_extendedprice" < $"ap", 1L).otherwise(0L)).as("clt"))
+      .select($"l_returnflag", $"med_price",
+        ($"cle".cast("double") >= $"n".cast("double") * 0.499 &&
+          $"clt".cast("double") <= $"n".cast("double") * 0.501).as("approx_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q41Sql: String =
+    """SELECT l_returnflag,
+      | quantile_disc(l_extendedprice, 0.5) AS med_price,
+      | TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q29
   /** Pearson correlation + population stddev from exact decimal moments. */
   def q29ExactStats(spark: SparkSession, dir: String): DataFrame = {
@@ -122,6 +155,7 @@ object StatQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q27_grouping_sets" -> (q27GroupingSets _, q27Sql),
+    "q41_approx_percentile" -> (q41ApproxPercentile _, q41Sql),
     "q28_percentile_disc" -> (q28PercentileDisc _, q28Sql),
     "q29_exact_stats" -> (q29ExactStats _, q29Sql),
     "q30_heavy_hitters" -> (q30HeavyHitters _, q30Sql),
