@@ -81,12 +81,39 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pair operators never plan cartesian/nested-loop joins") {
     Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
       "d05_embedding_neardup", "d07_containment", "d09_decontamination",
-      "s05_knn_join_lsh")
+      "d10_substring_spans", "d11_substring_dedup", "s05_knn_join_lsh")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
           s"$q degenerated:\n$p")
       }
+  }
+
+  test("d10: gram counting is partial-aggregated and the count scan prunes to text") {
+    val p = plan("d10_substring_spans")
+    assert(p.contains("partial_count"), "gram count must map-side combine")
+    // the gram-count branch only needs the text column — its scan must not
+    // drag doc_id through the tokenize+explode pass
+    assert(p.linesIterator.exists(l =>
+      l.contains("ReadSchema: struct<text:string>")),
+      s"count-branch scan should prune to text only:\n$p")
+  }
+
+  test("p06: z-order key computation stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .select(graft.operators.Layout.zorderKey(
+        Seq(pmod(col("user_id"), lit(1024L)), pmod(col("event_id"), lit(1024L))),
+        bits = 10).as("z"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stage markers in:\n$p")
+  }
+
+  test("q41: sketch join-back broadcasts the 3-row aggregate") {
+    val p = plan("q41_approx_percentile")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank check must broadcast the sketch output, not shuffle lineitem:\n$p")
   }
 
   test("s04: exact knn join broadcasts the probe side, corpus unshuffled") {
