@@ -775,9 +775,47 @@ object RelationalQueries {
       |FROM m LEFT JOIN orders ON MONTH(o_orderdate) = n
       |GROUP BY n ORDER BY n""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** UNPIVOT (relational melt) — wide per-flag aggregates to long
+    * (flag, metric, value) form; exact-decimal sums so the doubles are
+    * order-independent. Identical SQL text runs on both engines. */
+  def q42Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q42Sql)
+  }
+
+  val q42Sql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |    CAST(COUNT(*) AS DOUBLE) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value
+      |FROM agg UNPIVOT (value FOR metric IN (qty, cnt))
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** LATERAL correlated subquery join (a per-row dependent subplan that
+    * the optimizer decorrelates into a join) — identical SQL text on both
+    * engines. */
+  def q43LateralJoin(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("nation")
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(q43Sql)
+  }
+
+  val q43Sql: String =
+    """SELECT n_name, t.c AS n_customers
+      |FROM nation, LATERAL (
+      |  SELECT COUNT(*) AS c FROM customer
+      |  WHERE c_nationkey = n_nationkey) t
+      |ORDER BY n_name""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q40_recursive_cte" -> (q40RecursiveCte _, q40Sql),
+    "q42_unpivot" -> (q42Unpivot _, q42Sql),
+    "q43_lateral_join" -> (q43LateralJoin _, q43Sql),
     "q33_exists_subquery" -> (q33ExistsSubquery _, q33Sql),
     "q34_not_exists_subquery" -> (q34NotExistsSubquery _, q34Sql),
     "q35_array_agg" -> (q35ArrayAgg _, q35Sql),
