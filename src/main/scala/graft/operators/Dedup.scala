@@ -330,12 +330,22 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("t"))
 
+  /** Packing bounds for the (doc_id, position) → long key below: 23 bits of
+    * position (documents up to 8,388,607 words — a ~40 MB text; a 100 TB web
+    * corpus's concatenated-log outliers fit) and the remaining 40 signed
+    * bits of doc_id (±5.5×10¹¹ ids). ENFORCED, not assumed: an out-of-range
+    * row fails the job with a clear message instead of silently mis-ordering
+    * canonical-site selection. */
+  private[operators] val PackPosLimit: Long = 1L << 23
+  private[operators] val PackDocLimit: Long = 1L << 39
+
   /** Duplicated-gram occurrence sites: (doc_id, p, gram, pk, min_pk) for
     * every (doc, 1-based word position) whose forward `gramLen`-gram occurs
     * ≥ 2 times corpus-wide. `pk` packs (doc_id, p) into one orderable long
-    * (positions are bounded by document length ≪ 10⁶, documented invariant)
-    * so the canonical site is a plain `min` — partial-aggregatable, unlike
-    * a per-gram window. */
+    * (order-preserving because p < [[PackPosLimit]] and |doc_id| <
+    * [[PackDocLimit]], both runtime-enforced via `assert_true`) so the
+    * canonical site is a plain `min` — partial-aggregatable, unlike a
+    * per-gram window. */
   private def dupGramOccurrences(df: DataFrame, idCol: String,
       textCol: String, gramLen: Int): DataFrame = {
     val occ = tokens(df, idCol, textCol)
@@ -344,7 +354,20 @@ object Dedup {
         explode(sequence(lit(1), size(col("t")) - (gramLen - 1))).as("p0"))
       .select(col("doc_id"), col("p0").cast("long").as("p"),
         concat_ws(" ", slice(col("t"), col("p0"), lit(gramLen))).as("gram"))
-      .withColumn("pk", col("doc_id") * lit(1000000L) + col("p"))
+      // the coalesce(assert_true…, 0) term is always 0 but ties the range
+      // check to pk so the optimizer cannot prune it
+      .withColumn("pk",
+        col("doc_id") * lit(PackPosLimit) + col("p") +
+          coalesce(assert_true(
+            col("p") < lit(PackPosLimit) &&
+              col("doc_id") < lit(PackDocLimit) &&
+              col("doc_id") > lit(-PackDocLimit),
+            format_string(
+              "substring-dedup packing overflow: doc_id=%d position=%d " +
+                "exceed the 40/23-bit (doc, position) split (|doc_id| < " +
+                s"$PackDocLimit, position < $PackPosLimit). Split oversize " +
+                "documents or remap ids before deduplication.",
+              col("doc_id"), col("p"))).cast("long"), lit(0L)))
     val dup = occ.groupBy("gram")
       .agg(count(lit(1)).as("cnt"), min(col("pk")).as("min_pk"))
       .filter(col("cnt") >= 2)

@@ -63,6 +63,15 @@ object DedupClusters {
       i += 1
     }
     und.unpersist()
+    // partially-propagated labels LOOK like valid clusters — failing loudly
+    // is the only safe behavior when the round budget runs out (a 100 TB
+    // pathological chain graph would otherwise silently over-split clusters)
+    if (!done)
+      throw new org.apache.spark.SparkException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds (labels were still changing). The graph's diameter " +
+          "exceeds the round budget — raise maxIter, or pre-contract long " +
+          "chains (star contraction) before labeling.")
     labels
   }
 }

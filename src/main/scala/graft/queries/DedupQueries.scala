@@ -401,7 +401,7 @@ object DedupQueries {
       |  SELECT doc_id, UNNEST(RANGE(1, LEN(t) - 8 + 2)) AS p, t
       |  FROM toks WHERE LEN(t) >= 8),
       |grams AS (
-      |  SELECT doc_id, p, doc_id * 1000000 + p AS pk,
+      |  SELECT doc_id, p, doc_id * 8388608 + p AS pk,
       |         ARRAY_TO_STRING(t[p:p+7], ' ') AS gram FROM occ),
       |dup AS (
       |  SELECT gram, MIN(pk) AS min_pk FROM grams

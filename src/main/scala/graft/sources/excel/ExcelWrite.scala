@@ -56,6 +56,15 @@ class ExcelWriteBuilder(schema: StructType, opts: ExcelOptions)
         s"columnWidths names column '$n' which is not in the write schema")
     }
     ExcelWrite.validateSheetName(opts.writeSheetName, "option 'sheetName'")
+    // width is known at planning time — fail before any task runs (the
+    // per-row guard in XlsxWriter.writeRow still backstops ragged rows)
+    val dataCols = schema.fields.length - (if (opts.sheetColumn.isDefined) 1 else 0)
+    if (dataCols > XlsxWriter.MaxColsPerSheet)
+      throw new org.apache.spark.SparkException(
+        s"Excel column limit exceeded: the write schema has $dataCols data " +
+          s"columns but the xlsx format caps a sheet at " +
+          s"${XlsxWriter.MaxColsPerSheet} columns (Excel refuses to open " +
+          "wider sheets).")
     new ExcelWrite(schema, opts, doTruncate)
   }
 }

@@ -55,6 +55,13 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1",
   def writeHeaderRow(values: Iterable[Any]): Unit = writeRow(values, headerStyle = true)
 
   private def writeRow(values: Iterable[Any], headerStyle: Boolean): Unit = {
+    if (rowNum >= XlsxWriter.MaxRowsPerSheet)
+      throw new org.apache.spark.SparkException(
+        s"Excel row limit exceeded: sheet '${sheetNames.last}' cannot hold " +
+          s"more than ${XlsxWriter.MaxRowsPerSheet} rows (the xlsx format's " +
+          "hard cap; Excel refuses to open larger sheets). Shard the output " +
+          "(option 'shardedOutput'), route rows across sheets (option " +
+          "'sheetColumn'), or write parquet instead.")
     rowNum += 1
     val strAttrs =
       if (headerStyle) "\" s=\"3\" t=\"inlineStr\"" else "\" t=\"inlineStr\""
@@ -86,6 +93,12 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1",
       }
       col += 1
     }
+    if (col > XlsxWriter.MaxColsPerSheet)
+      throw new org.apache.spark.SparkException(
+        s"Excel column limit exceeded: row $rowNum of sheet " +
+          s"'${sheetNames.last}' has $col cells but the xlsx format caps a " +
+          s"sheet at ${XlsxWriter.MaxColsPerSheet} columns (Excel refuses " +
+          "to open wider sheets).")
     sheet.append("</row>")
     if (sheet.length > (1 << 16)) flushSheet()
   }
@@ -243,4 +256,15 @@ final class XlsxWriter(out: OutputStream, sheetName: String = "Sheet1",
     }
     sb.toString
   }
+}
+
+object XlsxWriter {
+  /** Excel's hard per-sheet caps (xlsx stores a 20-bit row index and a
+    * 14-bit column index; real Excel refuses to open anything larger, while
+    * our own reader would happily round-trip it — exactly the
+    * silent-corruption hazard the sheet-name validation closed for names).
+    * Enforced in [[XlsxWriter.writeRow]] so every write mode — merged,
+    * sharded, sheet-routed, streaming — fails loudly at the offending row. */
+  val MaxRowsPerSheet: Int = 1048576
+  val MaxColsPerSheet: Int = 16384
 }

@@ -98,6 +98,48 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("substring dedup rejects doc ids outside the 40-bit packing range") {
+    import spark.implicits._
+    // the (doc_id, position) → long packing is only order-preserving inside
+    // its documented 40/23-bit split; an id past the bound must fail the job
+    // loudly instead of silently mis-picking canonical sites
+    val bigId = 1L << 39
+    val df = Seq(
+      (bigId, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.substringDedup(df, "doc_id", "text", gramLen = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packing overflow")), msgs(e).toString)
+
+    // ids inside the bound — including negative ones — still work
+    val ok = Seq((-5L, "w1 w2 w3 w4 w5 w6"), (7L, "w1 w2 w3 w4 w5 w6"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(ok, "doc_id", "text", gramLen = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // canonical site is the (doc_id, pos)-minimum: doc -5 keeps its text,
+    // doc 7 (an exact copy) is fully cleaned
+    assert(out.toSeq == Seq(
+      (-5L, 0L, "w1 w2 w3 w4 w5 w6"), (7L, 6L, "")))
+  }
+
+  test("connectedComponents fails loudly when maxIter exhausts unconverged") {
+    import spark.implicits._
+    // chain 1-2-3-4 has diameter 3: one hash-min round cannot converge, so
+    // a silent return here would hand back over-split clusters that LOOK
+    // valid — the operator must throw instead
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val e = intercept[org.apache.spark.SparkException] {
+      DedupClusters.connectedComponents(edges, "id_a", "id_b", maxIter = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+
   test("minhash-LSH finds near-dup and exact-dup pairs, not the distinct doc") {
     val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
       numHashes = 128, bands = 32, threshold = 0.6)

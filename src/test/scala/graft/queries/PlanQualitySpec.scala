@@ -36,6 +36,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!read.contains("l_returnflag"), s"over-read: $read")
   }
 
+  test("q03: 3-way join + distinct-count keeps one lineitem scan and partial aggs") {
+    val p = plan("q03_join_agg")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"q03 degenerated:\n$p")
+    // map-side combine below the first exchange — the revenue sum is
+    // partial at the (mktsegment, orderkey) distinct-expand level
+    assert(p.contains("partial_sum"), s"no partial aggregation:\n$p")
+    assert(p.contains("partial_count(distinct"),
+      s"distinct count must be the two-phase rewrite:\n$p")
+    // lineitem (the fact side) is scanned exactly once; the distinct-count
+    // expand must not re-read or re-shuffle it a second time
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    // and its scan prunes to the 3 columns the query touches
+    val liScan = p.linesIterator.find(l =>
+      l.contains("lineitem.parquet") && l.contains("ReadSchema")).get
+    assert(!liScan.contains("l_quantity") && !liScan.contains("l_shipdate"),
+      s"lineitem over-read: $liScan")
+    // exchange budget: distinct-expand agg + final agg + orderBy range
+    // partitioning; anything above 3 means a join started re-shuffling
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 3,
+      s"unexpected extra shuffles:\n$p")
+  }
+
   test("q04: small dimension is broadcast, not shuffled") {
     assert(plan("q04_broadcast_join").contains("BroadcastHashJoin"))
   }

@@ -299,6 +299,55 @@ class AdviceRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("writes past Excel's 1,048,576-row sheet cap fail loudly") {
+    // boundary at the writer level: exactly at the cap succeeds, one more
+    // row throws (rows here are empty <row/> elements — the cap is on row
+    // COUNT, so this exercises the guard without 40 MB of cell XML)
+    val w = new XlsxWriter(java.io.OutputStream.nullOutputStream())
+    (1 to XlsxWriter.MaxRowsPerSheet).foreach(_ => w.writeRow(Nil))
+    val e = intercept[org.apache.spark.SparkException] { w.writeRow(Nil) }
+    assert(e.getMessage.contains("Excel row limit exceeded"), e.getMessage)
+    // a new sheet resets the budget
+    w.startSheet("second")
+    w.writeRow(Seq(1L))
+    w.close()
+
+    // end to end: an oversize single-sheet Spark write fails the job with
+    // the same message instead of emitting a workbook Excel can't open
+    import spark.implicits._
+    val out = new File(tmpDir(), "toobig.xlsx").getAbsolutePath
+    val e2 = intercept[Exception] {
+      spark.range(XlsxWriter.MaxRowsPerSheet.toLong + 1).map(_.toInt).toDF("id")
+        .coalesce(1).write.format("excel").option("header", "false")
+        .mode("overwrite").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(_.contains("Excel row limit exceeded")),
+      msgs(e2).toString)
+  }
+
+  test("writes past Excel's 16,384-column sheet cap fail loudly") {
+    // ragged data row wider than the cap → per-row guard
+    val w = new XlsxWriter(java.io.OutputStream.nullOutputStream())
+    w.writeRow(Seq.fill(XlsxWriter.MaxColsPerSheet)(null)) // at the cap: fine
+    val e = intercept[org.apache.spark.SparkException] {
+      w.writeRow(Seq.fill(XlsxWriter.MaxColsPerSheet + 1)(null))
+    }
+    assert(e.getMessage.contains("Excel column limit exceeded"), e.getMessage)
+    w.close()
+
+    // schema wider than the cap → rejected at planning, before any task
+    import org.apache.spark.sql.types._
+    val wide = StructType((0 to XlsxWriter.MaxColsPerSheet)
+      .map(i => StructField(s"c$i", IntegerType)))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      new ExcelWriteBuilder(wide,
+        ExcelOptions.fromMap(Map("path" -> "/tmp/unused.xlsx"))).build()
+    }
+    assert(e2.getMessage.contains("Excel column limit exceeded"), e2.getMessage)
+  }
+
   test("dot/underscore-prefixed files are invisible to directory listings") {
     val dir = tmpDir()
     val mk = (name: String) => {
