@@ -116,6 +116,105 @@ object Multimodal {
     None
   }
 
+  /** GIF87a/89a logical screen descriptor: (width, height, 3). */
+  def parseGifHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 10) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0) None else Some((w, h, 3))
+  }
+
+  /** BMP BITMAPINFOHEADER (and later V4/V5 variants — all share the first
+    * 16 bytes): (width, |height|, channels = bitcount/8 floored to ≥ 1).
+    * Height may be negative (top-down rows). */
+  def parseBmpHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 30) return None
+    if (!(b(0) == 'B' && b(1) == 'M')) return None
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER not handled
+    val w = le32(b, 18); val h = math.abs(le32(b, 22))
+    val bits = le16(b, 28)
+    if (w <= 0 || h == 0 || bits <= 0) return None
+    Some((w, h, math.max(1, bits / 8)))
+  }
+
+  // ---------------------------------------------------------- ISO-BMFF
+  /** Container boxes the walker descends into (size(4 BE) type(4cc) child
+    * boxes...). 64-bit (`size==1`) and to-EOF (`size==0`) boxes abort the
+    * walk — fall back to the stub rather than misparse. */
+  private val Mp4Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** First box of `target` within [from, to): payload range (start, end). */
+  private def findBox(b: Array[Byte], from: Int, to: Int,
+      target: String): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= to) {
+      val size = be32(b, i)
+      if (size < 8 || i + size > to) return None
+      val typ = new String(b, i + 4, 4, "ISO-8859-1")
+      if (typ == target) return Some((i + 8, i + size))
+      if (Mp4Containers(typ)) {
+        val r = findBox(b, i + 8, i + size, target)
+        if (r.isDefined) return r
+      }
+      i += size
+    }
+    None
+  }
+
+  /** MP4/ISO-BMFF `mvhd`: presentation duration in SECONDS
+    * (duration ticks / timescale), version 0 and 1 layouts. */
+  def parseMp4Duration(b: Array[Byte]): Option[Double] = {
+    if (b.length < 12) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    findBox(b, 0, b.length, "mvhd").flatMap { case (ps, pe) =>
+      val v = b(ps) & 0xff
+      // v0: vf(4) ctime(4) mtime(4) timescale(4) duration(4)
+      // v1: vf(4) ctime(8) mtime(8) timescale(4) duration(8)
+      if (v == 0 && ps + 20 <= pe) {
+        val ts = be32(b, ps + 12); val dur = be32(b, ps + 16) & 0xffffffffL
+        if (ts > 0) Some(dur.toDouble / ts) else None
+      } else if (v == 1 && ps + 32 <= pe) {
+        val ts = be32(b, ps + 20)
+        val dur = ((be32(b, ps + 24) & 0xffffffffL) << 32) |
+          (be32(b, ps + 28) & 0xffffffffL)
+        if (ts > 0) Some(dur.toDouble / ts) else None
+      } else None
+    }
+  }
+
+  /** MP4/ISO-BMFF video metadata: (width, height, n_frames). Dimensions
+    * from the first `tkhd` (16.16 fixed point — zero for pure-audio tracks,
+    * which therefore return None); the REAL frame count is the `stts`
+    * (time-to-sample) sample-count total — the ground truth a real frame
+    * sampler would walk, not a duration×fps estimate. */
+  def parseMp4Header(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    for {
+      (ts, te) <- findBox(b, 0, b.length, "tkhd")
+      (ss, se) <- findBox(b, 0, b.length, "stts")
+      wOff = if ((b(ts) & 0xff) == 1) ts + 88 else ts + 76
+      if wOff + 8 <= te && ss + 8 <= se
+      w = be32(b, wOff) >>> 16
+      h = be32(b, wOff + 4) >>> 16
+      if w > 0 && h > 0
+      n = sttsSampleTotal(b, ss, se)
+      if n > 0
+    } yield (w, h, n)
+  }
+
+  private def sttsSampleTotal(b: Array[Byte], ps: Int, pe: Int): Int = {
+    val entries = be32(b, ps + 4)
+    var i = 0; var off = ps + 8; var total = 0L
+    while (i < entries && off + 8 <= pe) {
+      total += be32(b, off) & 0xffffffffL // (sample_count, sample_delta)
+      off += 8; i += 1
+    }
+    math.min(total, Int.MaxValue.toLong).toInt
+  }
+
   /** WAV RIFF `fmt ` chunk: (sampleRate, bitsPerSample, channels). */
   def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 12) return None
@@ -140,20 +239,25 @@ object Multimodal {
 
   /** Decode dispatch: sniff the container by magic bytes and parse the REAL
     * header when one is present; anything unrecognized falls back to
-    * [[decodeStub]]. Mapping into the uniform record: images report pixel
-    * (width, height, channels); WAV audio reports (sampleRate,
-    * bitsPerSample, channels) in the (width, height, channels) slots — the
-    * natural per-modality "dimensions" — with n_frames 1 (frame counting
-    * needs a full container walk, still stubbed for video). Features stay
-    * stubbed in all cases (no codec libraries in this environment). */
+    * [[decodeStub]]. Mapping into the uniform record: images (PNG/JPEG/
+    * GIF/BMP) report pixel (width, height, channels); WAV audio reports
+    * (sampleRate, bitsPerSample, channels) in the (width, height, channels)
+    * slots — the natural per-modality "dimensions" — with n_frames 1; MP4
+    * video reports tkhd dimensions and the REAL stts frame count. Features
+    * stay stubbed in all cases (no codec libraries in this environment). */
   def decodeMedia(payload: Array[Byte], modality: String): (Int, Int, Int, Int, Array[Float]) = {
     val stub = decodeStub(payload, modality)
-    val parsed = parsePngHeader(payload)
-      .orElse(parseJpegHeader(payload))
-      .orElse(parseWavHeader(payload))
-    parsed match {
-      case Some((a, b, c)) => (a, b, c, 1, stub._5)
-      case None => stub
+    parseMp4Header(payload) match {
+      case Some((w, h, n)) => (w, h, 3, n, stub._5)
+      case None =>
+        parsePngHeader(payload)
+          .orElse(parseJpegHeader(payload))
+          .orElse(parseGifHeader(payload))
+          .orElse(parseBmpHeader(payload))
+          .orElse(parseWavHeader(payload)) match {
+          case Some((a, b, c)) => (a, b, c, 1, stub._5)
+          case None => stub
+        }
     }
   }
 
@@ -245,13 +349,18 @@ object Multimodal {
     * a genuine PNG signature + IHDR (width 16 + doc_id % 624, height
     * 16 + doc_id % 464, truecolor), audio rows a genuine RIFF/WAVE `fmt `
     * chunk (sample rate 8000·(1 + doc_id % 5), 16-bit,
-    * 1 + doc_id % 2 channels), each followed by the document's text bytes
-    * as fake pixel/sample data; video rows stay raw text bytes so the stub
-    * fallback path is exercised too. [[decodeMedia]] must parse the planted
-    * headers back out — which is what the m01/m03 oracles verify. */
+    * 1 + doc_id % 2 channels), and HALF the video rows (doc_id % 6 == 2) a
+    * genuine 280-byte minimal MP4 (ftyp + moov with mvhd @600 ticks/s,
+    * tkhd carrying 16.16 dimensions, and an stts whose sample total is the
+    * REAL frame count 1 + doc_id % 29 at 30 fps) — each followed by the
+    * document's text bytes as fake pixel/sample data. The other video rows
+    * (doc_id % 6 == 5) stay raw text bytes so the stub fallback path is
+    * exercised too. [[decodeMedia]] must parse the planted headers back
+    * out — which is what the m01/m02/m03 oracles verify. */
   def fakeMediaFrame(documents: DataFrame): DataFrame = {
     def bytes(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
     def byteHex(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+    def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
     def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
     def le16(c: Column): Column =
       unhex(concat(byteHex(c), byteHex(shiftright(c, 8))))
@@ -278,12 +387,50 @@ object Multimodal {
       le16(chans), le32(rate), le32(rate * chans * lit(2)),
       le16(chans * lit(2)), le16(lit(16)), body)
 
+    // minimal-but-genuine MP4: ftyp(16) + moov(264) = 280-byte prefix.
+    // moov = mvhd(108) + trak(148); trak = tkhd(92) + mdia(48);
+    // mdia = minf(40) = stbl(32) = stts(24). 30 fps at timescale 600
+    // (delta 20 ticks), duration = n_frames * 20, one stts run.
+    val nFrames = lit(1) + pmod(id, lit(29))
+    val mp4Dur = nFrames * lit(20)
+    val unityMatrix = bytes(
+      0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0, 0x40, 0, 0, 0)
+    val mp4 = concat(
+      bytes(0, 0, 0, 16, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm', 0, 0, 0, 0),
+      bytes(0, 0, 1, 8, 'm', 'o', 'o', 'v'),
+      // mvhd v0: timescale 600 = 0x258, duration varies
+      bytes(0, 0, 0, 108, 'm', 'v', 'h', 'd', 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x02, 0x58),
+      be32(mp4Dur),
+      bytes(0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), // rate, volume, reserved
+      unityMatrix,
+      bytes(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0), // pre_defined[6]
+      bytes(0, 0, 0, 2), // next_track_ID
+      bytes(0, 0, 0, 148, 't', 'r', 'a', 'k'),
+      // tkhd v0: flags 7 (enabled), track 1, duration varies
+      bytes(0, 0, 0, 92, 't', 'k', 'h', 'd', 0, 0, 0, 7,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0),
+      be32(mp4Dur),
+      bytes(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), // reserved, layer/alt/vol/res
+      unityMatrix,
+      be16(imgW), bytes(0, 0), be16(imgH), bytes(0, 0), // 16.16 fixed point
+      bytes(0, 0, 0, 48, 'm', 'd', 'i', 'a',
+        0, 0, 0, 40, 'm', 'i', 'n', 'f',
+        0, 0, 0, 32, 's', 't', 'b', 'l',
+        0, 0, 0, 24, 's', 't', 't', 's', 0, 0, 0, 0, 0, 0, 0, 1),
+      be32(nFrames), bytes(0, 0, 0, 20),
+      body)
+
     val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(id, lit(3)) + 1).cast("int"))
     documents.select(
       col("doc_id"),
       when(modality === "image", png)
         .when(modality === "audio", wav)
+        .when(pmod(id, lit(6)) === 2, mp4)
         .otherwise(body).as("payload"),
       modality.as("modality"))
   }

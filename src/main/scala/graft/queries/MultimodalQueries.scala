@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
 /** Multimodal queries: a fake media corpus carrying REAL container headers
-  * (PNG IHDR for images, RIFF/WAVE `fmt ` for audio — planted by
-  * [[Multimodal.fakeMediaFrame]] with dimensions derived from doc_id)
-  * through the batched per-partition decode ([[Multimodal.decodeBatch]]).
-  * The decoder must parse the planted headers back out, so the oracles
-  * verify genuine byte-level header parsing for image/audio; video rows
-  * carry no header and pin the deterministic stub fallback. Pixel/sample
-  * decoding itself stays stubbed (no codecs in this container). */
+  * (PNG IHDR for images, RIFF/WAVE `fmt ` for audio, ISO-BMFF
+  * ftyp+moov/mvhd/tkhd/stts for half the video rows — planted by
+  * [[Multimodal.fakeMediaFrame]] with dimensions/frame counts derived from
+  * doc_id) through the batched per-partition decode
+  * ([[Multimodal.decodeBatch]]). The decoder must parse the planted headers
+  * back out, so the oracles verify genuine byte-level header parsing for
+  * image/audio/video; the remaining video rows carry no header and pin the
+  * deterministic stub fallback. Pixel/sample decoding itself stays stubbed
+  * (no codecs in this container). */
 object MultimodalQueries {
 
   def m01DecodeMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -30,33 +32,41 @@ object MultimodalQueries {
 
   /** Image/audio rows: header fields the decoder must parse back out of
     * the planted PNG (33-byte prefix) / WAV (36-byte prefix) headers.
-    * Video rows: the stub fallback over the raw text bytes. */
+    * Video rows with doc_id % 6 = 2: REAL MP4 parse — tkhd dimensions and
+    * the stts frame-count total behind a 280-byte planted container.
+    * Video rows with doc_id % 6 = 5: the stub fallback over raw text. */
   val m01Sql: String =
     """WITH base AS (
       |  SELECT doc_id,
       |    COALESCE(STRLEN(text), 0) AS n,
-      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    doc_id % 6 = 2 AS mp4
       |  FROM documents)
       |SELECT doc_id, modality,
       |  (CASE modality WHEN 'image' THEN n + 33 WHEN 'audio' THEN n + 36
-      |        ELSE n END)::BIGINT AS n_bytes,
+      |        ELSE n + CASE WHEN mp4 THEN 280 ELSE 0 END END)::BIGINT AS n_bytes,
       |  (CASE modality WHEN 'image' THEN 16 + doc_id % 624
       |        WHEN 'audio' THEN 8000 * (1 + doc_id % 5)
-      |        ELSE 16 + n % 624 END)::BIGINT AS width,
+      |        ELSE CASE WHEN mp4 THEN 16 + doc_id % 624 ELSE 16 + n % 624 END
+      |   END)::BIGINT AS width,
       |  (CASE modality WHEN 'image' THEN 16 + doc_id % 464
       |        WHEN 'audio' THEN 16
-      |        ELSE 16 + n % 464 END)::BIGINT AS height,
+      |        ELSE CASE WHEN mp4 THEN 16 + doc_id % 464 ELSE 16 + n % 464 END
+      |   END)::BIGINT AS height,
       |  (CASE modality WHEN 'image' THEN 3
       |        WHEN 'audio' THEN 1 + doc_id % 2
       |        ELSE 3 END)::BIGINT AS channels,
-      |  (CASE WHEN modality = 'video' THEN 1 + n % 29 ELSE 1 END)::BIGINT AS n_frames
+      |  (CASE WHEN modality = 'video' THEN
+      |        CASE WHEN mp4 THEN 1 + doc_id % 29 ELSE 1 + n % 29 END
+      |   ELSE 1 END)::BIGINT AS n_frames
       |FROM base ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- m02
   /** Frame sampling: every 5th frame of each fake video — the one-row-in,
     * k-rows-out fan-out a video pipeline runs before per-frame featurizing.
-    * Frame counts come from the deterministic stub; the oracle mirrors the
-    * arithmetic and the RANGE fan-out. */
+    * Frame counts are REAL stts totals for the planted-MP4 rows
+    * (doc_id % 6 = 2) and deterministic stub arithmetic for the raw rows;
+    * the oracle mirrors both and the RANGE fan-out. */
   def m02FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     Multimodal.sampleFrames(
@@ -71,7 +81,9 @@ object MultimodalQueries {
 
   val m02Sql: String =
     """WITH v AS (
-      |  SELECT doc_id, 1 + COALESCE(STRLEN(text), 0) % 29 AS n_frames
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 2 THEN 1 + doc_id % 29
+      |         ELSE 1 + COALESCE(STRLEN(text), 0) % 29 END AS n_frames
       |  FROM documents WHERE doc_id % 3 = 2)
       |SELECT doc_id,
       |  UNNEST(RANGE(0, n_frames, 5))::BIGINT AS frame_idx,

@@ -425,10 +425,43 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.decodeMedia(wav.take(k), "audio") != null)
   }
 
+  test("gif/bmp/mp4 parsers read real container metadata") {
+    // GIF89a logical screen descriptor: 320x200 LE
+    val gif = (Array[Int]('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, 0xc8, 0x00, 0x91, 0, 0) map (_.toByte))
+    assert(Multimodal.parseGifHeader(gif).contains((320, 200, 3)))
+
+    // BMP with a 40-byte BITMAPINFOHEADER: 100x50 top-down, 24-bit
+    val bmp = (Array[Int]('B', 'M', 0, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,
+      40, 0, 0, 0, 100, 0, 0, 0) ++
+      Array[Int](0xce, 0xff, 0xff, 0xff) ++ // height -50 LE
+      Array[Int](1, 0, 24, 0, 0, 0, 0, 0)).map(_.toByte)
+    assert(Multimodal.parseBmpHeader(bmp).contains((100, 50, 3)))
+
+    // MP4 via the fixture generator: the planted container must parse back
+    import spark.implicits._
+    val docs = Seq((8L, "abcdefgh")).toDF("doc_id", "text") // 8 % 3 = 2: video
+    val payload = Multimodal.fakeMediaFrame(docs)
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(payload.length == 280 + 8)
+    // tkhd dims 16+8=24 each; stts total = 1 + 8 % 29 = 9 frames
+    assert(Multimodal.parseMp4Header(payload).contains((24, 24, 9)))
+    // mvhd: 9 frames at 30 fps → duration 180 ticks / 600 = 0.3 s
+    assert(Multimodal.parseMp4Duration(payload).contains(0.3))
+
+    // negatives: junk and truncations fall back, never crash
+    val junk = "just some text".getBytes("UTF-8")
+    assert(Multimodal.parseGifHeader(junk).isEmpty)
+    assert(Multimodal.parseBmpHeader(junk).isEmpty)
+    assert(Multimodal.parseMp4Header(junk).isEmpty)
+    for (k <- 0 to payload.length by 7)
+      assert(Multimodal.decodeMedia(payload.take(k), "video") != null)
+  }
+
   test("fake media frame plants parseable headers") {
     import spark.implicits._
-    val docs = Seq((0L, "pix"), (1L, "aud"), (2L, "vid"), (600L, "x"))
-      .toDF("doc_id", "text")
+    val docs = Seq((0L, "pix"), (1L, "aud"), (2L, "vid"), (5L, "raw"),
+      (600L, "x")).toDF("doc_id", "text")
     val rows = Multimodal.withDecodedMeta(
       Multimodal.fakeMediaFrame(docs), "doc_id", "payload", "modality")
       .collect().map(r => r.doc_id -> r).toMap
@@ -440,8 +473,11 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 1: WAV 16000 Hz (1 + 1 % 5 = 2), 16-bit, 2 channels
     assert(rows(1L).width == 16000 && rows(1L).height == 16)
     assert(rows(1L).channels == 2 && rows(1L).n_bytes == 3 + 36)
-    // doc 2: video = raw bytes, stub arithmetic
-    assert(rows(2L).n_bytes == 3 && rows(2L).n_frames == 1 + 3 % 29)
+    // doc 2 (% 6 = 2): video = planted MP4, REAL tkhd dims + stts frames
+    assert(rows(2L).n_bytes == 3 + 280 && rows(2L).n_frames == 1 + 2 % 29)
+    assert(rows(2L).width == 18 && rows(2L).height == 18)
+    // doc 5 (% 6 = 5): video = raw bytes, stub arithmetic
+    assert(rows(5L).n_bytes == 3 && rows(5L).n_frames == 1 + 3 % 29)
   }
 
   test("language id picks profile languages deterministically") {
