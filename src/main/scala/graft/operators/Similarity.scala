@@ -54,6 +54,77 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------------- quantized LSH (s06)
+  // Fixed-point sign-projection LSH whose bucket assignment is EXACT
+  // integer arithmetic end to end: components quantize to floor(x·128),
+  // projection coefficients come from an integer LCG of the flat
+  // (band, bit, dim) index, and the projection is an integer dot product —
+  // no float summation order anywhere, so any engine (DuckDB, a different
+  // Spark build, a GPU port) reproduces the buckets bit-for-bit. This is
+  // the fully-oracled complement of the float sign-LSH in [[lshTopK]]
+  // (kept as default: float projections preserve more resolution).
+
+  private val QlshScale = 128d
+  private val QlshMul = 2654435761L // Knuth multiplicative-hash constant
+  private val QlshInc = 40503L
+  private val QlshMod = 8191L // 2^13 - 1; coefficients in [-4095, 4095]
+
+  /** Coefficient t ↦ LCG(t) mapped to [-(QlshMod-1)/2, (QlshMod-1)/2]. */
+  @inline private def qlshCoef(t: Long): Long =
+    (t * QlshMul + QlshInc) % QlshMod - (QlshMod - 1) / 2
+
+  /** Driver-side bucket replica for the query vector (and for tests):
+    * the same integer arithmetic the column expression performs. */
+  def quantizedBuckets(query: Array[Double], bandBits: Int,
+      bandCount: Int): Seq[Long] = {
+    val dims = query.length
+    val qv = query.map(x => math.floor(x * QlshScale).toLong)
+    (0 until bandCount).map { band =>
+      (0 until bandBits).map { bit =>
+        val base = (band.toLong * bandBits + bit) * dims
+        var s = 0L; var j = 0
+        while (j < dims) { s += qv(j) * qlshCoef(base + j); j += 1 }
+        if (s >= 0) 1L << bit else 0L
+      }.sum
+    }
+  }
+
+  /** One band's bucket as a column: bandBits integer sign-projections.
+    * Stays inside whole-stage codegen (built-in higher-order functions
+    * only). */
+  def quantizedLshBucket(vec: org.apache.spark.sql.Column, bandBits: Int,
+      band: Int): org.apache.spark.sql.Column = {
+    val qv = transform(vec, x => floor(x.cast("double") * lit(QlshScale)).cast("long"))
+    val dims = size(vec).cast("long")
+    (0 until bandBits).map { bit =>
+      val base = (lit(band.toLong * bandBits + bit) * dims).cast("long")
+      val proj = aggregate(
+        transform(qv, (x, i) =>
+          x * (pmod((base + i.cast("long")) * lit(QlshMul) + lit(QlshInc),
+            lit(QlshMod)) - lit((QlshMod - 1) / 2))),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k with integer-exact bucket assignment — same candidate
+    * semantics as [[lshTopK]] (share ≥ 1 of bandCount band buckets with
+    * the query), exact cosine rank among candidates, but every bucket
+    * decision is mirrorable SQL, so the whole query is oracle-checkable. */
+  def quantizedLshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, bandBits: Int = 4,
+      bandCount: Int = 8): DataFrame = {
+    val qb = quantizedBuckets(query, bandBits, bandCount)
+    val candidate = (0 until bandCount).map(b =>
+      quantizedLshBucket(col(vecCol), bandBits, b) === lit(qb(b)))
+      .reduce(_ || _)
+    df.filter(candidate)
+      .select(col(idCol).as("vec_id"),
+        round(VectorFunctions.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` deterministic
     * centroid vectors partitions the corpus into cells; a query searches
     * only its `nprobe` nearest cells with exact cosine.

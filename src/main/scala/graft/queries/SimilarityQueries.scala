@@ -101,11 +101,58 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- s06
+  /** Integer-quantized LSH ANN top-10 — the MIRRORABLE approximate
+    * variant: components quantize to floor(x·128), projections are
+    * integer dot products with LCG coefficients, buckets are sign bits.
+    * No float summation order anywhere in the candidate decision, so
+    * unlike s02/s03 this approximate query has a FULL DuckDB oracle
+    * (the cosine ranking reuses the s01 double-fold mirror). */
+  def s06QuantizedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    Similarity.quantizedLshTopK(emb(spark, dir), "vec_id", "embedding", q, 10,
+      bandBits = 4, bandCount = 8)
+  }
+
+  /** Mirror of [[Similarity.quantizedLshBucket]]: same LCG constants
+    * (×2654435761 + 40503 mod 8191, centered), same flat (band, bit, dim)
+    * coefficient index, same floor(x·128) quantization — all BIGINT. */
+  val s06Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |bk AS (
+      |  SELECT vec_id, band,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, 4), bit ->
+      |      CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q) + 1), i ->
+      |          q[i] * ((((band * 4 + bit) * LEN(q) + (i - 1)) * 2654435761
+      |                   + 40503) % 8191 - 4095)))
+      |        >= 0 THEN 1 << bit ELSE 0 END)) AS bucket
+      |  FROM qv CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS band)),
+      |cand AS (
+      |  SELECT DISTINCT c.vec_id
+      |  FROM bk c JOIN (SELECT band, bucket FROM bk WHERE vec_id = 0) qb
+      |    ON c.band = qb.band AND c.bucket = qb.bucket),
+      |q0 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  ROUND(
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+      |    / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    / SQRT(LIST_SUM(LIST_TRANSFORM(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |    6) AS cos
+      |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q0
+      |ORDER BY cos DESC, e.vec_id ASC
+      |LIMIT 10""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),
     "s02_ann_lsh" -> (s02LshTopK _, null),
     "s03_ann_ivf" -> (s03IvfTopK _, null),
     "s04_knn_join" -> (s04KnnJoin _, s04Sql),
     "s05_knn_join_lsh" -> (s05KnnJoinLsh _, null),
+    "s06_ann_qlsh" -> (s06QuantizedLsh _, s06Sql),
   )
 }

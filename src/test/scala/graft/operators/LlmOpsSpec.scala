@@ -229,11 +229,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "lsh" -> Similarity.lshTopK(df, "vec_id", "embedding", q, 5,
           bandBits = 10, bandCount = 4),
         "ivf" -> Similarity.ivfTopK(df, "vec_id", "embedding", q, 5,
-          nlist = 8, nprobe = 1))) {
+          nlist = 8, nprobe = 1),
+        "qlsh" -> Similarity.quantizedLshTopK(df, "vec_id", "embedding", q, 5,
+          bandBits = 4, bandCount = 8))) {
       val top = got.collect().head
       assert(top.getLong(0) == 137L, s"$name top-1 was ${top.getLong(0)}")
       assert(top.getDouble(1) == 1.0, s"$name self-cos ${top.getDouble(1)}")
     }
+  }
+
+  test("quantized LSH: column buckets equal the driver replica, in codegen") {
+    // parquet-backed (a LocalRelation would constant-fold the projection
+    // away and hide the codegen assertion)
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val bandBits = 4; val bandCount = 8
+    val cols = (0 until bandCount).map(b =>
+      Similarity.quantizedLshBucket(col("embedding"), bandBits, b).as(s"b$b"))
+    val sel = df.select((col("vec_id") +: col("embedding") +: cols): _*)
+    // bucket assignment must stay inside whole-stage codegen
+    assert(sel.queryExecution.executedPlan.toString.contains("*("),
+      sel.queryExecution.executedPlan.toString)
+    sel.collect().foreach { r =>
+      val vec = r.getSeq[Float](1).map(_.toDouble).toArray
+      val got = (0 until bandCount).map(b => r.getLong(b + 2))
+      val expect = Similarity.quantizedBuckets(vec, bandBits, bandCount)
+      assert(got == expect, s"vec ${r.getLong(0)}: $got vs $expect")
+    }
+    // and buckets are not degenerate (some discrimination exists)
+    val distinct = sel.select(col("b0")).distinct().count()
+    assert(distinct > 1)
   }
 
   test("containment: substring pair ≈1.0 where jaccard is low; disjoint absent") {
