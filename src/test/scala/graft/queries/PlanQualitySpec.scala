@@ -140,6 +140,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank check must broadcast the sketch output, not shuffle lineitem:\n$p")
   }
 
+  test("s06: quantized LSH ANN is scan + filter + top-k, zero shuffles") {
+    val p = plan("s06_ann_qlsh")
+    // the bucket predicate evaluates row-local over the scan; the only
+    // plan-level data movement is the top-k merge
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantized LSH must not shuffle the corpus:\n$p")
+  }
+
   test("s04: exact knn join broadcasts the probe side, corpus unshuffled") {
     val p = plan("s04_knn_join")
     // the probe batch rides a broadcast join (corpus never shuffles for
