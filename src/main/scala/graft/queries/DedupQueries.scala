@@ -460,6 +460,79 @@ object DedupQueries {
        |SELECT id AS doc_id, MIN(m) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d13
+  /** Cluster SURVIVOR selection — the step after d12 that real dedup ends
+    * with: each near-dup cluster keeps exactly one member, chosen by
+    * quality (t03's score) with doc_id as the deterministic tiebreak, and
+    * the rest are dropped. One row per cluster: survivor, its quality,
+    * member count.
+    *
+    * Scale shape: quality is row-local (computed only for clustered docs —
+    * the labels join prunes first), the rank window partitions by
+    * cluster_id (bounded by cluster size, never corpus size), and the
+    * final rollup is a partial-aggregating groupBy on the same key. */
+  def d13ClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val edges = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    val labels = graft.operators.DedupClusters
+      .connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val quality = d.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    labels.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+        max(when(col("rn") === 1, col("q"))).as("survivor_quality"))
+      .orderBy("cluster_id")
+  }
+
+  /** Composes the d12 closure (nested WITH RECURSIVE) with t03's quality
+    * mirror and the same (quality DESC, doc_id ASC) rank. */
+  val d13Sql: String =
+    s"""WITH labels AS (
+       |${d12Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |qbase AS (
+       |  SELECT doc_id, text,
+       |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS w,
+       |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tok
+       |  FROM documents),
+       |qderived AS (
+       |  SELECT doc_id,
+       |    CASE WHEN LENGTH(text) = 0 THEN 0.0
+       |         ELSE (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))::DOUBLE
+       |              / LENGTH(text)::DOUBLE END AS pr,
+       |    CASE WHEN LEN(w) = 0 THEN 0.0
+       |         ELSE LENGTH(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', '', 'g'))::DOUBLE / LEN(w)::DOUBLE
+       |    END AS mtl,
+       |    n_tok
+       |  FROM qbase),
+       |q AS (
+       |  SELECT doc_id,
+       |    ROUND(
+       |      (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.4
+       |      + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3
+       |      + (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3,
+       |      4) AS quality
+       |  FROM qderived),
+       |ranked AS (
+       |  SELECT l.cluster_id, l.doc_id, q.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+       |  FROM labels l JOIN q ON l.doc_id = q.doc_id)
+       |SELECT cluster_id,
+       |  COUNT(*) AS n_members,
+       |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+       |  MAX(CASE WHEN rn = 1 THEN quality END) AS survivor_quality
+       |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- d08
   /** STREAMING first-occurrence dedup, oracle-checked. Two excel batches
     * staged in controlled discovery order (listing is name-sorted;
@@ -535,5 +608,6 @@ object DedupQueries {
     "d10_substring_spans" -> (d10SubstringSpans _, d10Sql),
     "d11_substring_dedup" -> (d11SubstringDedup _, d11Sql),
     "d12_dedup_clusters" -> (d12DedupClusters _, d12Sql),
+    "d13_cluster_survivors" -> (d13ClusterSurvivors _, d13Sql),
   )
 }

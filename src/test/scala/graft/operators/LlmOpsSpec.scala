@@ -140,6 +140,34 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
+  test("cluster survivors: best quality wins, doc_id breaks ties") {
+    import spark.implicits._
+    // one 3-doc near-dup cluster: docs 1/2/3 share their text; doc 2 is
+    // higher quality (clean prose), docs 1 and 3 carry heavy punctuation
+    // so their punct_ratio drags quality down. Survivor must be 2.
+    val noisy = "alpha beta gamma delta epsilon zeta eta theta !!! ??? %%% ###"
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, noisy), (2L, clean), (3L, noisy),
+      (9L, "totally unrelated words nothing shared here at all right"))
+      .toDF("doc_id", "text")
+    val edges = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.5, dfCap = 1000000)
+    val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val quality = df.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id").asc)
+    val out = labels.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn") === 1, col("doc_id"))).as("survivor"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 2L)),
+      s"expected one 3-member cluster surviving as doc 2: ${out.toSeq}")
+  }
+
   test("minhash-LSH finds near-dup and exact-dup pairs, not the distinct doc") {
     val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
       numHashes = 128, bands = 32, threshold = 0.6)
