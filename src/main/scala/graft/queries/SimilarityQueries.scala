@@ -147,6 +147,43 @@ object SimilarityQueries {
       |ORDER BY cos DESC, e.vec_id ASC
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- s07
+  /** Int8 embedding quantization audit: per-vector symmetric scale
+    * (127/max|x|), floor(x·scale + 0.5) rounding, exact integer moments of
+    * the quantized vector plus double-fold reconstruction MSE. The
+    * storage-path complement of the search gates: 4× smaller vectors with
+    * a verified error budget. Fully mirrorable (no half-even rounding, no
+    * float summation in the integer outputs). */
+  def s07QuantizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Embeddings.quantizationStats(emb(spark, dir),
+      "vec_id", "embedding").orderBy(col("vec_id"))
+  }
+
+  val s07Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS am
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN am > 0 THEN 127.0 / am ELSE 1.0 END AS scale
+      |  FROM s),
+      |q AS (
+      |  SELECT vec_id, embedding, scale,
+      |    LIST_TRANSFORM(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+      |  FROM sc)
+      |SELECT vec_id,
+      |  ROUND(scale, 6) AS qscale,
+      |  LIST_SUM(qv)::BIGINT AS qsum,
+      |  LIST_SUM(LIST_TRANSFORM(qv, v -> v * v))::BIGINT AS qnorm,
+      |  ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(qv) + 1), i ->
+      |      (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) / scale)
+      |      * (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) / scale)))
+      |    / CAST(LEN(qv) AS DOUBLE), 6) AS mse
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),
     "s02_ann_lsh" -> (s02LshTopK _, null),
@@ -154,5 +191,6 @@ object SimilarityQueries {
     "s04_knn_join" -> (s04KnnJoin _, s04Sql),
     "s05_knn_join_lsh" -> (s05KnnJoinLsh _, null),
     "s06_ann_qlsh" -> (s06QuantizedLsh _, s06Sql),
+    "s07_embedding_quantize" -> (s07QuantizeAudit _, s07Sql),
   )
 }

@@ -266,6 +266,36 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("int8 quantization: range, error bound, zero-vector safety, codegen") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // codegen asserted on the bare projection (the AQE join wrapper below
+    // hides whole-stage markers in the initial plan string)
+    assert(Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString.contains("*("))
+    val out = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .join(df, "vec_id")
+    out.collect().foreach { r =>
+      val scale = r.getDouble(1)
+      val qv = r.getSeq[Long](2)
+      val v = r.getSeq[Float](3).map(_.toDouble)
+      assert(qv.forall(q => q >= -127 && q <= 127), s"out of int8 range: $qv")
+      // round-half-up: reconstruction error per component ≤ 0.5/scale (+eps)
+      qv.zip(v).foreach { case (q, x) =>
+        assert(math.abs(q / scale - x) <= 0.5 / scale * (1 + 1e-9),
+          s"vec ${r.getLong(0)}: $x -> $q at scale $scale")
+      }
+      // the max-|x| component quantizes to ±127 exactly
+      assert(qv.map(math.abs).max == 127L)
+    }
+    // all-zero vector: scale 1.0, all-zero codes, zero MSE
+    import spark.implicits._
+    val zero = Seq((1L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val zr = Embeddings.quantizationStats(zero, "vec_id", "embedding")
+      .collect().head
+    assert(zr.getDouble(1) == 1.0 && zr.getLong(2) == 0L &&
+      zr.getLong(3) == 0L && zr.getDouble(4) == 0.0)
+  }
+
   test("quantized LSH: column buckets equal the driver replica, in codegen") {
     // parquet-backed (a LocalRelation would constant-fold the projection
     // away and hide the codegen assertion)
