@@ -70,8 +70,71 @@ object DedupClusters {
       throw new org.apache.spark.SparkException(
         s"connectedComponents did not converge within maxIter=$maxIter " +
           "rounds (labels were still changing). The graph's diameter " +
-          "exceeds the round budget — raise maxIter, or pre-contract long " +
-          "chains (star contraction) before labeling.")
+          "exceeds the round budget — raise maxIter, or use " +
+          "connectedComponentsStar (O(log d) rounds) for deep graphs.")
     labels
+  }
+
+  /** Alternating star contraction (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SOCC'14) — the deep-graph escalation path:
+    * converges in O(log d) rounds where hash-min needs d, at roughly twice
+    * the per-round constant (two edge-set rewrites + a stability check vs
+    * one join+agg).
+    *
+    * Each round rewrites the edge set twice:
+    *  - LARGE-STAR: every neighbor of u strictly larger than u re-links to
+    *    min(Γ(u) ∪ {u}) — long tails fold onto local minima;
+    *  - SMALL-STAR: with edges oriented u > v, u and all its smaller
+    *    neighbors re-link to their minimum — stars flatten.
+    * Both preserve connectivity and monotonically decrease a potential
+    * function (paper, Thm 2-3), so the first round that leaves the edge
+    * set unchanged has reached the terminal star graphs: every node holds
+    * a direct edge to its component minimum.
+    *
+    * Same driver discipline as hash-min: fixed-width (u, v) long pairs in
+    * every shuffle, `localCheckpoint` per round, two scalar counts per
+    * round to the driver, loud failure on round-budget exhaustion. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 30): DataFrame = {
+    var e = edges.select(
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      // large-star over the symmetric view
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: stays u > v
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star on the (u > v)-oriented result
+      val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = ls.join(mins2, "u")
+      val next = withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val changed =
+        next.join(e, Seq("u", "v"), "left_anti").count() +
+          e.join(next, Seq("u", "v"), "left_anti").count()
+      e = next
+      done = changed == 0
+      i += 1
+    }
+    if (!done)
+      throw new org.apache.spark.SparkException(
+        s"connectedComponentsStar did not converge within maxIter=$maxIter " +
+          "rounds — for star contraction this indicates a pathological " +
+          "graph far beyond O(log d) expectations; raise maxIter.")
+    // terminal star graphs: u → its component minimum v; minima label
+    // themselves
+    e.select(col("u").as("id"), col("v").as("label"))
+      .union(e.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
   }
 }

@@ -127,6 +127,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (-5L, 0L, "w1 w2 w3 w4 w5 w6"), (7L, 6L, "")))
   }
 
+  test("star-contraction CC: deep chain in O(log d) rounds, random graph parity") {
+    import spark.implicits._
+    // 64-node chain (diameter 63): hash-min needs 64 rounds; star
+    // contraction must land it in ≤ 10
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val starLabels = DedupClusters.connectedComponentsStar(
+      chain, "id_a", "id_b", maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(starLabels.size == 64 && starLabels.values.forall(_ == 1L),
+      s"chain must collapse to one component: $starLabels")
+
+    // random graph: same components as hash-min
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val viaStar = DedupClusters.connectedComponentsStar(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaHashMin = DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaStar == viaHashMin,
+      s"star and hash-min disagree: ${viaStar.toSeq.diff(viaHashMin.toSeq)}")
+  }
+
   test("connectedComponents fails loudly when maxIter exhausts unconverged") {
     import spark.implicits._
     // chain 1-2-3-4 has diameter 3: one hash-min round cannot converge, so
