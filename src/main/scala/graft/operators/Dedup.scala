@@ -37,6 +37,45 @@ object Dedup {
       .groupBy(col(keyCol))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Edit-distance ≤ 1 fuzzy-join pairs via DELETION NEIGHBORHOODS — the
+    * typo-dedup primitive for short keys (titles, product names, URLs).
+    *
+    * Two strings are within edit distance 1 iff they share a member of
+    * each other's deletion neighborhood (the string itself plus every
+    * single-character deletion — L+1 variants for length L), so the pair
+    * search is an ordinary equi-join on the variant key: narrow per-row
+    * fan-out, candidates bounded by key collisions, never n². Candidates
+    * are verified with exact `levenshtein` (built-in, codegen'd) so hash
+    * collisions can't produce false pairs. Intended for SHORT key columns
+    * — the fan-out is length-proportional; fuzzy-matching whole documents
+    * belongs to the shingle operators above.
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b, dist ∈ {0, 1}. */
+  def editDistance1Pairs(df: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).cast("long").as("fid"), col(strCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+    val s = col("s")
+    val variants = base.select(col("fid"),
+      explode(transform(sequence(lit(0), length(s)),
+        i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+        .as("v"))
+      .distinct() // a string like "aa" yields the same deletion twice
+    // ids-only candidates; strings re-attach for the verify (the dedup
+    // shuffle carries fixed-width ids — same rationale as minhashLshPairs)
+    val cand = variants.select(col("fid").as("id_a"), col("v"))
+      .join(variants.select(col("fid").as("id_b"), col("v")), "v")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("fid").as("id_a"), col("s").as("sa")), "id_a")
+      .join(base.select(col("fid").as("id_b"), col("s").as("sb")), "id_b")
+      .filter(levenshtein(col("sa"), col("sb")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard verify.
     *
     * @param numHashes signature length (r*b must equal it)

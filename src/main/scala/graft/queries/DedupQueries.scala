@@ -533,6 +533,56 @@ object DedupQueries {
        |  MAX(CASE WHEN rn = 1 THEN quality END) AS survivor_quality
        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- d14
+  /** Edit-distance ≤ 1 fuzzy join on short title keys (first 20 chars):
+    * every 25th doc gets a planted single-character-deletion typo copy
+    * (id + 2·10⁶, deterministic position doc_id % 10 + 1), and the
+    * deletion-neighborhood join must recover exactly those dist-1 pairs
+    * plus any natural dist-0 prefix collisions. All string arithmetic is
+    * positional/ASCII — the oracle mirrors the construction, the
+    * neighborhood fan-out, and the levenshtein verify. */
+  def d14FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = docs(spark, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        substring(lower(trim(col("text"))), 1, 20).as("title"))
+    val pos = least(pmod(col("doc_id"), lit(10)) + 1, length(col("title")))
+    val planted = t0
+      .filter(pmod(col("doc_id"), lit(25)) === 0 && length(col("title")) > 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("title").substr(lit(1), pos - 1),
+          col("title").substr(pos + 1, length(col("title")))).as("title"))
+    Dedup.editDistance1Pairs(t0.union(planted), "doc_id", "title")
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val d14Sql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, SUBSTR(LOWER(TRIM(text)), 1, 20) AS title
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |planted AS (
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    SUBSTR(title, 1, LEAST(doc_id % 10 + 1, LENGTH(title)) - 1)
+      |      || SUBSTR(title, LEAST(doc_id % 10 + 1, LENGTH(title)) + 1) AS title
+      |  FROM t0 WHERE doc_id % 25 = 0 AND LENGTH(title) > 1),
+      |uni AS (SELECT * FROM t0 UNION ALL SELECT * FROM planted),
+      |vars AS (
+      |  SELECT DISTINCT doc_id, v FROM (
+      |    SELECT doc_id, UNNEST(LIST_TRANSFORM(
+      |      RANGE(0, LENGTH(title) + 1),
+      |      i -> SUBSTR(title, 1, i) || SUBSTR(title, i + 2))) AS v
+      |    FROM uni)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.doc_id < b.doc_id)
+      |SELECT c.id_a, c.id_b, LEVENSHTEIN(ta.title, tb.title)::INT AS dist
+      |FROM cand c
+      |JOIN uni ta ON ta.doc_id = c.id_a
+      |JOIN uni tb ON tb.doc_id = c.id_b
+      |WHERE LEVENSHTEIN(ta.title, tb.title) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- d08
   /** STREAMING first-occurrence dedup, oracle-checked. Two excel batches
     * staged in controlled discovery order (listing is name-sorted;
@@ -609,5 +659,6 @@ object DedupQueries {
     "d11_substring_dedup" -> (d11SubstringDedup _, d11Sql),
     "d12_dedup_clusters" -> (d12DedupClusters _, d12Sql),
     "d13_cluster_survivors" -> (d13ClusterSurvivors _, d13Sql),
+    "d14_fuzzy_join" -> (d14FuzzyJoin _, d14Sql),
   )
 }

@@ -164,6 +164,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
+  test("edit-distance-1 fuzzy join: deletions, substitutions, exact dups") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark"),
+      (2L, "spark"),   // exact dup        → dist 0
+      (3L, "sprk"),    // deletion of 'a'  → dist 1 vs 1/2
+      (4L, "spork"),   // substitution a→o → dist 1 vs 1/2 (shared deletion "sprk")
+      (5L, "sparkly"), // dist 2: must NOT pair with spark
+      (6L, "zzz")      // unrelated
+    ).toDF("id", "name")
+    val got = Dedup.editDistance1Pairs(df, "id", "name")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == Map(
+      (1L, 2L) -> 0,
+      (1L, 3L) -> 1, (2L, 3L) -> 1,
+      (1L, 4L) -> 1, (2L, 4L) -> 1,
+      (3L, 4L) -> 1), got.toString)
+    // single-char strings and empties don't crash the neighborhood
+    val tiny = Seq((1L, "a"), (2L, "b"), (3L, "")).toDF("id", "name")
+    val t = Dedup.editDistance1Pairs(tiny, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // "a" and "b" share the empty-string deletion variant → dist 1
+    assert(t.toSeq == Seq((1L, 2L, 1)))
+  }
+
   test("cluster survivors: best quality wins, doc_id breaks ties") {
     import spark.implicits._
     // one 3-doc near-dup cluster: docs 1/2/3 share their text; doc 2 is
