@@ -105,7 +105,8 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pair operators never plan cartesian/nested-loop joins") {
     Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
       "d05_embedding_neardup", "d07_containment", "d09_decontamination",
-      "d10_substring_spans", "d11_substring_dedup", "s05_knn_join_lsh")
+      "d10_substring_spans", "d11_substring_dedup", "d14_fuzzy_join",
+      "s05_knn_join_lsh")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
