@@ -758,6 +758,33 @@ object RelationalQueries {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Rank-distribution window family — percent_rank / cume_dist /
+    * dense_rank (the one window group q09/q36 leave uncovered). Tie
+    * handling is value-determined, so results are deterministic under any
+    * partitioning; the (rank-1)/(n-1) and peaks/n divisions are single
+    * double ops, rounded 6 for cross-engine compare. */
+  def q44RankDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice")
+    t(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"),
+        dense_rank().over(w).cast("bigint").as("drank"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderkey,
+      | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      | ROUND(CUME_DIST() OVER w, 6) AS cum_dist,
+      | CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q40
   /** Recursive CTE (Spark 4's WITH RECURSIVE): a 12-row month series
     * generated by the recursion anchoring a LEFT JOIN + aggregate —
@@ -814,6 +841,7 @@ object RelationalQueries {
   /** name → (query fn, oracle SQL) for everything in this object. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q40_recursive_cte" -> (q40RecursiveCte _, q40Sql),
+    "q44_rank_distribution" -> (q44RankDistribution _, q44Sql),
     "q42_unpivot" -> (q42Unpivot _, q42Sql),
     "q43_lateral_join" -> (q43LateralJoin _, q43Sql),
     "q33_exists_subquery" -> (q33ExistsSubquery _, q33Sql),
