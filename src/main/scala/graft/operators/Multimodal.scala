@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   * JVM analogue of `mapInPandas`: one iterator per partition, constant
   * memory, no driver involvement).
   *
-  * The actual codec calls are STUBS — this container has no image/audio
-  * libraries — marked `// STUB:` below. They produce deterministic fake
-  * values derived from the bytes so the plumbing (schema, batch shape,
-  * partitioning, null handling) is real and testable end-to-end; swapping
-  * in a real decoder changes only the stub body.
+  * Codec coverage, honestly labeled:
+  *  - REAL pixel decode for PNG/JPEG/GIF/BMP via the JDK's own ImageIO
+  *    ([[decodePixelStats]]) and REAL 16-bit-PCM sample decode via
+  *    javax.sound ([[decodeAudioStats]]) — no external libraries;
+  *  - REAL container-header parsing (PNG/JPEG/GIF/BMP/WAV/ISO-BMFF)
+  *    in pure JDK byte walks below;
+  *  - formats the JDK has no codec for (video frame pixels, non-PCM
+  *    audio) fall back to the deterministic [[decodeStub]], which fakes
+  *    values from the bytes so the plumbing stays testable end-to-end.
   */
 object Multimodal {
 
@@ -259,6 +263,114 @@ object Multimodal {
           case None => stub
         }
     }
+  }
+
+  // ------------------------------------------------- real pixel decode
+  // The JDK ships a real image codec (javax.imageio — PNG/JPEG/GIF/BMP
+  // encode AND decode), so pixel access is NOT stubbed: decodePixelStats
+  // runs an actual inflate + raster walk. Only formats the JDK lacks
+  // (video frames, non-PCM audio) remain behind the stub.
+
+  // AWT must never touch a display on an executor
+  System.setProperty("java.awt.headless", "true")
+
+  /** Real per-image pixel statistics. */
+  final case class PixelStats(width: Int, height: Int, meanR: Double,
+      meanG: Double, meanB: Double, nPixels: Long)
+
+  /** REAL decode via ImageIO (PNG/JPEG/GIF/BMP): mean channel values over
+    * every pixel. None when the bytes are not a decodable image — caller
+    * falls back to header parsing / the stub. Integer channel sums, one
+    * double division — deterministic and engine-mirrorable. */
+  def decodePixelStats(payload: Array[Byte]): Option[PixelStats] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(PixelStats(w, h, r.toDouble / n, g.toDouble / n,
+          b.toDouble / n, n))
+      }
+    } catch { case _: Exception => None }
+
+  /** Encode a solid-color RGB PNG (fixture/test helper — a REAL zlib-
+    * compressed PNG via ImageIO, decodable by any viewer). */
+  def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------- real sample decode
+  // The JDK also ships a real audio codec (javax.sound.sampled — PCM WAV
+  // read/write), so sample access is not stubbed either.
+
+  /** Real per-clip sample statistics (16-bit PCM). */
+  final case class AudioStats(sampleRate: Int, bits: Int, channels: Int,
+      nSamples: Long, meanAmp: Double, maxAbs: Long)
+
+  /** REAL decode via javax.sound (PCM WAV): stream the sample frames and
+    * compute amplitude statistics. None for anything that is not 16-bit
+    * PCM — caller falls back to header parsing / the stub. */
+  def decodeAudioStats(payload: Array[Byte]): Option[AudioStats] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sum = 0L; var maxAbs = 0L; var i = 0
+          while (i + 1 < bytes.length) {
+            val s = (((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort).toLong
+            sum += s
+            val a = math.abs(s); if (a > maxAbs) maxAbs = a
+            i += 2
+          }
+          Some(AudioStats(fmt.getSampleRate.toInt, 16, fmt.getChannels,
+            n.toLong, if (n > 0) sum.toDouble / n else 0.0, maxAbs))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Encode mono 16-bit PCM samples as a canonical WAV (fixture/test
+    * helper — a REAL, playable WAV file). */
+  def pcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
   }
 
   /** Batched per-partition decode — the `mapInPandas` analogue. */

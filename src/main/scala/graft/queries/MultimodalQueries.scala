@@ -123,9 +123,95 @@ object MultimodalQueries {
       |        ELSE GREATEST(1, (h * 224) // w) END)::BIGINT AS out_h
       |FROM img ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m04
+  /** REAL pixel decode, fully oracled: each image-modality doc becomes a
+    * genuine zlib-compressed solid-color PNG (dimensions and RGB derived
+    * from doc_id), encoded AND decoded through the JDK's ImageIO inside
+    * one mapPartitions pass — actual deflate/inflate + raster walk, not a
+    * stub. A solid color makes the channel means exact integers, so the
+    * oracle is pure doc_id arithmetic: any decode deviation (wrong pixel,
+    * wrong dimension, color-space drift) breaks the hash match. */
+  def m04PixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[Long]
+    ids.mapPartitions(_.map { id =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
+        ((id * 13) % 256)).toInt
+      val png = Multimodal.solidPng(w, h, rgb)
+      val st = Multimodal.decodePixelStats(png).get
+      (id, st.width.toLong, st.height.toLong, st.meanR, st.meanG, st.meanB,
+        st.nPixels)
+    }).toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+      "n_pixels")
+      .orderBy("doc_id")
+  }
+
+  val m04Sql: String =
+    """SELECT doc_id,
+      |  (4 + doc_id % 13)::BIGINT AS width,
+      |  (3 + doc_id % 7)::BIGINT AS height,
+      |  (doc_id % 256)::DOUBLE AS mean_r,
+      |  ((doc_id * 7) % 256)::DOUBLE AS mean_g,
+      |  ((doc_id * 13) % 256)::DOUBLE AS mean_b,
+      |  ((4 + doc_id % 13) * (3 + doc_id % 7))::BIGINT AS n_pixels
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m05
+  /** REAL audio sample decode, fully oracled: each audio-modality doc
+    * becomes a genuine playable mono 16-bit PCM WAV whose samples are a
+    * doc_id-derived integer sequence, decoded back through javax.sound —
+    * actual frame streaming, not a stub. Amplitude stats are exact
+    * integer arithmetic (one double division for the mean), mirrored by
+    * list arithmetic in the oracle. */
+  def m05AudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+    ids.mapPartitions(_.map { id =>
+      val n = (50 + id % 30).toInt
+      val rate = (8000L * (1 + id % 5)).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 31 + i.toLong * 17) % 65521) - 32760).toShort)
+      val wav = Multimodal.pcmWav(rate, samples)
+      val st = Multimodal.decodeAudioStats(wav).get
+      (id, st.sampleRate.toLong, st.channels.toLong, st.nSamples,
+        st.meanAmp, st.maxAbs)
+    }).toDF("doc_id", "sample_rate", "channels", "n_samples", "mean_amp",
+      "max_abs")
+      .withColumn("mean_amp", round(col("mean_amp"), 6))
+      .orderBy("doc_id")
+  }
+
+  val m05Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 50 + doc_id % 30 AS n, 8000 * (1 + doc_id % 5) AS rate
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT doc_id, n, rate,
+      |    LIST_TRANSFORM(RANGE(0, n),
+      |      i -> (doc_id * 31 + i * 17) % 65521 - 32760) AS xs
+      |  FROM a)
+      |SELECT doc_id,
+      |  rate::BIGINT AS sample_rate,
+      |  1::BIGINT AS channels,
+      |  n::BIGINT AS n_samples,
+      |  ROUND(LIST_SUM(xs)::DOUBLE / n, 6) AS mean_amp,
+      |  LIST_MAX(LIST_TRANSFORM(xs, x -> ABS(x)))::BIGINT AS max_abs
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_meta" -> (m01DecodeMeta _, m01Sql),
     "m02_frame_sample" -> (m02FrameSample _, m02Sql),
     "m03_resize" -> (m03Resize _, m03Sql),
+    "m04_pixel_stats" -> (m04PixelStats _, m04Sql),
+    "m05_audio_stats" -> (m05AudioStats _, m05Sql),
   )
 }

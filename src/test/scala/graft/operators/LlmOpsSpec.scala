@@ -557,6 +557,43 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.decodeMedia(wav.take(k), "audio") != null)
   }
 
+  test("real pixel decode: ImageIO round-trips exact channel means") {
+    // non-solid image with hand-computable means: 2x2 with distinct pixels
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xff0000)
+    img.setRGB(0, 1, 0x00ff00); img.setRGB(1, 1, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val st = Multimodal.decodePixelStats(bos.toByteArray).get
+    assert(st.width == 2 && st.height == 2 && st.nPixels == 4)
+    assert(st.meanR == 255.0 / 4 && st.meanG == 255.0 / 4 && st.meanB == 255.0 / 4)
+
+    // solid helper: exact means, and the PNG header parser agrees with
+    // the full decode on dimensions
+    val png = Multimodal.solidPng(5, 3, 0x336699)
+    val s2 = Multimodal.decodePixelStats(png).get
+    assert((s2.width, s2.height) == ((5, 3)))
+    assert((s2.meanR, s2.meanG, s2.meanB) == ((0x33.toDouble, 0x66.toDouble, 0x99.toDouble)))
+    assert(Multimodal.parsePngHeader(png).map(p => (p._1, p._2)).contains((5, 3)))
+
+    // non-image bytes: None, no crash
+    assert(Multimodal.decodePixelStats("not an image".getBytes).isEmpty)
+  }
+
+  test("real audio decode: javax.sound round-trips exact PCM stats") {
+    val samples = Array[Short](0, 100, -200, 300, -32760, 32760)
+    val wav = Multimodal.pcmWav(16000, samples)
+    val st = Multimodal.decodeAudioStats(wav).get
+    assert(st.sampleRate == 16000 && st.channels == 1 && st.bits == 16)
+    assert(st.nSamples == 6 && st.maxAbs == 32760)
+    assert(st.meanAmp == samples.map(_.toLong).sum.toDouble / 6)
+    // the WAV header parser reads the same format fields
+    assert(Multimodal.parseWavHeader(wav).contains((16000, 16, 1)))
+    // non-audio bytes: None, no crash
+    assert(Multimodal.decodeAudioStats("not audio".getBytes).isEmpty)
+  }
+
   test("gif/bmp/mp4 parsers read real container metadata") {
     // GIF89a logical screen descriptor: 320x200 LE
     val gif = (Array[Int]('G', 'I', 'F', '8', '9', 'a',
