@@ -322,6 +322,38 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL image resize: decode via ImageIO, aspect-preserving fit
+    * ([[fitDims]]), nearest-neighbor raster resample (pure integer source
+    * indexing `sx = x·w/ow` — deterministic across JVMs, unlike
+    * area-averaging filters), re-encode as PNG. None when the payload is
+    * not a decodable image. */
+  def resizeImagePayload(payload: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val (ow, oh) = fitDims(w, h, targetW, targetH)
+        val out = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < oh) {
+          val sy = (y.toLong * h / oh).toInt
+          var x = 0
+          while (x < ow) {
+            out.setRGB(x, y, img.getRGB((x.toLong * w / ow).toInt, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
   // ------------------------------------------------- real sample decode
   // The JDK also ships a real audio codec (javax.sound.sampled — PCM WAV
   // read/write), so sample access is not stubbed either.

@@ -207,11 +207,56 @@ object MultimodalQueries {
       |  LIST_MAX(LIST_TRANSFORM(xs, x -> ABS(x)))::BIGINT AS max_abs
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m06
+  /** REAL end-to-end resize, fully oracled: solid PNG (doc_id-derived
+    * dims spanning both shrink and no-op cases) → [[Multimodal
+    * .resizeImagePayload]] (real decode, nearest-neighbor resample, real
+    * re-encode) → [[Multimodal.decodePixelStats]] on the RESIZED bytes.
+    * The oracle recomputes the integer fit and — because nearest-neighbor
+    * over a solid image preserves every channel exactly — the means. */
+  def m06RealResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[Long]
+    ids.mapPartitions(_.map { id =>
+      val w = (4 + id % 40).toInt
+      val h = (3 + id % 25).toInt
+      val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
+        ((id * 13) % 256)).toInt
+      val resized = Multimodal.resizeImagePayload(
+        Multimodal.solidPng(w, h, rgb), 16, 16).get
+      val st = Multimodal.decodePixelStats(resized).get
+      (id, w.toLong, h.toLong, st.width.toLong, st.height.toLong,
+        st.meanR, st.meanG, st.meanB)
+    }).toDF("doc_id", "in_w", "in_h", "out_w", "out_h",
+      "mean_r", "mean_g", "mean_b")
+      .orderBy("doc_id")
+  }
+
+  val m06Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id, 4 + doc_id % 40 AS w, 3 + doc_id % 25 AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id, w::BIGINT AS in_w, h::BIGINT AS in_h,
+      |  (CASE WHEN w <= 16 AND h <= 16 THEN w
+      |        WHEN w * 16 <= h * 16 THEN GREATEST(1, (w * 16) // h)
+      |        ELSE 16 END)::BIGINT AS out_w,
+      |  (CASE WHEN w <= 16 AND h <= 16 THEN h
+      |        WHEN w * 16 <= h * 16 THEN 16
+      |        ELSE GREATEST(1, (h * 16) // w) END)::BIGINT AS out_h,
+      |  (doc_id % 256)::DOUBLE AS mean_r,
+      |  ((doc_id * 7) % 256)::DOUBLE AS mean_g,
+      |  ((doc_id * 13) % 256)::DOUBLE AS mean_b
+      |FROM img ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_meta" -> (m01DecodeMeta _, m01Sql),
     "m02_frame_sample" -> (m02FrameSample _, m02Sql),
     "m03_resize" -> (m03Resize _, m03Sql),
     "m04_pixel_stats" -> (m04PixelStats _, m04Sql),
     "m05_audio_stats" -> (m05AudioStats _, m05Sql),
+    "m06_real_resize" -> (m06RealResize _, m06Sql),
   )
 }

@@ -579,6 +579,19 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // non-image bytes: None, no crash
     assert(Multimodal.decodePixelStats("not an image".getBytes).isEmpty)
+
+    // REAL resize: 40x10 fits 16x16 as (16, 4); solid color survives
+    // nearest-neighbor exactly; the output is itself a decodable PNG
+    val big = Multimodal.solidPng(40, 10, 0x112233)
+    val rs = Multimodal.resizeImagePayload(big, 16, 16).get
+    val r2 = Multimodal.decodePixelStats(rs).get
+    assert((r2.width, r2.height) == ((16, 4)))
+    assert((r2.meanR, r2.meanG, r2.meanB) ==
+      ((0x11.toDouble, 0x22.toDouble, 0x33.toDouble)))
+    // already-fitting images pass through at original dims
+    val small = Multimodal.resizeImagePayload(Multimodal.solidPng(5, 3, 0x010203), 16, 16).get
+    assert(Multimodal.decodePixelStats(small).exists(s => s.width == 5 && s.height == 3))
+    assert(Multimodal.resizeImagePayload("junk".getBytes, 16, 16).isEmpty)
   }
 
   test("real audio decode: javax.sound round-trips exact PCM stats") {
