@@ -234,8 +234,82 @@ object ConnectorQueries {
       |  SELECT lang, COUNT(*) AS lang_total FROM documents GROUP BY lang) l
       |USING (lang) ORDER BY d.doc_id""".stripMargin
 
+  // ----------------------------------------- excel_stream_stream_join
+  /** STREAM-STREAM interval join, oracle-checked: a sampled orders stream
+    * joins a lineitem stream on key + event-time range (shipdate within
+    * 90 days of orderdate) — the two-unbounded-sides join Structured
+    * Streaming buffers keyed state for, vs the broadcast-static shape of
+    * `excel_stream_join`. Both sides carry watermarks (state-eviction
+    * contract at scale); the delay is set beyond the data's time span so
+    * nothing is evicted or late under AvailableNow, making the final
+    * append-mode table equal the batch join — which is exactly what the
+    * oracle runs. */
+  def excelStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"))
+    val line = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_shipdate").cast("timestamp").as("l_ts"), col("l_quantity"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_ssjoin_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val inL = new File(base, "in_l"); val inR = new File(base, "in_r")
+    val ckpt = new File(base, "ckpt")
+    orders.repartition(2).write.format("excel")
+      .option("shardedOutput", "true").mode("overwrite")
+      .save(inL.getAbsolutePath)
+    line.repartition(2).write.format("excel")
+      .option("shardedOutput", "true").mode("overwrite")
+      .save(inR.getAbsolutePath)
+    val left = spark.readStream.format("excel").schema(orders.schema)
+      .load(inL.getAbsolutePath)
+      .withWatermark("o_ts", "3650 days")
+    val right = spark.readStream.format("excel").schema(line.schema)
+      .load(inR.getAbsolutePath)
+      .withWatermark("l_ts", "3650 days")
+    val qname = s"excel_stream_stream_join_${math.abs(dir.hashCode)}"
+    val q = left.join(right, expr(
+        """o_orderkey = l_orderkey
+          |AND l_ts >= o_ts
+          |AND l_ts <= o_ts + interval 365 days""".stripMargin))
+      .select(col("o_orderkey"), col("l_linenumber"),
+        col("o_ts").cast("date").as("o_date"),
+        col("l_ts").cast("date").as("l_date"),
+        col("l_quantity"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname).orderBy("o_orderkey", "l_linenumber")
+  }
+
+  val excelStreamStreamJoinSql: String =
+    """SELECT o.o_orderkey,
+      |       l.l_linenumber::BIGINT AS l_linenumber,
+      |       o.o_orderdate::DATE AS o_date,
+      |       l.l_shipdate::DATE AS l_date,
+      |       l.l_quantity
+      |FROM orders o JOIN lineitem l
+      |  ON o.o_orderkey = l.l_orderkey
+      | AND l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate <= o.o_orderdate + INTERVAL 365 DAY
+      |WHERE o.o_orderkey % 5 = 0
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
+    "excel_stream_stream_join" -> (excelStreamStreamJoin _, excelStreamStreamJoinSql),
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),
     "excel_sharded_roundtrip" -> (excelShardedRoundtrip _, excelShardedRoundtripSql),
     "excel_arrow_roundtrip" -> (excelArrowRoundtrip _, excelArrowRoundtripSql),
