@@ -277,20 +277,31 @@ object ConnectorQueries {
       .load(inR.getAbsolutePath)
       .withWatermark("l_ts", "3650 days")
     val qname = s"excel_stream_stream_join_${math.abs(dir.hashCode)}"
-    val q = left.join(right, expr(
-        """o_orderkey = l_orderkey
-          |AND l_ts >= o_ts
-          |AND l_ts <= o_ts + interval 365 days""".stripMargin))
-      .select(col("o_orderkey"), col("l_linenumber"),
-        col("o_ts").cast("date").as("o_date"),
-        col("l_ts").cast("date").as("l_date"),
-        col("l_quantity"))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(qname)
-      .option("checkpointLocation", ckpt.getAbsolutePath)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // join state checkpoints one store PER shuffle partition PER side —
+    // at this volume 32 partitions is pure small-file overhead (it
+    // dominated the gate's wall time); 8 keeps the state path exercised
+    // at a quarter of the checkpoint fan-out. Session conf restored after
+    // the stream finishes.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = left.join(right, expr(
+          """o_orderkey = l_orderkey
+            |AND l_ts >= o_ts
+            |AND l_ts <= o_ts + interval 365 days""".stripMargin))
+        .select(col("o_orderkey"), col("l_linenumber"),
+          col("o_ts").cast("date").as("o_date"),
+          col("l_ts").cast("date").as("l_date"),
+          col("l_quantity"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // state partitioning is captured at first-batch planning, which runs
+      // asynchronously — the conf must stay lowered until the stream ends
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(qname).orderBy("o_orderkey", "l_linenumber")
   }
 
