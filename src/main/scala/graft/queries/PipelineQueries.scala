@@ -124,6 +124,54 @@ object PipelineQueries {
       |SELECT doc_id, lang, rk::BIGINT AS rk
       |FROM ranked WHERE rk <= 40 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p08
+  /** Deterministic train/val/test SPLIT ASSIGNMENT — the step every
+    * training corpus runs exactly once: each document's split is a pure
+    * function of (seed, doc_id) via an md5 fraction (first 3 hex digits →
+    * 0..4095; <80% train, <90% val, else test), so the same corpus + seed
+    * yields the same split on any cluster/engine, and NEW documents never
+    * reassign existing ones (no rank, no RNG state, no count dependence).
+    *
+    * Scale shape: the hash is row-local, the only shuffle is the final
+    * partial-aggregating groupBy — no window, no driver involvement. The
+    * gate audits per-(lang, split) counts plus an exact id checksum: one
+    * misassigned document breaks the hash match. */
+  def p08SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    def d(i: Int) = {
+      val a = ascii(substring(col("h"), i, 1))
+      a - lit(48) - when(a >= 97, lit(39)).otherwise(lit(0))
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("h", md5(concat(lit("split1:"), col("doc_id").cast("string"))))
+      .withColumn("v", d(1) * 256 + d(2) * 16 + d(3))
+      .withColumn("split",
+        when(col("v") < 3277, "train")
+          .when(col("v") < 3686, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang", "split")
+  }
+
+  val p08Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang, MD5('split1:' || doc_id) AS h FROM documents),
+      |v AS (
+      |  SELECT doc_id, lang,
+      |    (ASCII(SUBSTR(h, 1, 1)) - 48
+      |     - CASE WHEN ASCII(SUBSTR(h, 1, 1)) >= 97 THEN 39 ELSE 0 END) * 256
+      |  + (ASCII(SUBSTR(h, 2, 1)) - 48
+      |     - CASE WHEN ASCII(SUBSTR(h, 2, 1)) >= 97 THEN 39 ELSE 0 END) * 16
+      |  + (ASCII(SUBSTR(h, 3, 1)) - 48
+      |     - CASE WHEN ASCII(SUBSTR(h, 3, 1)) >= 97 THEN 39 ELSE 0 END) AS v
+      |  FROM h)
+      |SELECT lang,
+      |  CASE WHEN v < 3277 THEN 'train'
+      |       WHEN v < 3686 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  SUM(doc_id)::BIGINT AS sum_ids
+      |FROM v GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   // ---------------------------------------------------------------- p04
   /** Deterministic epoch shuffle + shard assignment: the last step before
     * training ingestion. Each document gets a seeded pseudo-random hash
@@ -275,6 +323,7 @@ object PipelineQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p06_zorder_layout" -> (p06ZorderLayout _, p06Sql),
     "p07_scd2_merge" -> (p07Scd2Merge _, p07Sql),
+    "p08_split_assign" -> (p08SplitAssign _, p08Sql),
     "p01_corpus_clean" -> (p01CorpusClean _, p01Sql),
     "p02_salted_join" -> (p02SaltedJoin _, p02Sql),
     "p03_stratified_sample" -> (p03StratifiedSample _, p03Sql),
