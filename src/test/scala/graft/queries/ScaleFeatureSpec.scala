@@ -54,6 +54,38 @@ class ScaleFeatureSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one key holds ~99% of the rows — the exact shape that stalls a
+    // 1000-executor shuffle join on a single straggler task. With the
+    // skew-join thresholds scaled down to test size, AQE must mark the
+    // sort-merge join as skew=true and split the hot partition.
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (0 until 20000).map(i =>
+        (if (i % 100 == 0) (i % 7).toLong + 1 else 0L, s"pad-left-$i"))
+        .toDF("k", "l_pad")
+      val right = (0L until 8L).map(k => (k, s"dim-$k")).toDF("k", "r_pad")
+      val joined = left.join(right, "k")
+      // execute THIS queryExecution so its adaptive plan is final
+      assert(joined.collect().length == 20000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-join handling in:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning prunes fact partitions through the join") {
     val base = Files.createTempDirectory("graft_dpp").toFile
     try {
