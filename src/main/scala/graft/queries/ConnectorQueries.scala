@@ -158,18 +158,26 @@ object ConnectorQueries {
       .option("shardedOutput", "true")
       .mode("overwrite").save(in.getAbsolutePath)
     val qname = s"excel_stream_window_${math.abs(dir.hashCode)}"
-    val q = spark.readStream.format("excel").schema(orders.schema)
-      .load(in.getAbsolutePath)
-      .withWatermark("ts", "1 day")
-      .groupBy(window(col("ts"), "30 days"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(qname)
-      .option("checkpointLocation", ckpt.getAbsolutePath)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // window-agg state: 8 shuffle partitions instead of 32 cuts the
+    // per-batch state-checkpoint fan-out 4x at identical results; the
+    // conf stays lowered until the stream ends (async first-batch
+    // planning captures it)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = spark.readStream.format("excel").schema(orders.schema)
+        .load(in.getAbsolutePath)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "30 days"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(qname)
       .select(col("window.start").cast("date").as("window_start"),
         col("n_orders"), col("total"))
