@@ -22,6 +22,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host load at bench start (1-minute loadavg): identical code has
+    // measured 86-121 s across runs on this host depending on what else
+    // is running, so the artifact carries the evidence needed to
+    // adjudicate noise instead of leaving it to manual uptime checks.
+    val load = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+
     // JIT/codegen/IO-path warmup so the alphabetically-first query isn't
     // taxed with one-time initialization: exercise the parquet reader,
     // shuffle exchange, window, join, and global-sort (range sampling)
@@ -80,7 +89,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$load%.2f,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver only captures the last ~2000 chars of stdout; with 76+
     // queries the full line above overflows that window and its leading
@@ -100,7 +109,7 @@ object Bench {
       if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","load":$load%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,37 +43,103 @@ object Dedup {
     * Two strings are within edit distance 1 iff they share a member of
     * each other's deletion neighborhood (the string itself plus every
     * single-character deletion — L+1 variants for length L), so the pair
-    * search is an ordinary equi-join on the variant key: narrow per-row
-    * fan-out, candidates bounded by key collisions, never n². Candidates
-    * are verified with exact `levenshtein` (built-in, codegen'd) so hash
-    * collisions can't produce false pairs. Intended for SHORT key columns
-    * — the fan-out is length-proportional; fuzzy-matching whole documents
+    * search is an ordinary equi-join on the variant key. Two skew guards
+    * keep the join sub-quadratic on real corpora:
+    *
+    *  1. identical strings collapse to ONE representative before variant
+    *     generation (a web corpus has millions of copies of "home" — each
+    *     contributes one neighborhood row, not k rows whose self-join
+    *     would be k²); verified pairs re-expand to member ids at the end,
+    *     so expansion cost is bounded by OUTPUT size, never by a join
+    *     intermediate;
+    *  2. `variantCap` drops variant keys shared by more than that many
+    *     DISTINCT strings before the self-join — the same df-cap recall
+    *     trade as the shingle operators (a variant hub like the empty
+    *     string under 1-char keys is noise, not signal).
+    *
+    * Candidates are verified with exact `levenshtein` (built-in,
+    * codegen'd) at the distinct-string level, so hash collisions can't
+    * produce false pairs and each distinct string pair is verified once
+    * no matter how many rows carry it. Intended for SHORT key columns —
+    * the fan-out is length-proportional; fuzzy-matching whole documents
     * belongs to the shingle operators above.
     *
-    * Returns (id_a, id_b, dist), id_a < id_b, dist ∈ {0, 1}. */
-  def editDistance1Pairs(df: DataFrame, idCol: String,
-      strCol: String): DataFrame = {
+    * Null and EMPTY strings are excluded by contract: rows whose key is
+    * null or "" produce no pairs (so ("", "a") is never reported). Callers
+    * that need empty-key semantics should map "" to a sentinel first.
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b, dist ∈ {0, 1}. Note dist-0
+    * pairs enumerate every pair inside an identical-string group — k
+    * copies yield k·(k-1)/2 OUTPUT rows by definition; if group-level
+    * results are enough, run [[exactCanonical]] first and feed only the
+    * canonical rows here. */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String,
+      variantCap: Int = 1000): DataFrame = {
     val base = df
       .select(col(idCol).cast("long").as("fid"), col(strCol).as("s"))
       .filter(col("s").isNotNull && length(col("s")) > 0)
+      .repartition(col("s"))
+    // verified DISTINCT-string pairs (lev == 1), each unordered pair once
+    val verified = editDistance1Candidates(df, idCol, strCol, variantCap)
+    // re-expand to member ids: every member of group(sa) pairs with every
+    // member of group(sb) at distance 1 — both joins are on `s`, the same
+    // key `base` is partitioned by, so expansion adds no new shuffle of
+    // the membership table and its row count IS the output count
+    val dist1 = verified
+      .join(base.select(col("s").as("sa"), col("fid").as("ia")), "sa")
+      .join(base.select(col("s").as("sb"), col("fid").as("ib")), "sb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), lit(1).as("dist"))
+    // dist-0: all pairs within each identical-string group. The self-join
+    // on `s` is co-partitioned and produces exactly the output rows — an
+    // output-bound cost inherent to the pair contract, not a candidate
+    // blow-up (see scaladoc)
+    val dist0 = base.select(col("s"), col("fid").as("id_a"))
+      .join(base.select(col("s"), col("fid").as("id_b")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    dist1.union(dist0)
+  }
+
+  /** Verified distance-1 pairs over DISTINCT key strings: (sa, sb), each
+    * unordered pair exactly once. This is the candidate stage of
+    * [[editDistance1Pairs]] — its row count is what the skew guards bound
+    * (spec-tested with a planted 10⁴-copy hot key), and it is the
+    * group-level result to use when per-id expansion isn't needed. */
+  private[graft] def editDistance1Candidates(df: DataFrame, idCol: String,
+      strCol: String, variantCap: Int = 1000): DataFrame = {
+    // one representative per distinct string (skew guard 1)
+    val distinctS = df
+      .select(col(idCol).cast("long").as("fid"), col(strCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+      .groupBy("s").agg(min(col("fid")).as("rep"))
     val s = col("s")
-    val variants = base.select(col("fid"),
+    val variants = distinctS.select(col("rep"),
       explode(transform(sequence(lit(0), length(s)),
         i => concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
         .as("v"))
       .distinct() // a string like "aa" yields the same deletion twice
-    // ids-only candidates; strings re-attach for the verify (the dedup
-    // shuffle carries fixed-width ids — same rationale as minhashLshPairs)
-    val cand = variants.select(col("fid").as("id_a"), col("v"))
-      .join(variants.select(col("fid").as("id_b"), col("v")), "v")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // variant-frequency guard (skew guard 2), same shape as the shingle
+    // dfCap: count per variant key BEFORE any posting list materializes;
+    // keys with a single posting can't form a pair, keys above the cap
+    // are dropped (documented recall trade)
+    val shared = variants.groupBy("v")
+      .agg(count(lit(1)).as("vdf"))
+      .filter(col("vdf") >= 2 && col("vdf") <= variantCap)
+      .select("v")
+    val pruned = variants.join(shared, "v")
+    val cand = pruned.select(col("v"), col("rep").as("rep_a"))
+      .join(pruned.select(col("v"), col("rep").as("rep_b")), "v")
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b").distinct()
+    // verify once per distinct-string pair; the strings differ, so
+    // lev ≥ 1 and the distance-1 test is an equality
+    val reps = distinctS.select(col("rep"), col("s"))
     cand
-      .join(base.select(col("fid").as("id_a"), col("s").as("sa")), "id_a")
-      .join(base.select(col("fid").as("id_b"), col("s").as("sb")), "id_b")
-      .filter(levenshtein(col("sa"), col("sb")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("sa"), col("sb")).as("dist"))
+      .join(reps.select(col("rep").as("rep_a"), col("s").as("sa")), "rep_a")
+      .join(reps.select(col("rep").as("rep_b"), col("s").as("sb")), "rep_b")
+      .filter(levenshtein(col("sa"), col("sb")) === 1)
+      .select(col("sa"), col("sb"))
   }
 
   /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard verify.

@@ -219,6 +219,58 @@ object Multimodal {
     math.min(total, Int.MaxValue.toLong).toInt
   }
 
+  /** MP4 per-sample tables: `stsz` sample sizes (bytes) paired with `stts`
+    * decode start times (ticks) — the real metadata a frame sampler walks
+    * to seek and slice individual samples, as opposed to the whole-track
+    * totals of [[parseMp4Header]]. Returns (sizes, startTicks), same
+    * length, or None when either table is absent/malformed/inconsistent.
+    * Table lengths are capped at 2²² samples — far above any fixture and
+    * a runaway guard against corrupt headers declaring giant counts. */
+  def parseMp4SampleTable(b: Array[Byte]): Option[(Array[Long], Array[Long])] = {
+    if (b.length < 12) return None
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    for {
+      (zs, ze) <- findBox(b, 0, b.length, "stsz")
+      (ss, se) <- findBox(b, 0, b.length, "stts")
+      sizes <- stszSizes(b, zs, ze)
+      starts <- sttsStarts(b, ss, se)
+      if sizes.length == starts.length
+    } yield (sizes, starts)
+  }
+
+  private final val MaxSamples = 1 << 22
+
+  /** `stsz`: vf(4) sample_size(4) sample_count(4) [entries 4·n when
+    * sample_size == 0; uniform otherwise]. */
+  private def stszSizes(b: Array[Byte], ps: Int, pe: Int): Option[Array[Long]] = {
+    if (ps + 12 > pe) return None
+    val uniform = be32(b, ps + 4) & 0xffffffffL
+    val n = be32(b, ps + 8)
+    if (n < 0 || n > MaxSamples) return None
+    if (uniform != 0) Some(Array.fill(n)(uniform))
+    else if (ps + 12 + 4L * n > pe) None
+    else Some(Array.tabulate(n)(i => be32(b, ps + 12 + 4 * i) & 0xffffffffL))
+  }
+
+  /** `stts` run expansion: each (sample_count, sample_delta) run yields
+    * that many cumulative start ticks. */
+  private def sttsStarts(b: Array[Byte], ps: Int, pe: Int): Option[Array[Long]] = {
+    if (ps + 8 > pe) return None
+    val entries = be32(b, ps + 4)
+    if (entries < 0 || ps + 8 + 8L * entries > pe) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var t = 0L; var e = 0; var off = ps + 8
+    while (e < entries) {
+      val cnt = be32(b, off) & 0xffffffffL
+      val delta = be32(b, off + 4) & 0xffffffffL
+      if (out.length + cnt > MaxSamples) return None
+      var i = 0L
+      while (i < cnt) { out += t; t += delta; i += 1 }
+      off += 8; e += 1
+    }
+    Some(out.toArray)
+  }
+
   /** WAV RIFF `fmt ` chunk: (sampleRate, bitsPerSample, channels). */
   def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 12) return None
@@ -247,8 +299,11 @@ object Multimodal {
     * GIF/BMP) report pixel (width, height, channels); WAV audio reports
     * (sampleRate, bitsPerSample, channels) in the (width, height, channels)
     * slots — the natural per-modality "dimensions" — with n_frames 1; MP4
-    * video reports tkhd dimensions and the REAL stts frame count. Features
-    * stay stubbed in all cases (no codec libraries in this environment). */
+    * video reports tkhd dimensions and the REAL stts frame count. The
+    * FEATURE vector stays stubbed here — this path deliberately reads
+    * headers only; real pixel/sample decode lives in [[decodePixelStats]]
+    * / [[decodeAudioStats]] (JDK ImageIO / javax.sound), and video frame
+    * pixels have no JDK codec at all. */
   def decodeMedia(payload: Array[Byte], modality: String): (Int, Int, Int, Int, Array[Float]) = {
     val stub = decodeStub(payload, modality)
     parseMp4Header(payload) match {
@@ -427,14 +482,20 @@ object Multimodal {
       .mapPartitions(decodeBatch _)
   }
 
-  /** One sampled frame reference. */
-  final case class FrameRef(doc_id: Long, frame_idx: Int, n_frames: Int)
+  /** One sampled frame reference. `frame_bytes` / `t_ticks` are the real
+    * per-sample size and decode start time from the container's stsz/stts
+    * tables; None for payloads without sample tables (stub fallback). */
+  final case class FrameRef(doc_id: Long, frame_idx: Int, n_frames: Int,
+      frame_bytes: Option[Long], t_ticks: Option[Long])
 
   /** Frame sampling for video payloads: every `stride`-th frame index —
     * flatMap shape (one row in, ceil(n_frames/stride) rows out), batched
-    * per partition, no shuffle. The frame COUNT comes from the decode stub;
-    * a real implementation would additionally slice the container bytes per
-    * emitted index (the row fan-out, schema, and ordering stay the same). */
+    * per partition, no shuffle. For MP4 payloads the frame count is the
+    * real `stts` total and each emitted frame carries its `stsz` byte size
+    * and `stts` start tick ([[parseMp4SampleTable]]) — everything a seek-
+    * and-slice sampler needs short of the pixel decode itself (no JDK
+    * video codec; see [[decodeStub]]). Headerless payloads fall back to
+    * the stub's deterministic count with null sample metadata. */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
       modalityCol: String, stride: Int): Dataset[FrameRef] = {
     require(stride > 0, s"stride must be positive, got $stride")
@@ -448,8 +509,12 @@ object Multimodal {
         else {
           val payload = if (r.payload == null) Array.empty[Byte] else r.payload
           val (_, _, _, nFrames, _) = decodeMedia(payload, r.modality)
-          (0 until nFrames by stride).iterator
-            .map(i => FrameRef(r.doc_id, i, nFrames))
+          val table = parseMp4SampleTable(payload)
+          (0 until nFrames by stride).iterator.map { i =>
+            FrameRef(r.doc_id, i, nFrames,
+              table.collect { case (sz, _) if i < sz.length => sz(i) },
+              table.collect { case (_, ts) if i < ts.length => ts(i) })
+          }
         }
       })
   }
@@ -469,8 +534,10 @@ object Multimodal {
       out_w: Int, out_h: Int)
 
   /** Resize-to-fit for image payloads — metadata transform driven by the
-    * decode stub's dimensions; a real implementation would also re-encode
-    * payload bytes per row (batched, narrow, no shuffle — unchanged). */
+    * PARSED container dimensions (real header walk via [[decodeMedia]];
+    * stub arithmetic only for headerless payloads). This variant computes
+    * target dimensions without touching pixels; [[resizeImagePayload]] is
+    * the full decode → raster resize → re-encode path (m06). */
   def resizeImages(df: DataFrame, idCol: String, binCol: String,
       modalityCol: String, targetW: Int, targetH: Int): Dataset[ResizedRecord] = {
     val spark = df.sparkSession
@@ -494,13 +561,15 @@ object Multimodal {
     * 16 + doc_id % 464, truecolor), audio rows a genuine RIFF/WAVE `fmt `
     * chunk (sample rate 8000·(1 + doc_id % 5), 16-bit,
     * 1 + doc_id % 2 channels), and HALF the video rows (doc_id % 6 == 2) a
-    * genuine 280-byte minimal MP4 (ftyp + moov with mvhd @600 ticks/s,
-    * tkhd carrying 16.16 dimensions, and an stts whose sample total is the
-    * REAL frame count 1 + doc_id % 29 at 30 fps) — each followed by the
-    * document's text bytes as fake pixel/sample data. The other video rows
-    * (doc_id % 6 == 5) stay raw text bytes so the stub fallback path is
-    * exercised too. [[decodeMedia]] must parse the planted headers back
-    * out — which is what the m01/m02/m03 oracles verify. */
+    * genuine minimal MP4 of 300 + 4·n_frames bytes (ftyp + moov with mvhd
+    * @600 ticks/s, tkhd carrying 16.16 dimensions, an stts whose sample
+    * total is the REAL frame count n_frames = 1 + doc_id % 29 at 30 fps,
+    * and an stsz whose per-sample sizes are 64 + (doc_id + i) % 191) —
+    * each followed by the document's text bytes as fake pixel/sample data.
+    * The other video rows (doc_id % 6 == 5) stay raw text bytes so the
+    * stub fallback path is exercised too. [[decodeMedia]] must parse the
+    * planted headers back out — which is what the m01/m02/m03 oracles
+    * verify. */
   def fakeMediaFrame(documents: DataFrame): DataFrame = {
     def bytes(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
     def byteHex(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
@@ -531,19 +600,31 @@ object Multimodal {
       le16(chans), le32(rate), le32(rate * chans * lit(2)),
       le16(chans * lit(2)), le16(lit(16)), body)
 
-    // minimal-but-genuine MP4: ftyp(16) + moov(264) = 280-byte prefix.
-    // moov = mvhd(108) + trak(148); trak = tkhd(92) + mdia(48);
-    // mdia = minf(40) = stbl(32) = stts(24). 30 fps at timescale 600
-    // (delta 20 ticks), duration = n_frames * 20, one stts run.
+    // minimal-but-genuine MP4: ftyp(16) + moov = 300 + 4·n_frames bytes.
+    // moov = mvhd(108) + trak; trak = tkhd(92) + mdia;
+    // mdia = minf = stbl + 8 each; stbl = stts(24) + stsz(20 + 4n) + 8.
+    // 30 fps at timescale 600 (delta 20 ticks), duration = n_frames * 20,
+    // one stts run; stsz holds a REAL per-sample size table
+    // (64 + (doc_id + i) % 191 bytes for sample i).
     val nFrames = lit(1) + pmod(id, lit(29))
     val mp4Dur = nFrames * lit(20)
+    val stszSize = lit(20) + nFrames * lit(4)
+    val stblSize = stszSize + lit(32)  // 8 + stts(24) + stsz
+    val minfSize = stblSize + lit(8)
+    val mdiaSize = minfSize + lit(8)
+    val trakSize = mdiaSize + lit(100) // 8 + tkhd(92)
+    val moovSize = trakSize + lit(116) // 8 + mvhd(108)
+    val stszEntries = aggregate(
+      transform(sequence(lit(0), nFrames - 1),
+        i => be32(lit(64) + pmod(id + i, lit(191)))),
+      lit(Array.empty[Byte]), (acc, x) => concat(acc, x))
     val unityMatrix = bytes(
       0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
       0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0,
       0, 0, 0, 0, 0, 0, 0, 0, 0x40, 0, 0, 0)
     val mp4 = concat(
       bytes(0, 0, 0, 16, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm', 0, 0, 0, 0),
-      bytes(0, 0, 1, 8, 'm', 'o', 'o', 'v'),
+      be32(moovSize), bytes('m', 'o', 'o', 'v'),
       // mvhd v0: timescale 600 = 0x258, duration varies
       bytes(0, 0, 0, 108, 'm', 'v', 'h', 'd', 0, 0, 0, 0,
         0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x02, 0x58),
@@ -553,7 +634,7 @@ object Multimodal {
       bytes(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
         0, 0, 0, 0), // pre_defined[6]
       bytes(0, 0, 0, 2), // next_track_ID
-      bytes(0, 0, 0, 148, 't', 'r', 'a', 'k'),
+      be32(trakSize), bytes('t', 'r', 'a', 'k'),
       // tkhd v0: flags 7 (enabled), track 1, duration varies
       bytes(0, 0, 0, 92, 't', 'k', 'h', 'd', 0, 0, 0, 7,
         0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0),
@@ -561,11 +642,14 @@ object Multimodal {
       bytes(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), // reserved, layer/alt/vol/res
       unityMatrix,
       be16(imgW), bytes(0, 0), be16(imgH), bytes(0, 0), // 16.16 fixed point
-      bytes(0, 0, 0, 48, 'm', 'd', 'i', 'a',
-        0, 0, 0, 40, 'm', 'i', 'n', 'f',
-        0, 0, 0, 32, 's', 't', 'b', 'l',
-        0, 0, 0, 24, 's', 't', 't', 's', 0, 0, 0, 0, 0, 0, 0, 1),
+      be32(mdiaSize), bytes('m', 'd', 'i', 'a'),
+      be32(minfSize), bytes('m', 'i', 'n', 'f'),
+      be32(stblSize), bytes('s', 't', 'b', 'l'),
+      bytes(0, 0, 0, 24, 's', 't', 't', 's', 0, 0, 0, 0, 0, 0, 0, 1),
       be32(nFrames), bytes(0, 0, 0, 20),
+      // stsz v0: sample_size 0 → per-sample table of n_frames entries
+      be32(stszSize), bytes('s', 't', 's', 'z', 0, 0, 0, 0, 0, 0, 0, 0),
+      be32(nFrames), stszEntries,
       body)
 
     val modality = element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -135,29 +135,23 @@ object Similarity {
     * (IVF: few coarse cells, good for clustered corpora; LSH: many hash
     * buckets, good for high-similarity retrieval).
     *
-    * Centroids here are a deterministic pseudo-random sample of the corpus
-    * (the `nlist` rows with the smallest xxhash64(id) — uniform over the
-    * corpus, stable run to run) rather than k-means iterations — the
-    * partition/prune plumbing is identical and stays reproducible. The
-    * sample is ONE bounded distributed job: TakeOrdered merges per-
-    * partition top-nlist, so exactly `nlist` rows ever reach the driver —
-    * never an id universe. */
+    * Centroid seeding is a deterministic pseudo-random sample of the
+    * corpus (the `nlist` rows with the smallest xxhash64(id) — uniform
+    * over the corpus, stable run to run), refined by `lloydIters` k-means
+    * iterations over a deterministic TRAINING sample of
+    * `nlist * trainFactor` rows (same hash ordering — at 100 TB the
+    * refinement cost is sample-bounded, never corpus-bounded). Each
+    * iteration is two DataFrame jobs: nearest-centroid assignment, then a
+    * per-(cell, dim) mean computed as FIXED-POINT LONG sums — integer
+    * addition commutes, so the refined centroids are bit-identical
+    * regardless of partitioning, keeping the whole index reproducible
+    * (the repo-wide mirrorable-arithmetic pattern). Every driver collect
+    * is bounded: nlist seed rows, then nlist·dims aggregate rows. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic centroid sample (small: nlist rows to the driver);
-    // the (hash, id) sort makes the collect order — and so cell numbering
-    // — independent of partition merge order
-    val centroids: Array[(Int, Array[Double])] = df
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .orderBy(xxhash64(col("cid")), col("cid"))
-      .limit(nlist)
-      .collect()
-      .zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Any](1).map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-        }.toArray
-      }
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nlist, lloydIters,
+      trainFactor)
 
     // nprobe cells nearest to the query (driver-side: nlist tiny)
     def cos(a: Array[Double], b: Array[Double]): Double = {
@@ -181,6 +175,87 @@ object Similarity {
         round(VectorFunctions.cosine(col("vec"), vecLit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** The IVF coarse quantizer: deterministic seed sample + Lloyd
+    * refinement (see [[ivfTopK]]). Exposed for the cell-balance spec and
+    * for callers that persist the assignment partitioned by cell. */
+  private[graft] def ivfCentroids(df: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, lloydIters: Int = 2,
+      trainFactor: Int = 64): Array[(Int, Array[Double])] = {
+    // deterministic centroid sample (small: nlist rows to the driver);
+    // the (hash, id) sort makes the collect order — and so cell numbering
+    // — independent of partition merge order
+    val seeds: Array[(Int, Array[Double])] = df
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }.toArray
+      }
+    if (lloydIters <= 0) seeds
+    else {
+      val train = df
+        .select(col(idCol).as("cid"), col(vecCol).as("vec"))
+        .orderBy(xxhash64(col("cid")), col("cid"))
+        .limit(nlist * trainFactor)
+        .select("vec")
+        .cache()
+      val refined = lloydRefine(train, "vec", seeds.map(_._2), lloydIters)
+      train.unpersist()
+      refined.zipWithIndex.map { case (c, i) => i -> c }
+    }
+  }
+
+  /** Per-row cell assignment under the refined quantizer: (vec_id, cell).
+    * The persist-me-partitioned-by-cell output of an IVF build. */
+  private[graft] def ivfAssignments(df: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, lloydIters: Int = 2,
+      trainFactor: Int = 64): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nlist, lloydIters,
+      trainFactor)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        VectorFunctions.nearestCentroid(col("vec"), centroids.map(_._2)))
+      .select("vec_id", "cell")
+  }
+
+  /** Fixed-point scale for Lloyd means: components quantize to
+    * floor(x·2²⁴) longs, so per-(cell, dim) sums are exact integer
+    * arithmetic — commutative, hence partition-order independent. With
+    * |x| ≲ 2⁷ and sample counts ≤ 2³² the sums stay far from Long range. */
+  private val LloydScale = (1L << 24).toDouble
+
+  /** `iters` k-means refinements of `centroids` over `train` (a bounded,
+    * deterministic sample — cached by the caller). Assignment is the same
+    * [[VectorFunctions.nearestCentroid]] kernel queries use; the mean is a
+    * per-(cell, dim) long-sum aggregate whose collect is exactly
+    * nlist·dims rows. Cells that lose all members keep their previous
+    * centroid (no respawn heuristics — deterministic). */
+  private def lloydRefine(train: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cur = centroids
+    for (_ <- 0 until iters) {
+      val sums = train
+        .withColumn("cell", VectorFunctions.nearestCentroid(col(vecCol), cur))
+        .select(col("cell"), posexplode(transform(col(vecCol),
+          x => floor(x.cast("double") * lit(LloydScale)).cast("long")))
+          .as(Seq("i", "qx")))
+        .groupBy("cell", "i")
+        .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cur.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / r.getLong(3) / LloydScale
+      }
+      cur = next
+    }
+    cur
   }
 
   /** Batch KNN join: for EVERY query row, the top-k corpus rows by cosine.

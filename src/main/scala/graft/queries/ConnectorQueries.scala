@@ -159,26 +159,25 @@ object ConnectorQueries {
       .mode("overwrite").save(in.getAbsolutePath)
     val qname = s"excel_stream_window_${math.abs(dir.hashCode)}"
     // window-agg state: 8 shuffle partitions instead of 32 cuts the
-    // per-batch state-checkpoint fan-out 4x at identical results; the
-    // conf stays lowered until the stream ends (async first-batch
-    // planning captures it)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = spark.readStream.format("excel").schema(orders.schema)
-        .load(in.getAbsolutePath)
-        .withWatermark("ts", "1 day")
-        .groupBy(window(col("ts"), "30 days"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(qname)
+    // per-batch state-checkpoint fan-out 4x at identical results. The
+    // stream runs on a PRIVATE session (own SQLConf over the shared
+    // context) so the lowered conf can't leak into queries running
+    // concurrently on the caller's session.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("excel").schema(orders.schema)
+      .load(in.getAbsolutePath)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "30 days"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname)
       .select(col("window.start").cast("date").as("window_start"),
         col("n_orders"), col("total"))
       .orderBy("window_start")
@@ -245,7 +244,7 @@ object ConnectorQueries {
   // ----------------------------------------- excel_stream_stream_join
   /** STREAM-STREAM interval join, oracle-checked: a sampled orders stream
     * joins a lineitem stream on key + event-time range (shipdate within
-    * 90 days of orderdate) — the two-unbounded-sides join Structured
+    * 365 days of orderdate) — the two-unbounded-sides join Structured
     * Streaming buffers keyed state for, vs the broadcast-static shape of
     * `excel_stream_join`. Both sides carry watermarks (state-eviction
     * contract at scale); the delay is set beyond the data's time span so
@@ -278,39 +277,36 @@ object ConnectorQueries {
     line.repartition(2).write.format("excel")
       .option("shardedOutput", "true").mode("overwrite")
       .save(inR.getAbsolutePath)
-    val left = spark.readStream.format("excel").schema(orders.schema)
-      .load(inL.getAbsolutePath)
-      .withWatermark("o_ts", "3650 days")
-    val right = spark.readStream.format("excel").schema(line.schema)
-      .load(inR.getAbsolutePath)
-      .withWatermark("l_ts", "3650 days")
     val qname = s"excel_stream_stream_join_${math.abs(dir.hashCode)}"
     // join state checkpoints one store PER shuffle partition PER side —
     // at this volume 32 partitions is pure small-file overhead (it
     // dominated the gate's wall time); 8 keeps the state path exercised
-    // at a quarter of the checkpoint fan-out. Session conf restored after
-    // the stream finishes.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = left.join(right, expr(
-          """o_orderkey = l_orderkey
-            |AND l_ts >= o_ts
-            |AND l_ts <= o_ts + interval 365 days""".stripMargin))
-        .select(col("o_orderkey"), col("l_linenumber"),
-          col("o_ts").cast("date").as("o_date"),
-          col("l_ts").cast("date").as("l_date"),
-          col("l_quantity"))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // state partitioning is captured at first-batch planning, which runs
-      // asynchronously — the conf must stay lowered until the stream ends
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(qname).orderBy("o_orderkey", "l_linenumber")
+    // at a quarter of the checkpoint fan-out. The whole stream — sources
+    // included — runs on a PRIVATE session so the lowered conf is scoped
+    // to this query instead of mutating the shared session.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val left = ss.readStream.format("excel").schema(orders.schema)
+      .load(inL.getAbsolutePath)
+      .withWatermark("o_ts", "3650 days")
+    val right = ss.readStream.format("excel").schema(line.schema)
+      .load(inR.getAbsolutePath)
+      .withWatermark("l_ts", "3650 days")
+    val q = left.join(right, expr(
+        """o_orderkey = l_orderkey
+          |AND l_ts >= o_ts
+          |AND l_ts <= o_ts + interval 365 days""".stripMargin))
+      .select(col("o_orderkey"), col("l_linenumber"),
+        col("o_ts").cast("date").as("o_date"),
+        col("l_ts").cast("date").as("l_date"),
+        col("l_quantity"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname).orderBy("o_orderkey", "l_linenumber")
   }
 
   val excelStreamStreamJoinSql: String =

@@ -623,25 +623,24 @@ object DedupQueries {
     // dedup state checkpoints one store per shuffle partition per batch —
     // 8 keeps the stateful path exercised without the 32-partition
     // small-file fan-out (result is partition-count independent). The
-    // conf stays lowered until the stream ENDS: first-batch planning,
-    // which captures it, runs asynchronously after start().
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = spark.readStream.format("excel").schema(d.schema)
-        .option("maxFilesPerTrigger", "1")
-        .load(in.getAbsolutePath)
-        .withColumn("fp", graft.functions.TextExpressions.fnv1a64(col("text")))
-        .transform(df =>
-          graft.streaming.StreamingDedup.firstOccurrence(df, "fp", "doc_id"))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(qname)
+    // stream runs on a PRIVATE session (own SQLConf over the shared
+    // context) so the lowered conf can't leak into queries running
+    // concurrently on the caller's session.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("excel").schema(d.schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(in.getAbsolutePath)
+      .withColumn("fp", graft.functions.TextExpressions.fnv1a64(col("text")))
+      .transform(df =>
+        graft.streaming.StreamingDedup.firstOccurrence(df, "fp", "doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .orderBy("doc_id")
   }

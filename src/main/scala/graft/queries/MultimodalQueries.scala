@@ -7,14 +7,19 @@ import graft.operators.Multimodal
 
 /** Multimodal queries: a fake media corpus carrying REAL container headers
   * (PNG IHDR for images, RIFF/WAVE `fmt ` for audio, ISO-BMFF
-  * ftyp+moov/mvhd/tkhd/stts for half the video rows — planted by
-  * [[Multimodal.fakeMediaFrame]] with dimensions/frame counts derived from
-  * doc_id) through the batched per-partition decode
-  * ([[Multimodal.decodeBatch]]). The decoder must parse the planted headers
-  * back out, so the oracles verify genuine byte-level header parsing for
-  * image/audio/video; the remaining video rows carry no header and pin the
-  * deterministic stub fallback. Pixel/sample decoding itself stays stubbed
-  * (no codecs in this container). */
+  * ftyp+moov/mvhd/tkhd/stts/stsz for half the video rows — planted by
+  * [[Multimodal.fakeMediaFrame]] with dimensions/frame counts/sample sizes
+  * derived from doc_id) through the batched per-partition decode
+  * ([[Multimodal.decodeBatch]]).
+  *
+  * m01-m03 verify byte-level HEADER parsing (the decoder must parse the
+  * planted headers back out; headerless video rows pin the deterministic
+  * stub fallback). m04-m06 go further and verify REAL pixel/sample decode
+  * through the JDK's own codecs — ImageIO pixel stats and raster resize,
+  * javax.sound PCM sample stats. Only video frame PIXELS remain stubbed:
+  * the JDK ships no video codec (environment-bound), though m02's frame
+  * counts, per-frame byte sizes, and start times are real stts/stsz
+  * sample-table walks. */
 object MultimodalQueries {
 
   def m01DecodeMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -33,7 +38,8 @@ object MultimodalQueries {
   /** Image/audio rows: header fields the decoder must parse back out of
     * the planted PNG (33-byte prefix) / WAV (36-byte prefix) headers.
     * Video rows with doc_id % 6 = 2: REAL MP4 parse — tkhd dimensions and
-    * the stts frame-count total behind a 280-byte planted container.
+    * the stts frame-count total behind a planted 300 + 4·n_frames-byte
+    * container (the variable tail is the stsz sample-size table).
     * Video rows with doc_id % 6 = 5: the stub fallback over raw text. */
   val m01Sql: String =
     """WITH base AS (
@@ -44,7 +50,8 @@ object MultimodalQueries {
       |  FROM documents)
       |SELECT doc_id, modality,
       |  (CASE modality WHEN 'image' THEN n + 33 WHEN 'audio' THEN n + 36
-      |        ELSE n + CASE WHEN mp4 THEN 280 ELSE 0 END END)::BIGINT AS n_bytes,
+      |        ELSE n + CASE WHEN mp4 THEN 300 + 4 * (1 + doc_id % 29) ELSE 0 END
+      |   END)::BIGINT AS n_bytes,
       |  (CASE modality WHEN 'image' THEN 16 + doc_id % 624
       |        WHEN 'audio' THEN 8000 * (1 + doc_id % 5)
       |        ELSE CASE WHEN mp4 THEN 16 + doc_id % 624 ELSE 16 + n % 624 END
@@ -64,9 +71,12 @@ object MultimodalQueries {
   // ---------------------------------------------------------------- m02
   /** Frame sampling: every 5th frame of each fake video — the one-row-in,
     * k-rows-out fan-out a video pipeline runs before per-frame featurizing.
-    * Frame counts are REAL stts totals for the planted-MP4 rows
-    * (doc_id % 6 = 2) and deterministic stub arithmetic for the raw rows;
-    * the oracle mirrors both and the RANGE fan-out. */
+    * For the planted-MP4 rows (doc_id % 6 = 2) the frame count is the REAL
+    * stts total and every sampled frame carries its REAL stsz byte size
+    * and stts start tick — the oracle mirrors the planted sample-table
+    * arithmetic (size 64 + (doc_id + i) % 191, start i·20 ticks). Raw rows
+    * (doc_id % 6 = 5) pin the deterministic stub count with NULL sample
+    * metadata. */
   def m02FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     Multimodal.sampleFrames(
@@ -75,20 +85,26 @@ object MultimodalQueries {
       .toDF()
       .select(col("doc_id"),
         col("frame_idx").cast("bigint").as("frame_idx"),
-        col("n_frames").cast("bigint").as("n_frames"))
+        col("n_frames").cast("bigint").as("n_frames"),
+        col("frame_bytes"), col("t_ticks"))
       .orderBy("doc_id", "frame_idx")
   }
 
   val m02Sql: String =
     """WITH v AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, doc_id % 6 = 2 AS mp4,
       |    CASE WHEN doc_id % 6 = 2 THEN 1 + doc_id % 29
       |         ELSE 1 + COALESCE(STRLEN(text), 0) % 29 END AS n_frames
-      |  FROM documents WHERE doc_id % 3 = 2)
-      |SELECT doc_id,
-      |  UNNEST(RANGE(0, n_frames, 5))::BIGINT AS frame_idx,
-      |  n_frames::BIGINT AS n_frames
-      |FROM v ORDER BY doc_id, frame_idx""".stripMargin
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT doc_id, mp4, n_frames,
+      |    UNNEST(RANGE(0, n_frames, 5)) AS frame_idx
+      |  FROM v)
+      |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+      |  n_frames::BIGINT AS n_frames,
+      |  (CASE WHEN mp4 THEN 64 + (doc_id + frame_idx) % 191 END)::BIGINT AS frame_bytes,
+      |  (CASE WHEN mp4 THEN frame_idx * 20 END)::BIGINT AS t_ticks
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- m03
   /** Resize-to-fit 224x224: source dimensions are PARSED from each planted

@@ -189,6 +189,61 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toSeq == Seq((1L, 2L, 1)))
   }
 
+  test("edit-distance-1 fuzzy join: planted 10^4-copy hot key stays sub-quadratic") {
+    import spark.implicits._
+    // a web-scale failure mode: 10^4 identical copies of one hot title.
+    // Without the distinct-string guard the neighborhood self-join would
+    // produce ~n^2/2 candidate rows from the hot key alone; with it the
+    // hot group is ONE distinct string and candidates are string-level.
+    val n = 10000
+    val hot = (1 to n).map(i => (i.toLong, "banana"))
+    val rest = Seq((2000001L, "banan"),    // deletion  -> dist 1 vs hot
+      (2000002L, "bananna"),               // insertion -> dist 1 vs hot
+      (2000003L, "zzzzz"))                 // unrelated
+    val df = (hot ++ rest).toDF("id", "s")
+    val cand = Dedup.editDistance1Candidates(df, "id", "s").collect()
+    assert(cand.length < n.toLong * n / 10, s"quadratic candidates: ${cand.length}")
+    assert(cand.map(r => Set(r.getString(0), r.getString(1))).toSet ==
+      Set(Set("banana", "banan"), Set("banana", "bananna")), cand.mkString(","))
+    // dist-1 re-expansion is output-bound: each hot copy pairs with each
+    // of the two distinct neighbors, nothing more
+    val d1 = Dedup.editDistance1Pairs(df, "id", "s")
+      .filter(col("dist") === 1).count()
+    assert(d1 == 2L * n, s"expected ${2L * n} expanded dist-1 pairs, got $d1")
+  }
+
+  test("edit-distance-1 fuzzy join: variantCap drops hub variant keys") {
+    import spark.implicits._
+    // "" is a deletion variant of every 1-char key — a hub shared by 3
+    // distinct strings here. With variantCap=2 the hub is dropped before
+    // the self-join (documented recall trade: the 1-char substitution
+    // pairs vanish); pairs evidenced by non-hub variants survive.
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "ab")).toDF("id", "s")
+    def pairs(cap: Int) = Dedup.editDistance1Pairs(df, "id", "s", variantCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(2) == Set((1L, 4L), (2L, 4L)))
+    assert(pairs(1000) == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("ngram df-cap: corpus-ubiquitous shingle dropped before the posting join") {
+    import spark.implicits._
+    // 1100 docs all share ONE boilerplate shingle (df=1100 > default cap
+    // 1000); every other shingle is doc-unique. At threshold 0.0 any
+    // surviving candidate pair would appear in the output, so the only
+    // rows prove the hot shingle never reached the join — the clean
+    // near-dup pair, whose rare shingles are unaffected (recall kept).
+    val boiler = (1 to 1100).map(i =>
+      (i.toLong, s"alpha beta gamma filler$i pad$i tail$i"))
+    val clean = Seq(
+      (2000001L, "zebra yak xylophone walrus vulture unique prose"),
+      (2000002L, "zebra yak xylophone walrus vulture unique prose"))
+    val df = (boiler ++ clean).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", k = 3,
+      threshold = 0.0) // operator-default dfCap = 1000
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2000001L, 2000002L, 1.0)), got.mkString(","))
+  }
+
   test("cluster survivors: best quality wins, doc_id breaks ties") {
     import spark.implicits._
     // one 3-doc near-dup cluster: docs 1/2/3 share their text; doc 2 is
@@ -286,11 +341,28 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // brute-force must rank cluster-0 members on top
     assert(brute.forall(_ < 50))
 
-    // IVF with generous probes must reach comparable recall on the same data
+    // IVF with Lloyd-refined centroids must reach HIGH recall on the same
+    // data (sampled seeds alone only cleared 0.8; refinement moves the
+    // centroids onto the planted cluster structure)
     val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", query, 20,
       nlist = 16, nprobe = 6).collect().map(_.getLong(0)).toSet
     val ivfRecall = (brute & ivf).size.toDouble / brute.size
-    assert(ivfRecall >= 0.8, s"IVF recall was $ivfRecall")
+    assert(ivfRecall >= 0.9, s"IVF recall was $ivfRecall")
+
+    // cell balance after refinement: no cell hoards the corpus (the
+    // scale contract — a probe reads nprobe/nlist of the data, which is
+    // only true if cells are comparably sized)
+    val cells = Similarity.ivfAssignments(df, "vec_id", "embedding", nlist = 16)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val mean = cells.sum.toDouble / 16
+    assert(cells.max <= 4 * mean, s"max cell ${cells.max} vs mean $mean")
+
+    // reproducibility: fixed-point Lloyd sums are partition-order
+    // independent, so a repartitioned corpus yields bit-identical centroids
+    val again = Similarity.ivfCentroids(df.repartition(7), "vec_id",
+      "embedding", nlist = 16)
+    val first = Similarity.ivfCentroids(df, "vec_id", "embedding", nlist = 16)
+    assert(first.map(_._2.toSeq).toSeq == again.map(_._2.toSeq).toSeq)
   }
 
   test("ANN self-retrieval: an in-corpus query returns itself at rank 1") {
@@ -625,11 +697,17 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = Seq((8L, "abcdefgh")).toDF("doc_id", "text") // 8 % 3 = 2: video
     val payload = Multimodal.fakeMediaFrame(docs)
       .collect().head.getAs[Array[Byte]]("payload")
-    assert(payload.length == 280 + 8)
+    // prefix = 300 + 4 * n_frames; n_frames = 1 + 8 % 29 = 9 → 336
+    assert(payload.length == 336 + 8)
     // tkhd dims 16+8=24 each; stts total = 1 + 8 % 29 = 9 frames
     assert(Multimodal.parseMp4Header(payload).contains((24, 24, 9)))
     // mvhd: 9 frames at 30 fps → duration 180 ticks / 600 = 0.3 s
     assert(Multimodal.parseMp4Duration(payload).contains(0.3))
+    // per-sample tables: stsz sizes 64 + (doc_id + i) % 191, stts starts
+    // i·20 ticks — the planted arithmetic walked back out of the container
+    val Some((sizes, starts)) = Multimodal.parseMp4SampleTable(payload)
+    assert(sizes.toSeq == (0 until 9).map(i => 64L + (8 + i) % 191))
+    assert(starts.toSeq == (0 until 9).map(i => 20L * i))
 
     // negatives: junk and truncations fall back, never crash
     val junk = "just some text".getBytes("UTF-8")
@@ -655,8 +733,9 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 1: WAV 16000 Hz (1 + 1 % 5 = 2), 16-bit, 2 channels
     assert(rows(1L).width == 16000 && rows(1L).height == 16)
     assert(rows(1L).channels == 2 && rows(1L).n_bytes == 3 + 36)
-    // doc 2 (% 6 = 2): video = planted MP4, REAL tkhd dims + stts frames
-    assert(rows(2L).n_bytes == 3 + 280 && rows(2L).n_frames == 1 + 2 % 29)
+    // doc 2 (% 6 = 2): video = planted MP4, REAL tkhd dims + stts frames;
+    // prefix = 300 + 4 * (1 + 2 % 29) = 312
+    assert(rows(2L).n_bytes == 3 + 312 && rows(2L).n_frames == 1 + 2 % 29)
     assert(rows(2L).width == 18 && rows(2L).height == 18)
     // doc 5 (% 6 = 5): video = raw bytes, stub arithmetic
     assert(rows(5L).n_bytes == 3 && rows(5L).n_frames == 1 + 3 % 29)
