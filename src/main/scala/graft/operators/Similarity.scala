@@ -29,7 +29,14 @@ object Similarity {
       .limit(k)
 
   /** ANN top-k: band-bucket candidates, exact rank among them. Recall is
-    * tuned by (bandBits ↓, bandCount ↑). */
+    * tuned by (bandBits ↓, bandCount ↑).
+    *
+    * This is the FLOAT-projection resolution mode — an opt-in variant of
+    * the default ANN path [[quantizedLshTopK]]. Same banding semantics;
+    * the float dot products preserve slightly more resolution but make
+    * bucket membership IEEE-summation-order dependent, so results can
+    * only be verified by recall bound, never mirrored exactly. Prefer
+    * the quantized default unless continuous projections matter. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, bandBits: Int = 8, bandCount: Int = 8,
       seed: Long = 42L): DataFrame = {
@@ -61,8 +68,9 @@ object Similarity {
   // (band, bit, dim) index, and the projection is an integer dot product —
   // no float summation order anywhere, so any engine (DuckDB, a different
   // Spark build, a GPU port) reproduces the buckets bit-for-bit. This is
-  // the fully-oracled complement of the float sign-LSH in [[lshTopK]]
-  // (kept as default: float projections preserve more resolution).
+  // the DEFAULT ANN path: identical banding semantics to the float
+  // sign-LSH in [[lshTopK]] with a fully checkable result set ([[lshTopK]]
+  // remains an opt-in resolution mode for continuous projections).
 
   private val QlshScale = 128d
   private val QlshMul = 2654435761L // Knuth multiplicative-hash constant
