@@ -513,4 +513,71 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): partition the embedding space into cells, score
+    * pairwise cosine only WITHIN each cell, and drop every member that
+    * has a more-canonical (lower-id) neighbor above `threshold` — the
+    * survivor set of pruning near-identical ε-neighborhoods while never
+    * comparing across cells (the approximation the paper makes with
+    * k-means clusters).
+    *
+    * The cell here is ONE band of the integer-quantized sign-projection
+    * LSH ([[Similarity.quantizedLshBucket]], `cellBits` sign bits):
+    * unlike float k-means assignment, the cell id is exact integer
+    * arithmetic, so the entire dedup decision — cells, candidate pairs,
+    * survivors — is reproducible in any engine (the repo-wide mirrorable
+    * pattern; d15's DuckDB oracle recomputes all of it bit-for-bit).
+    *
+    * Scale shape: ONE shuffle partitions vectors by cell — the window
+    * that counts cell membership forces it, the skew-guard filter is
+    * row-local above it, and both self-join sides share the identical
+    * subtree, so the exchange plans once and the second side is a
+    * ReusedExchange; the join itself sees both sides already partitioned
+    * by cell. Pair volume is Σ members² per cell, bounded by `cellCap`:
+    * cells larger than the cap are EXEMPT from pruning (every member
+    * kept, documented recall trade — same df-cap pattern as the shingle
+    * operators; a cell that big means the quantizer, not the pruner,
+    * needs retuning). Vectors ride through the self-join rather than
+    * re-attaching by id — no exchange beyond the shared one — and the
+    * final verdict join shuffles only fixed-width (vec_id, cell) rows,
+    * never vectors (dropped ids can be a large fraction of the corpus in
+    * a dedup, so it is a real shuffle join, not a broadcast).
+    *
+    * The drop rule "exists a lower-id in-cell neighbor ≥ threshold" is
+    * greedy, not transitive-closure: in a chain A~B~C (A<B<C, A≁C), B
+    * drops for A and C drops for B even though B itself dropped. That is
+    * SemDeDup's semantics (one survivor per ε-neighborhood, not per
+    * connected component); feed [[DedupClusters.connectedComponents]]
+    * with [[embeddingNearDupPairs]] when closure semantics are wanted.
+    *
+    * Returns one row per input: (vec_id, cell, kept). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, cellBits: Int = 8,
+      cellCap: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withCell = df
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("cell",
+        Similarity.quantizedLshBucket(col("vec"), cellBits, band = 0))
+    // the ONE vector shuffle: count(*) over the cell partition — the
+    // skew guard below is then row-local, no count-join
+    val counted = withCell.withColumn("members",
+      count(lit(1)).over(Window.partitionBy("cell")))
+    // skew guard: singleton cells have no pairs; over-cap cells are exempt
+    val inPlay = counted
+      .filter(col("members") >= 2 && col("members") <= cellCap)
+    val dropped = inPlay
+      .select(col("cell"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+      .join(inPlay.select(col("cell"), col("vec_id").as("id_b"),
+        col("vec").as("vec_b")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.VectorFunctions.cosine(
+        col("vec_a"), col("vec_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    withCell.select("vec_id", "cell") // fixed-width: vectors stay behind
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(false)).unary_!.as("kept"))
+  }
 }

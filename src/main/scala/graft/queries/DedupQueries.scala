@@ -653,6 +653,70 @@ object DedupQueries {
       |  FROM documents)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d15
+  /** SemDeDup semantic dedup over the embedding corpus + the d05 planted
+    * jittered copies (the corpus alone has no high-cosine pairs): every
+    * vector lands in an integer-LSH cell, in-cell pairs ≥ 0.95 cosine
+    * mark their higher id as a duplicate, and the gate emits the full
+    * per-vector (cell, kept) verdict.
+    *
+    * FULL oracle despite being an "approximate" operator — the cell
+    * assignment is the s06 integer-arithmetic bucket (mirrored
+    * bit-for-bit: floor(x·128) quantization, LCG coefficients, sign
+    * bits), and the in-cell cosines are the d05 double-fold mirror — so
+    * DuckDB reproduces cells, candidate pairs, and the survivor set
+    * exactly, including any planted copy whose tiny jitter flips a sign
+    * projection and lands it in a different cell (the documented
+    * approximation: cross-cell pairs are never compared). */
+  def d15SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val jittered = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding", transform(col("embedding"),
+        x => x + (pmod(col("vec_id"), lit(7)) - lit(3.0)) * lit(1e-4)))
+      .select(col("vec_id"), col("embedding"))
+    val union = emb.select(col("vec_id"), col("embedding")).unionByName(jittered)
+    Dedup.semanticDedup(union, "vec_id", "embedding",
+      threshold = 0.95, cellBits = 8)
+      .orderBy("vec_id")
+  }
+
+  /** Mirror: d05's jitter plant, s06's integer cell (band 0, 8 sign
+    * bits), d05's double-fold cosine, the greedy lower-id survivor rule. */
+  val d15Sql: String =
+    """WITH u AS (
+      |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)
+      |      + ((vec_id + 1000000) % 7 - 3.0) * 0.0001)
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, 8), bit ->
+      |      CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(v) + 1), i ->
+      |          CAST(FLOOR(v[i] * 128) AS BIGINT)
+      |          * ((((bit * LEN(v) + (i - 1)) * 2654435761 + 40503) % 8191)
+      |             - 4095)))
+      |        >= 0 THEN 1 << bit ELSE 0 END)) AS cell
+      |  FROM u),
+      |play AS (
+      |  SELECT cell FROM cells GROUP BY cell
+      |  HAVING COUNT(*) BETWEEN 2 AND 100000),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM cells a
+      |  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN play p ON a.cell = p.cell
+      |  WHERE ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |      / (SQRT(LIST_SUM(LIST_TRANSFORM(a.v, x -> x * x)))
+      |         * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))), 6) >= 0.95)
+      |SELECT c.vec_id, c.cell::BIGINT AS cell,
+      |  c.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+      |FROM cells c ORDER BY c.vec_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),
@@ -668,5 +732,6 @@ object DedupQueries {
     "d12_dedup_clusters" -> (d12DedupClusters _, d12Sql),
     "d13_cluster_survivors" -> (d13ClusterSurvivors _, d13Sql),
     "d14_fuzzy_join" -> (d14FuzzyJoin _, d14Sql),
+    "d15_semantic_dedup" -> (d15SemanticDedup _, d15Sql),
   )
 }

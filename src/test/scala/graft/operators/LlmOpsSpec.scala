@@ -321,6 +321,34 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((expected -- pairs).isEmpty, s"missed: ${expected -- pairs}")
   }
 
+  test("semantic dedup: in-cell copies drop to the lowest id, cellCap exempts") {
+    import spark.implicits._
+    // near-orthogonal base vectors (distinct one-hot direction + small
+    // deterministic jitter — mutual cosine ≪ 0.999), plus exact copies of
+    // vector 1 at higher ids. Exact copies share the integer cell by
+    // construction and score cosine 1.0, so only the lowest id of the
+    // group survives.
+    def vec(s: Int): Array[Float] = Array.tabulate(32)(j =>
+      if (j == s % 32) 1f else 0.01f * ((s * 31 + j * 7) % 11 - 5))
+    val base = (1L to 20L).map(i => (i, vec(i.toInt)))
+    val copies = Seq((101L, vec(1)), (102L, vec(1)))
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, cellBits = 6)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 22)
+    assert(out(1L) && !out(101L) && !out(102L), out.toString)
+    // distinct base vectors are nowhere near 0.999 cosine: all kept
+    assert((2L to 20L).forall(out(_)), out.toString)
+
+    // cellCap: the copy group's cell exceeds the cap -> exempt, all kept
+    // (the guard is per-cell, so unrelated cells still prune normally)
+    val capped = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, cellBits = 6, cellCap = 2L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(capped(1L) && capped(101L) && capped(102L), capped.toString)
+  }
+
   test("ANN: brute-force exact; LSH recall ≥ 0.8 on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
