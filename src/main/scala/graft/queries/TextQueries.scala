@@ -308,6 +308,81 @@ object TextQueries {
       |SELECT domain, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       |FROM u GROUP BY domain ORDER BY domain""".stripMargin
 
+  // ---------------------------------------------------------------- t11
+  /** URL canonicalization + URL-level dup counting: six deterministic
+    * spellings of the same logical pages (case, default ports, `www.`,
+    * tracking params, param order, fragments, trailing slashes) are
+    * planted per doc_id; [[graft.operators.Urls.canonicalizeUrl]] must
+    * collapse the colliding spellings so the per-canonical window count
+    * sees them as one page. Every rule is portable regex/array
+    * arithmetic, mirrored verbatim in DuckDB. */
+  def t11UrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(col("doc_id"), lit(7)).cast("string")
+    val p = pmod(col("doc_id"), lit(5)).cast("string")
+    val form = pmod(col("doc_id"), lit(6))
+    val url =
+      when(form === 0, concat(lit("https://www.host"), h,
+        lit(".example.com/a"), p, lit("/b/")))
+      .when(form === 1, concat(lit("HTTPS://Host"), h,
+        lit(".Example.Com:443/a"), p, lit("/b")))
+      .when(form === 2, concat(lit("https://host"), h,
+        lit(".example.com/a"), p, lit("/b?utm_source=feed&gclid=x")))
+      .when(form === 3, concat(lit("https://host"), h,
+        lit(".example.com:8443")))
+      .when(form === 4, concat(lit("http://host"), h,
+        lit(".example.com/a"), p, lit("/b?z=2&a=1&utm_medium=m#frag")))
+      .otherwise(concat(lit("http://www.host"), h,
+        lit(".example.com:80/a"), p, lit("/b?a=1&z=2")))
+    docs(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canon", graft.operators.Urls.canonicalizeUrl(col("url")))
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("canon")))
+      .orderBy("doc_id")
+  }
+
+  val t11Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'https://www.host' || (doc_id % 7) || '.example.com/a' || (doc_id % 5) || '/b/'
+      |      WHEN 1 THEN 'HTTPS://Host' || (doc_id % 7) || '.Example.Com:443/a' || (doc_id % 5) || '/b'
+      |      WHEN 2 THEN 'https://host' || (doc_id % 7) || '.example.com/a' || (doc_id % 5) || '/b?utm_source=feed&gclid=x'
+      |      WHEN 3 THEN 'https://host' || (doc_id % 7) || '.example.com:8443'
+      |      WHEN 4 THEN 'http://host' || (doc_id % 7) || '.example.com/a' || (doc_id % 5) || '/b?z=2&a=1&utm_medium=m#frag'
+      |      ELSE 'http://www.host' || (doc_id % 7) || '.example.com:80/a' || (doc_id % 5) || '/b?a=1&z=2'
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |    REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    REGEXP_EXTRACT(url, '\?([^#]*)', 1) AS query
+      |  FROM u),
+      |norm AS (
+      |  SELECT doc_id, url, scheme,
+      |    REGEXP_REPLACE(REGEXP_REPLACE(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
+      |    REGEXP_EXTRACT(hostport, ':([0-9]+)$', 1) AS port,
+      |    CASE WHEN REGEXP_REPLACE(rawpath, '/+$', '') = '' THEN '/'
+      |         ELSE REGEXP_REPLACE(rawpath, '/+$', '') END AS path,
+      |    COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(STR_SPLIT(query, '&'),
+      |      x -> x <> '' AND NOT REGEXP_MATCHES(x,
+      |        '^(utm_[a-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS q
+      |  FROM parts),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |              OR (scheme = 'https' AND port = '443')
+      |         THEN '' ELSE ':' || port END ||
+      |    path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+      |  FROM norm)
+      |SELECT doc_id, url, canon,
+      |  COUNT(*) OVER (PARTITION BY canon) AS n_same
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -319,5 +394,6 @@ object TextQueries {
     "t06_fnv_fingerprint" -> (t06FnvFingerprint _, t06Sql),
     "t07_repetition" -> (t07Repetition _, t07Sql),
     "t08_pii_scrub" -> (t08PiiScrub _, t08Sql),
+    "t11_url_canon" -> (t11UrlCanon _, t11Sql),
   )
 }
