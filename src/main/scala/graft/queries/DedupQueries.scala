@@ -717,6 +717,142 @@ object DedupQueries {
       |  c.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
       |FROM cells c ORDER BY c.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** STREAMING near-dup detection, oracle-checked: the corpus arrives as
+    * two id-ordered excel micro-batches (originals, then exact copies of
+    * every 25th doc at id+10⁶); `StreamingDedup.nearDupHits` holds MinHash
+    * signatures in (band, bucket)-keyed state and flags each arriving doc
+    * against its bucket-mates. The gate reduces per-bucket hits to a
+    * per-doc verdict (min dup_of) and left-joins the full corpus.
+    *
+    * FULL oracle: signatures are the d06 sketch mirror per doc (HUGEINT
+    * FNV-1a fold + splitmix mix + per-(doc, perm) MIN), bucket-mates are
+    * an exact band-slice-equality join (what the bucket hash key encodes),
+    * est_j is an exact integer agreement count / 128 — so DuckDB replays
+    * candidates, verdicts, and estimates bit-for-bit. Arrival order is id
+    * order by construction (copies' ids exceed all originals; same-batch
+    * ties resolve by id inside the operator), which is what makes the
+    * streaming "earlier arrival" relation SQL-expressible as `a < b`. */
+  def d16StreamingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import java.io.File
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_neardup_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    val copies = d.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    d.coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    copies.coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"d16_stream_neardup_${math.abs(dir.hashCode)}"
+    // private session: lowered state fan-out stays scoped to this stream
+    // (same rationale as d08)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ss.readStream.format("excel").schema(d.schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(in.getAbsolutePath)
+    val q = graft.streaming.StreamingDedup
+      .nearDupHits(stream, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val verdict = ss.table(qname)
+      .groupBy("doc_id")
+      .agg(min(struct(col("dup_of"), col("est_j"))).as("m"))
+      .select(col("doc_id"), col("m.dup_of").as("dup_of"),
+        col("m.est_j").as("est_j"))
+    d.unionByName(copies).select("doc_id")
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("est_j"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: d06's per-shingle FNV/splitmix sketch scoped per DOC, exact
+    * band-slice equality for bucket-mates, integer agreement / 128. */
+  val d16Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0),
+      |toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM corpus WHERE TRIM(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
+      |base AS (
+      |  SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(s, sg -> list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(sg, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT))) AS b
+      |  FROM sh),
+      |seeds AS (
+      |  SELECT j, ((j + 1)::HUGEINT * 11400714819323198485::HUGEINT)
+      |           % 18446744073709551616::HUGEINT AS seed
+      |  FROM (SELECT UNNEST(RANGE(0, 128)) AS j)),
+      |m0 AS (SELECT doc_id, j, xor(b, seed) AS z FROM base CROSS JOIN seeds),
+      |m1 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m0),
+      |m2 AS (SELECT doc_id, j,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT doc_id, j,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m4),
+      |dsig AS (
+      |  SELECT doc_id, j, MIN(CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+      |      THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT)) AS sig
+      |  FROM m5 GROUP BY doc_id, j),
+      |bnd AS (
+      |  SELECT doc_id, j // 8 AS band,
+      |    STRING_AGG(sig::VARCHAR, ',' ORDER BY j) AS bkey
+      |  FROM dsig GROUP BY doc_id, j // 8),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM bnd a JOIN bnd b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT c.ia, c.ib,
+      |    SUM(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END)::DOUBLE / 128.0 AS est
+      |  FROM cand c
+      |  JOIN dsig x ON x.doc_id = c.ia
+      |  JOIN dsig y ON y.doc_id = c.ib AND y.j = x.j
+      |  GROUP BY 1, 2),
+      |hit AS (
+      |  SELECT ib AS doc_id, MIN(ia) AS dup_of
+      |  FROM est WHERE est >= 0.9 GROUP BY ib)
+      |SELECT c.doc_id, h.dup_of IS NOT NULL AS is_dup, h.dup_of,
+      |  p.est AS est_j
+      |FROM corpus c
+      |LEFT JOIN hit h ON c.doc_id = h.doc_id
+      |LEFT JOIN est p ON p.ia = h.dup_of AND p.ib = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),
@@ -733,5 +869,6 @@ object DedupQueries {
     "d13_cluster_survivors" -> (d13ClusterSurvivors _, d13Sql),
     "d14_fuzzy_join" -> (d14FuzzyJoin _, d14Sql),
     "d15_semantic_dedup" -> (d15SemanticDedup _, d15Sql),
+    "d16_streaming_neardup" -> (d16StreamingNearDup _, d16Sql),
   )
 }

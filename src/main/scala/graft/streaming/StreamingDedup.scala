@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Cross-micro-batch exact deduplication for streaming ingestion:
@@ -79,6 +80,94 @@ object StreamingDedup {
             }
             Iterator.single(best)
           }
+      }
+  }
+
+  /** One reported near-duplicate: `doc_id` matched the earlier-arrived
+    * `dup_of` in some LSH band bucket with estimated Jaccard `est_j`. */
+  final case class NearDupHit(doc_id: Long, dup_of: Long, est_j: Double)
+
+  private[streaming] final case class MemberSig(id: Long, sig: Array[Long])
+  private[streaming] final case class BucketState(members: Array[MemberSig])
+
+  /** Cross-micro-batch NEAR-duplicate detection: the streaming form of
+    * [[graft.operators.Dedup.minhashLshPairs]]. Each document's MinHash
+    * signature ([[graft.functions.TextExpressions.minhash]]) fans out to
+    * `bands` band buckets; state is keyed by (band, bucketHash) and holds
+    * the signatures previously admitted to that bucket, so an incoming
+    * document only ever compares against its bucket-mates — the same
+    * candidates the batch LSH join would generate, paid incrementally.
+    * A hit `(doc_id, dup_of, est_j)` is emitted when the incoming doc's
+    * signature agrees with a stored one on ≥ `threshold` of positions
+    * (estimated Jaccard, exact integer count / numHashes — engine-portable
+    * arithmetic, which is what lets the d16 gate mirror the whole operator
+    * in SQL); `dup_of` is the smallest matching bucket-mate. One doc can
+    * hit in several buckets — downstream keeps min(dup_of) per doc.
+    *
+    * Determinism: bucket-mates are "arrived in an earlier batch, or same
+    * batch with smaller id" — each batch's bucket rows are sorted by id
+    * before processing, so output is partitioning-independent. Feed
+    * batches in id order when a global lowest-id-wins contract is wanted.
+    *
+    * At scale: state is hash-partitioned by bucket key; each doc stores
+    * its signature in `bands` buckets (bands·numHashes longs per doc —
+    * the memory/recall trade of streaming LSH; shrink `numHashes` or TTL
+    * state for long streams). `bucketCap` bounds any one bucket: past the
+    * cap a bucket stops ADMITTING new signatures (still compares against
+    * the resident ones) — a boilerplate bucket degrades gracefully
+    * instead of growing O(corpus). */
+  def nearDupHits(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 16, k: Int = 3,
+      threshold: Double = 0.9, bucketCap: Int = Int.MaxValue): Dataset[NearDupHit] = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    implicit val rowTupleEnc = Encoders.product[(Int, Int, Long, Array[Long])]
+    implicit val stateEnc = Encoders.product[BucketState]
+    implicit val hitEnc = Encoders.product[NearDupHit]
+    implicit val keyEnc = Encoders.product[(Int, Int)]
+    val banded = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.TextExpressions.minhash(col(textCol), numHashes, k)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + lit(1), lit(r)), b)))
+          .as(Seq("band", "bhash")))
+      .select(col("band"), col("bhash"), col("doc_id"), col("sig"))
+      .as[(Int, Int, Long, Array[Long])]
+    banded
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Int), rows: Iterator[(Int, Int, Long, Array[Long])],
+            state: GroupState[BucketState]) =>
+          val batch = rows.toArray.sortBy(_._3) // same-batch ties: id order
+          var members = state.getOption.map(_.members)
+            .getOrElse(Array.empty[MemberSig])
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+          batch.foreach { case (_, _, id, sig) =>
+            var bestId = Long.MaxValue
+            var bestEq = 0
+            members.foreach { m =>
+              var eq = 0
+              var i = 0
+              while (i < sig.length) {
+                if (m.sig(i) == sig(i)) eq += 1
+                i += 1
+              }
+              if (eq.toDouble / numHashes >= threshold && m.id < bestId) {
+                bestId = m.id
+                bestEq = eq
+              }
+            }
+            if (bestId != Long.MaxValue)
+              out += NearDupHit(id, bestId, bestEq.toDouble / numHashes)
+            if (members.length < bucketCap)
+              members = members :+ MemberSig(id, sig)
+          }
+          state.update(BucketState(members))
+          out.iterator
       }
   }
 }

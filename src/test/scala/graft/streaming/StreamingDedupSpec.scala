@@ -73,4 +73,81 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("LongType"))
   }
+
+  private val baseText = "the quick brown fox jumps over the lazy dog near " +
+    "the river bank every single morning before the market opens for trade"
+
+  test("near-dup hits: cross-batch exact copy and near copy, distinct passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // one word changed in ~20 shingles is jaccard ≈ 0.74 — threshold set
+    // below it so the near copy (not just the exact copy) is in range
+    val hits = StreamingDedup.nearDupHits(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.6)
+    val q = hits.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    try {
+      input.addData((1L, baseText),
+        (2L, "completely different content about columnar engines and " +
+          "catalyst optimizer rules in distributed query processing today"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() == 0)
+
+      // batch 2: exact copy of 1 (est 1.0) and a one-word edit of 1
+      input.addData((10L, baseText), (11L, baseText.replace("lazy", "sleepy")))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .groupBy("doc_id").agg(min("dup_of").as("dup_of"), min("est_j").as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+        .sortBy(_._1)
+      assert(got.map(t => (t._1, t._2)) == List((10L, 1L), (11L, 1L)), got)
+      assert(got.head._3 == 1.0) // identical text → identical signature
+      assert(got(1)._3 >= 0.6 && got(1)._3 < 1.0)
+    } finally q.stop()
+  }
+
+  test("near-dup hits: within-batch ties flag the higher id against the lower") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupHits(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = hits.writeStream.format("memory")
+      .queryName("neardup_tie_out").outputMode("append").start()
+    try {
+      input.addData((9L, baseText), (4L, baseText), (6L, baseText))
+      q.processAllAvailable()
+      val got = spark.table("neardup_tie_out")
+        .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 4 arrives "first" (lowest id in the batch); 6 and 9 both resolve to it
+      assert(got == Set((6L, 4L), (9L, 4L)))
+    } finally q.stop()
+  }
+
+  test("near-dup hits: bucketCap stops admission but keeps comparing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupHits(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", bucketCap = 1)
+    val q = hits.writeStream.format("memory")
+      .queryName("neardup_cap_out").outputMode("append").start()
+    try {
+      // all three identical: 1 admitted everywhere; 2 and 3 both compare
+      // against the resident 1 (flagged) but are never admitted, so 3
+      // resolves to 1, not 2
+      input.addData((1L, baseText))
+      q.processAllAvailable()
+      input.addData((2L, baseText))
+      q.processAllAvailable()
+      input.addData((3L, baseText))
+      q.processAllAvailable()
+      val got = spark.table("neardup_cap_out")
+        .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 1L), (3L, 1L)))
+    } finally q.stop()
+  }
 }
