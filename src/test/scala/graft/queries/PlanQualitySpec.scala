@@ -102,11 +102,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("d15: semantic dedup self-join reuses the one cell exchange") {
+    // broadcasts off: at test scale AQE would broadcast the tiny second
+    // side, hiding the property that matters at 100 TB — both self-join
+    // sides feeding from ONE shuffle of the corpus by cell
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = graft.SparkEntry.queries("d15_semantic_dedup")(spark, dir)
+      df.collect() // AQE decides exchange reuse at stage materialization
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"cell exchange not reused:\n$p")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"d15 degenerated:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("pair operators never plan cartesian/nested-loop joins") {
     Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
       "d05_embedding_neardup", "d07_containment", "d09_decontamination",
       "d10_substring_spans", "d11_substring_dedup", "d14_fuzzy_join",
-      "s05_knn_join_lsh")
+      "d15_semantic_dedup", "s05_knn_join_lsh")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
