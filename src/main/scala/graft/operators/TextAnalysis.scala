@@ -84,6 +84,54 @@ object TextAnalysis {
     round((lenOk * 0.4 + punctOk * 0.3 + tokOk * 0.3), 4)
   }
 
+  /** Gopher-style quality-filter rule verdicts (Rae et al. 2021, Table A1
+    * subset — the rule battery C4/Gopher-lineage pipelines run before
+    * training): word-count band, mean-word-length band, symbol-to-word
+    * ratio (`#`/`...`), bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, and stop-word presence. Returns a struct of
+    * named verdicts plus the word count; [[gopherKeep]] folds them to the
+    * single keep/drop bit. Everything is row-local builtin regex/array
+    * arithmetic with one correctly-rounded IEEE division per ratio, so
+    * the t12 gate mirrors every rule verbatim in DuckDB. */
+  def gopherRules(text: Column): Column = {
+    val ws = filter(words(text), w => w =!= "")
+    val nwL = size(ws)
+    val nw = nwL.cast("double")
+    // total token length == text with all whitespace removed (see
+    // meanTokenLen) — arithmetic instead of a lambda fold
+    val mwl = when(nwL === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(trim(text)), "\\s+", "")).cast("double") / nw)
+    val nSym = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("double")
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val nBullet = size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double")
+    val nEllipsis = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double")
+    val nAlpha = size(filter(ws, w => w.rlike("[a-z]"))).cast("double")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stops.map(s0 =>
+      when(array_contains(ws, s0), 1).otherwise(0)).reduce(_ + _)
+    struct(
+      nwL.cast("long").as("n_words"),
+      (nwL >= 50 && nwL <= 100000).as("words_ok"),
+      (mwl >= 3.0 && mwl <= 10.0).as("mwl_ok"),
+      (nwL === 0 || nSym / nw <= 0.1).as("symbol_ok"),
+      (nBullet / nLines <= 0.9).as("bullet_ok"),
+      (nEllipsis / nLines <= 0.3).as("ellipsis_ok"),
+      (nwL > 0 && nAlpha / nw >= 0.8).as("alpha_ok"),
+      (nStop >= 2).as("stop_ok"))
+  }
+
+  /** The single Gopher keep/drop verdict: AND of every [[gopherRules]]
+    * rule. */
+  def gopherKeep(text: Column): Column = {
+    val r = gopherRules(text)
+    r.getField("words_ok") && r.getField("mwl_ok") &&
+      r.getField("symbol_ok") && r.getField("bullet_ok") &&
+      r.getField("ellipsis_ok") && r.getField("alpha_ok") &&
+      r.getField("stop_ok")
+  }
+
   /** Intra-document repetition: fraction of word n-grams that are repeats,
     * `1 − distinct/total` (0 when fewer than n tokens). The standard
     * boilerplate/spam signal (Gopher's "duplicate n-gram fraction") —

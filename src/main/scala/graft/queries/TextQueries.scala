@@ -383,6 +383,83 @@ object TextQueries {
       |  COUNT(*) OVER (PARTITION BY canon) AS n_same
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t12
+  /** Gopher-rule quality filtering: the corpus text is deterministically
+    * decorated (bullet lines every 5th doc, an ellipsis line every 7th,
+    * a `#` run every 11th) so every rule fires on a known subset, then
+    * [[TextAnalysis.gopherRules]] emits the per-rule verdicts and the
+    * folded keep bit. DuckDB mirrors the decoration and every rule. */
+  def t12GopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("\n- planted bullet item\n- second bullet")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("\nto be continued...")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        lit(" ## ### #")).otherwise(lit("")))
+    val r = TextAnalysis.gopherRules(aug)
+    docs(spark, dir).select(
+      col("doc_id"),
+      r.getField("n_words").as("n_words"),
+      r.getField("words_ok").as("words_ok"),
+      r.getField("mwl_ok").as("mwl_ok"),
+      r.getField("symbol_ok").as("symbol_ok"),
+      r.getField("bullet_ok").as("bullet_ok"),
+      r.getField("ellipsis_ok").as("ellipsis_ok"),
+      r.getField("alpha_ok").as("alpha_ok"),
+      r.getField("stop_ok").as("stop_ok"),
+      TextAnalysis.gopherKeep(aug).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val t12Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN CHR(10) || '- planted bullet item' || CHR(10) || '- second bullet'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN CHR(10) || 'to be continued...' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN ' ## ### #' ELSE '' END AS t
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, t,
+      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(t)), '\s+'),
+      |      x -> x <> '') AS ws,
+      |    LIST_FILTER(STR_SPLIT(t, CHR(10)), l -> TRIM(l) <> '') AS lines,
+      |    LEN(REGEXP_EXTRACT_ALL(t, '#'))
+      |      + LEN(REGEXP_EXTRACT_ALL(t, '\.\.\.')) AS nsym
+      |  FROM aug),
+      |m AS (
+      |  SELECT doc_id,
+      |    LEN(ws) AS n_words,
+      |    CASE WHEN LEN(ws) = 0 THEN 0.0
+      |         ELSE LENGTH(REGEXP_REPLACE(LOWER(TRIM(t)), '\s+', '', 'g'))::DOUBLE
+      |              / LEN(ws) END AS mwl,
+      |    nsym,
+      |    GREATEST(LEN(lines), 1) AS nlines,
+      |    LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(LTRIM(l), '^[-*•]'))) AS nbullet,
+      |    LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '\.\.\.\s*$'))) AS nellipsis,
+      |    LEN(LIST_FILTER(ws, x -> REGEXP_MATCHES(x, '[a-z]'))) AS nalpha,
+      |    LEN(LIST_FILTER(['the','be','to','of','and','that','have','with'],
+      |      s -> LIST_CONTAINS(ws, s))) AS nstop
+      |  FROM w),
+      |v AS (
+      |  SELECT doc_id, n_words,
+      |    n_words >= 50 AND n_words <= 100000 AS words_ok,
+      |    mwl >= 3.0 AND mwl <= 10.0 AS mwl_ok,
+      |    n_words = 0 OR nsym::DOUBLE / n_words <= 0.1 AS symbol_ok,
+      |    nbullet::DOUBLE / nlines <= 0.9 AS bullet_ok,
+      |    nellipsis::DOUBLE / nlines <= 0.3 AS ellipsis_ok,
+      |    n_words > 0 AND nalpha::DOUBLE / n_words >= 0.8 AS alpha_ok,
+      |    nstop >= 2 AS stop_ok
+      |  FROM m)
+      |SELECT doc_id, n_words, words_ok, mwl_ok, symbol_ok, bullet_ok,
+      |  ellipsis_ok, alpha_ok, stop_ok,
+      |  words_ok AND mwl_ok AND symbol_ok AND bullet_ok AND ellipsis_ok
+      |    AND alpha_ok AND stop_ok AS keep
+      |FROM v ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -395,5 +472,6 @@ object TextQueries {
     "t07_repetition" -> (t07Repetition _, t07Sql),
     "t08_pii_scrub" -> (t08PiiScrub _, t08Sql),
     "t11_url_canon" -> (t11UrlCanon _, t11Sql),
+    "t12_gopher_filter" -> (t12GopherFilter _, t12Sql),
   )
 }

@@ -769,6 +769,34 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(5L).n_bytes == 3 && rows(5L).n_frames == 1 + 3 % 29)
   }
 
+  test("gopher rules: each rule fails on its planted pathology") {
+    import spark.implicits._
+    val good = ("the quick brown fox likes to jump over logs and it " +
+      "does that have with great energy ") * 5 // >50 words, stops present
+    val rows = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "short text only"),                        // words_ok fails
+      (3L, good + " aaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 40), // mwl too long
+      (4L, good + " #" * 30),                         // symbol ratio fails
+      (5L, good + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),
+      (6L, good + ("\nline that trails off..." * 9)), // ellipsis lines
+      (7L, good + (" 123 456" * 40)),                 // alpha fraction fails
+      (8L, ("lorem ipsum dolor sit amet consectetur " * 10))) // no stops
+      .toDF("id", "text")
+    val r = TextAnalysis.gopherRules(col("text"))
+    val got = rows.select(col("id"), r.as("r"), TextAnalysis.gopherKeep(col("text")).as("keep"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getStruct(1).toSeq.drop(1).map(_.asInstanceOf[Boolean]), x.getBoolean(2))).toMap
+    assert(got(1L)._2, got(1L).toString)                  // keeps the clean doc
+    assert(!got(2L)._1(0) && !got(2L)._2)                 // words_ok
+    assert(!got(3L)._1(1) && !got(3L)._2)                 // mwl_ok
+    assert(!got(4L)._1(2) && !got(4L)._2)                 // symbol_ok
+    assert(!got(5L)._1(3) && !got(5L)._2)                 // bullet_ok
+    assert(!got(6L)._1(4) && !got(6L)._2)                 // ellipsis_ok
+    assert(!got(7L)._1(5) && !got(7L)._2)                 // alpha_ok
+    assert(!got(8L)._1(6) && !got(8L)._2)                 // stop_ok
+  }
+
   test("language id picks profile languages deterministically") {
     import spark.implicits._
     val df = Seq(
