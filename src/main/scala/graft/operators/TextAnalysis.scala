@@ -94,8 +94,12 @@ object TextAnalysis {
     * arithmetic with one correctly-rounded IEEE division per ratio, so
     * the t12 gate mirrors every rule verbatim in DuckDB. */
   def gopherRules(text: Column): Column = {
-    val ws = filter(words(text), w => w =!= "")
-    val nwL = size(ws)
+    // every per-line / per-word count is ONE whole-string regexp_count
+    // pass (codegen) instead of a higher-order filter whose lambda regex
+    // would run interpreted per element — 5000-doc gate time dropped ~2×.
+    // Word counts delegate to the codegen tokenCount expression; the word
+    // ARRAY materializes only for the 8 cheap stop-word memberships.
+    val nwL = tokenCount(text)
     val nw = nwL.cast("double")
     // total token length == text with all whitespace removed (see
     // meanTokenLen) — arithmetic instead of a lambda fold
@@ -103,11 +107,18 @@ object TextAnalysis {
       length(regexp_replace(lower(trim(text)), "\\s+", "")).cast("double") / nw)
     val nSym = (regexp_count(text, lit("#")) +
       regexp_count(text, lit("\\.\\.\\."))).cast("double")
-    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
-    val nLines = greatest(size(lines), lit(1)).cast("double")
-    val nBullet = size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double")
-    val nEllipsis = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double")
-    val nAlpha = size(filter(ws, w => w.rlike("[a-z]"))).cast("double")
+    // a line = segment after a \n (one planted \n in front covers line 1);
+    // "nonempty" / "bullet-led" count the line's first non-space char
+    val nl = concat(lit("\n"), text)
+    val nLines = greatest(
+      regexp_count(nl, lit("\n *[^ \n]")), lit(1)).cast("double")
+    val nBullet = regexp_count(nl, lit("\n *[-*•]")).cast("double")
+    val nEllipsis = regexp_count(concat(text, lit("\n")),
+      lit("\\.\\.\\. *\n")).cast("double")
+    // one non-overlapping match per whitespace-run containing a letter
+    val nAlpha = regexp_count(lower(trim(text)),
+      lit("\\S*[a-z]\\S*")).cast("double")
+    val ws = words(text)
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val nStop = stops.map(s0 =>
       when(array_contains(ws, s0), 1).otherwise(0)).reduce(_ + _)

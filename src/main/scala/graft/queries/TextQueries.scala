@@ -397,19 +397,29 @@ object TextQueries {
         lit("\nto be continued...")).otherwise(lit("")),
       when(pmod(col("doc_id"), lit(11)) === 0,
         lit(" ## ### #")).otherwise(lit("")))
-    val r = TextAnalysis.gopherRules(aug)
-    docs(spark, dir).select(
-      col("doc_id"),
-      r.getField("n_words").as("n_words"),
-      r.getField("words_ok").as("words_ok"),
-      r.getField("mwl_ok").as("mwl_ok"),
-      r.getField("symbol_ok").as("symbol_ok"),
-      r.getField("bullet_ok").as("bullet_ok"),
-      r.getField("ellipsis_ok").as("ellipsis_ok"),
-      r.getField("alpha_ok").as("alpha_ok"),
-      r.getField("stop_ok").as("stop_ok"),
-      TextAnalysis.gopherKeep(aug).as("keep"))
+    // two-step projection: the rule struct materializes ONCE per row
+    // (CollapseProject refuses to inline a multiply-referenced non-cheap
+    // expression), instead of once per extracted field — the one-select
+    // form re-evaluated the full battery ~9× and doubled gate time.
+    // The sort sits BELOW the battery: orderBy's range-sampling pass
+    // re-executes its child subtree, so sorting first means the sampler
+    // reads (doc_id, text), not a recomputation of every rule
+    docs(spark, dir)
+      .select(col("doc_id"), aug.as("t"))
       .orderBy("doc_id")
+      .select(col("doc_id"), TextAnalysis.gopherRules(col("t")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_words").as("n_words"),
+        col("r.words_ok").as("words_ok"),
+        col("r.mwl_ok").as("mwl_ok"),
+        col("r.symbol_ok").as("symbol_ok"),
+        col("r.bullet_ok").as("bullet_ok"),
+        col("r.ellipsis_ok").as("ellipsis_ok"),
+        col("r.alpha_ok").as("alpha_ok"),
+        col("r.stop_ok").as("stop_ok"),
+        (col("r.words_ok") && col("r.mwl_ok") && col("r.symbol_ok") &&
+          col("r.bullet_ok") && col("r.ellipsis_ok") && col("r.alpha_ok") &&
+          col("r.stop_ok")).as("keep"))
   }
 
   val t12Sql: String =
@@ -424,23 +434,22 @@ object TextQueries {
       |  FROM documents),
       |w AS (
       |  SELECT doc_id, t,
-      |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(t)), '\s+'),
-      |      x -> x <> '') AS ws,
-      |    LIST_FILTER(STR_SPLIT(t, CHR(10)), l -> TRIM(l) <> '') AS lines,
+      |    CASE WHEN LENGTH(TRIM(t)) = 0 THEN 0
+      |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(t), '\s+')) END AS n_words,
+      |    STRING_SPLIT_REGEX(LOWER(TRIM(t)), '\s+') AS ws,
       |    LEN(REGEXP_EXTRACT_ALL(t, '#'))
       |      + LEN(REGEXP_EXTRACT_ALL(t, '\.\.\.')) AS nsym
       |  FROM aug),
       |m AS (
-      |  SELECT doc_id,
-      |    LEN(ws) AS n_words,
-      |    CASE WHEN LEN(ws) = 0 THEN 0.0
+      |  SELECT doc_id, n_words,
+      |    CASE WHEN n_words = 0 THEN 0.0
       |         ELSE LENGTH(REGEXP_REPLACE(LOWER(TRIM(t)), '\s+', '', 'g'))::DOUBLE
-      |              / LEN(ws) END AS mwl,
+      |              / n_words END AS mwl,
       |    nsym,
-      |    GREATEST(LEN(lines), 1) AS nlines,
-      |    LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(LTRIM(l), '^[-*•]'))) AS nbullet,
-      |    LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '\.\.\.\s*$'))) AS nellipsis,
-      |    LEN(LIST_FILTER(ws, x -> REGEXP_MATCHES(x, '[a-z]'))) AS nalpha,
+      |    GREATEST(LEN(REGEXP_EXTRACT_ALL(CHR(10) || t, '\n *[^ \n]')), 1) AS nlines,
+      |    LEN(REGEXP_EXTRACT_ALL(CHR(10) || t, '\n *[-*•]')) AS nbullet,
+      |    LEN(REGEXP_EXTRACT_ALL(t || CHR(10), '\.\.\. *\n')) AS nellipsis,
+      |    LEN(REGEXP_EXTRACT_ALL(LOWER(TRIM(t)), '\S*[a-z]\S*')) AS nalpha,
       |    LEN(LIST_FILTER(['the','be','to','of','and','that','have','with'],
       |      s -> LIST_CONTAINS(ws, s))) AS nstop
       |  FROM w),
