@@ -580,4 +580,57 @@ object Dedup {
       .select(col("vec_id"), col("cell"),
         coalesce(col("dup"), lit(false)).unary_!.as("kept"))
   }
+
+  /** Paragraph-level exact dedup (C4 / RefinedWeb-style corpus cleaning,
+    * between whole-document dedup and substring dedup in granularity):
+    * split each document into paragraphs, drop every paragraph occurrence
+    * except the corpus-wide FIRST (lowest (doc_id, position)) of its exact
+    * content — boilerplate like cookie banners, nav bars and license
+    * footers repeats across millions of pages and survives document-level
+    * dedup because the surrounding text differs.
+    *
+    * Shape at 100 TB: one explode, then a window over the paragraph
+    * fingerprint — count and first-occurrence are partial-aggregated per
+    * map side before the ONE paragraph-text shuffle — then a groupBy
+    * (docId) rebuild (second text shuffle). Both shuffles carry each
+    * paragraph exactly once; no join, so there is no key-skew fan-out to
+    * guard (a boilerplate paragraph with 10⁸ copies is one window
+    * partition of flags, not 10¹⁶ join rows). The decision could be made
+    * ids-only ((fingerprint, doc, pos) first, text re-joined), but that
+    * join would itself shuffle the text a second time — the window form
+    * is strictly cheaper.
+    *
+    * Returns one row per document that has at least one non-blank
+    * paragraph (docs whose every paragraph is dropped as a DUPLICATE keep
+    * a row with empty `cleaned_text`; all-whitespace docs produce no
+    * row): (docId, n_paras, n_kept, cleaned_text). */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\\n{2,}"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(idCol).as("pd_id"),
+        split(col(textCol), sepRegex).as("ps"))
+      .select(col("pd_id"), posexplode(col("ps")).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("fp", md5(col("para").cast("binary")))
+    val byFp = Window.partitionBy("fp")
+    val flagged = paras
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .withColumn("first_occ",
+        min(struct(col("pd_id"), col("pos"))).over(byFp))
+      .withColumn("keep", col("n_copies") === 1 ||
+        (col("first_occ.pd_id") === col("pd_id") &&
+          col("first_occ.pos") === col("pos")))
+    flagged.groupBy(col("pd_id").as(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        // collect_list drops the nulls from when(!keep); sort restores
+        // document order before the join — rebuild is deterministic
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("para"))))),
+            x => x.getField("para")),
+          "\n\n").as("cleaned_text"))
+  }
 }

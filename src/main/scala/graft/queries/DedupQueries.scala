@@ -853,6 +853,65 @@ object DedupQueries {
       |LEFT JOIN est p ON p.ia = h.dup_of AND p.ib = c.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d17
+  /** Paragraph-level exact dedup (C4/RefinedWeb-style): the synthetic
+    * docs are single-line, so the gate manufactures paragraph structure
+    * deterministically — 12-word chunks joined with blank lines — and
+    * plants boilerplate paragraphs (a newsletter plea on every 7th doc, a
+    * license footer on every 5th) that repeat corpus-wide exactly the way
+    * web boilerplate does. The operator keeps only the first corpus-wide
+    * occurrence of each repeated paragraph; DuckDB mirrors the
+    * augmentation and the first-occurrence window verbatim. */
+  def d17ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val chunked = array_join(
+      transform(
+        sequence(lit(0), floor((size(ws) - lit(1)) / lit(12)).cast("int")),
+        i => array_join(slice(ws, i * lit(12) + lit(1), lit(12)), " ")),
+      "\n\n")
+    val aug = concat(
+      chunked,
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("\n\nsubscribe to our newsletter for updates")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        lit("\n\nall rights reserved")).otherwise(lit("")))
+    Dedup.paragraphDedup(
+      docs(spark, dir).select(col("doc_id"), aug.as("text")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val d17Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS ws
+      |  FROM documents),
+      |aug AS (
+      |  SELECT doc_id,
+      |    ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, (LEN(ws)-1)//12 + 1),
+      |      i -> ARRAY_TO_STRING(ws[i*12+1 : i*12+12], ' ')),
+      |      CHR(10)||CHR(10))
+      |    || CASE WHEN doc_id % 7 = 0 THEN
+      |         CHR(10)||CHR(10)||'subscribe to our newsletter for updates'
+      |       ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN
+      |         CHR(10)||CHR(10)||'all rights reserved' ELSE '' END AS t
+      |  FROM base),
+      |paras AS (
+      |  SELECT doc_id, UNNEST(RANGE(0, LEN(ps))) AS pos, UNNEST(ps) AS para
+      |  FROM (SELECT doc_id, STR_SPLIT(t, CHR(10)||CHR(10)) AS ps FROM aug)),
+      |flagged AS (
+      |  SELECT doc_id, pos, para,
+      |    COUNT(*) OVER (PARTITION BY para) = 1
+      |      OR (doc_id = FIRST_VALUE(doc_id) OVER w
+      |          AND pos = FIRST_VALUE(pos) OVER w) AS keep
+      |  FROM paras WHERE TRIM(para) <> ''
+      |  WINDOW w AS (PARTITION BY para ORDER BY doc_id, pos))
+      |SELECT doc_id, COUNT(*) AS n_paras,
+      |  COUNT(*) FILTER (WHERE keep) AS n_kept,
+      |  COALESCE(ARRAY_TO_STRING(LIST(para ORDER BY pos) FILTER (WHERE keep),
+      |    CHR(10)||CHR(10)), '') AS cleaned_text
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),
@@ -870,5 +929,6 @@ object DedupQueries {
     "d14_fuzzy_join" -> (d14FuzzyJoin _, d14Sql),
     "d15_semantic_dedup" -> (d15SemanticDedup _, d15Sql),
     "d16_streaming_neardup" -> (d16StreamingNearDup _, d16Sql),
+    "d17_paragraph_dedup" -> (d17ParagraphDedup _, d17Sql),
   )
 }

@@ -864,6 +864,33 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(4L, 0L, 3L)) // hello|World abc|123 → 4
   }
 
+  test("paragraphDedup keeps first corpus-wide occurrence only") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"unique alpha\n\n$boiler\n\nunique beta"),
+      (2L, s"$boiler\n\nunique gamma"),
+      (3L, s"$boiler"), // every paragraph is a duplicate → empty doc
+      (4L, "solo paragraph never repeated")
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == 4)
+    // doc 1 is the first occurrence of the boilerplate → keeps all 3
+    assert(got(0) == ((1L, 3L, 3L, s"unique alpha\n\n$boiler\n\nunique beta")))
+    // docs 2/3 lose the boilerplate; doc 3 keeps its row, empty
+    assert(got(1) == ((2L, 2L, 1L, "unique gamma")))
+    assert(got(2) == ((3L, 1L, 0L, "")))
+    assert(got(3) == ((4L, 1L, 1L, "solo paragraph never repeated")))
+    // in-doc repetition: second copy inside the SAME doc also drops
+    val sameDoc = Dedup.paragraphDedup(
+      Seq((9L, "echo\n\necho\n\nother")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(sameDoc.getLong(2) == 2L && sameDoc.getString(3) == "echo\n\nother")
+  }
+
   test("cosine is exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
