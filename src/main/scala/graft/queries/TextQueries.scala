@@ -469,6 +469,48 @@ object TextQueries {
       |    AND alpha_ok AND stop_ok AS keep
       |FROM v ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  /** fastText-style hashed linear quality classifier (see
+    * [[graft.operators.QualityClassifier]]): unigram+bigram hashing trick
+    * into 4096 buckets, broadcast weight-table join, integer logit. The
+    * oracle rebuilds buckets with the t06 FNV-1a HUGEINT fold (dim is a
+    * power of two, so the unsigned residue equals Spark's signed pmod)
+    * and the same Knuth-hash weight table — logits compare exactly. */
+  def t13QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityClassifier
+      .score(docs(spark, dir), "doc_id", "text", dim = 4096)
+      .orderBy("doc_id")
+
+  val t13Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT doc_id, UNNEST(
+      |    CASE WHEN LEN(t) >= 2 THEN
+      |      t || LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE t END) AS g
+      |  FROM toks),
+      |feats AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(g, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) % 4096 AS BIGINT)
+      |      AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM grams GROUP BY 1, 2),
+      |w AS (
+      |  SELECT bucket, bucket * 2654435761 % 4294967296 % 17 - 8 AS weight
+      |  FROM (SELECT UNNEST(RANGE(0, 4096)) AS bucket))
+      |SELECT doc_id,
+      |  COUNT(*) AS n_features,
+      |  CAST(SUM(cnt * weight) AS BIGINT) AS logit,
+      |  SUM(cnt * weight) > 0 AS keep
+      |FROM feats JOIN w USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -482,5 +524,6 @@ object TextQueries {
     "t08_pii_scrub" -> (t08PiiScrub _, t08Sql),
     "t11_url_canon" -> (t11UrlCanon _, t11Sql),
     "t12_gopher_filter" -> (t12GopherFilter _, t12Sql),
+    "t13_quality_classifier" -> (t13QualityClassifier _, t13Sql),
   )
 }

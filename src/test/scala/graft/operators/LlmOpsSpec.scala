@@ -891,6 +891,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sameDoc.getLong(2) == 2L && sameDoc.getString(3) == "echo\n\nother")
   }
 
+  test("quality classifier: hashed features and integer logits behave") {
+    import spark.implicits._
+    val w = QualityClassifier.weightTable(spark, 64).collect()
+    assert(w.length == 64)
+    assert(w.forall(r => r.getLong(1) >= -8 && r.getLong(1) <= 8))
+    // distinct-ish weights — the Knuth hash spreads buckets
+    assert(w.map(_.getLong(1)).distinct.length > 8)
+
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val feats = QualityClassifier.hashedFeatures(df, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // 3 unigrams + 2 bigrams = 5 grams for docs 1/2; 1 for doc 3
+    assert(feats.filter(_._1 == 1L).map(_._3).sum == 5L)
+    assert(feats.filter(_._1 == 3L).map(_._3).sum == 1L)
+    assert(feats.forall(f => f._2 >= 0 && f._2 < 64))
+
+    val s = QualityClassifier.score(df, "doc_id", "text", dim = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(s.length == 3)
+    assert(s(0)._3 == s(1)._3, "identical text must score identically")
+    assert(s.forall(r => r._4 == (r._3 > 0)))
+  }
+
   test("cosine is exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
