@@ -52,6 +52,31 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
   }
 
+  /** splitmix64-style finalizer (murmur fmix constants) as a codegen
+    * expression — full-avalanche mixing of an upstream 64-bit hash. FNV's
+    * multiply only propagates low bits upward, so HLL-style sketches that
+    * read bit POSITIONS (bucket prefix + leading-zero rank) need this
+    * finalizer on top of [[Fnv1a64]]. The d06/d16 oracles already mirror
+    * the identical constant sequence in HUGEINT SQL. */
+  case class Mix64(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "mix64"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint argument, got ${child.dataType.catalogString}")
+
+    override protected def nullSafeEval(v: Any): Any =
+      GraftHash.mix64(v.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.mix64($c)")
+
+    override protected def withNewChildInternal(c: Expression): Mix64 = copy(c)
+  }
+
   /** Word k-shingles of a whitespace-tokenized, lowercased string.
     * Shared tokenization for MinHash / SimHash / Jaccard so all sketches
     * see the same shingle universe. */
@@ -316,6 +341,9 @@ object TextExpressions {
 
   def fnv1a64(c: Column): Column = ColumnBridge.column(
     Fnv1a64(ColumnBridge.expression(c)))
+
+  def mix64(c: Column): Column = ColumnBridge.column(
+    Mix64(ColumnBridge.expression(c)))
 
   def minhash(c: Column, numHashes: Int = DefaultNumHashes, k: Int = DefaultShingleK): Column =
     ColumnBridge.column(

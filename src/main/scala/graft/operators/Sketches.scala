@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** Distributed cardinality sketches built from first principles so every
+  * bit of sketch state is reproducible in any engine (Spark's built-in
+  * `approx_count_distinct` is HLL++ with an opaque register encoding —
+  * q19 can only oracle-check its exact twin; this operator's registers,
+  * scaled sum and raw estimate hash-match a DuckDB mirror).
+  *
+  * HyperLogLog (Flajolet et al. 2007), 2^b registers:
+  *
+  *  - hash: FNV-1a64 of the value, finalized with mix64 — FNV alone has
+  *    weak low-bit diffusion and HLL reads bit POSITIONS (bucket prefix,
+  *    leading-zero rank), so the finalizer is load-bearing;
+  *  - register index: top b bits; rank ρ: leading zeros of the remaining
+  *    64-b bits + 1, computed with integer ops only (bin-string length —
+  *    no float log anywhere in the sketch);
+  *  - merge: max per register — ONE fixed-width partial-aggregated
+  *    shuffle of (group, bucket:int, rho:int); the raw corpus never
+  *    re-shuffles, and a hot value collapses map-side like any agg;
+  *  - estimate: the register sum Σ 2^-M_j is carried as an EXACT integer
+  *    scaled by 2^63 in DECIMAL(38,0) (every addend is a dyadic with
+  *    exponent ≥ 8, so no addition ever rounds and summation order is
+  *    irrelevant — THE trick that makes a float-looking sketch
+  *    hash-matchable); the harmonic formula is then one decimal→double
+  *    cast and a handful of IEEE ops identical in any engine.
+  *
+  * The small-range branch (linear counting when E ≤ 2.5m and empty
+  * registers exist) involves a real `ln`, where JVM and libm can differ
+  * by ~1 ulp (measured: 2/1024 inputs differ) — so `estimate` is rounded
+  * to 4 decimals while `est_raw` stays full-precision bit-exact. The
+  * 64-bit-hash formulation needs no large-range correction.
+  */
+object Sketches {
+
+  /** Per-group HLL distinct estimate:
+    * (grpCol, n_present, s_scaled, est_raw, estimate). */
+  def hllDistinct(df: DataFrame, grpCol: String, valueCol: String,
+      b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 16, s"register bits out of range: $b")
+    val m = 1 << b
+    val h = TextExpressions.mix64(
+      TextExpressions.fnv1a64(col(valueCol).cast("string")))
+    val bucket = shiftrightunsigned(h, 64 - b)
+    val rest = h.bitwiseAND(lit((1L << (64 - b)) - 1))
+    val rho = lit(64 - b + 1) -
+      when(rest === 0, lit(0)).otherwise(length(bin(rest)))
+    // scaled register sum: contribution 2^(63-rho), empty register 2^63
+    val twoTo63 = lit(new java.math.BigDecimal("9223372036854775808"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val numer = alpha * (lit((m.toLong * m.toLong).toDouble) *
+      lit(9.223372036854775808e18)) // m^2 * 2^63, both powers of two
+    df.select(col(grpCol), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col(grpCol), col("bucket"))
+      .agg(max(col("rho")).as("mrho"))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(1L, 63 - mrho)").cast("decimal(38,0)"))
+          .as("s_present"))
+      .select(col(grpCol), col("n_present"),
+        (col("s_present") +
+          (lit(m) - col("n_present")).cast("decimal(10,0)") * twoTo63)
+          .cast("decimal(38,0)").as("s_scaled"))
+      .withColumn("est_raw", numer / col("s_scaled").cast("double"))
+      .withColumn("estimate", round(
+        when(col("est_raw") <= lit(2.5 * m) && col("n_present") < m,
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m) - col("n_present")).cast("double")))
+          .otherwise(col("est_raw")), 4))
+  }
+}

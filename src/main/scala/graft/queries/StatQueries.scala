@@ -153,11 +153,100 @@ object StatQueries {
     """SELECT event_type, COUNT(*) AS exact_count, COUNT(*) AS est_count
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Hand-rolled HyperLogLog ([[graft.operators.Sketches.hllDistinct]])
+    * beside the exact answer, on three cardinality regimes of lineitem
+    * key-strings — `order_line` (≈ row count) and `part_supp` take the
+    * raw harmonic branch, `orderkey` (≈ rows/4) exercises the
+    * linear-counting small-range branch. Unlike q19 (Spark's built-in
+    * HLL++, oracle-checkable only against its exact twin), every register
+    * of this sketch is mirrored: the DuckDB oracle refolds FNV+mix64 in
+    * HUGEINT, rebuilds the registers, and reproduces `s_scaled` and
+    * `est_raw` EXACTLY — `estimate` is rounded to 4 decimals only because
+    * the small-range branch takes a real ln (JVM vs libm: ±1 ulp on
+    * 2/1024 inputs, measured). */
+  def q45HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val vals = li.select(lit("order_line").as("metric"),
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")).as("v"))
+      .unionAll(li.select(lit("orderkey").as("metric"),
+        col("l_orderkey").cast("string").as("v")))
+      .unionAll(li.select(lit("part_supp").as("metric"),
+        concat_ws("|", col("l_partkey"), col("l_suppkey")).as("v")))
+    val exact = vals.groupBy("metric")
+      .agg(countDistinct(col("v")).as("exact_distinct"))
+    graft.operators.Sketches.hllDistinct(vals, "metric", "v", b = 10)
+      .join(exact, "metric")
+      .orderBy("metric")
+  }
+
+  val q45Sql: String =
+    """WITH vals AS (
+      |  SELECT 'order_line' AS metric,
+      |         l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR AS v
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orderkey', l_orderkey::VARCHAR FROM lineitem
+      |  UNION ALL
+      |  SELECT 'part_supp',
+      |         l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT metric, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(v, '')]),
+      |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) AS z
+      |  FROM vals),
+      |m1 AS (SELECT metric, xor(z, z // 8589934592::HUGEINT) AS z FROM f),
+      |m2 AS (SELECT metric,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT metric, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT metric,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT metric, xor(z, z // 8589934592::HUGEINT) AS h FROM m4),
+      |reg AS (
+      |  SELECT metric, h // 18014398509481984::HUGEINT AS bucket,
+      |    MAX(55 - CASE WHEN h % 18014398509481984::HUGEINT = 0 THEN 0
+      |        ELSE LENGTH(BIN(CAST(h % 18014398509481984::HUGEINT
+      |                             AS BIGINT))) END) AS mrho
+      |  FROM m5 GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT metric, COUNT(*) AS n_present,
+      |    SUM((1::BIGINT << (63 - mrho))::HUGEINT)
+      |      + (1024 - COUNT(*))::HUGEINT * 9223372036854775808::HUGEINT AS s
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT metric, n_present, CAST(s AS DECIMAL(38,0)) AS s_scaled,
+      |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE))
+      |      * (1048576.0::DOUBLE * 9223372036854775808::HUGEINT::DOUBLE)
+      |      / CAST(s AS DOUBLE) AS est_raw
+      |  FROM agg),
+      |ex AS (SELECT metric, COUNT(DISTINCT v) AS exact_distinct
+      |       FROM vals GROUP BY 1)
+      |SELECT metric, n_present, s_scaled, est_raw,
+      |  ROUND(CASE WHEN est_raw <= 2560.0 AND n_present < 1024
+      |        THEN 1024.0::DOUBLE *
+      |             LN(1024.0::DOUBLE / (1024 - n_present)::DOUBLE)
+      |        ELSE est_raw END, 4) AS estimate,
+      |  exact_distinct
+      |FROM est JOIN ex USING (metric)
+      |ORDER BY metric""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q27_grouping_sets" -> (q27GroupingSets _, q27Sql),
     "q41_approx_percentile" -> (q41ApproxPercentile _, q41Sql),
     "q28_percentile_disc" -> (q28PercentileDisc _, q28Sql),
     "q29_exact_stats" -> (q29ExactStats _, q29Sql),
     "q30_heavy_hitters" -> (q30HeavyHitters _, q30Sql),
+    "q45_hll_distinct" -> (q45HllDistinct _, q45Sql),
   )
 }
