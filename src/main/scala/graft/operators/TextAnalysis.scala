@@ -211,4 +211,56 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"))
   }
+
+  /** Word n-grams (n = 1 or 2) of a lowercased, whitespace-tokenized
+    * text — the token units vocabulary/OOV work on. Bigrams via
+    * zip-with-shifted-self: the trailing (last, null) pair nulls out and
+    * array_compact drops it, no branch on size. */
+  private def tokenUnits(text: Column, ngram: Int): Column = {
+    require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2: $ngram")
+    val ws = words(text)
+    if (ngram == 1) ws
+    else array_compact(zip_with(ws, slice(ws, lit(2), size(ws)),
+      (a, b) => when(b.isNotNull, concat(a, lit(" "), b))))
+  }
+
+  /** Tokenizer-prep vocabulary: corpus token counts, `minCount` floor,
+    * top-`maxSize` truncation, contiguous ids by (count desc, word asc) —
+    * fully deterministic, the exact shape a WordPiece/BPE trainer starts
+    * from. Plan: partial-agg word counts (one fixed-width shuffle), then
+    * distributed top-V via TakeOrderedAndProject (bounded by `maxSize`,
+    * never a global sort), then a row_number window over only the V
+    * surviving rows — the single-partition window is bounded by the vocab
+    * size, not the corpus. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 2L, maxSize: Int = 32768,
+      ngram: Int = 1): org.apache.spark.sql.DataFrame = {
+    val counts = df.filter(trim(col(textCol)) =!= "")
+      .select(explode(tokenUnits(col(textCol), ngram)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(maxSize)
+    counts.withColumn("token_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word").asc)).cast("bigint"))
+      .select(col("token_id"), col("word"), col("cnt"))
+  }
+
+  /** Per-document out-of-vocabulary stats against a vocabulary built by
+    * [[vocabulary]] (or loaded from a trained tokenizer): token count,
+    * OOV count, OOV rate. The vocab side is broadcast — V is bounded by
+    * construction, so the probe never shuffles the corpus. */
+  def oovStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: org.apache.spark.sql.DataFrame,
+      ngram: Int = 1): org.apache.spark.sql.DataFrame =
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(tokenUnits(col(textCol), ngram)).as("word"))
+      .join(broadcast(vocab.select(col("word"), lit(true).as("in_vocab"))),
+        Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(
+        col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
 }

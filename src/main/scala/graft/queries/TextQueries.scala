@@ -511,6 +511,61 @@ object TextQueries {
       |FROM feats JOIN w USING (bucket)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  /** Tokenizer-prep vocabulary over word BIGRAMS (the corpus has only 31
+    * distinct unigrams, so bigrams — ~916 at every SF — are the regime
+    * where the `minCount` floor and top-V truncation both genuinely
+    * bite): count, floor at 5, keep top 600 by (count desc, bigram asc),
+    * assign contiguous token ids. */
+  def t14Vocabulary(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(docs(spark, dir), "text",
+      minCount = 5L, maxSize = 600, ngram = 2)
+      .orderBy("token_id")
+
+  private val bigramCountsSql: String =
+    """toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT doc_id, UNNEST(
+      |    CASE WHEN LEN(t) >= 2 THEN
+      |      LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END) AS word
+      |  FROM toks),
+      |vocab AS (
+      |  SELECT word, cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS token_id
+      |  FROM (SELECT word, COUNT(*) AS cnt FROM grams
+      |        GROUP BY 1 HAVING COUNT(*) >= 5)
+      |  QUALIFY token_id <= 600)""".stripMargin
+
+  val t14Sql: String =
+    s"""WITH $bigramCountsSql
+      |SELECT token_id, word, cnt FROM vocab ORDER BY token_id""".stripMargin
+
+  // ---------------------------------------------------------------- t15
+  /** Per-document OOV rate against the t14 bigram vocabulary — the
+    * truncated tail IS the out-of-vocabulary mass, so rates are nonzero
+    * by construction. The vocab side of the probe join is broadcast
+    * (bounded at 600 rows); the corpus never shuffles for it. */
+  def t15OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.oovStats(d, "doc_id", "text",
+      TextAnalysis.vocabulary(d, "text", minCount = 5L, maxSize = 600,
+        ngram = 2),
+      ngram = 2)
+      .orderBy("doc_id")
+  }
+
+  val t15Sql: String =
+    s"""WITH $bigramCountsSql
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  COUNT(*) FILTER (WHERE v.token_id IS NULL) AS n_oov,
+      |  ROUND(COUNT(*) FILTER (WHERE v.token_id IS NULL)::DOUBLE
+      |        / COUNT(*)::DOUBLE, 6) AS oov_rate
+      |FROM grams g LEFT JOIN vocab v ON g.word = v.word
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -525,5 +580,7 @@ object TextQueries {
     "t11_url_canon" -> (t11UrlCanon _, t11Sql),
     "t12_gopher_filter" -> (t12GopherFilter _, t12Sql),
     "t13_quality_classifier" -> (t13QualityClassifier _, t13Sql),
+    "t14_vocabulary" -> (t14Vocabulary _, t14Sql),
+    "t15_oov_rate" -> (t15OovRate _, t15Sql),
   )
 }

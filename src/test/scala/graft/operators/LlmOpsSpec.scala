@@ -916,6 +916,31 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.forall(r => r._4 == (r._3 > 0)))
   }
 
+  test("vocabulary truncates deterministically and oovStats counts the tail") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa bb aa bb aa cc"),
+      (2L, "aa bb dd ee"),
+      (3L, "zz")
+    ).toDF("doc_id", "text")
+    // counts: aa=4 bb=3 cc=1 dd=1 ee=1 zz=1 → minCount=2 keeps aa,bb;
+    // maxSize=1 truncates to just aa
+    val v = TextAnalysis.vocabulary(df, "text", minCount = 2L, maxSize = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(v.toSeq == Seq((1L, "aa", 4L)))
+    // tie-break: cc/dd/ee all count 1 → lexicographic
+    val v2 = TextAnalysis.vocabulary(df, "text", minCount = 1L, maxSize = 4)
+      .collect().map(_.getString(1))
+    assert(v2.toSeq == Seq("aa", "bb", "cc", "dd"))
+    val oov = TextAnalysis.oovStats(df, "doc_id", "text",
+      TextAnalysis.vocabulary(df, "text", minCount = 2L, maxSize = 2))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(oov(0) == ((1L, 6L, 1L, 0.166667))) // cc is OOV
+    assert(oov(1) == ((2L, 4L, 2L, 0.5)))      // dd, ee OOV
+    assert(oov(2) == ((3L, 1L, 1L, 1.0)))      // zz OOV
+  }
+
   test("cosine is exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
