@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus — the classic bag-of-words
+  * relevance scorer (Robertson/Sparck Jones; the Lucene `ln(1 + ...)`
+  * positive-idf variant), as a declarative Spark plan:
+  *
+  *  - doc length rides the explode row-locally (an int per posting), so
+  *    tf, dl and df all come out of ONE fixed-width partial-agg shuffle
+  *    of (doc, term) rows — the corpus text itself never re-shuffles;
+  *  - the query-term table is broadcast and applied BEFORE the tf
+  *    aggregation, so only postings of query terms are ever aggregated;
+  *  - corpus scalars (N, avgdl) are a 1-row aggregate cross-joined in
+  *    (Spark plans it as a broadcast);
+  *  - per-(query, doc) scores sum the per-term contributions through a
+  *    SORTED deterministic fold (`aggregate` over `array_sort`ed
+  *    structs), not a float SUM whose accumulation order is
+  *    partition-dependent — scores are bit-stable run to run and
+  *    engine to engine except for `ln` (JVM vs libm: ±1 ulp), which the
+  *    caller absorbs by ranking on a rounded score;
+  *  - top-k per query via a rank window partitioned by query — bounded
+  *    by the per-query candidate set (docs sharing ≥1 query term).
+  *
+  * Returns (queryIdCol, rank, docIdCol, score) with score rounded to 4
+  * decimals and rank ties broken by doc id. */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    // (doc, term, dl) postings; dl rides along row-locally
+    val postings = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), size(words).as("dl"),
+        explode(words).as("term"))
+    val qterms = queries.select(col(queryIdCol),
+      explode(split(lower(trim(col(queryTextCol))), "\\s+")).as("term"))
+      .distinct()
+    // restrict to query terms BEFORE aggregating — the broadcast prunes
+    // the posting stream down to matching terms only
+    val matched = postings
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val corpus = docs.filter(trim(col(textCol)) =!= "")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words).cast("long")).as("sum_dl"))
+    val dfreq = matched.groupBy("term")
+      .agg(count(lit(1)).as("df")) // one row per (doc, term) → df
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val termScores = matched
+      .join(dfreq, "term")
+      .crossJoin(broadcast(corpus))
+      .join(broadcast(qterms), "term")
+      .select(col(queryIdCol), col(idCol), col("term"),
+        (idf * tfNorm).as("term_score"))
+    // deterministic fold in term order — NOT a float SUM (see scaladoc)
+    val scored = termScores
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("term"), col("term_score")))),
+          x => x.getField("term_score")),
+        lit(0.0), (acc, x) => acc + x).as("score_full"))
+      .withColumn("score", round(col("score_full"), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("score").desc, col(idCol).asc)).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+  }
+}

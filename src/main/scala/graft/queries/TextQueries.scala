@@ -566,6 +566,67 @@ object TextQueries {
       |FROM grams g LEFT JOIN vocab v ON g.word = v.word
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** BM25 top-10 retrieval ([[graft.operators.Retrieval.bm25TopK]]) for
+    * three fixed queries (one contains the rare term 'dup', df≈6%, so
+    * idf genuinely discriminates). Scores are engine-mirrorable because
+    * the per-(query, doc) sum is a SORTED fold, not a float SUM — the
+    * only cross-engine noise left is ln's ±1 ulp, absorbed by ranking on
+    * ROUND(score, 4) with doc_id tie-break. */
+  def t16Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queries = Seq(("q1", "spark join dup"), ("q2", "window agg sort"),
+      ("q3", "customer table")).toDF("query_id", "qtext")
+    graft.operators.Retrieval.bm25TopK(
+      docs(spark, dir), "doc_id", "text", queries, "query_id", "qtext",
+      k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val t16Sql: String =
+    """WITH q(query_id, qtext) AS (
+      |  VALUES ('q1', 'spark join dup'), ('q2', 'window agg sort'),
+      |         ('q3', 'customer table')),
+      |qt AS (SELECT DISTINCT query_id,
+      |         UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(qtext)), '\s+')) AS term
+      |       FROM q),
+      |toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |post AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term FROM toks),
+      |corpus AS (SELECT COUNT(*) AS n_docs,
+      |                  CAST(SUM(LEN(t)) AS BIGINT) AS sum_dl FROM toks),
+      |matched AS (
+      |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM post
+      |  WHERE term IN (SELECT DISTINCT term FROM qt)
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM matched GROUP BY 1),
+      |ts AS (
+      |  SELECT qt.query_id, m.doc_id, m.term,
+      |    LN(1.0::DOUBLE +
+      |       (c.n_docs::DOUBLE - d.df::DOUBLE + 0.5::DOUBLE)
+      |       / (d.df::DOUBLE + 0.5::DOUBLE))
+      |    * (m.tf::DOUBLE * 2.2::DOUBLE)
+      |    / (m.tf::DOUBLE + 1.2::DOUBLE *
+      |       (0.25::DOUBLE + 0.75::DOUBLE *
+      |        (m.dl::DOUBLE / (c.sum_dl::DOUBLE / c.n_docs::DOUBLE))))
+      |      AS term_score
+      |  FROM matched m JOIN dfreq d USING (term)
+      |       JOIN qt ON m.term = qt.term CROSS JOIN corpus c),
+      |scored AS (
+      |  SELECT query_id, doc_id,
+      |    ROUND(list_reduce(
+      |      list_prepend(0.0::DOUBLE, LIST(term_score ORDER BY term)),
+      |      (a, x) -> a + x), 4) AS score
+      |  FROM ts GROUP BY 1, 2)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |                     ORDER BY score DESC, doc_id) AS rank,
+      |  doc_id, score
+      |FROM scored
+      |QUALIFY rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -582,5 +643,6 @@ object TextQueries {
     "t13_quality_classifier" -> (t13QualityClassifier _, t13Sql),
     "t14_vocabulary" -> (t14Vocabulary _, t14Sql),
     "t15_oov_rate" -> (t15OovRate _, t15Sql),
+    "t16_bm25" -> (t16Bm25 _, t16Sql),
   )
 }

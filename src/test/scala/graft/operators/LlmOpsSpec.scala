@@ -941,6 +941,30 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oov(2) == ((3L, 1L, 1L, 1.0)))      // zz OOV
   }
 
+  test("bm25 ranks by term coverage, rarity and length normalization") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark query engine with spark joins and spark shuffles"),
+      (2L, "spark query"),            // both terms, shortest doc
+      (3L, "query query query query"),
+      (4L, "nothing relevant here at all"),
+      (5L, "spark")
+    ).toDF("doc_id", "text")
+    val qs = Seq(("q1", "spark query")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25TopK(corpus, "doc_id", "text", qs,
+      "query_id", "qtext", topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    // doc 4 shares no term — absent from the candidate set
+    assert(!got.map(_._1).contains(4L))
+    assert(got.length == 4)
+    // doc 2 covers both terms in the shortest doc → ranks first
+    assert(got(0)._1 == 2L, s"got ${got.toSeq}")
+    // scores strictly ordered and positive
+    assert(got.map(_._2).forall(_ > 0))
+    assert(got.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+  }
+
   test("cosine is exact on known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
