@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{AdvancedJoinQueries, ConnectorQueries, DedupQueries,
-  MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries,
-  StatQueries, TextQueries}
+  GraphQueries, MultimodalQueries, PipelineQueries, RelationalQueries,
+  SimilarityQueries, StatQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
   private def registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     RelationalQueries.all ++ ConnectorQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      PipelineQueries.all ++ AdvancedJoinQueries.all ++ StatQueries.all
+      PipelineQueries.all ++ AdvancedJoinQueries.all ++ StatQueries.all ++
+      GraphQueries.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

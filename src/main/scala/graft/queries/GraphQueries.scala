@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph-analytics gates over [[graft.operators.Graph]] — link-based
+  * importance and local clustering, the two graph signals a web-scale
+  * corpus pipeline computes besides dedup connectivity (d12).
+  *
+  * Both operators are integer-exact by design (fixed-point BIGINT ranks,
+  * pure-count triangles), so unlike most distributed PageRank
+  * implementations these gates carry FULL DuckDB oracles: the SQL mirror
+  * unrolls the same five power-iteration rounds in BIGINT arithmetic and
+  * reproduces every rank bit-for-bit.
+  */
+object GraphQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------- g01
+  /** PageRank over the customer↔supplier trade graph: an edge per
+    * DISTINCT (customer, supplier) pair that shares at least one order
+    * line, symmetrized (both directions) so the graph has no dangling
+    * mass. Customers map to even node ids (2·custkey), suppliers to odd
+    * (2·suppkey+1) — disjoint id spaces in one BIGINT column. Five
+    * fixed-point rounds at scale 1e6, damping 85/100; top 100 nodes by
+    * (rank, node) with deterministic tiebreak. */
+  def g01PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .withColumnRenamed("rank", "rank_micro")
+      .orderBy(col("rank_micro").desc, col("node"))
+      .limit(100)
+      .orderBy("node")
+  }
+
+  /** Mirrors the five integer rounds exactly: `//` on BIGINT is the same
+    * floor-toward-zero division as Spark's `div` for the non-negative
+    * values here, and sums of BIGINT are order-independent. HUGEINT
+    * intermediates (DuckDB widens SUM) are cast back to BIGINT at each
+    * round boundary so the schema matches. */
+  val g01Sql: String = {
+    val round = (k: Int) =>
+      s"""i$k AS (
+         |  SELECT n.node,
+         |    (150000 + (85 * COALESCE(m.in_mass, 0)) // 100)::BIGINT AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(rp.r // d.outdeg) AS in_mass
+         |    FROM edges e
+         |    JOIN deg d ON d.src = e.src
+         |    JOIN i${k - 1} rp ON rp.node = e.src
+         |    GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+    s"""SELECT node, rank_micro FROM (
+       |  WITH pairs AS (
+       |    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |  edges AS (
+       |    SELECT c AS src, s AS dst FROM pairs
+       |    UNION ALL
+       |    SELECT s AS src, c AS dst FROM pairs),
+       |  deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |  n AS (SELECT DISTINCT src AS node FROM edges),
+       |  i0 AS (SELECT node, 1000000::BIGINT AS r FROM n),
+       |  ${(1 to 5).map(round).mkString(",\n")}
+       |  SELECT node, r AS rank_micro FROM i5
+       |  ORDER BY rank_micro DESC, node LIMIT 100)
+       |ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- g02
+  /** Triangle counts on the co-supplier graph: suppliers are linked when
+    * they both ship some size-1 part (p_size = 1 keeps the projection
+    * sparse the way a real co-occurrence graph would be df-capped).
+    * Degree-ordered orientation makes each triangle one closed wedge —
+    * the Suri-Vassilvitskii formulation whose fan-out survives celebrity
+    * nodes — and the (degree, id) tiebreak keeps it deterministic enough
+    * to mirror exactly. */
+  def g02Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val ps = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").filter(col("p_size") === 1),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("src"), col("b.s").as("dst"))
+      .distinct()
+    Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node")
+  }
+
+  val g02Sql: String =
+    """WITH ps AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_size = 1),
+      |canon AS (
+      |  SELECT DISTINCT a.s AS a, b.s AS b
+      |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS d FROM (
+      |    SELECT a AS node FROM canon
+      |    UNION ALL
+      |    SELECT b AS node FROM canon) GROUP BY 1),
+      |oriented AS (
+      |  SELECT
+      |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND c.a < c.b)
+      |         THEN c.a ELSE c.b END AS u,
+      |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND c.a < c.b)
+      |         THEN c.b ELSE c.a END AS v
+      |  FROM canon c
+      |  JOIN deg d1 ON d1.node = c.a
+      |  JOIN deg d2 ON d2.node = c.b),
+      |tri AS (
+      |  SELECT l.u, l.v, r.v AS w
+      |  FROM oriented l JOIN oriented r ON l.u = r.u AND l.v <> r.v
+      |  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = l.v AND o.v = r.v)),
+      |per AS (
+      |  SELECT node, COUNT(*) AS triangles FROM (
+      |    SELECT u AS node FROM tri
+      |    UNION ALL SELECT v FROM tri
+      |    UNION ALL SELECT w FROM tri) GROUP BY 1)
+      |SELECT deg.node, COALESCE(per.triangles, 0)::BIGINT AS triangles
+      |FROM deg LEFT JOIN per ON per.node = deg.node
+      |ORDER BY deg.node""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g01_pagerank" -> (g01PageRank _, g01Sql),
+    "g02_triangles" -> (g02Triangles _, g02Sql),
+  )
+}

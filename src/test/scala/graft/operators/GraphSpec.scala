@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground truth for [[Graph]] on small hand-checkable graphs, plus an
+  * exact cross-check of the fixed-point PageRank against a naive
+  * in-memory replica of the SAME integer semantics — the distributed
+  * plan must reproduce the scalar loop bit-for-bit. */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Scalar replica of Graph.pageRank's integer semantics. */
+  private def naivePageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val base = (scale * 15L) / 100L
+    var ranks = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inMass = e.groupBy(_._2).view.mapValues { in =>
+        in.map { case (src, _) => ranks(src) / outdeg(src) }.sum
+      }.toMap
+      ranks = nodes.map(n => n -> (base + (85L * inMass.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    ranks
+  }
+
+  private def runPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank: symmetric 2-cycle is uniform at the stationary value") {
+    // each node forwards its whole rank to the other: r = 150000 + 85%·r
+    // converges toward scale; after any round both nodes are equal
+    val got = runPageRank(Seq((1L, 2L), (2L, 1L)), 5)
+    assert(got(1L) == got(2L))
+    assert(got == naivePageRank(Seq((1L, 2L), (2L, 1L)), 5))
+  }
+
+  test("pageRank: hub of a symmetric star outranks the leaves") {
+    val star = (2L to 6L).flatMap(l => Seq((1L, l), (l, 1L)))
+    val got = runPageRank(star, 5)
+    assert((2L to 6L).forall(l => got(1L) > got(l)))
+    assert((2L to 6L).map(got).distinct.size == 1) // leaves symmetric
+    assert(got == naivePageRank(star, 5))
+  }
+
+  test("pageRank: matches the naive integer loop on an irregular digraph") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (4L, 1L),
+      (5L, 4L), (5L, 1L), (2L, 4L), (6L, 6L) // self-loop + dangling-ish mix
+    )
+    for (iters <- Seq(1, 3, 5, 8)) {
+      assert(runPageRank(edges, iters) == naivePageRank(edges, iters),
+        s"iters=$iters")
+    }
+  }
+
+  test("pageRank: dangling sink keeps receiving but stops re-emitting") {
+    // 1 -> 2 only: node 2 has no out-edges; documented no-redistribute
+    val got = runPageRank(Seq((1L, 2L)), 5)
+    assert(got == naivePageRank(Seq((1L, 2L)), 5))
+    assert(got(2L) > got(1L)) // sink accumulates 1's mass
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: K4 plus a pendant path") {
+    // K4 on {1,2,3,4}: each node is in C(3,2) = 3 triangles; pendant
+    // chain 4-5-6 adds none
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = runTriangles(k4 ++ Seq((4L, 5L), (5L, 6L)))
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("triangleCounts: duplicate/reversed/self edges canonicalize away") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (3L, 2L), (1L, 3L))
+    assert(runTriangles(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: matches naive enumeration on a random-ish graph") {
+    // deterministic pseudo-random graph over 12 nodes
+    val edges = (for (a <- 1L to 12L; b <- (a + 1) to 12L
+      if (a * 31 + b * 17) % 3 == 0) yield (a, b)).toSeq
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = (1L to 12L).map { n =>
+      val nb = adj.getOrElse(n, Set.empty).toSeq
+      n -> nb.combinations(2).count {
+        case Seq(x, y) => adj(x).contains(y)
+        case _ => false
+      }.toLong
+    }.filter { case (n, _) => adj.contains(n) }.toMap
+    assert(runTriangles(edges) == naive)
+  }
+}
