@@ -320,6 +320,222 @@ object PipelineQueries {
       |    IS NULL AS is_current
       |FROM hist ORDER BY o_orderkey, version""".stripMargin
 
+  // ---------------------------------------------------------------- p09
+  /** Temperature-weighted DOMAIN MIXTURE sampling — the data-mixing step
+    * of multilingual/multi-source pretraining (sample source s with
+    * probability ∝ n_s^α, α = 1/2, so small sources are up-weighted
+    * relative to their share, the standard "temperature sampling" of
+    * mBERT/XLM-R/Llama data recipes).
+    *
+    * Everything is INTEGER-exact so the oracle can mirror it: weights are
+    * integer square roots (floor-corrected, no float boundary), the
+    * global budget is `total div 4`, and each source's acceptance
+    * threshold is `(4096·T·w_s) div (W·n_s)` compared against the same
+    * 12-bit md5 fraction as p08 — membership is a pure function of
+    * (seed, doc_id, per-source counts). BIGINT headroom: the threshold
+    * numerator is 4096·T·w_s — fine through petabyte corpora
+    * (T ≤ 2^40, w ≤ 2^20); beyond that the counts table is tiny, so the
+    * threshold computation can switch to DECIMAL(38,0) without touching
+    * the row-local accept path.
+    *
+    * Scale shape: per-source counts are one partial-agg groupBy; the
+    * 1-row totals and the 20-row threshold table broadcast back; the
+    * accept decision is row-local. No window, no RNG state, no driver
+    * loop — new documents change only their own source's threshold. */
+  def p09MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    // floor-corrected integer sqrt: float sqrt can land one off at
+    // perfect-square boundaries; the CASE re-anchors it exactly
+    val c0 = floor(sqrt(col("n").cast("double"))).cast("long")
+    val weighted = counts.withColumn("w",
+      when((c0 + 1) * (c0 + 1) <= col("n"), c0 + 1)
+        .when(c0 * c0 <= col("n"), c0)
+        .otherwise(c0 - 1))
+    val totals = weighted.agg(sum(col("n")).as("tot"), sum(col("w")).as("wsum"))
+    val thresholds = weighted.crossJoin(broadcast(totals))
+      .withColumn("th",
+        expr("(4096 * (tot div 4) * w) div (wsum * n)"))
+      .select(col("source"), col("n"), col("w"), col("th"))
+    def hexDigit(i: Int) = {
+      val a = ascii(substring(col("h"), i, 1))
+      a - lit(48) - when(a >= 97, lit(39)).otherwise(lit(0))
+    }
+    docs
+      .withColumn("h", md5(concat(lit("mix1:"), col("doc_id").cast("string"))))
+      .withColumn("v", hexDigit(1) * 256 + hexDigit(2) * 16 + hexDigit(3))
+      .join(broadcast(thresholds), "source")
+      .filter(col("v") < col("th"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+      .join(thresholds, "source")
+      .select(col("source"), col("n").as("n_docs"), col("w").as("weight"),
+        col("th").as("threshold"), col("n_sampled"), col("sum_ids"))
+      .orderBy("source")
+  }
+
+  val p09Sql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      |weighted AS (
+      |  SELECT source, n,
+      |    CASE WHEN (c0 + 1) * (c0 + 1) <= n THEN c0 + 1
+      |         WHEN c0 * c0 <= n THEN c0
+      |         ELSE c0 - 1 END AS w
+      |  FROM (SELECT source, n, FLOOR(SQRT(n::DOUBLE))::BIGINT AS c0
+      |        FROM counts)),
+      |totals AS (
+      |  SELECT SUM(n)::BIGINT AS tot, SUM(w)::BIGINT AS wsum FROM weighted),
+      |thresholds AS (
+      |  SELECT source, n, w,
+      |    (4096 * (tot // 4) * w) // (wsum * n) AS th
+      |  FROM weighted CROSS JOIN totals),
+      |hashed AS (
+      |  SELECT source, doc_id,
+      |    ASCII(SUBSTR(MD5('mix1:' || doc_id::VARCHAR), 1, 1)) AS h1,
+      |    ASCII(SUBSTR(MD5('mix1:' || doc_id::VARCHAR), 2, 1)) AS h2,
+      |    ASCII(SUBSTR(MD5('mix1:' || doc_id::VARCHAR), 3, 1)) AS h3
+      |  FROM documents),
+      |accepted AS (
+      |  SELECT d.source, d.doc_id
+      |  FROM hashed d JOIN thresholds t ON t.source = d.source
+      |  WHERE (CASE WHEN h1 >= 97 THEN h1 - 87 ELSE h1 - 48 END) * 256
+      |      + (CASE WHEN h2 >= 97 THEN h2 - 87 ELSE h2 - 48 END) * 16
+      |      + (CASE WHEN h3 >= 97 THEN h3 - 87 ELSE h3 - 48 END) < t.th)
+      |SELECT t.source, t.n AS n_docs, t.w AS weight, t.th AS threshold,
+      |  a.n_sampled, a.sum_ids
+      |FROM (SELECT source, COUNT(*) AS n_sampled,
+      |             SUM(doc_id)::BIGINT AS sum_ids
+      |      FROM accepted GROUP BY 1) a
+      |JOIN thresholds t ON t.source = a.source
+      |ORDER BY t.source""".stripMargin
+
+  // ---------------------------------------------------------------- p10
+  /** COMPACTION planning — the small-files fix every 100 TB lakehouse
+    * table needs: pack each partition's files, in name order, into
+    * target-sized bins (Spark's own `maxPartitionBytes` coalescing and
+    * Delta/Iceberg OPTIMIZE both use this contiguous next-fit shape — it
+    * preserves file order, never reads data, and plans in one metadata
+    * pass). A file's bin is `floor(bytes_before / target)`, i.e. bins
+    * may overflow by at most one file — the standard trade that keeps
+    * the plan a pure prefix-sum instead of NP-hard bin packing.
+    *
+    * The "file listing" is synthesized deterministically from `part`
+    * (file per partkey, size from the exact-decimal retail price), the
+    * partition key is p_brand — ~25 groups planning in parallel, the
+    * per-partition window never crosses groups, so the plan scales with
+    * the listing, not the data. */
+  def p10CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    spark.read.parquet(s"$dir/part.parquet")
+      .withColumn("size_bytes",
+        expr("((cast(cast(p_retailprice as decimal(12,2)) * 100 as bigint)" +
+          " * 7919) % 4000000) + 50000"))
+      .withColumn("bytes_before",
+        coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr("bytes_before div 8000000"))
+      .groupBy(col("p_brand"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("bin_bytes"),
+        min(col("p_partkey")).as("first_file"),
+        max(col("p_partkey")).as("last_file"))
+      .orderBy("p_brand", "bin")
+  }
+
+  val p10Sql: String =
+    """WITH listing AS (
+      |  SELECT p_brand, p_partkey,
+      |    ((CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      * 7919) % 4000000) + 50000 AS size_bytes
+      |  FROM part),
+      |planned AS (
+      |  SELECT p_brand, p_partkey, size_bytes,
+      |    (COALESCE(SUM(size_bytes) OVER (PARTITION BY p_brand
+      |      ORDER BY p_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) // 8000000)::BIGINT AS bin
+      |  FROM listing)
+      |SELECT p_brand, bin, COUNT(*) AS n_files, SUM(size_bytes)::BIGINT AS bin_bytes,
+      |  MIN(p_partkey) AS first_file, MAX(p_partkey) AS last_file
+      |FROM planned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- p11
+  /** Data-quality CONSTRAINT REPORT (the Deequ/Great-Expectations
+    * pattern): one aggregation pass per table computes every metric —
+    * completeness, key uniqueness, domain compliance, bounds — and the
+    * report unpivots to (table, metric, value_micro) rows. Ratios are
+    * micro-units via integral division, so the report is engine-exact.
+    *
+    * Scale shape: each table contributes ONE partial-aggregating pass
+    * (count + conditional counts + distinct-count on the key); the
+    * unpivot is over a 1-row frame. Constraint checks at 100 TB are
+    * exactly this: no row ever leaves its executor until the final
+    * single-row combine. */
+  def p11QualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("total"),
+        count(col("l_returnflag")).as("flag_nonnull"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("key_distinct"),
+        sum(when(col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("qty_ok"),
+        sum(when(col("l_extendedprice") > 0, 1L).otherwise(0L)).as("price_pos"),
+        sum(when(col("l_discount") <= 0.1, 1L).otherwise(0L)).as("disc_ok"))
+      .select(lit("lineitem").as("tbl"), expr(
+        "stack(5," +
+          " 'completeness_returnflag', (flag_nonnull * 1000000) div total," +
+          " 'uniqueness_order_line', (key_distinct * 1000000) div total," +
+          " 'compliance_qty_1_50', (qty_ok * 1000000) div total," +
+          " 'compliance_price_pos', (price_pos * 1000000) div total," +
+          " 'compliance_disc_le_10pct', (disc_ok * 1000000) div total)" +
+          " as (metric, value_micro)"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(count(lit(1)).as("total"),
+        count(col("text")).as("text_nonnull"),
+        countDistinct(col("doc_id")).as("id_distinct"),
+        sum(when(length(col("text")) === col("n_chars"), 1L).otherwise(0L))
+          .as("len_consistent"))
+      .select(lit("documents").as("tbl"), expr(
+        "stack(3," +
+          " 'completeness_text', (text_nonnull * 1000000) div total," +
+          " 'uniqueness_doc_id', (id_distinct * 1000000) div total," +
+          " 'consistency_n_chars', (len_consistent * 1000000) div total)" +
+          " as (metric, value_micro)"))
+    li.unionAll(docs).orderBy("tbl", "metric")
+  }
+
+  val p11Sql: String =
+    """WITH li AS (
+      |  SELECT COUNT(*) AS total,
+      |    COUNT(l_returnflag) AS flag_nonnull,
+      |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS key_distinct,
+      |    SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS qty_ok,
+      |    SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS price_pos,
+      |    SUM(CASE WHEN l_discount <= 0.1 THEN 1 ELSE 0 END) AS disc_ok
+      |  FROM lineitem),
+      |docs AS (
+      |  SELECT COUNT(*) AS total, COUNT(text) AS text_nonnull,
+      |    COUNT(DISTINCT doc_id) AS id_distinct,
+      |    SUM(CASE WHEN LENGTH(text) = n_chars THEN 1 ELSE 0 END) AS len_ok
+      |  FROM documents),
+      |rows_ AS (
+      |  SELECT 'lineitem' AS tbl, 'completeness_returnflag' AS metric,
+      |         (flag_nonnull * 1000000) // total AS value_micro FROM li
+      |  UNION ALL SELECT 'lineitem', 'uniqueness_order_line',
+      |         (key_distinct * 1000000) // total FROM li
+      |  UNION ALL SELECT 'lineitem', 'compliance_qty_1_50',
+      |         (qty_ok * 1000000) // total FROM li
+      |  UNION ALL SELECT 'lineitem', 'compliance_price_pos',
+      |         (price_pos * 1000000) // total FROM li
+      |  UNION ALL SELECT 'lineitem', 'compliance_disc_le_10pct',
+      |         (disc_ok * 1000000) // total FROM li
+      |  UNION ALL SELECT 'documents', 'completeness_text',
+      |         (text_nonnull * 1000000) // total FROM docs
+      |  UNION ALL SELECT 'documents', 'uniqueness_doc_id',
+      |         (id_distinct * 1000000) // total FROM docs
+      |  UNION ALL SELECT 'documents', 'consistency_n_chars',
+      |         (len_ok * 1000000) // total FROM docs)
+      |SELECT tbl, metric, value_micro::BIGINT AS value_micro
+      |FROM rows_ ORDER BY tbl, metric""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p06_zorder_layout" -> (p06ZorderLayout _, p06Sql),
     "p07_scd2_merge" -> (p07Scd2Merge _, p07Sql),
@@ -329,5 +545,8 @@ object PipelineQueries {
     "p03_stratified_sample" -> (p03StratifiedSample _, p03Sql),
     "p04_epoch_shuffle" -> (p04EpochShuffle _, p04Sql),
     "p05_sequence_packing" -> (p05SequencePacking _, p05Sql),
+    "p09_mixture_sample" -> (p09MixtureSample _, p09Sql),
+    "p10_compaction_plan" -> (p10CompactionPlan _, p10Sql),
+    "p11_quality_report" -> (p11QualityReport _, p11Sql),
   )
 }
