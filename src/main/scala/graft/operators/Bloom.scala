@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Broadcast Bloom-filter membership — the constant-size pre-filter that
+  * makes 100 TB decontamination cheap: the blocklist (eval-set n-grams)
+  * compresses to a fixed bit array shipped to every executor, the corpus
+  * probes it row-locally, and only the tiny bloom-positive candidate set
+  * pays the exact verification join. d09's inverted-index join is exact
+  * but shuffles corpus postings; this path never shuffles the corpus at
+  * all until the candidates are known.
+  *
+  * Determinism: the k = 4 probe positions are 16-bit slices of one
+  * `md5(gram)` — no seeded RNG, no float — so the filter contents AND
+  * the false-positive set are bit-reproducible on any engine; the gate's
+  * DuckDB oracle rebuilds the same words and reproduces both counts
+  * exactly. The bit array is stored as `m/60`-row (word_idx, bits)
+  * pairs — 60-bit words sidestep BIGINT sign-bit shift semantics — and
+  * built with a `bit_or` partial aggregation, so construction is one
+  * fixed-width shuffle of the blocklist, never the corpus. m = 2^16 here
+  * (the gate blocklist is small); production sizing scales m with the
+  * blocklist at the usual 10-15 bits/key for ~0.1% FP — still KBs per
+  * million keys, comfortably broadcast-able.
+  */
+object Bloom {
+
+  val MBits = 65536
+  val WordBits = 60
+
+  private def explodedPositions(gramCol: String) =
+    explode(array((0 until 4).map(i =>
+      conv(substring(md5(col(gramCol).cast("binary")), i * 4 + 1, 4), 16, 10)
+        .cast("long") % MBits): _*)).as("pos")
+
+  /** (word_idx, bits) rows of the filter over `gramCol` of `grams`. */
+  def build(grams: DataFrame, gramCol: String): DataFrame =
+    grams
+      .select(explodedPositions(gramCol))
+      .select(expr(s"pos div $WordBits").as("word_idx"),
+        expr(s"shiftleft(1L, cast(pos % $WordBits as int))").as("m"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(m)").as("bits"))
+
+  /** Distinct (idCol, gramCol) rows of `probe` whose 4 bloom positions
+    * are all set in `filter` (built by [[build]]).
+    *
+    * The filter collapses to a ONE-ROW word_idx→bits map, broadcast to
+    * every task, and the whole membership test is a row-local expression
+    * — no explode, no join keyed on the corpus, no aggregation. This is
+    * the plan shape that matters at 100 TB: the corpus flows through a
+    * single narrow stage. (`collect_list` order inside the map build is
+    * partition-order-dependent, but map LOOKUP semantics are not — the
+    * result is deterministic.) */
+  def candidates(probe: DataFrame, idCol: String, gramCol: String,
+      filter: DataFrame): DataFrame = {
+    val bf = filter.agg(
+      map_from_arrays(collect_list(col("word_idx")), collect_list(col("bits")))
+        .as("bf"))
+    var df = probe
+      .select(col(idCol), col(gramCol))
+      .distinct()
+      .crossJoin(broadcast(bf))
+      .withColumn("h", md5(col(gramCol).cast("binary")))
+    for (i <- 0 until 4)
+      df = df.withColumn(s"pos$i",
+        conv(substring(col("h"), i * 4 + 1, 4), 16, 10).cast("long") % MBits)
+    val allSet = (0 until 4)
+      .map(i => expr(
+        s"(shiftright(element_at(bf, pos$i div $WordBits), " +
+          s"cast(pos$i % $WordBits as int)) & 1L) = 1L"))
+      .reduce(_ && _)
+    df.filter(allSet).select(col(idCol), col(gramCol))
+  }
+}

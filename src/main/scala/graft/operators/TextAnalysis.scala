@@ -263,4 +263,40 @@ object TextAnalysis {
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", round(
         col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+
+  /** Per-document unigram-LM SURPRISE in integer bits — the cheap
+    * perplexity stand-in quality pipelines use to flag gibberish and
+    * boilerplate (CCNet/Gopher score documents with a language model;
+    * at corpus scale the model is often just the corpus's own unigram
+    * stats). A token occurring c times in an N-token corpus carries
+    * `floor(log2(N/c))` bits of information, computed EXACTLY as
+    * `length(bin(N div c)) - 1` — pure integer arithmetic, no libm, so
+    * the score is bit-reproducible on any engine (the same
+    * mirrorable-approximate trade as the fixed-point PageRank: the
+    * sub-bit truncation is far below any filtering threshold).
+    *
+    * Two passes over the token stream: (1) token counts — one
+    * partial-agg groupBy; (2) a probe join token→count. Hot tokens
+    * ("the") are high-fan-IN lookups, not fan-out: each token row
+    * matches exactly one count row, so there is no skew amplification;
+    * with a bounded vocabulary the count side is broadcast-able.
+    *
+    * Returns (id, n_tokens, surprise_bits, mean_millibits). */
+  def unigramSurprise(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val n = counts.agg(sum(col("cnt")).as("n_total"))
+    toks
+      .join(counts, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("bits", expr("length(bin(n_total div cnt)) - 1").cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("surprise_bits"))
+      .withColumn("mean_millibits",
+        expr("(surprise_bits * 1000) div n_tokens"))
+}
 }

@@ -912,6 +912,111 @@ object DedupQueries {
       |    CHR(10)||CHR(10)), '') AS cleaned_text
       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d18
+  /** Bloom-filter decontamination ([[graft.operators.Bloom]]) — the
+    * broadcast pre-filter variant of d09: the blocklist's word-trigram
+    * set compresses to a fixed bit array probed ROW-LOCALLY by the
+    * corpus (no corpus shuffle at all), and only bloom-positive grams
+    * pay the exact verification join. Reports, per document, the
+    * distinct-gram total, the bloom candidate count, and the exact
+    * contaminated count — the gap between the last two IS the filter's
+    * false-positive set, which the md5-derived positions make
+    * deterministic enough to oracle-check bit-for-bit. */
+  def d18BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bloom
+    val d = docs(spark, dir)
+    val rawToks = split(trim(col("text")), "\\s+")
+    val blockTexts = d
+      .filter(pmod(col("doc_id"), lit(25)) === 0 && size(rawToks) >= 6)
+      .select(concat_ws(" ",
+        slice(rawToks, lit(1), (size(rawToks) / 2).cast("int"))).as("text"))
+    val gramArr = expr(
+      "case when size(t) >= 3 then " +
+        "transform(sequence(0, size(t) - 3), " +
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) " +
+        "else array(array_join(t, ' ')) end")
+    def grams(src: DataFrame, withId: Boolean): DataFrame = {
+      val toks = src.withColumn("t", split(lower(trim(col("text"))), "\\s+"))
+      if (withId)
+        toks.select(col("doc_id"), explode(gramArr).as("gram"))
+          .distinct()
+      else
+        toks.select(explode(gramArr).as("gram")).distinct()
+    }
+    val corpusGrams = grams(d, withId = true)
+    val blockGrams = grams(blockTexts, withId = false)
+    val filter = Bloom.build(blockGrams, "gram")
+    val cand = Bloom.candidates(corpusGrams, "doc_id", "gram", filter)
+      .persist()
+    val nBloom = cand.groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
+    val nExact = cand.join(blockGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    val base = corpusGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    base
+      .join(nBloom, Seq("doc_id"), "left")
+      .join(nExact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .withColumn("flagged", col("n_exact") > 0)
+      .orderBy("doc_id")
+  }
+
+  val d18Sql: String =
+    """WITH corpus_toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |csh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM corpus_toks),
+      |cgrams AS (SELECT DISTINCT doc_id, UNNEST(s) AS gram FROM csh),
+      |bsrc AS (
+      |  SELECT ARRAY_TO_STRING(t[1:CAST(LEN(t) // 2 AS BIGINT)], ' ') AS text
+      |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+      |        FROM documents)
+      |  WHERE doc_id % 25 = 0 AND LEN(t) >= 6),
+      |btoks AS (
+      |  SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t FROM bsrc),
+      |bsh AS (
+      |  SELECT CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM btoks),
+      |bgrams AS (SELECT DISTINCT UNNEST(s) AS gram FROM bsh),
+      |bpos AS (
+      |  SELECT ('0x' || SUBSTR(MD5(gram), i * 4 + 1, 4))::BIGINT % 65536 AS pos
+      |  FROM (SELECT gram, UNNEST([0, 1, 2, 3]) AS i FROM bgrams)),
+      |words AS (
+      |  SELECT pos // 60 AS word_idx,
+      |         BIT_OR(1::BIGINT << (pos % 60)::INT) AS bits
+      |  FROM bpos GROUP BY 1),
+      |cpos AS (
+      |  SELECT doc_id, gram,
+      |    ('0x' || SUBSTR(MD5(gram), i * 4 + 1, 4))::BIGINT % 65536 AS pos
+      |  FROM (SELECT doc_id, gram, UNNEST([0, 1, 2, 3]) AS i FROM cgrams)),
+      |cand AS (
+      |  SELECT doc_id, gram
+      |  FROM cpos JOIN words ON words.word_idx = cpos.pos // 60
+      |  WHERE (words.bits >> (cpos.pos % 60)::INT) & 1 = 1
+      |  GROUP BY 1, 2 HAVING COUNT(*) = 4),
+      |nb AS (SELECT doc_id, COUNT(*) AS n_bloom FROM cand GROUP BY 1),
+      |ne AS (SELECT doc_id, COUNT(*) AS n_exact
+      |       FROM cand JOIN bgrams USING (gram) GROUP BY 1),
+      |base AS (SELECT doc_id, COUNT(*) AS n_grams FROM cgrams GROUP BY 1)
+      |SELECT base.doc_id, base.n_grams,
+      |  COALESCE(nb.n_bloom, 0)::BIGINT AS n_bloom,
+      |  COALESCE(ne.n_exact, 0)::BIGINT AS n_exact,
+      |  COALESCE(ne.n_exact, 0) > 0 AS flagged
+      |FROM base
+      |LEFT JOIN nb ON nb.doc_id = base.doc_id
+      |LEFT JOIN ne ON ne.doc_id = base.doc_id
+      |ORDER BY base.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),
@@ -930,5 +1035,6 @@ object DedupQueries {
     "d15_semantic_dedup" -> (d15SemanticDedup _, d15Sql),
     "d16_streaming_neardup" -> (d16StreamingNearDup _, d16Sql),
     "d17_paragraph_dedup" -> (d17ParagraphDedup _, d17Sql),
+    "d18_bloom_decontaminate" -> (d18BloomDecontaminate _, d18Sql),
   )
 }

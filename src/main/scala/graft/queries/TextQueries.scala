@@ -627,6 +627,31 @@ object TextQueries {
       |QUALIFY rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Unigram-LM surprise scoring ([[TextAnalysis.unigramSurprise]]):
+    * per-document information content in integer bits against the
+    * corpus's own unigram stats — the cheap perplexity proxy for
+    * gibberish/boilerplate filtering. Integer log2 via bit length keeps
+    * the score engine-exact, so the oracle mirrors it fully. */
+  def t17UnigramSurprise(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprise(docs(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val t17Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |tok2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+      |counts AS (SELECT word, COUNT(*) AS cnt FROM tok2 GROUP BY 1),
+      |n AS (SELECT SUM(cnt)::BIGINT AS n_total FROM counts),
+      |scored AS (
+      |  SELECT doc_id,
+      |    (LENGTH(BIN(CAST(n_total // cnt AS BIGINT))) - 1)::BIGINT AS bits
+      |  FROM tok2 JOIN counts USING (word) CROSS JOIN n)
+      |SELECT doc_id, COUNT(*) AS n_tokens, SUM(bits)::BIGINT AS surprise_bits,
+      |  ((SUM(bits) * 1000) // COUNT(*))::BIGINT AS mean_millibits
+      |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -644,5 +669,6 @@ object TextQueries {
     "t14_vocabulary" -> (t14Vocabulary _, t14Sql),
     "t15_oov_rate" -> (t15OovRate _, t15Sql),
     "t16_bm25" -> (t16Bm25 _, t16Sql),
+    "t17_unigram_surprise" -> (t17UnigramSurprise _, t17Sql),
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom-filter contract tests: no false negatives ever, bit packing
+  * stays inside the 60-bit word layout, and the candidate set is exactly
+  * reproducible (determinism is what the d18 oracle relies on). */
+class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def members = (1 to 300).map(i => s"member gram $i")
+  private def strangers = (1 to 300).map(i => s"stranger gram $i")
+
+  test("no false negatives: every member is a candidate") {
+    import spark.implicits._
+    val filter = Bloom.build(members.toDF("gram"), "gram")
+    val probe = (members ++ strangers).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("id", "gram")
+    val cand = Bloom.candidates(probe, "id", "gram", filter)
+      .select("gram").as[String].collect().toSet
+    assert(members.toSet.subsetOf(cand),
+      s"missing members: ${members.toSet -- cand}")
+  }
+
+  test("candidate set is deterministic across runs") {
+    import spark.implicits._
+    val filter = Bloom.build(members.toDF("gram"), "gram")
+    val probe = (members ++ strangers).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("id", "gram")
+    val r1 = Bloom.candidates(probe, "id", "gram", filter)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val r2 = Bloom.candidates(probe.repartition(7), "id", "gram", filter)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(r1 == r2)
+  }
+
+  test("word layout: indexes and bits stay inside m = 2^16 / 60-bit words") {
+    import spark.implicits._
+    val filter = Bloom.build(members.toDF("gram"), "gram").collect()
+    assert(filter.nonEmpty)
+    filter.foreach { r =>
+      val (w, bits) = (r.getLong(0), r.getLong(1))
+      assert(w >= 0 && w <= (Bloom.MBits - 1) / Bloom.WordBits)
+      assert(bits != 0L && (bits & ~((1L << Bloom.WordBits) - 1)) == 0L,
+        s"bits outside 60-bit word at word_idx=$w")
+    }
+  }
+}
