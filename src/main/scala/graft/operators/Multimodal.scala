@@ -662,4 +662,77 @@ object Multimodal {
         .otherwise(body).as("payload"),
       modality.as("modality"))
   }
+
+  /** Encode a horizontal+vertical gray GRADIENT as a real PNG:
+    * pixel(x, y) = (seed + 3x + 7y) mod 256 in all three channels
+    * (fixture helper for the perceptual-hash gate — gradients give dHash
+    * non-trivial bit patterns where solid fills hash to all-zero). */
+  def gradientPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((seed + 3L * x + 7L * y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Difference hash (dHash) of an image payload via a REAL ImageIO
+    * decode: gray pixels average into a 9×8 grid of block means (integer
+    * division end to end — reproducible on any engine), and each of the
+    * 64 bits records whether a block mean exceeds its right neighbor.
+    * Returned split into two 32-bit halves (bit index = row·8 + col;
+    * `hi` holds indexes ≥ 32) so no sign bit is ever involved.
+    *
+    * This EXACT path requires width % 9 == 0 and height % 8 == 0 so
+    * block means are uniform integer averages; production images go
+    * through [[resizeImagePayload]] to such dimensions first. */
+  def dHash64(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        require(w % 9 == 0 && h % 8 == 0,
+          s"dHash64 exact path needs w%9==0 && h%8==0, got ${w}x$h " +
+            "(resize first)")
+        val bw = w / 9; val bh = h / 8
+        val sums = Array.ofDim[Long](9, 8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
+            sums(x / bw)(y / bh) += gray
+            x += 1
+          }
+          y += 1
+        }
+        val n = bw.toLong * bh
+        var hi = 0L; var lo = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (sums(cx)(cy) / n > sums(cx + 1)(cy) / n) {
+              val idx = cy * 8 + cx
+              if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+            }
+            cx += 1
+          }
+          cy += 1
+        }
+        Some((w, h, hi, lo))
+      }
+    } catch { case _: Exception => None }
 }

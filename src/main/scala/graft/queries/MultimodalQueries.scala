@@ -267,6 +267,70 @@ object MultimodalQueries {
       |  ((doc_id * 13) % 256)::DOUBLE AS mean_b
       |FROM img ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m07
+  /** Perceptual image hashing (dHash) over REAL decoded pixels — the
+    * image-side near-duplicate signal a multimodal corpus dedups on.
+    * Each image-modality doc becomes a genuine gradient PNG
+    * ([[Multimodal.gradientPng]]: gray = (id + 3x + 7y) mod 256) at
+    * dHash-exact dimensions (w = 9·(1 + id mod 3), h = 8·(1 + id mod 2));
+    * [[Multimodal.dHash64]] decodes it back through ImageIO and folds
+    * 9×8 integer block means into 64 comparison bits. Because the
+    * gradient's block differences depend on id only through mod-256
+    * wraparound, many images share a hash — `n_same_hash` groups them,
+    * which IS perceptual dedup. Every step is integer arithmetic, so the
+    * oracle regenerates pixels and reproduces both hash halves exactly. */
+  def m07PerceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[Long]
+    val hashed = ids.mapPartitions(_.map { id =>
+      val w = (9 * (1 + id % 3)).toInt
+      val h = (8 * (1 + id % 2)).toInt
+      val png = Multimodal.gradientPng(w, h, id)
+      val (dw, dh, hi, lo) = Multimodal.dHash64(png).get
+      (id, dw.toLong, dh.toLong, hi, lo)
+    }).toDF("doc_id", "width", "height", "dhash_hi", "dhash_lo")
+    hashed
+      .withColumn("n_same_hash",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dhash_hi"), col("dhash_lo"))))
+      .orderBy("doc_id")
+  }
+
+  val m07Sql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, 9 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, w, h, UNNEST(RANGE(0, w * h)) AS p FROM imgs),
+      |blocks AS (
+      |  SELECT doc_id, w, h,
+      |    (p % w) // (w // 9) AS cx, (p // w) // (h // 8) AS cy,
+      |    SUM((doc_id + 3 * (p % w) + 7 * (p // w)) % 256) AS s
+      |  FROM px GROUP BY 1, 2, 3, 4, 5),
+      |means AS (
+      |  SELECT doc_id, w, h, cx, cy,
+      |    (s // ((w // 9) * (h // 8)))::BIGINT AS m
+      |  FROM blocks),
+      |bits AS (
+      |  SELECT a.doc_id, a.w, a.h, (a.cy * 8 + a.cx)::INT AS idx,
+      |    CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+      |  FROM means a JOIN means b
+      |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |hashed AS (
+      |  SELECT doc_id, MIN(w)::BIGINT AS width, MIN(h)::BIGINT AS height,
+      |    SUM(CASE WHEN idx >= 32 THEN bit::BIGINT << (idx - 32) ELSE 0 END)
+      |      ::BIGINT AS dhash_hi,
+      |    SUM(CASE WHEN idx < 32 THEN bit::BIGINT << idx ELSE 0 END)
+      |      ::BIGINT AS dhash_lo
+      |  FROM bits GROUP BY 1)
+      |SELECT doc_id, width, height, dhash_hi, dhash_lo,
+      |  COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same_hash
+      |FROM hashed ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_meta" -> (m01DecodeMeta _, m01Sql),
     "m02_frame_sample" -> (m02FrameSample _, m02Sql),
@@ -274,5 +338,6 @@ object MultimodalQueries {
     "m04_pixel_stats" -> (m04PixelStats _, m04Sql),
     "m05_audio_stats" -> (m05AudioStats _, m05Sql),
     "m06_real_resize" -> (m06RealResize _, m06Sql),
+    "m07_perceptual_hash" -> (m07PerceptualHash _, m07Sql),
   )
 }
