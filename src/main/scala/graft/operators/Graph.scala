@@ -58,7 +58,28 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, scale: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    prCore(edges, srcCol, dstCol, None, iterations, scale, dampNum, dampDen)
+
+  /** PERSONALIZED PageRank (random walk with restart): the teleport mass
+    * lands only on `seeds` instead of uniformly, so ranks measure
+    * influence RELATIVE to the seed set — the "more like these" primitive
+    * behind seed-based corpus expansion (find domains/documents central
+    * to a trusted whitelist) and related-item graphs. Same integer
+    * fixed-point semantics and plan shape as [[pageRank]]; seeds start
+    * at `scale`, everything else at 0, and the per-round base term is
+    * seed-only. Non-seed nodes unreachable from a seed stay exactly 0. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int = 5,
+      scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame =
+    prCore(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
+      iterations, scale, dampNum, dampDen)
+
+  private def prCore(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Option[DataFrame], iterations: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -69,14 +90,24 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // deg rides along with the edges so the per-round join is edges-sized
     val eDeg = e.join(outdeg, "src").persist()
-    val nodes = e.select(col("src").as("node"))
+    val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+    // is_seed rides on the node list once; uniform PR seeds everything
+    val nodes = seeds match {
+      case Some(s) => allNodes
+        .join(s.withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => allNodes.withColumn("is_seed", lit(true))
+    }
     val base = (scale * (dampDen - dampNum)) / dampDen
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint()
+    var ranks = nodes
+      .select(col("node"), col("is_seed"),
+        when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
       val contribs = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst").as("node"),
           // `div` is Spark's integral division — `/` would detour through
           // DOUBLE and lose exactness past 2^53
@@ -85,14 +116,15 @@ object Graph {
         .agg(sum(col("c")).as("in_mass"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
             .cast("long").as("rank"))
         .localCheckpoint()
     }
     e.unpersist()
     eDeg.unpersist()
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Per-node triangle counts over an undirected edge list, via

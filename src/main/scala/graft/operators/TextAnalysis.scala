@@ -282,6 +282,53 @@ object TextAnalysis {
     * with a bounded vocabulary the count side is broadcast-able.
     *
     * Returns (id, n_tokens, surprise_bits, mean_millibits). */
+  /** Pairwise DOMAIN DIVERGENCE between sources: the average surprise
+    * (in integer bits, same `length(bin(..))` log2 as
+    * [[unigramSurprise]]) of source A's tokens under source B's unigram
+    * stats — the cross-entropy matrix data-curation uses to pick mixture
+    * partners and spot outlier domains (high D(A,B) ⇒ B's model explains
+    * A poorly). A token absent from B scores the maximum
+    * `bitlen(N_B) - 1` bits, which gives the closed form
+    * `D(A,B) = N_A·(bitlen(N_B)-1) + Σ_{w∈A∩B} c_A(w)·(bits_B(w) -
+    * (bitlen(N_B)-1))` — the out-of-vocabulary mass never needs an
+    * outer join, only the vocab INTERSECTION pays a join, and that
+    * join's fan-out is bounded by sources² per word.
+    *
+    * Returns (src_a, src_b, n_tokens_a, cross_bits, mean_millibits) for
+    * every ordered source pair including the diagonal (a source's
+    * self-entropy — the baseline its divergences are read against). */
+  def domainDivergence(df: org.apache.spark.sql.DataFrame,
+      sourceCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df.filter(trim(col(textCol)) =!= "")
+      .select(col(sourceCol).as("src"), explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("src", "word").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val totals = counts.groupBy("src")
+      .agg(sum(col("cnt")).as("n_total"))
+      .withColumn("maxbits", expr("length(bin(n_total)) - 1").cast("long"))
+    val bCounts = counts
+      .join(totals, "src")
+      .select(col("src").as("src_b"), col("word"),
+        expr("(length(bin(n_total div cnt)) - 1) - (length(bin(n_total)) - 1)")
+          .cast("long").as("delta_bits"))
+    val inner = counts
+      .select(col("src").as("src_a"), col("word"), col("cnt").as("cnt_a"))
+      .join(bCounts, "word")
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("cnt_a") * col("delta_bits")).as("inner_bits"))
+    val out = totals.select(col("src").as("src_a"), col("n_total").as("n_a"))
+      .crossJoin(
+        totals.select(col("src").as("src_b"), col("maxbits").as("maxbits_b")))
+      .join(inner, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a").as("n_tokens_a"),
+        (col("n_a") * col("maxbits_b") +
+          coalesce(col("inner_bits"), lit(0L))).as("cross_bits"))
+      .withColumn("mean_millibits",
+        expr("(cross_bits * 1000) div n_tokens_a"))
+    out
+  }
+
   def unigramSurprise(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.filter(trim(col(textCol)) =!= "")

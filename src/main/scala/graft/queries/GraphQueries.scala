@@ -134,8 +134,72 @@ object GraphQueries {
       |FROM deg LEFT JOIN per ON per.node = deg.node
       |ORDER BY deg.node""".stripMargin
 
+  // ---------------------------------------------------------------- g03
+  /** Personalized PageRank from a trusted seed set — every 10th supplier
+    * — over the same symmetric trade graph as g01: the "expand from a
+    * whitelist" primitive (rank customers/suppliers by proximity to the
+    * seeds). Integer fixed-point again, so the oracle unrolls the same
+    * five seeded rounds exactly; nodes unreachable from a seed hold rank
+    * 0 and are filtered. */
+  def g03PersonalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val seeds = t(spark, dir, "supplier")
+      .filter(pmod(col("s_suppkey"), lit(10)) === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+      iterations = 5)
+      .filter(col("rank") > 0)
+      .withColumnRenamed("rank", "rank_micro")
+      .orderBy(col("rank_micro").desc, col("node"))
+      .limit(100)
+      .orderBy("node")
+  }
+
+  val g03Sql: String = {
+    val round = (k: Int) =>
+      s"""i$k AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+         |     + (85 * COALESCE(m.in_mass, 0)) // 100)::BIGINT AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(rp.r // d.outdeg) AS in_mass
+         |    FROM edges e
+         |    JOIN deg d ON d.src = e.src
+         |    JOIN i${k - 1} rp ON rp.node = e.src
+         |    GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+    s"""SELECT node, rank_micro FROM (
+       |  WITH pairs AS (
+       |    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |  edges AS (
+       |    SELECT c AS src, s AS dst FROM pairs
+       |    UNION ALL
+       |    SELECT s AS src, c AS dst FROM pairs),
+       |  deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |  n AS (
+       |    SELECT node,
+       |      node % 2 = 1 AND ((node - 1) // 2) % 10 = 0
+       |        AND EXISTS (SELECT 1 FROM supplier
+       |                    WHERE s_suppkey = (node - 1) // 2) AS is_seed
+       |    FROM (SELECT DISTINCT src AS node FROM edges)),
+       |  i0 AS (SELECT node,
+       |    CASE WHEN is_seed THEN 1000000 ELSE 0 END::BIGINT AS r FROM n),
+       |  ${(1 to 5).map(round).mkString(",\n")}
+       |  SELECT node, r AS rank_micro FROM i5 WHERE r > 0
+       |  ORDER BY rank_micro DESC, node LIMIT 100)
+       |ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "g01_pagerank" -> (g01PageRank _, g01Sql),
     "g02_triangles" -> (g02Triangles _, g02Sql),
+    "g03_personalized_pagerank" -> (g03PersonalizedPageRank _, g03Sql),
   )
 }

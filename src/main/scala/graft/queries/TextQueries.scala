@@ -652,6 +652,48 @@ object TextQueries {
       |  ((SUM(bits) * 1000) // COUNT(*))::BIGINT AS mean_millibits
       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t18
+  /** Source-pair divergence matrix ([[TextAnalysis.domainDivergence]]):
+    * average bits of surprise of source A's tokens under source B's
+    * unigram stats, integer-exact (OOV mass in closed form, only the
+    * vocab intersection joins). The curation signal for mixture design:
+    * read each row against its diagonal. */
+  def t18DomainDivergence(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.domainDivergence(docs(spark, dir), "source", "text")
+      .orderBy("src_a", "src_b")
+
+  val t18Sql: String =
+    """WITH toks AS (
+      |  SELECT source AS src,
+      |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |counts AS (
+      |  SELECT src, word, COUNT(*) AS cnt FROM toks
+      |  WHERE word <> '' GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT src, SUM(cnt)::BIGINT AS n_total,
+      |    (LENGTH(BIN(SUM(cnt)::BIGINT)) - 1)::BIGINT AS maxbits
+      |  FROM counts GROUP BY 1),
+      |bcounts AS (
+      |  SELECT c.src AS src_b, c.word,
+      |    ((LENGTH(BIN(CAST(t.n_total // c.cnt AS BIGINT))) - 1)
+      |     - t.maxbits)::BIGINT AS delta_bits
+      |  FROM counts c JOIN totals t ON t.src = c.src),
+      |inner_ AS (
+      |  SELECT a.src AS src_a, b.src_b,
+      |    SUM(a.cnt * b.delta_bits)::BIGINT AS inner_bits
+      |  FROM counts a JOIN bcounts b ON b.word = a.word
+      |  GROUP BY 1, 2)
+      |SELECT ta.src AS src_a, tb.src AS src_b,
+      |  ta.n_total AS n_tokens_a,
+      |  (ta.n_total * tb.maxbits + COALESCE(i.inner_bits, 0))::BIGINT
+      |    AS cross_bits,
+      |  ((ta.n_total * tb.maxbits + COALESCE(i.inner_bits, 0)) * 1000
+      |    // ta.n_total)::BIGINT AS mean_millibits
+      |FROM totals ta CROSS JOIN totals tb
+      |LEFT JOIN inner_ i ON i.src_a = ta.src AND i.src_b = tb.src
+      |ORDER BY src_a, src_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -670,5 +712,6 @@ object TextQueries {
     "t15_oov_rate" -> (t15OovRate _, t15Sql),
     "t16_bm25" -> (t16Bm25 _, t16Sql),
     "t17_unigram_surprise" -> (t17UnigramSurprise _, t17Sql),
+    "t18_domain_divergence" -> (t18DomainDivergence _, t18Sql),
   )
 }

@@ -75,6 +75,47 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) > got(1L)) // sink accumulates 1's mass
   }
 
+  /** Scalar replica of personalizedPageRank's integer semantics. */
+  private def naivePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, scale: Long = 1000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val base = (scale * 15L) / 100L
+    var ranks = nodes.map(n => n -> (if (seeds(n)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inMass = e.groupBy(_._2).view.mapValues { in =>
+        in.map { case (src, _) => ranks(src) / outdeg(src) }.sum
+      }.toMap
+      ranks = nodes.map(n => n ->
+        ((if (seeds(n)) base else 0L) + (85L * inMass.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    ranks
+  }
+
+  test("personalizedPageRank: matches naive loop; non-reachable nodes stay 0") {
+    import spark.implicits._
+    // two components: {1,2,3} cyclic (seeded at 1), {10,11} (unseeded)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L),
+      (10L, 11L), (11L, 10L))
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", Seq(1L).toDF("node"), "node", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naivePpr(edges, Set(1L), 5))
+    assert(got(10L) == 0L && got(11L) == 0L)
+    assert(got(1L) > got(2L) && got(2L) > 0L && got(3L) > 0L)
+  }
+
+  test("personalizedPageRank: seeding every node equals uniform pageRank") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 2L))
+    val nodes = Seq(1L, 2L, 3L)
+    val ppr = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        "src", "dst", nodes.toDF("node"), "node", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == naivePageRank(edges, 4))
+  }
+
   private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
