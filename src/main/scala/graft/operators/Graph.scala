@@ -106,25 +106,37 @@ object Graph {
         when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contribs = eDeg
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"),
-          // `div` is Spark's integral division — `/` would detour through
-          // DOUBLE and lose exactness past 2^53
-          expr("rank div outdeg").as("c"))
-        .groupBy("node")
-        .agg(sum(col("c")).as("in_mass"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"), col("is_seed"),
-          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
-            expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
-            .cast("long").as("rank"))
+      // localCheckpoint per round: truncates lineage AND (deliberately)
+      // hides round N-1's plan from round N — the per-round plan shape
+      // is pinned separately via prRound in PlanQualitySpec
+      ranks = prRound(eDeg, nodes, ranks, base, dampNum, dampDen)
         .localCheckpoint()
     }
     e.unpersist()
     eDeg.unpersist()
     ranks.select(col("node"), col("rank"))
+  }
+
+  /** One power-iteration round — exposed so its plan (co-partitioned
+    * equi-join + partial-aggregating groupBy, no cartesian) can be
+    * asserted directly; `localCheckpoint` otherwise erases it. */
+  private[graft] def prRound(eDeg: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, base: Long, dampNum: Long,
+      dampDen: Long): DataFrame = {
+    val contribs = eDeg
+      .join(ranks.select(col("node").as("src"), col("rank")), "src")
+      .select(col("dst").as("node"),
+        // `div` is Spark's integral division — `/` would detour through
+        // DOUBLE and lose exactness past 2^53
+        expr("rank div outdeg").as("c"))
+      .groupBy("node")
+      .agg(sum(col("c")).as("in_mass"))
+    nodes
+      .join(contribs, Seq("node"), "left")
+      .select(col("node"), col("is_seed"),
+        (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+          expr(s"($dampNum * coalesce(in_mass, 0L)) div $dampDen"))
+          .cast("long").as("rank"))
   }
 
   /** Per-node triangle counts over an undirected edge list, via

@@ -125,7 +125,7 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
       "d05_embedding_neardup", "d07_containment", "d09_decontamination",
       "d10_substring_spans", "d11_substring_dedup", "d14_fuzzy_join",
-      "d15_semantic_dedup", "s05_knn_join_lsh")
+      "d15_semantic_dedup", "s05_knn_join_lsh", "g02_triangles")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
@@ -241,6 +241,69 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = out.queryExecution.executedPlan.toString
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"group-pair step degenerated to all-pairs:\n$p")
+  }
+
+  test("d18: bloom probe is row-local — corpus grams never shuffle " +
+    "before the candidate filter") {
+    val p = plan("d18_bloom_decontaminate")
+    // the one-row filter map reaches the probe via broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bloom filter map must broadcast:\n$p")
+    // the membership test is a Filter expression, not a join+agg per gram:
+    // shiftright against the broadcast map appears inside a Filter node
+    assert(p.contains("shiftright"), s"row-local bit test missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"d18 degenerated:\n$p")
+  }
+
+  test("g01: pagerank round is equi-join + partial agg, never cartesian") {
+    // the per-round plan is hidden by localCheckpoint in the full run —
+    // pin it directly through the exposed round function
+    import spark.implicits._
+    val eDeg = Seq((1L, 2L, 1L), (2L, 1L, 1L))
+      .toDF("src", "dst", "outdeg")
+    val nodes = Seq((1L, true), (2L, true)).toDF("node", "is_seed")
+    val ranks = nodes.select(nodes("node"), nodes("is_seed"),
+      org.apache.spark.sql.functions.lit(1000000L).as("rank"))
+    val round = graft.operators.Graph.prRound(eDeg, nodes, ranks,
+      150000L, 85L, 100L)
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"g01 round degenerated:\n$p")
+    assert(p.contains("partial_sum"),
+      s"contribution sum must partial-aggregate (map-side combine):\n$p")
+    // final top-100 of the full gate is a TakeOrdered, not a global sort
+    assert(plan("g01_pagerank").contains("TakeOrderedAndProject"))
+  }
+
+  test("t18: vocab intersection is an equi-join; only the 1-row-per-source " +
+    "totals may nested-loop") {
+    val p = plan("t18_domain_divergence")
+    assert(!p.contains("CartesianProduct"), s"t18 degenerated:\n$p")
+    // the big join (token counts x token counts on word) must be hash or
+    // sort-merge keyed on word — a nested loop here is quadratic in vocab
+    assert(p.contains("SortMergeJoin [word") ||
+      p.contains("ShuffledHashJoin [word") ||
+      p.contains("BroadcastHashJoin [word"),
+      s"word-intersection join must be an equi-join:\n$p")
+  }
+
+  test("p09: mixture thresholds broadcast back to the corpus probe") {
+    val p = plan("p09_mixture_sample")
+    assert(p.contains("BroadcastExchange"),
+      s"threshold table must broadcast, corpus must not shuffle:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-source counts must partial-aggregate:\n$p")
+  }
+
+  test("p11: quality report is single-pass partial aggregation per table") {
+    val p = plan("p11_quality_report")
+    assert(p.contains("partial_"), s"metrics must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // each table is scanned exactly once — a per-metric rescan would
+    // multiply the 100 TB cost by the metric count
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"documents scanned more than once:\n$p")
   }
 
   test("excel scan prunes columns at the source") {
