@@ -839,7 +839,60 @@ object RelationalQueries {
       |ORDER BY n_name""".stripMargin
 
   /** name → (query fn, oracle SQL) for everything in this object. */
+  // ---------------------------------------------------------------- q46
+  /** Time-series GAP FILL: hourly event aggregates joined onto a dense
+    * per-type calendar spine (`sequence` of hours between each type's
+    * first and last event), zero-filling counts and carrying the last
+    * observed value forward (`last(..., ignoreNulls)` over an ordered
+    * window) — the resample/as-of-carry pattern every monitoring and
+    * feature pipeline runs. The spine is generated from a per-type
+    * 2-row bound aggregate, so its cost scales with the TIME SPAN, not
+    * the event count, and the carry window partitions by type — fully
+    * parallel. */
+  def q46GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val hourly = t(spark, dir, "events")
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      .groupBy($"event_type", date_trunc("hour", $"ts_us").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"value"))).as("sum_value"))
+    val spine = hourly.groupBy($"event_type")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"event_type",
+        explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hour"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+      .withColumn("carry_value",
+        last($"sum_value", ignoreNulls = true).over(w))
+      .select($"event_type", $"hour", $"n", $"sum_value", $"carry_value")
+      .orderBy($"event_type", $"hour")
+  }
+
+  val q46Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type,
+      |    UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      |        FROM hourly GROUP BY 1))
+      |SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS n, h.sum_value,
+      |  LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_value
+      |FROM spine s
+      |LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+      |ORDER BY s.event_type, s.hour""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q46_gap_fill" -> (q46GapFill _, q46Sql),
     "q40_recursive_cte" -> (q40RecursiveCte _, q40Sql),
     "q44_rank_distribution" -> (q44RankDistribution _, q44Sql),
     "q42_unpivot" -> (q42Unpivot _, q42Sql),
