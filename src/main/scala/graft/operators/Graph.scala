@@ -87,19 +87,24 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // deg rides along with the edges so the per-round join is edges-sized
-    val eDeg = e.join(outdeg, "src").persist()
+    // out-degree rides along via a window over the src partitioning the
+    // edges already have — no extra shuffle, no groupBy+join-back
+    val eDeg = e.withColumn("outdeg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"))))
+      .persist()
     val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    // is_seed rides on the node list once; uniform PR seeds everything
-    val nodes = seeds match {
+    // is_seed rides on the node list once; uniform PR seeds everything.
+    // localCheckpoint: the node list is re-joined EVERY round — without
+    // it each round would recompute the distinct-union from scratch
+    val nodes = (seeds match {
       case Some(s) => allNodes
         .join(s.withColumn("is_seed", lit(true)), Seq("node"), "left")
         .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
       case None => allNodes.withColumn("is_seed", lit(true))
-    }
+    }).localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes
       .select(col("node"), col("is_seed"),

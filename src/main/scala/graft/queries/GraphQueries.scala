@@ -78,35 +78,30 @@ object GraphQueries {
   }
 
   // ---------------------------------------------------------------- g02
-  /** Triangle counts on the co-supplier graph: suppliers are linked when
-    * they both ship some size-1 part (p_size = 1 keeps the projection
-    * sparse the way a real co-occurrence graph would be df-capped).
-    * Degree-ordered orientation makes each triangle one closed wedge —
-    * the Suri-Vassilvitskii formulation whose fan-out survives celebrity
-    * nodes — and the (degree, id) tiebreak keeps it deterministic enough
-    * to mirror exactly. */
+  /** Triangle counts on the NEAR-DUP PAIR GRAPH (the d04/d12 edge set):
+    * a node's triangle count measures how clique-like its duplicate
+    * cluster is — high-cohesion clusters (every member pairs with every
+    * other) are safe to collapse aggressively, chain-shaped ones warrant
+    * review. Degree-ordered orientation makes each triangle one closed
+    * wedge — the Suri-Vassilvitskii formulation whose fan-out survives
+    * celebrity nodes (a TPC-H co-occurrence projection measured here
+    * is 141k edges over 1000 nodes, Σd² = 85M raw wedges; orientation is
+    * what keeps such density tractable) — and the (degree, id) tiebreak
+    * keeps it deterministic enough to mirror exactly. */
   def g02Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val ps = t(spark, dir, "lineitem")
-      .join(t(spark, dir, "part").filter(col("p_size") === 1),
-        col("p_partkey") === col("l_partkey"))
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
-    val edges = ps.as("a").join(ps.as("b"),
-        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("src"), col("b.s").as("dst"))
-      .distinct()
-    Graph.triangleCounts(edges, "src", "dst")
+    val edges = graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    Graph.triangleCounts(edges, "id_a", "id_b")
       .orderBy("node")
   }
 
   val g02Sql: String =
-    """WITH ps AS (
-      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s
-      |  FROM lineitem JOIN part ON p_partkey = l_partkey
-      |  WHERE p_size = 1),
+    s"""WITH pairs AS (
+      |${DedupQueries.all("d04_ngram_jaccard")._2}
+      |),
       |canon AS (
-      |  SELECT DISTINCT a.s AS a, b.s AS b
-      |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+      |  SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
       |deg AS (
       |  SELECT node, COUNT(*) AS d FROM (
       |    SELECT a AS node FROM canon
