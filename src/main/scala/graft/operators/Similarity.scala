@@ -303,6 +303,39 @@ object Similarity {
     * band keys shuffle as fixed-width longs, the join fan-out is bucket-
     * collision-bounded, and no row ever meets more than its bucket mates.
     * Recall tunes with (bandBits ↓, bandCount ↑) exactly as [[lshTopK]]. */
+  /** Approximate batch KNN join over INTEGER-quantized LSH buckets —
+    * [[knnJoinLsh]]'s semantics with [[quantizedLshBucket]]'s candidate
+    * decision, so (unlike the float-projection form) the whole join is
+    * bit-reproducible and fully oracle-checkable: same narrow
+    * ids-only candidate shuffle, exact-cosine re-rank among candidates,
+    * every bucket an integer. This is the DOCUMENTED DEFAULT batch-ANN
+    * path for the same reason s06 is the default point-query path. */
+  def knnJoinQuantized(queries: DataFrame, corpus: DataFrame, qIdCol: String,
+      qVecCol: String, idCol: String, vecCol: String, k: Int,
+      bandBits: Int = 4, bandCount: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(df: DataFrame, id: String, vec: String, outId: String) =
+      df.select(col(id).as(outId),
+        posexplode(array((0 until bandCount).map(b =>
+          quantizedLshBucket(col(vec), bandBits, b)): _*))
+          .as(Seq("band", "bucket")))
+    val qb = banded(queries, qIdCol, qVecCol, "qid")
+    val cb = banded(corpus, idCol, vecCol, "vec_id")
+    val candidates = qb.join(cb, Seq("band", "bucket"))
+      .select(col("qid"), col("vec_id"))
+      .dropDuplicates("qid", "vec_id")
+      .join(broadcast(queries.select(col(qIdCol).as("qid"),
+        col(qVecCol).as("qvec"))), "qid")
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec")),
+        "vec_id")
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosine(col("cvec"), col("qvec")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   def knnJoinLsh(queries: DataFrame, corpus: DataFrame, qIdCol: String,
       qVecCol: String, idCol: String, vecCol: String, k: Int,
       bandBits: Int = 8, bandCount: Int = 8, seed: Long = 42L): DataFrame = {

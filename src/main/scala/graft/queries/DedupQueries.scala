@@ -1017,6 +1017,55 @@ object DedupQueries {
       |LEFT JOIN ne ON ne.doc_id = base.doc_id
       |ORDER BY base.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d19
+  /** INCREMENTAL dedup — the daily-ingest shape production dedup actually
+    * runs: yesterday's corpus is already deduped into a FINGERPRINT STORE
+    * (16-byte md5 per distinct text — the store never holds documents),
+    * and each new batch checks itself (a) against the store and (b)
+    * within itself (first occurrence wins), without ever re-touching
+    * historical text. Batch rows classify as `dup_of_history`,
+    * `dup_in_batch`, or `unique`; only `unique` rows' fingerprints would
+    * append to the store.
+    *
+    * Scale shape: the store probe is a fixed-width md5 equi-join (store
+    * bucketed by fingerprint in production ⇒ co-located), the in-batch
+    * check is a window over the BATCH only — history size never enters
+    * any shuffle. New batches never reclassify old documents (no rank
+    * against history, no count dependence). */
+  def d19IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val hist = d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .distinct()
+      .withColumn("in_hist", lit(true))
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("first_in_batch",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+    batch
+      .join(hist, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(coalesce(col("in_hist"), lit(false)), "dup_of_history")
+          .when(col("doc_id") =!= col("first_in_batch"), "dup_in_batch")
+          .otherwise("unique").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val d19Sql: String =
+    """WITH hist AS (
+      |  SELECT DISTINCT MD5(text) AS fp FROM documents WHERE doc_id % 10 <> 7),
+      |batch AS (
+      |  SELECT doc_id, MD5(text) AS fp,
+      |    MIN(doc_id) OVER (PARTITION BY MD5(text)) AS first_in_batch
+      |  FROM documents WHERE doc_id % 10 = 7)
+      |SELECT b.doc_id, b.fp,
+      |  CASE WHEN h.fp IS NOT NULL THEN 'dup_of_history'
+      |       WHEN b.doc_id <> b.first_in_batch THEN 'dup_in_batch'
+      |       ELSE 'unique' END AS status
+      |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
+      |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),
@@ -1036,5 +1085,6 @@ object DedupQueries {
     "d16_streaming_neardup" -> (d16StreamingNearDup _, d16Sql),
     "d17_paragraph_dedup" -> (d17ParagraphDedup _, d17Sql),
     "d18_bloom_decontaminate" -> (d18BloomDecontaminate _, d18Sql),
+    "d19_incremental_dedup" -> (d19IncrementalDedup _, d19Sql),
   )
 }

@@ -891,8 +891,68 @@ object RelationalQueries {
       |LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
       |ORDER BY s.event_type, s.hour""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** FUNNEL analysis (view → click → purchase, strictly ordered per
+    * user): stage N's timestamp must follow stage N-1's first hit — the
+    * sequential-pattern query behind conversion and activation metrics.
+    * Each stage is one co-partitioned groupBy on user_id feeding the
+    * next stage's filter; timestamps stay raw int64 nanos end to end
+    * (comparisons only — no calendar math, no precision loss). Counts
+    * and drop-off ratios are integral, so the oracle is exact. */
+  def q47Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(spark, dir, "events").select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("step", lit(1L))
+      .unionAll(s2.agg(count(lit(1)).as("n")).withColumn("step", lit(2L)))
+      .unionAll(s3.agg(count(lit(1)).as("n")).withColumn("step", lit(3L)))
+    counts
+      .withColumn("stage", element_at(
+        array(lit("1_view"), lit("2_click"), lit("3_purchase")),
+        $"step".cast("int")))
+      .withColumn("pct_of_first_micro",
+        expr("(n * 1000000) div first_value(n) over (order by step " +
+          "rows between unbounded preceding and unbounded following)"))
+      .select($"step", $"stage", $"n".as("n_users"), $"pct_of_first_micro")
+      .orderBy("step")
+  }
+
+  val q47Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      |counts AS (
+      |  SELECT 1::BIGINT AS step, '1_view' AS stage,
+      |         (SELECT COUNT(*) FROM s1)::BIGINT AS n_users
+      |  UNION ALL
+      |  SELECT 2, '2_click', (SELECT COUNT(*) FROM s2)
+      |  UNION ALL
+      |  SELECT 3, '3_purchase', (SELECT COUNT(*) FROM s3))
+      |SELECT step, stage, n_users,
+      |  ((n_users * 1000000) // FIRST_VALUE(n_users) OVER (ORDER BY step
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |    ::BIGINT AS pct_of_first_micro
+      |FROM counts ORDER BY step""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q46_gap_fill" -> (q46GapFill _, q46Sql),
+    "q47_funnel" -> (q47Funnel _, q47Sql),
     "q40_recursive_cte" -> (q40RecursiveCte _, q40Sql),
     "q44_rank_distribution" -> (q44RankDistribution _, q44Sql),
     "q42_unpivot" -> (q42Unpivot _, q42Sql),

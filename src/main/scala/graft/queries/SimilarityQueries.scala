@@ -184,6 +184,60 @@ object SimilarityQueries {
       |    / CAST(LEN(qv) AS DOUBLE), 6) AS mse
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s08
+  /** Quantized batch KNN join — s05's banded-candidate semantics with
+    * s06's integer bucket decision, so the whole approximate JOIN carries
+    * a full oracle (the float variant is verifiable only by recall spec).
+    * Five query vectors against the corpus, top-5 each among candidates
+    * sharing ≥ 1 of 8 four-bit band buckets. */
+  def s08KnnJoinQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = emb(spark, dir)
+    Similarity.knnJoinQuantized(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, bandBits = 4, bandCount = 8)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Candidate decision mirrored from [[Similarity.quantizedLshBucket]]
+    * (the s06 constants), re-rank mirrored from the s04 cosine fold. */
+  val s08Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |bk AS (
+      |  SELECT vec_id, band,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, 4), bit ->
+      |      CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q) + 1), i ->
+      |          q[i] * ((((band * 4 + bit) * LEN(q) + (i - 1)) * 2654435761
+      |                   + 40503) % 8191 - 4095)))
+      |        >= 0 THEN 1 << bit ELSE 0 END)) AS bucket
+      |  FROM qv CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS band)),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id
+      |  FROM bk qb JOIN bk cb ON cb.band = qb.band AND cb.bucket = qb.bucket
+      |  WHERE qb.vec_id < 5),
+      |scored AS (
+      |  SELECT c.qid, c.vec_id,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN embeddings q ON q.vec_id = c.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, vec_id, cos, rank FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),
     "s02_ann_lsh" -> (s02LshTopK _, null),
@@ -192,5 +246,6 @@ object SimilarityQueries {
     "s05_knn_join_lsh" -> (s05KnnJoinLsh _, null),
     "s06_ann_qlsh" -> (s06QuantizedLsh _, s06Sql),
     "s07_embedding_quantize" -> (s07QuantizeAudit _, s07Sql),
+    "s08_knn_join_qlsh" -> (s08KnnJoinQuantized _, s08Sql),
   )
 }
