@@ -533,6 +533,15 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = got.map { case (q, _, id) => (q, id) }.toSet
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.8, s"knn-join LSH recall was $recall")
+
+    // quantized variant (the oracled default): same recall bar on the
+    // same probes, no float in the candidate decision
+    val qlsh = Similarity.knnJoinQuantized(queries, corpus, "vec_id",
+      "embedding", "vec_id", "embedding", k = 5, bandBits = 4, bandCount = 8)
+      .collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("vec_id"))))
+      .toSet
+    val qRecall = (exact & qlsh).size.toDouble / exact.size
+    assert(qRecall >= 0.8, s"knn-join quantized-LSH recall was $qRecall")
   }
 
   test("multimodal decode plumbing: schema, determinism, null payloads") {
