@@ -663,6 +663,37 @@ object Multimodal {
       modality.as("modality"))
   }
 
+  /** REAL audio resample by integer DECIMATION: decode 16-bit PCM mono
+    * via javax.sound, keep every `factor`-th sample frame, re-encode as
+    * a playable WAV at `rate / factor`. Integer sample selection — no
+    * interpolation filter — so the output samples are an exact subset of
+    * the input and the whole pipeline is mirrorable (a production
+    * anti-aliased resampler would drop in here; decimation is the
+    * deterministic skeleton). None for non-PCM input. */
+  def resampleAudioPayload(payload: Array[Byte], factor: Int): Option[Array[Byte]] =
+    try {
+      require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getChannels != 1) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val out = Array.ofDim[Short]((n + factor - 1) / factor)
+          var i = 0
+          while (i * factor < n) {
+            val p = i * factor * 2
+            out(i) = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort
+            i += 1
+          }
+          Some(pcmWav(fmt.getSampleRate.toInt / factor, out))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   /** Encode a horizontal+vertical gray GRADIENT as a real PNG:
     * pixel(x, y) = (seed + 3x + 7y) mod 256 in all three channels
     * (fixture helper for the perceptual-hash gate — gradients give dHash

@@ -331,6 +331,54 @@ object MultimodalQueries {
       |  COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same_hash
       |FROM hashed ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m08
+  /** REAL end-to-end audio resample, fully oracled: planted PCM WAV
+    * (m05's doc_id-derived samples) → [[Multimodal.resampleAudioPayload]]
+    * (real javax.sound decode, integer decimation, real WAV re-encode) →
+    * [[Multimodal.decodeAudioStats]] on the RESAMPLED bytes. Decimation
+    * keeps samples at indices 0, f, 2f, … so the oracle selects the same
+    * arithmetic subsequence and reproduces rate, count, mean, and peak
+    * exactly. */
+  def m08AudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+    ids.mapPartitions(_.map { id =>
+      val n = (50 + id % 30).toInt
+      val rate = (8000L * (1 + id % 5)).toInt
+      val f = (1 + id % 3).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 31 + i.toLong * 17) % 65521) - 32760).toShort)
+      val out = Multimodal.resampleAudioPayload(
+        Multimodal.pcmWav(rate, samples), f).get
+      val st = Multimodal.decodeAudioStats(out).get
+      (id, f.toLong, st.sampleRate.toLong, st.nSamples, st.meanAmp,
+        st.maxAbs)
+    }).toDF("doc_id", "factor", "out_rate", "out_samples", "mean_amp",
+      "max_abs")
+      .withColumn("mean_amp", round(col("mean_amp"), 6))
+      .orderBy("doc_id")
+  }
+
+  val m08Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 50 + doc_id % 30 AS n, 8000 * (1 + doc_id % 5) AS rate,
+      |         1 + doc_id % 3 AS f
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT doc_id, n, rate, f,
+      |    LIST_TRANSFORM(RANGE(0, (n + f - 1) // f),
+      |      i -> (doc_id * 31 + (i * f) * 17) % 65521 - 32760) AS xs
+      |  FROM a)
+      |SELECT doc_id, f::BIGINT AS factor,
+      |  (rate // f)::BIGINT AS out_rate,
+      |  ((n + f - 1) // f)::BIGINT AS out_samples,
+      |  ROUND(LIST_SUM(xs)::DOUBLE / ((n + f - 1) // f), 6) AS mean_amp,
+      |  LIST_MAX(LIST_TRANSFORM(xs, x -> ABS(x)))::BIGINT AS max_abs
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m01_multimodal_meta" -> (m01DecodeMeta _, m01Sql),
     "m02_frame_sample" -> (m02FrameSample _, m02Sql),
@@ -339,5 +387,6 @@ object MultimodalQueries {
     "m05_audio_stats" -> (m05AudioStats _, m05Sql),
     "m06_real_resize" -> (m06RealResize _, m06Sql),
     "m07_perceptual_hash" -> (m07PerceptualHash _, m07Sql),
+    "m08_audio_resample" -> (m08AudioResample _, m08Sql),
   )
 }

@@ -950,9 +950,63 @@ object RelationalQueries {
       |    ::BIGINT AS pct_of_first_micro
       |FROM counts ORDER BY step""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** RETENTION COHORTS: users grouped by first-activity week, tracked by
+    * weeks-since-cohort — the triangular matrix behind every growth
+    * dashboard. Week truncation is ISO-Monday in both engines; offsets
+    * are integral day-diffs div 7; retention is a micro-unit integral
+    * ratio against the cohort's size. Scale shape: one distinct over
+    * (user, week) — fixed-width — then a per-user min and two
+    * partial-agg groupBys; nothing is ever per-event after the first
+    * projection. */
+  def q48RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val weeks = t(spark, dir, "events")
+      .select($"user_id",
+        date_trunc("week", expr("timestamp_micros(ts div 1000)"))
+          .cast("date").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy($"user_id")
+      .agg(min($"week").as("cohort_week"))
+    val sizes = cohorts.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohorts, "user_id")
+      .withColumn("k", expr("datediff(week, cohort_week) div 7"))
+      .groupBy($"cohort_week", $"k")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .withColumn("retention_micro",
+        expr("(n_active * 1000000) div cohort_size"))
+      .select($"cohort_week", $"k", $"n_active", $"cohort_size",
+        $"retention_micro")
+      .orderBy($"cohort_week", $"k")
+  }
+
+  val q48Sql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(DATE_TRUNC('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1),
+      |cells AS (
+      |  SELECT c.cohort_week,
+      |    (DATE_DIFF('day', c.cohort_week, w.week) // 7)::BIGINT AS k,
+      |    COUNT(*) AS n_active
+      |  FROM weeks w JOIN cohorts c ON c.user_id = w.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cells.cohort_week, k, n_active, cohort_size,
+      |  ((n_active * 1000000) // cohort_size)::BIGINT AS retention_micro
+      |FROM cells JOIN sizes ON sizes.cohort_week = cells.cohort_week
+      |ORDER BY cells.cohort_week, k""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q46_gap_fill" -> (q46GapFill _, q46Sql),
     "q47_funnel" -> (q47Funnel _, q47Sql),
+    "q48_retention_cohorts" -> (q48RetentionCohorts _, q48Sql),
     "q40_recursive_cte" -> (q40RecursiveCte _, q40Sql),
     "q44_rank_distribution" -> (q44RankDistribution _, q44Sql),
     "q42_unpivot" -> (q42Unpivot _, q42Sql),
