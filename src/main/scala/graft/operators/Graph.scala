@@ -144,6 +144,53 @@ object Graph {
           .cast("long").as("rank"))
   }
 
+  /** Fixed-round K-CORE peeling over an undirected edge list: each round
+    * removes every node whose current degree is below `k` (and its
+    * edges); after `rounds` rounds the survivors are a SUPERSET of the
+    * true k-core that equals it once peeling has stabilized — and the
+    * round count is part of the operator's contract (like [[pageRank]]'s
+    * fixed iterations), so the result is deterministic and mirrorable
+    * regardless of convergence. Near-dup graphs peel to fixpoint in a
+    * handful of rounds (cluster shapes are shallow); adversarially deep
+    * peeling chains would need `rounds` ≈ the chain length, which the
+    * caller can raise.
+    *
+    * Per round: one partial-agg degree count + two semi-joins — all
+    * equi-joins on node ids, fixed-width rows, `localCheckpoint` lineage
+    * truncation, no driver scalars.
+    *
+    * @return (node, in_core, core_degree) for every node of the input
+    *         graph; non-survivors carry core_degree 0. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val half = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym0 = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val allNodes = sym0.select(col("a").as("node")).distinct()
+      .localCheckpoint()
+    var sym = sym0.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("a").as("node"))
+      sym = sym
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    val coreDeg = sym.groupBy("a").agg(count(lit(1)).as("core_degree"))
+      .select(col("a").as("node"), col("core_degree"))
+    allNodes
+      .join(coreDeg, Seq("node"), "left")
+      .select(col("node"),
+        col("core_degree").isNotNull.as("in_core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"))
+  }
+
   /** Per-node triangle counts over an undirected edge list, via
     * degree-ordered orientation (the standard scalable formulation:
     * Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last

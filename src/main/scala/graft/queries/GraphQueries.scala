@@ -192,9 +192,50 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g04
+  /** 2-core of the near-dup pair graph by six fixed peeling rounds:
+    * nodes that survive belong to a CYCLE of near-duplicates (chains and
+    * pendant copies peel away) — the "safe to auto-collapse" core,
+    * complementary to g02's triangle cohesion. Fixed rounds keep the
+    * result deterministic whether or not peeling has stabilized, so the
+    * oracle unrolls the same six rounds. */
+  def g04KCore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    Graph.kCore(edges, "id_a", "id_b", k = 2, rounds = 6)
+      .orderBy("node")
+  }
+
+  val g04Sql: String = {
+    val round = (r: Int) =>
+      s"""keep$r AS (
+         |  SELECT a AS node FROM e${r - 1} GROUP BY a HAVING COUNT(*) >= 2),
+         |e$r AS (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN keep$r ka ON ka.node = e.a
+         |  JOIN keep$r kb ON kb.node = e.b)""".stripMargin
+    s"""WITH pairs AS (
+       |${DedupQueries.all("d04_ngram_jaccard")._2}
+       |),
+       |half AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b),
+       |e0 AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM half UNION ALL SELECT b, a FROM half)),
+       |n AS (SELECT DISTINCT a AS node FROM e0),
+       |${(1 to 6).map(round).mkString(",\n")},
+       |cd AS (SELECT a AS node, COUNT(*) AS core_degree FROM e6 GROUP BY a)
+       |SELECT n.node, cd.node IS NOT NULL AS in_core,
+       |  COALESCE(cd.core_degree, 0)::BIGINT AS core_degree
+       |FROM n LEFT JOIN cd ON cd.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "g01_pagerank" -> (g01PageRank _, g01Sql),
     "g02_triangles" -> (g02Triangles _, g02Sql),
     "g03_personalized_pagerank" -> (g03PersonalizedPageRank _, g03Sql),
+    "g04_kcore" -> (g04KCore _, g04Sql),
   )
 }

@@ -116,6 +116,46 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ppr == naivePageRank(edges, 4))
   }
 
+  /** Scalar replica of kCore's fixed-round peeling semantics. */
+  private def naiveKCore(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, (Boolean, Long)] = {
+    val sym0 = edges.filter(e => e._1 != e._2)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val nodes = sym0.map(_._1).distinct
+    var sym = sym0
+    for (_ <- 1 to rounds) {
+      val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      sym = sym.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val cd = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    nodes.map(n => n -> (cd.contains(n), cd.getOrElse(n, 0L))).toMap
+  }
+
+  test("kCore: cycles survive the 2-core, chains and pendants peel away") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5 + pendant 1-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (1L, 9L))
+    val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", 2, 6)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+    assert(got == naiveKCore(edges, 2, 6))
+    assert(got(1L) == (true, 2L) && got(2L) == (true, 2L) && got(3L) == (true, 2L))
+    assert(!got(4L)._1 && !got(5L)._1 && !got(9L)._1)
+  }
+
+  test("kCore: matches naive peeling on an irregular graph at several k") {
+    import spark.implicits._
+    val edges = (for (a <- 1L to 14L; b <- (a + 1) to 14L
+      if (a * 13 + b * 29) % 4 == 0) yield (a, b)).toSeq
+    for (k <- Seq(2, 3)) {
+      val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, 8)
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+        .toMap
+      assert(got == naiveKCore(edges, k, 8), s"k=$k")
+    }
+  }
+
   private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
