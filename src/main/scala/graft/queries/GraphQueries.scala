@@ -64,11 +64,11 @@ object GraphQueries {
        |  WITH pairs AS (
        |    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |  edges AS (
+       |  edges AS MATERIALIZED (
        |    SELECT c AS src, s AS dst FROM pairs
        |    UNION ALL
        |    SELECT s AS src, c AS dst FROM pairs),
-       |  deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |  deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
        |  n AS (SELECT DISTINCT src AS node FROM edges),
        |  i0 AS (SELECT node, 1000000::BIGINT AS r FROM n),
        |  ${(1 to 5).map(round).mkString(",\n")}
@@ -97,17 +97,17 @@ object GraphQueries {
   }
 
   val g02Sql: String =
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
       |${DedupQueries.all("d04_ngram_jaccard")._2}
       |),
-      |canon AS (
+      |canon AS MATERIALIZED (
       |  SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
-      |deg AS (
+      |deg AS MATERIALIZED (
       |  SELECT node, COUNT(*) AS d FROM (
       |    SELECT a AS node FROM canon
       |    UNION ALL
       |    SELECT b AS node FROM canon) GROUP BY 1),
-      |oriented AS (
+      |oriented AS MATERIALIZED (
       |  SELECT
       |    CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND c.a < c.b)
       |         THEN c.a ELSE c.b END AS u,
@@ -116,7 +116,7 @@ object GraphQueries {
       |  FROM canon c
       |  JOIN deg d1 ON d1.node = c.a
       |  JOIN deg d2 ON d2.node = c.b),
-      |tri AS (
+      |tri AS MATERIALIZED (
       |  SELECT l.u, l.v, r.v AS w
       |  FROM oriented l JOIN oriented r ON l.u = r.u AND l.v <> r.v
       |  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = l.v AND o.v = r.v)),
@@ -173,11 +173,11 @@ object GraphQueries {
        |  WITH pairs AS (
        |    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
        |    FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |  edges AS (
+       |  edges AS MATERIALIZED (
        |    SELECT c AS src, s AS dst FROM pairs
        |    UNION ALL
        |    SELECT s AS src, c AS dst FROM pairs),
-       |  deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |  deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
        |  n AS (
        |    SELECT node,
        |      node % 2 = 1 AND ((node - 1) // 2) % 10 = 0
@@ -208,19 +208,22 @@ object GraphQueries {
   }
 
   val g04Sql: String = {
+    // AS MATERIALIZED is load-bearing: each round references the prior
+    // round twice (degree count + semi-join) — inlined CTEs would
+    // recompute the d04 pair join 2^rounds times
     val round = (r: Int) =>
-      s"""keep$r AS (
+      s"""keep$r AS MATERIALIZED (
          |  SELECT a AS node FROM e${r - 1} GROUP BY a HAVING COUNT(*) >= 2),
-         |e$r AS (
+         |e$r AS MATERIALIZED (
          |  SELECT e.a, e.b FROM e${r - 1} e
          |  JOIN keep$r ka ON ka.node = e.a
          |  JOIN keep$r kb ON kb.node = e.b)""".stripMargin
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |${DedupQueries.all("d04_ngram_jaccard")._2}
        |),
        |half AS (
        |  SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b),
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT DISTINCT a, b FROM (
        |    SELECT a, b FROM half UNION ALL SELECT b, a FROM half)),
        |n AS (SELECT DISTINCT a AS node FROM e0),
