@@ -125,7 +125,8 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
       "d05_embedding_neardup", "d07_containment", "d09_decontamination",
       "d10_substring_spans", "d11_substring_dedup", "d14_fuzzy_join",
-      "d15_semantic_dedup", "s05_knn_join_lsh", "g02_triangles")
+      "d15_semantic_dedup", "s05_knn_join_lsh", "s08_knn_join_qlsh",
+      "g02_triangles", "d19_incremental_dedup")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
