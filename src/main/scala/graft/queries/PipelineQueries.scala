@@ -536,6 +536,56 @@ object PipelineQueries {
       |SELECT tbl, metric, value_micro::BIGINT AS value_micro
       |FROM rows_ ORDER BY tbl, metric""".stripMargin
 
+  // ---------------------------------------------------------------- p12
+  /** DATASET CARD: the per-language corpus summary published with every
+    * released training set — document/token/char volumes, exact-duplicate
+    * rate, and per-source spread, in ONE partial-agg pass over the corpus
+    * plus one md5-distinct (the same fingerprint shuffle d01 uses). All
+    * integral (milli-token means, micro dup rates), so the card is
+    * engine-exact. */
+  def p12DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val perLang = d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"),
+      countDistinct(col("fp")).as("distinct_texts"),
+      countDistinct(col("source")).as("n_sources"))
+    perLang
+      .withColumn("dup_docs", col("n_docs") - col("distinct_texts"))
+      .withColumn("dup_rate_micro", expr("(dup_docs * 1000000) div n_docs"))
+      .withColumn("mean_tokens_milli",
+        expr("(total_tokens * 1000) div n_docs"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("n_sources"), col("dup_docs"),
+        col("dup_rate_micro"), col("mean_tokens_milli"))
+      .orderBy("lang")
+  }
+
+  val p12Sql: String =
+    """WITH d AS (
+      |  SELECT lang, source, text,
+      |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END::BIGINT
+      |      AS n_tokens,
+      |    MD5(text) AS fp
+      |  FROM documents),
+      |per AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    SUM(n_tokens)::BIGINT AS total_tokens,
+      |    SUM(LENGTH(text))::BIGINT AS total_chars,
+      |    COUNT(DISTINCT fp) AS distinct_texts,
+      |    COUNT(DISTINCT source) AS n_sources
+      |  FROM d GROUP BY 1)
+      |SELECT lang, n_docs, total_tokens, total_chars, n_sources,
+      |  (n_docs - distinct_texts)::BIGINT AS dup_docs,
+      |  (((n_docs - distinct_texts) * 1000000) // n_docs)::BIGINT
+      |    AS dup_rate_micro,
+      |  ((total_tokens * 1000) // n_docs)::BIGINT AS mean_tokens_milli
+      |FROM per ORDER BY lang""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "p06_zorder_layout" -> (p06ZorderLayout _, p06Sql),
     "p07_scd2_merge" -> (p07Scd2Merge _, p07Sql),
@@ -548,5 +598,6 @@ object PipelineQueries {
     "p09_mixture_sample" -> (p09MixtureSample _, p09Sql),
     "p10_compaction_plan" -> (p10CompactionPlan _, p10Sql),
     "p11_quality_report" -> (p11QualityReport _, p11Sql),
+    "p12_dataset_card" -> (p12DatasetCard _, p12Sql),
   )
 }

@@ -45,4 +45,32 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() ==
       orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey")).count())
   }
+
+  test("d19's fingerprint store probed bucketed: store side never re-shuffles") {
+    // the incremental-dedup scale claim made concrete: the HISTORICAL
+    // fingerprint store persists bucketed by fp, so each day's batch
+    // probe shuffles ONLY the new batch — the store (the 100 TB side)
+    // reads in place, every day, forever
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .distinct()
+      .write.bucketBy(8, "fp").sortBy("fp")
+      .mode("overwrite").saveAsTable("fp_store")
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val probe = batch.join(spark.table("fp_store"), Seq("fp"), "left_semi")
+    val plan = probe.queryExecution.executedPlan.toString
+    // exactly one Exchange: the batch re-partitioning to the store's
+    // bucketing; a second would mean the store itself shuffled
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"store side must not shuffle:\n$plan")
+    // same result as the unbucketed probe (and the batch itself is real)
+    val unbucketed = batch.join(
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(md5(col("text").cast("binary")).as("fp")).distinct(),
+      Seq("fp"), "left_semi")
+    assert(batch.count() > 0 && probe.count() == unbucketed.count())
+  }
 }
