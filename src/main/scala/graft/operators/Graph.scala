@@ -110,12 +110,16 @@ object Graph {
       .select(col("node"), col("is_seed"),
         when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint()
-    for (_ <- 1 to iterations) {
-      // localCheckpoint per round: truncates lineage AND (deliberately)
-      // hides round N-1's plan from round N — the per-round plan shape
-      // is pinned separately via prRound in PlanQualitySpec
+    for (i <- 1 to iterations) {
       ranks = prRound(eDeg, nodes, ranks, base, dampNum, dampDen)
-        .localCheckpoint()
+      // each round references the previous `ranks` exactly ONCE, so the
+      // lazily-composed multi-round plan still executes every stage once
+      // — unlike hash-min CC there is no per-round driver action forcing
+      // materialization. Checkpoint only every third round (and at the
+      // end): enough to bound plan depth for large iteration counts,
+      // without paying an eager materialization job per round. The
+      // per-round plan shape is pinned via prRound in PlanQualitySpec.
+      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
     }
     e.unpersist()
     eDeg.unpersist()
