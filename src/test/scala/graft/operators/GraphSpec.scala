@@ -191,4 +191,89 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.filter { case (n, _) => adj.contains(n) }.toMap
     assert(runTriangles(edges) == naive)
   }
+
+  // ------------------------------------------------------- labelPropagation
+
+  /** Scalar replica of Graph.labelPropagation's synchronous min-label
+    * semantics. */
+  private def naiveLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = sym.map(_._1).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = nodes.map { n =>
+        val votes = adj(n).map(lab).groupBy(identity).view.mapValues(_.size)
+        val mc = votes.values.max
+        n -> votes.filter(_._2 == mc).keys.min
+      }.toMap
+    }
+    lab
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: bridged triangles settle into two communities") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), // triangle A
+      (4L, 5L), (4L, 6L), (5L, 6L), // triangle B
+      (3L, 4L)) // bridge
+    val got = runLpa(edges, 4)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+    assert(got(1L) != got(4L), s"bridge should not merge communities: $got")
+    assert(got == naiveLpa(edges, 4))
+  }
+
+  test("labelPropagation: a clique collapses to its min label") {
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = runLpa(clique.toSeq, 4)
+    assert(got.values.toSet == Set(1L), s"clique should agree on 1: $got")
+  }
+
+  test("labelPropagation: matches the naive synchronous loop exactly") {
+    val edges = (for (a <- 1L to 14L; b <- (a + 1) to 14L
+      if (a * 13 + b * 7) % 4 == 0) yield (a, b)).toSeq
+    for (r <- 1 to 4)
+      assert(runLpa(edges, r) == naiveLpa(edges, r), s"diverged at round $r")
+  }
+
+  // ---------------------------------------------------- commonNeighborPairs
+
+  private def runCn(edges: Seq[(Long, Long)],
+      cap: Long = 10000L): Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Graph.commonNeighborPairs(edges.toDF("src", "dst"), "src", "dst", cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+  }
+
+  test("commonNeighborPairs: path predicts its endpoints") {
+    // 1-2-3: (1,3) share {2}; deg(1)=deg(3)=1 so Jaccard = 1/1
+    assert(runCn(Seq((1L, 2L), (2L, 3L))) == Set((1L, 3L, 1L, 1L, 1000L)))
+  }
+
+  test("commonNeighborPairs: square predicts both diagonals") {
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    // each diagonal shares BOTH off-diagonal nodes: common 2, union 2
+    assert(runCn(sq) == Set((1L, 3L, 2L, 2L, 1000L), (2L, 4L, 2L, 2L, 1000L)))
+  }
+
+  test("commonNeighborPairs: adjacent pairs are never predicted") {
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(runCn(triangle).isEmpty)
+  }
+
+  test("commonNeighborPairs: pivotDegCap silences hub-mediated wedges") {
+    val star = (1L to 5L).map(l => (0L, l))
+    // uncapped: the hub pivots C(5,2) leaf pairs, each 1/1 Jaccard
+    assert(runCn(star).size == 10)
+    // capped below the hub degree: leaves (degree 1) generate no wedges
+    assert(runCn(star, cap = 4L).isEmpty)
+  }
 }

@@ -126,7 +126,7 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "d05_embedding_neardup", "d07_containment", "d09_decontamination",
       "d10_substring_spans", "d11_substring_dedup", "d14_fuzzy_join",
       "d15_semantic_dedup", "s05_knn_join_lsh", "s08_knn_join_qlsh",
-      "g02_triangles", "d19_incremental_dedup")
+      "g02_triangles", "d19_incremental_dedup", "g06_link_prediction")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
@@ -273,6 +273,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"contribution sum must partial-aggregate (map-side combine):\n$p")
     // final top-100 of the full gate is a TakeOrdered, not a global sort
     assert(plan("g01_pagerank").contains("TakeOrderedAndProject"))
+  }
+
+  test("g05: label-propagation round is equi-joins + partial aggs, " +
+    "never cartesian") {
+    // same localCheckpoint opacity as g01 — pin through the round fn
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("node", "community")
+    val p = graft.operators.Graph.lpRound(sym, labels)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"g05 round degenerated:\n$p")
+    assert(p.contains("partial_count"),
+      s"vote count must partial-aggregate (map-side combine):\n$p")
   }
 
   test("t18: vocab intersection is an equi-join; only the 1-row-per-source " +
