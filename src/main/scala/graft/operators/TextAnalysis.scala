@@ -346,4 +346,36 @@ object TextAnalysis {
       .withColumn("mean_millibits",
         expr("(surprise_bits * 1000) div n_tokens"))
 }
+
+  /** Fixed-window document CHUNKING with overlap — the splitter that
+    * feeds RAG indexing and long-context training-window construction: a
+    * character window of `size` starts every `size - overlap` characters
+    * (so consecutive chunks share `overlap` characters of context), the
+    * last window is ragged, and empty documents produce no chunks. A
+    * document of length L yields `1 + (L-1) div (size-overlap)` chunks —
+    * every character belongs to at least one chunk.
+    *
+    * Scale shape: pure row-local fan-out (`sequence` → `explode` →
+    * `substring`), NO shuffle at all — at 100 TB chunking is a map-only
+    * stage, and output size is input size × (1 + overlap/(size-overlap)),
+    * a constant the caller controls. Downstream embed/tokenize stages
+    * see (id, chunk_idx) keys that inherit the input's partitioning.
+    *
+    * @return (idCol, chunk_idx BIGINT, chunk_start BIGINT 0-based,
+    *         chunk STRING), one row per chunk. */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int,
+      overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size >= 1, "chunk size must be positive")
+    require(overlap >= 0 && overlap < size, "overlap must be in [0, size)")
+    val step = size - overlap
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__chunk_src"),
+        explode(expr(s"sequence(0L, (length(`$textCol`) - 1) div $step)"))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * step).as("chunk_start"),
+        expr(s"substring(__chunk_src, cast(chunk_idx * $step as int) + 1, $size)")
+          .as("chunk"))
+  }
 }

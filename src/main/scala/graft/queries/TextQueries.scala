@@ -694,6 +694,31 @@ object TextQueries {
       |LEFT JOIN inner_ i ON i.src_a = ta.src AND i.src_b = tb.src
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- t19
+  /** Fixed-window chunking with overlap (500-char windows every 400
+    * chars): the RAG-index / long-context splitter. Chunk boundaries and
+    * bytes are deterministic functions of the text, so the oracle
+    * reproduces every chunk fingerprint; the dump carries md5 + length
+    * instead of the chunk text to stay narrow. */
+  def t19Chunking(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(docs(spark, dir), "doc_id", "text",
+      size = 500, overlap = 100)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("n_chars"),
+        md5(col("chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val t19Sql: String =
+    """WITH idx AS (
+      |  SELECT doc_id, text,
+      |    UNNEST(generate_series(0, (LENGTH(text) - 1) // 400)) AS i
+      |  FROM documents
+      |  WHERE LENGTH(text) > 0)
+      |SELECT doc_id, i AS chunk_idx, (i * 400)::BIGINT AS chunk_start,
+      |  LENGTH(SUBSTRING(text, (i * 400 + 1)::INT, 500))::BIGINT AS n_chars,
+      |  MD5(SUBSTRING(text, (i * 400 + 1)::INT, 500)) AS chunk_fp
+      |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -713,5 +738,6 @@ object TextQueries {
     "t16_bm25" -> (t16Bm25 _, t16Sql),
     "t17_unigram_surprise" -> (t17UnigramSurprise _, t17Sql),
     "t18_domain_divergence" -> (t18DomainDivergence _, t18Sql),
+    "t19_chunking" -> (t19Chunking _, t19Sql),
   )
 }

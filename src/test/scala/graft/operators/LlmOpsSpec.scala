@@ -985,4 +985,35 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got(1) - 1.0) < 1e-12)
     assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
   }
+
+  test("chunkDocuments: windows tile with overlap, ragged tail, empty skipped") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), // 10 chars
+      (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+      size = 4, overlap = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // step 2: doc 1 (len 10) -> starts 0,2,4,6,8; doc 2 (len 3) -> 0,2
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, "abcd"), (1L, 1L, 2L, "cdef"), (1L, 2L, 4L, "efgh"),
+      (1L, 3L, 6L, "ghij"), (1L, 4L, 8L, "ij"),
+      (2L, 0L, 0L, "abc"), (2L, 1L, 2L, "c")))
+  }
+
+  test("chunkDocuments: every character is covered; zero overlap partitions") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 5 // 130 chars
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+      size = 50, overlap = 0)
+      .orderBy("chunk_idx").collect().map(_.getString(3))
+    assert(chunks.mkString == text) // zero overlap => exact partition
+    assert(chunks.map(_.length).toSeq == Seq(50, 50, 30))
+    // reject bad params loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "doc_id", "text", size = 4, overlap = 4)
+    }
+  }
 }
