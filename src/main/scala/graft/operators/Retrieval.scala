@@ -79,4 +79,45 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of two
+    * per-query ranked candidate lists — the standard hybrid-retrieval
+    * combiner: fuse a lexical ranking ([[bm25TopK]]) with a vector
+    * ranking ([[Similarity.bruteForceTopK]] / the quantized ANN path)
+    * without comparing their incommensurable scores, only their ranks.
+    *
+    * INTEGER-EXACT on purpose (the [[Graph]] fixed-point policy): each
+    * list contributes `scale div (kRrf + rank)` micro-units, so fused
+    * scores are BIGINTs — order-independent to sum and bit-mirrorable —
+    * rather than the usual 1/(k+r) floats. Ties break by ascending id.
+    *
+    * Scale shape: inputs are per-query TOP-K lists, already bounded, so
+    * the full-outer fuse join and the re-rank window touch ≤ |A|+|B|
+    * rows per query — at 100 TB the expensive part is PRODUCING the
+    * rankings (which scale as their own operators); fusion itself is a
+    * fixed-width equi-join keyed by (query, id).
+    *
+    * @return (queryCol, rank, idCol, rrf_micro, rank_a, rank_b); rank_a
+    *         / rank_b are NULL where a list did not surface the id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String, idCol: String,
+      rankCol: String, kRrf: Int = 60, topK: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    require(kRrf >= 0 && topK >= 1 && scale >= 1)
+    val fa = a.select(col(queryCol), col(idCol),
+      col(rankCol).cast("long").as("rank_a"))
+    val fb = b.select(col(queryCol), col(idCol),
+      col(rankCol).cast("long").as("rank_b"))
+    fa.join(fb, Seq(queryCol, idCol), "full_outer")
+      .select(col(queryCol), col(idCol),
+        (coalesce(expr(s"${scale}L div ($kRrf + rank_a)"), lit(0L)) +
+          coalesce(expr(s"${scale}L div ($kRrf + rank_b)"), lit(0L)))
+          .as("rrf_micro"),
+        col("rank_a"), col("rank_b"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_micro").desc, col(idCol).asc)).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col(queryCol), col("rank"), col(idCol), col("rrf_micro"),
+        col("rank_a"), col("rank_b"))
+  }
 }

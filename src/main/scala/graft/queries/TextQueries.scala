@@ -694,6 +694,109 @@ object TextQueries {
       |LEFT JOIN inner_ i ON i.src_a = ta.src AND i.src_b = tb.src
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+  /** Hybrid retrieval by reciprocal-rank fusion: document 0's own text
+    * queries the BM25 index (t16's scorer, top-20) while its embedding
+    * queries the vector index (s01's exact cosine scorer, top-20), and
+    * the two rankings fuse by integer RRF — the related-document search
+    * a RAG stack runs, with both legs and the fusion fully mirrorable.
+    * Document 0 itself winning rank 1 on both legs is the built-in
+    * sanity signal (self-retrieval). */
+  def t20HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = docs(spark, dir).filter(col("doc_id") === 0)
+      .select(lit("q0").as("query_id"), col("text").as("qtext"))
+    val lex = graft.operators.Retrieval.bm25TopK(
+      docs(spark, dir), "doc_id", "text", queries, "query_id", "qtext",
+      k1 = 1.2, b = 0.75, topK = 20)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val q = graft.operators.Similarity.vectorOf(spark, dir, 0L)
+    val vec = graft.operators.Similarity.bruteForceTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      q, 20)
+      // 20 rows post-limit: the unpartitioned rank window is bounded
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("bigint"))
+      .select(lit("q0").as("query_id"), col("vec_id").as("id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(lex, vec, "query_id", "id", "rank",
+      kRrf = 60, topK = 10)
+      .orderBy("rank")
+  }
+
+  val t20Sql: String =
+    """WITH lex AS MATERIALIZED (
+      |  WITH q(query_id, qtext) AS (
+      |    SELECT 'q0', text FROM documents WHERE doc_id = 0),
+      |  qt AS (SELECT DISTINCT query_id,
+      |           UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(qtext)), '\s+')) AS term
+      |         FROM q),
+      |  toks AS (
+      |    SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |    FROM documents WHERE TRIM(text) <> ''),
+      |  post AS (SELECT doc_id, LEN(t) AS dl, UNNEST(t) AS term FROM toks),
+      |  corpus AS (SELECT COUNT(*) AS n_docs,
+      |                    CAST(SUM(LEN(t)) AS BIGINT) AS sum_dl FROM toks),
+      |  matched AS (
+      |    SELECT doc_id, term, dl, COUNT(*) AS tf FROM post
+      |    WHERE term IN (SELECT DISTINCT term FROM qt)
+      |    GROUP BY 1, 2, 3),
+      |  dfreq AS (SELECT term, COUNT(*) AS df FROM matched GROUP BY 1),
+      |  ts AS (
+      |    SELECT qt.query_id, m.doc_id, m.term,
+      |      LN(1.0::DOUBLE +
+      |         (c.n_docs::DOUBLE - d.df::DOUBLE + 0.5::DOUBLE)
+      |         / (d.df::DOUBLE + 0.5::DOUBLE))
+      |      * (m.tf::DOUBLE * 2.2::DOUBLE)
+      |      / (m.tf::DOUBLE + 1.2::DOUBLE *
+      |         (0.25::DOUBLE + 0.75::DOUBLE *
+      |          (m.dl::DOUBLE / (c.sum_dl::DOUBLE / c.n_docs::DOUBLE))))
+      |        AS term_score
+      |    FROM matched m JOIN dfreq d USING (term)
+      |         JOIN qt ON m.term = qt.term CROSS JOIN corpus c),
+      |  scored AS (
+      |    SELECT query_id, doc_id,
+      |      ROUND(list_reduce(
+      |        list_prepend(0.0::DOUBLE, LIST(term_score ORDER BY term)),
+      |        (a, x) -> a + x), 4) AS score
+      |    FROM ts GROUP BY 1, 2)
+      |  SELECT query_id, doc_id AS id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored
+      |  QUALIFY rank <= 20),
+      |vec AS MATERIALIZED (
+      |  WITH qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |  ranked AS (
+      |    SELECT vec_id,
+      |      ROUND(
+      |        LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+      |          i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+      |        / SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+      |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |        / SQRT(LIST_SUM(LIST_TRANSFORM(qv,
+      |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |        6) AS cos
+      |    FROM embeddings, qv
+      |    ORDER BY cos DESC, vec_id ASC LIMIT 20)
+      |  SELECT 'q0' AS query_id, vec_id AS id,
+      |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank
+      |  FROM ranked),
+      |fused AS (
+      |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+      |    COALESCE(a.id, b.id) AS id,
+      |    (COALESCE(1000000 // (60 + a.rank), 0)
+      |     + COALESCE(1000000 // (60 + b.rank), 0))::BIGINT AS rrf_micro,
+      |    a.rank AS rank_a, b.rank AS rank_b
+      |  FROM lex a FULL OUTER JOIN vec b
+      |    ON a.query_id = b.query_id AND a.id = b.id)
+      |SELECT query_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |                     ORDER BY rrf_micro DESC, id) AS rank,
+      |  id, rrf_micro, rank_a, rank_b
+      |FROM fused
+      |QUALIFY rank <= 10
+      |ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------- t19
   /** Fixed-window chunking with overlap (500-char windows every 400
     * chars): the RAG-index / long-context splitter. Chunk boundaries and
@@ -739,5 +842,6 @@ object TextQueries {
     "t17_unigram_surprise" -> (t17UnigramSurprise _, t17Sql),
     "t18_domain_divergence" -> (t18DomainDivergence _, t18Sql),
     "t19_chunking" -> (t19Chunking _, t19Sql),
+    "t20_hybrid_retrieval" -> (t20HybridRetrieval _, t20Sql),
   )
 }

@@ -986,6 +986,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got(2) - 24.0 / 25.0) < 1e-12)
   }
 
+  test("rrfFuse: integer reciprocal ranks sum, one-sided ids still rank") {
+    import spark.implicits._
+    val lex = Seq(("q", 10L, 1L), ("q", 20L, 2L)).toDF("query_id", "id", "rank")
+    val vec = Seq(("q", 20L, 1L), ("q", 30L, 2L)).toDF("query_id", "id", "rank")
+    val got = Retrieval.rrfFuse(lex, vec, "query_id", "id", "rank",
+      kRrf = 60, topK = 10)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3))) // (id, rank, score)
+      .sortBy(_._2)
+    // doc 20: 1000000/62 + 1000000/61 = 16129 + 16393 = 32522 — top
+    // doc 10: 1000000/61 = 16393; doc 30: 1000000/62 = 16129
+    assert(got.toSeq == Seq((20L, 1L, 32522L), (10L, 2L, 16393L),
+      (30L, 3L, 16129L)))
+  }
+
   test("chunkDocuments: windows tile with overlap, ragged tail, empty skipped") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghij"), // 10 chars
