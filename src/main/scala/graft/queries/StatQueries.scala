@@ -241,6 +241,59 @@ object StatQueries {
       |FROM est JOIN ex USING (metric)
       |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Hourly event-volume anomaly detection, INTEGER-EXACT: flag hours
+    * whose count exceeds the per-type mean by more than 3σ, with the
+    * z-test done entirely in BIGINT arithmetic — `c > μ + 3σ` rewritten
+    * as `N·c − S > 0 ∧ (N·c − S)² > 9·(N·S2 − S²)` so no engine ever
+    * computes a float mean, stddev, or square root. The monitoring
+    * primitive a pipeline runs over its own ingest volumes.
+    *
+    * Scale shape: hourly counts are one partial-agg groupBy; per-type
+    * moments are a SECOND aggregation over hours (rows = distinct hours,
+    * not events) collapsing to |types| rows, broadcast back over the
+    * hourly table — the raw event stream is scanned exactly once and
+    * never re-shuffled. Hours with zero events are absent from both the
+    * baseline and the flags (q46's calendar spine is the zero-filling
+    * composition when the caller wants them). */
+  def q49AnomalyHours(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val hourly = t(spark, dir, "events")
+      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts_us")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    hourly.join(broadcast(stats), "event_type")
+      .filter(expr("n * n_events > s AND " +
+        "(n * n_events - s) * (n * n_events - s) > 9 * (n * s2 - s * s)"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        expr("n * n_events - s").as("dev_num"),
+        expr("(1000 * s) div n").as("mean_milli"))
+      .orderBy("event_type", "hour")
+  }
+
+  val q49Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(n_events) AS BIGINT) AS s,
+      |    CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.event_type, h.hour, h.n_events,
+      |  (t.n * h.n_events - t.s)::BIGINT AS dev_num,
+      |  ((1000 * t.s) // t.n)::BIGINT AS mean_milli
+      |FROM hourly h JOIN stats t USING (event_type)
+      |WHERE t.n * h.n_events > t.s
+      |  AND (t.n * h.n_events - t.s) * (t.n * h.n_events - t.s)
+      |      > 9 * (t.n * t.s2 - t.s * t.s)
+      |ORDER BY event_type, hour""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q27_grouping_sets" -> (q27GroupingSets _, q27Sql),
     "q41_approx_percentile" -> (q41ApproxPercentile _, q41Sql),
@@ -248,5 +301,6 @@ object StatQueries {
     "q29_exact_stats" -> (q29ExactStats _, q29Sql),
     "q30_heavy_hitters" -> (q30HeavyHitters _, q30Sql),
     "q45_hll_distinct" -> (q45HllDistinct _, q45Sql),
+    "q49_anomaly_hours" -> (q49AnomalyHours _, q49Sql),
   )
 }
