@@ -322,6 +322,83 @@ object ConnectorQueries {
       |WHERE o.o_orderkey % 5 = 0
       |ORDER BY o_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------- excel_stream_session
+  /** Streaming SESSION-WINDOW aggregation, oracle-checked: per-user event
+    * sessions with a 30-minute inactivity gap — the streaming twin of the
+    * batch sessionization gate (q32), computed by Spark's native
+    * `session_window` state machine instead of the lag/flag/running-sum
+    * window. A deterministic user sample of `events` is staged as excel
+    * shards (event times as BIGINT micros — no datetime codec roundtrip
+    * in the staging path), then `readStream` → event-time watermark →
+    * `groupBy(user, session_window)` → memory sink in complete mode under
+    * AvailableNow. Session end is last-event + gap by session_window's
+    * contract, so the oracle mirrors it as `max(ts)+gap` over q32's exact
+    * session assignment. */
+  def excelStreamSession(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .filter(pmod(col("user_id"), lit(10)) === 0)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_session_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    ev.repartition(2).write.format("excel")
+      .option("shardedOutput", "true")
+      .mode("overwrite").save(in.getAbsolutePath)
+    val qname = s"excel_stream_session_${math.abs(dir.hashCode)}"
+    // session state: private session + 8 shuffle partitions, same
+    // state-store fan-out discipline as excel_stream_window
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("excel").schema(ev.schema)
+      .load(in.getAbsolutePath)
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("ts", "1 day")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname)
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("session_start_us"),
+        expr("unix_micros(session_window.end)").as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val excelStreamSessionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+      |           OR LAG(epoch_us(ts), 1) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WHERE user_id % 10 = 0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id,
+      |  MIN(ts_us)::BIGINT AS session_start_us,
+      |  (MAX(ts_us) + 1800000000)::BIGINT AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
     "excel_stream_stream_join" -> (excelStreamStreamJoin _, excelStreamStreamJoinSql),
@@ -330,5 +407,6 @@ object ConnectorQueries {
     "excel_arrow_roundtrip" -> (excelArrowRoundtrip _, excelArrowRoundtripSql),
     "excel_stream_roundtrip" -> (excelStreamRoundtrip _, excelStreamRoundtripSql),
     "excel_stream_window" -> (excelStreamWindow _, excelStreamWindowSql),
+    "excel_stream_session" -> (excelStreamSession _, excelStreamSessionSql),
   )
 }
