@@ -9,7 +9,7 @@ import graft.functions.TextExpressions
   * bit of sketch state is reproducible in any engine (Spark's built-in
   * `approx_count_distinct` is HLL++ with an opaque register encoding —
   * q19 can only oracle-check its exact twin; this operator's registers,
-  * scaled sum and raw estimate hash-match a DuckDB mirror).
+  * scaled sum and integer micro-unit estimate are mirrored in DuckDB).
   *
   * HyperLogLog (Flajolet et al. 2007), 2^b registers:
   *
@@ -29,16 +29,34 @@ import graft.functions.TextExpressions
   *    hash-matchable); the harmonic formula is then one decimal→double
   *    cast and a handful of IEEE ops identical in any engine.
   *
-  * The small-range branch (linear counting when E ≤ 2.5m and empty
-  * registers exist) involves a real `ln`, where JVM and libm can differ
-  * by ~1 ulp (measured: 2/1024 inputs differ) — so `estimate` is rounded
-  * to 4 decimals while `est_raw` stays full-precision bit-exact. The
-  * 64-bit-hash formulation needs no large-range correction.
+  * Two estimate surfaces are exposed, because they serve different
+  * masters:
+  *
+  *  - `est_micro` + `small_range` — INTEGER-EXACT and cross-engine
+  *    hashable: the harmonic estimate in micro-units (×10⁶), computed
+  *    entirely by integral division of exact decimals — alpha is carried
+  *    as the rational 7213000·m / (10⁴·(1000m+1079)), so
+  *    est_micro = (7213·10⁵·m³·2⁶³) div ((1000m+1079)·s_scaled) with no
+  *    float anywhere (valid for b ≤ 11, where the scaled numerator fits
+  *    DECIMAL(38,0); wider sketches get NULL). `small_range` flags the
+  *    rows where HLL prescribes the linear-counting branch, decided by
+  *    the same integer comparison in every engine. These are the q45
+  *    gate's hashed columns — round 8 proved that hashing any
+  *    float-derived column (est_raw was a HUGEINT→DOUBLE cast) trips on
+  *    the verifier's cast/libm version even when the sketch state is
+  *    bit-identical.
+  *  - `est_raw` / `estimate` — the conventional float HLL output for
+  *    human consumption. The small-range branch takes a real `ln` (JVM
+  *    vs libm: ±1 ulp on 2/1024 inputs, measured), so these columns are
+  *    deliberately NOT part of any hashed oracle surface.
+  *
+  * The 64-bit-hash formulation needs no large-range correction.
   */
 object Sketches {
 
   /** Per-group HLL distinct estimate:
-    * (grpCol, n_present, s_scaled, est_raw, estimate). */
+    * (grpCol, n_present, s_scaled, est_micro, small_range, est_raw,
+    * estimate). */
   def hllDistinct(df: DataFrame, grpCol: String, valueCol: String,
       b: Int = 10): DataFrame = {
     require(b >= 4 && b <= 16, s"register bits out of range: $b")
@@ -65,6 +83,21 @@ object Sketches {
         (col("s_present") +
           (lit(m) - col("n_present")).cast("decimal(10,0)") * twoTo63)
           .cast("decimal(38,0)").as("s_scaled"))
+      .withColumn("est_micro", {
+        // 10⁶·alpha·m²·2⁶³/s with alpha = 7213000·m/(10⁴·(1000m+1079)):
+        // numerator 7213·10⁵·m³·2⁶³ (exact), denominator (1000m+1079)·s
+        // (exact) — integral division truncates identically in Spark and
+        // DuckDB on positive operands
+        val nMicro = BigInt(7213) * BigInt(100000) * BigInt(m).pow(3) *
+          (BigInt(1) << 63)
+        if (nMicro.toString.length <= 38)
+          expr(s"CAST('$nMicro' AS DECIMAL(38,0)) div " +
+            s"(s_scaled * ${1000L * m + 1079})")
+        else lit(null).cast("long")
+      })
+      .withColumn("small_range",
+        when(col("est_micro") <= lit(2500000L * m) &&
+          col("n_present") < m, lit(1)).otherwise(lit(0)))
       .withColumn("est_raw", numer / col("s_scaled").cast("double"))
       .withColumn("estimate", round(
         when(col("est_raw") <= lit(2.5 * m) && col("n_present") < m,

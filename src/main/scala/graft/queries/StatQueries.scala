@@ -161,10 +161,16 @@ object StatQueries {
     * linear-counting small-range branch. Unlike q19 (Spark's built-in
     * HLL++, oracle-checkable only against its exact twin), every register
     * of this sketch is mirrored: the DuckDB oracle refolds FNV+mix64 in
-    * HUGEINT, rebuilds the registers, and reproduces `s_scaled` and
-    * `est_raw` EXACTLY — `estimate` is rounded to 4 decimals only because
-    * the small-range branch takes a real ln (JVM vs libm: ±1 ulp on
-    * 2/1024 inputs, measured). */
+    * HUGEINT, rebuilds the registers, and reproduces `s_scaled` and the
+    * integer micro-unit estimate EXACTLY.
+    *
+    * The hashed surface is INTEGER/DECIMAL ONLY (`n_present`, `s_scaled`,
+    * `est_micro`, `small_range`, `exact_distinct`): round 8 shipped this
+    * gate with float `est_raw`/`estimate` columns and the driver's DuckDB
+    * hashed the HUGEINT→DOUBLE cast a ulp apart from the builder's even
+    * though the sketch state matched bit-for-bit — the float columns stay
+    * available on [[graft.operators.Sketches.hllDistinct]] but are
+    * excluded here, per the repo-wide integer-fixed-point oracle policy. */
   def q45HllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val vals = li.select(lit("order_line").as("metric"),
@@ -177,6 +183,8 @@ object StatQueries {
       .agg(countDistinct(col("v")).as("exact_distinct"))
     graft.operators.Sketches.hllDistinct(vals, "metric", "v", b = 10)
       .join(exact, "metric")
+      .select(col("metric"), col("n_present"), col("s_scaled"),
+        col("est_micro"), col("small_range"), col("exact_distinct"))
       .orderBy("metric")
   }
 
@@ -226,17 +234,14 @@ object StatQueries {
       |  FROM reg GROUP BY 1),
       |est AS (
       |  SELECT metric, n_present, CAST(s AS DECIMAL(38,0)) AS s_scaled,
-      |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE))
-      |      * (1048576.0::DOUBLE * 9223372036854775808::HUGEINT::DOUBLE)
-      |      / CAST(s AS DOUBLE) AS est_raw
+      |    CAST(7143409202692358338277906422169600000::HUGEINT
+      |         // (1025079::HUGEINT * s) AS BIGINT) AS est_micro
       |  FROM agg),
       |ex AS (SELECT metric, COUNT(DISTINCT v) AS exact_distinct
       |       FROM vals GROUP BY 1)
-      |SELECT metric, n_present, s_scaled, est_raw,
-      |  ROUND(CASE WHEN est_raw <= 2560.0 AND n_present < 1024
-      |        THEN 1024.0::DOUBLE *
-      |             LN(1024.0::DOUBLE / (1024 - n_present)::DOUBLE)
-      |        ELSE est_raw END, 4) AS estimate,
+      |SELECT metric, n_present, s_scaled, est_micro,
+      |  CASE WHEN est_micro <= 2560000000 AND n_present < 1024
+      |       THEN 1 ELSE 0 END AS small_range,
       |  exact_distinct
       |FROM est JOIN ex USING (metric)
       |ORDER BY metric""".stripMargin
