@@ -90,14 +90,25 @@ object Sketches {
         // DuckDB on positive operands
         val nMicro = BigInt(7213) * BigInt(100000) * BigInt(m).pow(3) *
           (BigInt(1) << 63)
+        // Bound: est_micro is a BIGINT of 10⁶·estimate, so it is only
+        // representable while the estimate stays below ~9.22e12
+        // (BIGINT max / 10⁶). Beyond that Spark's non-ANSI decimal div
+        // yields NULL while DuckDB's CAST raises — unreachable at any
+        // fixture scale (estimate ≤ ~m·2⁶³ would need ~10¹² distincts),
+        // but callers comparing engines above that bound must clamp on
+        // both sides first.
         if (nMicro.toString.length <= 38)
           expr(s"CAST('$nMicro' AS DECIMAL(38,0)) div " +
             s"(s_scaled * ${1000L * m + 1079})")
         else lit(null).cast("long")
       })
       .withColumn("small_range",
-        when(col("est_micro") <= lit(2500000L * m) &&
-          col("n_present") < m, lit(1)).otherwise(lit(0)))
+        // NULL est_micro (b ≥ 12: numerator exceeds DECIMAL(38,0)) means
+        // the branch decision was never computed — propagate the NULL
+        // instead of asserting the harmonic branch
+        when(col("est_micro").isNull, lit(null).cast("int"))
+          .when(col("est_micro") <= lit(2500000L * m) &&
+            col("n_present") < m, lit(1)).otherwise(lit(0)))
       .withColumn("est_raw", numer / col("s_scaled").cast("double"))
       .withColumn("estimate", round(
         when(col("est_raw") <= lit(2.5 * m) && col("n_present") < m,

@@ -17,13 +17,10 @@ object AdvancedJoinQueries {
     * (>= 99.0) event of the same type at-or-before it. Right side is
     * pre-aggregated to one row per (type, ts) — the operator's uniqueness
     * contract. Timestamps are normalized to epoch-MICROS on both engines
-    * first (events.parquet is TIMESTAMP(NANOS); DuckDB's scan truncates
-    * each value to µs, so Spark truncates identically with `div 1000` —
-    * sub-µs comparisons would otherwise diverge between the engines). */
+    * first ([[EventTime.load]] — sub-µs or type-mapping divergence between
+    * the engines is settled there once). */
   def q25AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val events = EventTime.load(spark, dir)
     val refs = events.filter(col("value") >= 99.0)
       .groupBy(col("event_type"), col("ts_us"))
       .agg(max(col("value")).as("ref_value"))
@@ -82,16 +79,14 @@ object AdvancedJoinQueries {
   /** RANGE-frame window (value frame over event time, peers included —
     * the frame kind q10's ROWS running sum does not cover): per event
     * type, the rolling 1-hour sum of value. Timestamps in micros (same
-    * cross-engine truncation discipline as q25); DECIMAL sum keeps the
-    * frame aggregation exact and order-independent. */
+    * cross-engine normalization as q25, via [[EventTime.load]]); DECIMAL
+    * sum keeps the frame aggregation exact and order-independent. */
   def q31RangeFrame(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
       .orderBy(col("ts_us"))
       .rangeBetween(-3600000000L, 0L)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    EventTime.load(spark, dir)
       .select(col("event_id"), col("event_type"),
         sum(col("value").cast("decimal(18,2)")).over(w)
           .cast("double").as("sum_1h"))
@@ -112,13 +107,11 @@ object AdvancedJoinQueries {
     * tied events have gap 0, so tie order can't change session boundaries,
     * counts, or min/max duration. */
   def q32Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts_us"))
     val runningSum = byUser.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    EventTime.load(spark, dir)
       .withColumn("new_session",
         when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L ||
           lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))

@@ -336,10 +336,9 @@ object ConnectorQueries {
     * session assignment. */
   def excelStreamSession(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.queries.EventTime.load(spark, dir)
       .filter(pmod(col("user_id"), lit(10)) === 0)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("ts_us"))
     val base = new File(
       System.getProperty("java.io.tmpdir"),
       s"graft_excel_session_${math.abs(dir.hashCode)}")

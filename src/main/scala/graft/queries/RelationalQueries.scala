@@ -406,14 +406,12 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q18
   /** Event-time bucketing: the batch shape of a streaming windowed agg.
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader refuses; read it as nanos-long and convert to micros. */
+    * `events.ts` is normalized to a UTC µs TIMESTAMP by
+    * [[EventTime.load]], whatever parquet type the fixture ships. */
   def q18EventsHourly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
-      .groupBy($"event_type", date_trunc("hour", $"ts_us").as("hour"))
+    EventTime.load(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts_t").as("hour"))
       .agg(count(lit(1)).as("n"),
         asDouble(sum(dec($"value"))).as("sum_value"))
       .orderBy($"event_type", $"hour")
@@ -851,10 +849,8 @@ object RelationalQueries {
     * parallel. */
   def q46GapFill(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val hourly = t(spark, dir, "events")
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
-      .groupBy($"event_type", date_trunc("hour", $"ts_us").as("hour"))
+    val hourly = EventTime.load(spark, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts_t").as("hour"))
       .agg(count(lit(1)).as("n"),
         asDouble(sum(dec($"value"))).as("sum_value"))
     val spine = hourly.groupBy($"event_type")
@@ -961,11 +957,9 @@ object RelationalQueries {
     * projection. */
   def q48RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val weeks = t(spark, dir, "events")
+    val weeks = EventTime.load(spark, dir)
       .select($"user_id",
-        date_trunc("week", expr("timestamp_micros(ts div 1000)"))
-          .cast("date").as("week"))
+        date_trunc("week", $"ts_t").cast("date").as("week"))
       .distinct()
     val cohorts = weeks.groupBy($"user_id")
       .agg(min($"week").as("cohort_week"))

@@ -164,13 +164,17 @@ object StatQueries {
     * HUGEINT, rebuilds the registers, and reproduces `s_scaled` and the
     * integer micro-unit estimate EXACTLY.
     *
-    * The hashed surface is INTEGER/DECIMAL ONLY (`n_present`, `s_scaled`,
+    * The hashed surface is BIGINT ONLY (`n_present`, `s_hi`/`s_lo`,
     * `est_micro`, `small_range`, `exact_distinct`): round 8 shipped this
     * gate with float `est_raw`/`estimate` columns and the driver's DuckDB
     * hashed the HUGEINT→DOUBLE cast a ulp apart from the builder's even
     * though the sketch state matched bit-for-bit — the float columns stay
     * available on [[graft.operators.Sketches.hllDistinct]] but are
-    * excluded here, per the repo-wide integer-fixed-point oracle policy. */
+    * excluded here, per the repo-wide integer-fixed-point oracle policy.
+    * Round 11 additionally split the 73-bit register sum `s_scaled`
+    * (DECIMAL(38,0), the one non-BIGINT hashed column and r10's sole
+    * disputed hash) into its exact base-10¹⁸ halves `s_hi`/`s_lo`, so no
+    * wide-decimal rendering path exists on either engine's output. */
   def q45HllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val vals = li.select(lit("order_line").as("metric"),
@@ -183,7 +187,9 @@ object StatQueries {
       .agg(countDistinct(col("v")).as("exact_distinct"))
     graft.operators.Sketches.hllDistinct(vals, "metric", "v", b = 10)
       .join(exact, "metric")
-      .select(col("metric"), col("n_present"), col("s_scaled"),
+      .select(col("metric"), col("n_present"),
+        expr("s_scaled div 1000000000000000000").as("s_hi"),
+        expr("CAST(s_scaled % 1000000000000000000 AS BIGINT)").as("s_lo"),
         col("est_micro"), col("small_range"), col("exact_distinct"))
       .orderBy("metric")
   }
@@ -233,13 +239,15 @@ object StatQueries {
       |      + (1024 - COUNT(*))::HUGEINT * 9223372036854775808::HUGEINT AS s
       |  FROM reg GROUP BY 1),
       |est AS (
-      |  SELECT metric, n_present, CAST(s AS DECIMAL(38,0)) AS s_scaled,
+      |  SELECT metric, n_present,
+      |    (s // 1000000000000000000::HUGEINT)::BIGINT AS s_hi,
+      |    (s % 1000000000000000000::HUGEINT)::BIGINT AS s_lo,
       |    CAST(7143409202692358338277906422169600000::HUGEINT
       |         // (1025079::HUGEINT * s) AS BIGINT) AS est_micro
       |  FROM agg),
       |ex AS (SELECT metric, COUNT(DISTINCT v) AS exact_distinct
       |       FROM vals GROUP BY 1)
-      |SELECT metric, n_present, s_scaled, est_micro,
+      |SELECT metric, n_present, s_hi, s_lo, est_micro,
       |  CASE WHEN est_micro <= 2560000000 AND n_present < 1024
       |       THEN 1 ELSE 0 END AS small_range,
       |  exact_distinct
@@ -262,11 +270,9 @@ object StatQueries {
     * baseline and the flags (q46's calendar spine is the zero-filling
     * composition when the caller wants them). */
   def q49AnomalyHours(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val hourly = t(spark, dir, "events")
-      .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    val hourly = EventTime.load(spark, dir)
       .groupBy(col("event_type"),
-        date_trunc("hour", col("ts_us")).as("hour"))
+        date_trunc("hour", col("ts_t")).as("hour"))
       .agg(count(lit(1)).as("n_events"))
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("n_events")).as("s"),

@@ -62,4 +62,39 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s2.getDecimal(s2.fieldIndex("s_scaled")),
       "register state must be partitioning-invariant")
   }
+
+  test("est_micro is the truncated integer image of est_raw") {
+    for (n <- Seq(300, 5000, 20000, 100000)) {
+      val r = estimates(n)
+      val raw = r.getDouble(r.fieldIndex("est_raw"))
+      val micro = r.getLong(r.fieldIndex("est_micro"))
+      // integer path truncates at the micro digit; float path rounds at
+      // ~1e-15 relative — they agree to one micro-unit plus float slack
+      assert(math.abs(raw - micro / 1e6) <= 1e-6 + raw * 1e-12,
+        s"n=$n est_raw=$raw est_micro=$micro")
+    }
+  }
+
+  test("small_range agrees with the branch the float estimate took") {
+    for (n <- Seq(100, 300, 1000, 5000, 20000)) {
+      val r = estimates(n)
+      val smallRange = r.getInt(r.fieldIndex("small_range"))
+      val tookLc = r.getDouble(r.fieldIndex("estimate")) !=
+        math.rint(r.getDouble(r.fieldIndex("est_raw")) * 1e4) / 1e4
+      assert((smallRange == 1) == tookLc,
+        s"n=$n small_range=$smallRange but LC-branch=$tookLc")
+    }
+  }
+
+  test("b >= 12 propagates NULL to est_micro AND small_range") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => ("g", s"val_$i")).toDF("grp", "v")
+    val r = Sketches.hllDistinct(df, "grp", "v", b = 12).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("est_micro")),
+      "numerator exceeds DECIMAL(38,0) at b=12 — est_micro must be NULL")
+    assert(r.isNullAt(r.fieldIndex("small_range")),
+      "branch was never decided — small_range must not claim harmonic")
+    // the float surface is still live at any b
+    assert(r.getDouble(r.fieldIndex("estimate")) > 0)
+  }
 }

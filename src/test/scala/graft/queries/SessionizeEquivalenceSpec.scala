@@ -23,10 +23,8 @@ class SessionizeEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   test("manual lag-sum sessions equal built-in session_window sessions") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val events = EventTime.load(spark, dir)
 
     // no gap is exactly the 30-minute threshold (the only divergence case)
     val w = org.apache.spark.sql.expressions.Window
