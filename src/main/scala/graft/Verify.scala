@@ -35,12 +35,14 @@ object Verify {
     // it, so per-round runs always dump every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -59,6 +61,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Gate failures must be LOUD, not silent absences: round 10's events
+    // fixture drift made 8 broken gates look merely "untested" because
+    // their output dirs never appeared. Name every failure in an artifact
+    // next to the dumps and on stdout (the driver captures the tail).
+    // Exit stays 0 so the surviving gates' comparison still runs.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      println(s"[verify] SUMMARY: ${failed.size} gate(s) FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -102,7 +102,10 @@ object Retrieval {
   def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String, idCol: String,
       rankCol: String, kRrf: Int = 60, topK: Int = 10,
       scale: Long = 1000000L): DataFrame = {
-    require(kRrf >= 0 && topK >= 1 && scale >= 1)
+    // kRrf = 0 with 0-based ranks would integer-divide by zero, which
+    // Spark's non-ANSI div turns into NULL → coalesce → a silent 0 score;
+    // the standard RRF constant is ≥ 1, so reject the degenerate value
+    require(kRrf >= 1 && topK >= 1 && scale >= 1)
     val fa = a.select(col(queryCol), col(idCol),
       col(rankCol).cast("long").as("rank_a"))
     val fb = b.select(col(queryCol), col(idCol),

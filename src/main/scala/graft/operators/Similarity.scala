@@ -294,22 +294,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Approximate batch KNN join: candidates are (query, corpus) pairs
-    * sharing at least one sign-random-projection band bucket — an ordinary
-    * equi-join on (band, bucket) instead of a cross product — then exact
-    * cosine + per-query top-k among candidates only.
-    *
-    * This is the shape that survives scale on BOTH sides: corpus and query
-    * band keys shuffle as fixed-width longs, the join fan-out is bucket-
-    * collision-bounded, and no row ever meets more than its bucket mates.
-    * Recall tunes with (bandBits ↓, bandCount ↑) exactly as [[lshTopK]]. */
   /** Approximate batch KNN join over INTEGER-quantized LSH buckets —
     * [[knnJoinLsh]]'s semantics with [[quantizedLshBucket]]'s candidate
     * decision, so (unlike the float-projection form) the whole join is
     * bit-reproducible and fully oracle-checkable: same narrow
     * ids-only candidate shuffle, exact-cosine re-rank among candidates,
     * every bucket an integer. This is the DOCUMENTED DEFAULT batch-ANN
-    * path for the same reason s06 is the default point-query path. */
+    * path for the same reason s06 is the default point-query path.
+    *
+    * The vector re-attach broadcasts the FULL `queries` frame (ids +
+    * embeddings) — same probe-batch contract as [[knnJoin]]: thousands of
+    * probes, not millions. Corpus vectors re-attach by a plain equi-join
+    * and never broadcast. */
   def knnJoinQuantized(queries: DataFrame, corpus: DataFrame, qIdCol: String,
       qVecCol: String, idCol: String, vecCol: String, k: Int,
       bandBits: Int = 4, bandCount: Int = 8): DataFrame = {
@@ -336,6 +332,17 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Approximate batch KNN join: candidates are (query, corpus) pairs
+    * sharing at least one sign-random-projection band bucket — an ordinary
+    * equi-join on (band, bucket) instead of a cross product — then exact
+    * cosine + per-query top-k among candidates only.
+    *
+    * This is the shape that survives scale on BOTH sides: corpus and query
+    * band keys shuffle as fixed-width longs, the join fan-out is bucket-
+    * collision-bounded, and no row ever meets more than its bucket mates.
+    * Recall tunes with (bandBits ↓, bandCount ↑) exactly as [[lshTopK]].
+    * Query vectors re-attach via the same bounded-probe-batch broadcast
+    * as [[knnJoinQuantized]]. */
   def knnJoinLsh(queries: DataFrame, corpus: DataFrame, qIdCol: String,
       qVecCol: String, idCol: String, vecCol: String, k: Int,
       bandBits: Int = 8, bandCount: Int = 8, seed: Long = 42L): DataFrame = {

@@ -50,7 +50,9 @@ object Urls {
     val rawPath = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val trimmed = regexp_replace(rawPath, "/+$", "")
     val path = when(trimmed === "", lit("/")).otherwise(trimmed)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // anchor before the fragment: a '?' that first appears after '#' is
+    // fragment content, not a query (e.g. /path#frag?x=1 has no query)
+    val query = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val params = filter(split(query, "&"),
       p => p =!= "" && !p.rlike(TrackingParam))
     val q = array_join(array_sort(params), "&")

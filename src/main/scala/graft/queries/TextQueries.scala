@@ -359,7 +359,7 @@ object TextQueries {
       |    LOWER(REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
       |    LOWER(REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
       |    REGEXP_EXTRACT(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-      |    REGEXP_EXTRACT(url, '\?([^#]*)', 1) AS query
+      |    REGEXP_EXTRACT(url, '^[^#?]*\?([^#]*)', 1) AS query
       |  FROM u),
       |norm AS (
       |  SELECT doc_id, url, scheme,

@@ -50,6 +50,17 @@ class UrlsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("https://www2.a.com/p", "https://awww.a.com/p"))
   }
 
+  test("a '?' inside the fragment is not a query") {
+    // RFC 3986: '#' ends the query-able part — '?x=1' here is fragment
+    // content and must not survive canonicalization
+    assert(canon(
+      "https://a.com/p#frag?x=1",
+      "https://a.com/p?a=1#frag?x=2&utm_source=s"
+    ) == Seq(
+      "https://a.com/p",
+      "https://a.com/p?a=1"))
+  }
+
   test("looksLikeUrl accepts absolute urls, rejects junk") {
     import spark.implicits._
     val flags = Seq("https://a.com/x", "ftp://h/x", "not a url",

@@ -1,0 +1,89 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the events-fixture time contract so a driver-side schema change
+  * breaks THIS suite, not the per-round verify run. Round 10's fixture
+  * regeneration silently flipped `events.ts` from TIMESTAMP(NANOS) to
+  * timestamp[us] mid-round and took 8 gates down at analysis time —
+  * [[EventTime]] now absorbs that class of drift, and these tests fail
+  * loudly if a future fixture ships a spelling it cannot absorb. */
+class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("real fixture: EventTime.load normalizes ts to sane epoch-micros") {
+    val df = EventTime.load(spark, dir)
+    assert(df.schema("ts_us").dataType == LongType)
+    assert(df.schema("ts_t").dataType == TimestampType)
+    val r = df.agg(min(col("ts_us")), max(col("ts_us")),
+      count(lit(1))).collect()(0)
+    // 2000-01-01 .. 2100-01-01 in epoch-µs: any unit mixup (ns read as
+    // µs, s read as µs) lands outside this band by orders of magnitude
+    assert(r.getLong(0) > 946684800000000L,
+      s"min ts_us ${r.getLong(0)} predates 2000 — unit mixup?")
+    assert(r.getLong(1) < 4102444800000000L,
+      s"max ts_us ${r.getLong(1)} past 2100 — unit mixup?")
+    assert(r.getLong(2) > 0)
+  }
+
+  test("the three historical ts spellings normalize to identical micros") {
+    import spark.implicits._
+    val micros = Seq(
+      1767225600000000L, // 2026-01-01T00:00:00Z
+      1767225601500000L, // +1.5 s
+      1772323199999999L) // 2026-02-28T23:59:59.999999Z
+    val base = Files.createTempDirectory("graft_ts_spellings").toFile
+    def load(sub: String) =
+      EventTime.load(spark, new java.io.File(base, sub).getAbsolutePath)
+        .select("ts_us").as[Long].collect().sorted.toSeq
+
+    // spelling 1: raw int64 (the nanosAsLong view of TIMESTAMP(NANOS))
+    micros.map(_ * 1000L).toDF("ts")
+      .write.parquet(s"$base/nanos/events.parquet")
+    // spelling 2: timestamp[us] without zone → TIMESTAMP_NTZ (round 10+)
+    micros.map(us => LocalDateTime.ofEpochSecond(
+        us / 1000000L, (us % 1000000L).toInt * 1000, ZoneOffset.UTC))
+      .toDF("ts").write.parquet(s"$base/ntz/events.parquet")
+    // spelling 3: zoned instant → TIMESTAMP (TIMESTAMP_LTZ)
+    micros.map(us => Instant.ofEpochSecond(
+        us / 1000000L, (us % 1000000L) * 1000L))
+      .toDF("ts").write.parquet(s"$base/ltz/events.parquet")
+
+    assert(load("nanos") == micros)
+    assert(load("ntz") == micros)
+    assert(load("ltz") == micros)
+  }
+
+  test("every batch events gate analyzes against the real fixture") {
+    // DataFrame construction runs analysis — exactly the phase the round-10
+    // fixture drift broke. excel_stream_session is excluded (its function
+    // eagerly executes a streaming job); its time handling is the same
+    // EventTime.load path exercised here.
+    val eventsGates = Seq(
+      "q18_events_hourly", "q24_json_extract", "q25_asof_join",
+      "q30_heavy_hitters", "q31_range_frame", "q32_sessionize",
+      "q46_gap_fill", "q47_funnel", "q48_retention_cohorts",
+      "q49_anomaly_hours", "p02_salted_join", "p06_zorder_layout")
+    for (g <- eventsGates) {
+      val df = graft.SparkEntry.queries(g)(spark, dir)
+      assert(df.schema.nonEmpty, s"$g produced an empty schema")
+    }
+  }
+}
