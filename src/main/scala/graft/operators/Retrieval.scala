@@ -32,10 +32,16 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     val words = split(lower(trim(col(textCol))), "\\s+")
+    // tokenize ONCE per row: size() lives in the Project and explode() in
+    // the Generate operator, so referencing `words` in both would evaluate
+    // the split+lower+trim chain twice per row (codegen CSE cannot cross
+    // operators) — materialize the array as a column first
+    val tokenized = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), words.as("w"))
     // (doc, term, dl) postings; dl rides along row-locally
-    val postings = docs.filter(trim(col(textCol)) =!= "")
-      .select(col(idCol), size(words).as("dl"),
-        explode(words).as("term"))
+    val postings = tokenized
+      .select(col(idCol), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
     val qterms = queries.select(col(queryIdCol),
       explode(split(lower(trim(col(queryTextCol))), "\\s+")).as("term"))
       .distinct()
