@@ -41,13 +41,18 @@ object QualityClassifier {
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of 2: $dim")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // tokenize ONCE per row: the generator expression below references the
+    // token array four times (unigrams + three times building bigrams), and
+    // nothing de-duplicates a repeated split chain inside one Generate —
+    // bind it to a column first
+    val toks = col("__toks")
     // bigrams via zip-with-shifted-self; the trailing (last, null) pair
     // nulls out and array_compact drops it — no branch on size
     val bigrams = array_compact(zip_with(
       toks, slice(toks, lit(2), size(toks)),
       (a, b) => when(b.isNotNull, concat(a, lit(" "), b))))
     df.filter(trim(col(textCol)) =!= "")
+      .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
       .select(col(idCol), explode(concat(toks, bigrams)).as("gram"))
       .select(col(idCol),
         pmod(TextExpressions.fnv1a64(col("gram")), lit(dim.toLong))
