@@ -72,4 +72,34 @@ object Bloom {
       .reduce(_ && _)
     df.filter(allSet).select(col(idCol), col(gramCol))
   }
+
+  /** Row-local bloom pruning of a FACT stream: every row of `df` whose
+    * `keyCol` passes the filter, all other columns untouched. Unlike
+    * [[candidates]] there is no distinct and no projection — this is the
+    * semi-join-reduction shape: the fact table flows through one narrow
+    * filter stage (scan → row-local membership test), rows that cannot
+    * match are dropped BEFORE any exchange, and only survivors pay the
+    * exact join. No false negatives by construction, so correctness is
+    * exactly the downstream join's; false positives only cost work.
+    *
+    * Keys probe as their canonical string rendering (`CAST(key AS
+    * STRING)`), so any engine — and any integral/string key type — folds
+    * the same bytes. */
+  def prune(df: DataFrame, keyCol: String, filter: DataFrame): DataFrame = {
+    val bf = filter.agg(
+      map_from_arrays(collect_list(col("word_idx")), collect_list(col("bits")))
+        .as("__bf"))
+    var out = df.crossJoin(broadcast(bf))
+      .withColumn("__h", md5(col(keyCol).cast("string").cast("binary")))
+    for (i <- 0 until 4)
+      out = out.withColumn(s"__pos$i",
+        conv(substring(col("__h"), i * 4 + 1, 4), 16, 10).cast("long") % MBits)
+    val allSet = (0 until 4)
+      .map(i => expr(
+        s"(shiftright(element_at(__bf, __pos$i div $WordBits), " +
+          s"cast(__pos$i % $WordBits as int)) & 1L) = 1L"))
+      .reduce(_ && _)
+    out.filter(allSet)
+      .drop("__bf" +: "__h" +: (0 until 4).map(i => s"__pos$i"): _*)
+  }
 }

@@ -141,10 +141,52 @@ object AdvancedJoinQueries {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Bloom semi-join reduction: revenue of lineitems belonging to URGENT
+    * orders, with the fact stream pruned ROW-LOCALLY by a broadcast
+    * Bloom filter over the urgent orderkeys before the exact semi join
+    * ([[graft.operators.Bloom.prune]]). The answer is exactly the plain
+    * semi join's (bloom filters have no false negatives), which is what
+    * the oracle checks — the bloom only changes WHERE rows die: at the
+    * scan, before any exchange, instead of inside the join. At 100 TB
+    * this is the difference between shuffling the full fact table and
+    * shuffling only probable matches; here the dim side also broadcasts,
+    * so the fact side never exchanges at all (pinned in PlanQualitySpec). */
+  def q50BloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = graft.operators.Bloom.build(
+      urgent.select(col("o_orderkey").cast("string").as("k")), "k")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+    graft.operators.Bloom.prune(li, "l_orderkey", bloom)
+      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q50Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q25_asof_join" -> (q25AsofJoin _, q25Sql),
     "q26_range_join" -> (q26RangeJoin _, q26Sql),
     "q31_range_frame" -> (q31RangeFrame _, q31Sql),
     "q32_sessionize" -> (q32Sessionize _, q32Sql),
+    "q50_bloom_semijoin" -> (q50BloomSemijoin _, q50Sql),
   )
 }

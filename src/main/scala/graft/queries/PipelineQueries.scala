@@ -586,7 +586,93 @@ object PipelineQueries {
       |  ((total_tokens * 1000) // n_docs)::BIGINT AS mean_tokens_milli
       |FROM per ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- p13
+  /** CDC changelog compaction to the latest snapshot
+    * ([[graft.operators.Cdc.latestSnapshot]]): a deterministic
+    * insert/update/delete log over orders — every key inserted at seq 1,
+    * every 3rd key's price revised at seq 2 (one IEEE double multiply,
+    * bit-identical across engines — p07's discipline), every 5th key
+    * tombstoned at seq 3 — collapsed to current state. One max_by
+    * aggregation shuffle, no window sort; deletes drop row-locally after
+    * the agg. p07 is the KEEP-HISTORY twin (SCD2); this is the
+    * latest-state read every lakehouse table serves. */
+  def p13CdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ins = o.select(col("o_orderkey"), lit("I").as("op"),
+      lit(1L).as("seq"), col("o_totalprice").as("price"))
+    val upd = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+        (col("o_totalprice") * lit(1.1d)).as("price"))
+    val del = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), lit("D").as("op"), lit(3L).as("seq"),
+        lit(null).cast("double").as("price"))
+    graft.operators.Cdc.latestSnapshot(
+      ins.unionByName(upd).unionByName(del),
+      "o_orderkey", "seq", "op", "price")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val p13Sql: String =
+    """WITH log AS (
+      |  SELECT o_orderkey, 'I' AS op, 1::BIGINT AS seq,
+      |         o_totalprice AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 2, o_totalprice * 1.1
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', 3, NULL
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |latest AS (
+      |  SELECT o_orderkey,
+      |    ARG_MAX(op, seq) AS op,
+      |    ARG_MAX(price, seq) AS price,
+      |    MAX(seq) AS last_seq
+      |  FROM log GROUP BY 1)
+      |SELECT o_orderkey, price, last_seq
+      |FROM latest WHERE op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- p14
+  /** Order-independent dataset checksum per source
+    * ([[graft.operators.Checksum.datasetChecksum]]): count + XOR-fold +
+    * bounded additive digest of each row's FNV-1a64 over the canonical
+    * (doc_id, lang, text) serialization. Commutative aggregates only, so
+    * any row order, partitioning, or engine produces the same stamp —
+    * the DuckDB oracle refolds the same bytes in HUGEINT and matches all
+    * three integers exactly. */
+  def p14DatasetChecksum(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Checksum.datasetChecksum(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      "source", Seq("doc_id", "lang", "text"))
+      .orderBy(col("source"))
+
+  val p14Sql: String =
+    """WITH h AS (
+      |  SELECT source,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(
+      |           doc_id::VARCHAR || chr(31) || lang || chr(31) || text, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) AS fnv
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |    CASE WHEN fnv >= 9223372036854775808::HUGEINT
+      |         THEN fnv - 18446744073709551616::HUGEINT
+      |         ELSE fnv END AS h_signed,
+      |    fnv % 1073741824::HUGEINT AS h_mod
+      |  FROM h)
+      |SELECT source, COUNT(*) AS n_rows,
+      |  BIT_XOR(h_signed)::BIGINT AS xor_fp,
+      |  SUM(h_mod)::BIGINT AS add_fp
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p13_cdc_snapshot" -> (p13CdcSnapshot _, p13Sql),
+    "p14_dataset_checksum" -> (p14DatasetChecksum _, p14Sql),
     "p06_zorder_layout" -> (p06ZorderLayout _, p06Sql),
     "p07_scd2_merge" -> (p07Scd2Merge _, p07Sql),
     "p08_split_assign" -> (p08SplitAssign _, p08Sql),

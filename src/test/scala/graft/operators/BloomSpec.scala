@@ -43,6 +43,38 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == r2)
   }
 
+  test("prune: no false negatives, rows and columns pass through intact") {
+    import spark.implicits._
+    val keys = (1L to 200L)
+    val filter = Bloom.build(
+      keys.map(_.toString).toDF("k"), "k")
+    val fact = (1L to 1000L).map(k => (k, s"payload_$k", k * 2.5))
+      .toDF("key", "payload", "value")
+    val pruned = Bloom.prune(fact, "key", filter)
+    assert(pruned.columns.toSeq == Seq("key", "payload", "value"),
+      "prune must not add or drop columns")
+    val kept = pruned.select("key").as[Long].collect().toSet
+    assert(keys.toSet.subsetOf(kept), "bloom dropped a true member")
+    // duplicate fact rows survive (no distinct in the prune path)
+    val dup = fact.union(fact)
+    assert(Bloom.prune(dup, "key", filter).count() ==
+      2 * pruned.count())
+  }
+
+  test("prune + exact semi join equals the plain semi join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = (1L to 150L).toDF("dk")
+    val fact = (1L to 2000L).map(k => (k, k % 7)).toDF("fk", "v")
+    val filter = Bloom.build(dim.select(col("dk").cast("string").as("k")), "k")
+    val viaBloom = Bloom.prune(fact, "fk", filter)
+      .join(dim, col("fk") === col("dk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaBloom == plain)
+  }
+
   test("word layout: indexes and bits stay inside m = 2^16 / 60-bit words") {
     import spark.implicits._
     val filter = Bloom.build(members.toDF("gram"), "gram").collect()

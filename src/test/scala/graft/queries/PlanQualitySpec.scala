@@ -188,6 +188,22 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("CartesianProduct"), s"as-of degenerated:\n$p")
   }
 
+  test("q50: bloom prune is row-local and the semi join broadcasts") {
+    val p = plan("q50_bloom_semijoin")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"exact semi join must broadcast the dim side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact side must never shuffle-join:\n$p")
+    // the fact stream must flow scan → row-local bloom filter → broadcast
+    // join → partial agg with no exchange of its own: the only
+    // hashpartitioning exchanges allowed are the (tiny) bloom-build
+    // aggregation on the dim side and the final 3-group aggregation
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2,
+      s"fact side must not exchange — expected dim-build + final agg only, " +
+        s"got $shuffles:\n$p")
+  }
+
   test("q26: range join is an equi hash join on the bucket key") {
     val p = plan("q26_range_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||

@@ -51,4 +51,38 @@ class SessionizeEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(manual == builtin)
   }
+
+  test("session_window end is last-event + gap (the stream-session oracle's contract)") {
+    // the excel_stream_session oracle reconstructs session_end_us as
+    // max(ts)+gap over q32's session assignment — valid only if Spark's
+    // session_window really closes sessions at last-event + gap. Pin that
+    // on crafted data: gaps just under/over 30 min, multi-user overlap.
+    import spark.implicits._
+    val gapUs = 1800000000L // 30 min
+    val t0 = 1767225600000000L // 2026-01-01T00:00:00Z in epoch-µs
+    val events = Seq(
+      (1L, t0), (1L, t0 + gapUs - 1), // same session (gap < 30 min)
+      (1L, t0 + 3 * gapUs), // new session after silence
+      (2L, t0 + 5)) // other user, overlapping time range
+      .toDF("user_id", "ts_us")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val got = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        unix_micros(max(col("ts"))).as("last_us"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("start_us"),
+        expr("unix_micros(session_window.end)").as("end_us"),
+        col("n"), col("last_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    got.foreach { case (u, start, end, _, last) =>
+      assert(end == last + gapUs,
+        s"user $u session [$start,$end): end must be last-event($last) + gap")
+    }
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, t0, 2L), (1L, t0 + 3 * gapUs, 1L), (2L, t0 + 5, 1L)))
+  }
 }
