@@ -54,27 +54,46 @@ import graft.functions.TextExpressions
   */
 object Sketches {
 
-  /** Per-group HLL distinct estimate:
-    * (grpCol, n_present, s_scaled, est_micro, small_range, est_raw,
-    * estimate). */
-  def hllDistinct(df: DataFrame, grpCol: String, valueCol: String,
+  /** The MERGEABLE sketch state: one (grpCol, bucket, mrho) row per
+    * non-empty register. Registers merge with plain MAX — associative and
+    * commutative — so sketches built on disjoint slices (sources, days,
+    * shards) combine with a `groupBy(bucket).agg(max(mrho))` and estimate
+    * exactly as if built over the union in one pass. This is THE property
+    * that makes the sketch a 100 TB operator: per-slice states are ≤ m
+    * fixed-width rows each, and cross-slice union never rescans data. */
+  def hllRegisters(df: DataFrame, grpCol: String, valueCol: String,
       b: Int = 10): DataFrame = {
     require(b >= 4 && b <= 16, s"register bits out of range: $b")
-    val m = 1 << b
     val h = TextExpressions.mix64(
       TextExpressions.fnv1a64(col(valueCol).cast("string")))
     val bucket = shiftrightunsigned(h, 64 - b)
     val rest = h.bitwiseAND(lit((1L << (64 - b)) - 1))
     val rho = lit(64 - b + 1) -
       when(rest === 0, lit(0)).otherwise(length(bin(rest)))
+    df.select(col(grpCol), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col(grpCol), col("bucket"))
+      .agg(max(col("rho")).as("mrho"))
+  }
+
+  /** Per-group HLL distinct estimate:
+    * (grpCol, n_present, s_scaled, est_micro, small_range, est_raw,
+    * estimate). */
+  def hllDistinct(df: DataFrame, grpCol: String, valueCol: String,
+      b: Int = 10): DataFrame =
+    hllFromRegisters(hllRegisters(df, grpCol, valueCol, b), grpCol, b)
+
+  /** Estimates from a register table ([[hllRegisters]] output or any
+    * MAX-merge of such tables) — same output surface as [[hllDistinct]]. */
+  def hllFromRegisters(regs: DataFrame, grpCol: String,
+      b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 16, s"register bits out of range: $b")
+    val m = 1 << b
     // scaled register sum: contribution 2^(63-rho), empty register 2^63
     val twoTo63 = lit(new java.math.BigDecimal("9223372036854775808"))
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val numer = alpha * (lit((m.toLong * m.toLong).toDouble) *
       lit(9.223372036854775808e18)) // m^2 * 2^63, both powers of two
-    df.select(col(grpCol), bucket.as("bucket"), rho.as("rho"))
-      .groupBy(col(grpCol), col("bucket"))
-      .agg(max(col("rho")).as("mrho"))
+    regs
       .groupBy(col(grpCol))
       .agg(count(lit(1)).as("n_present"),
         sum(expr("shiftleft(1L, 63 - mrho)").cast("decimal(38,0)"))

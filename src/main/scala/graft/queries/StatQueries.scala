@@ -254,6 +254,97 @@ object StatQueries {
       |FROM est JOIN ex USING (metric)
       |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** HLL register MERGE — the sketch-mergeability gate: per-source
+    * distinct-text sketches over `documents` built ONCE as register
+    * tables ([[graft.operators.Sketches.hllRegisters]]), then estimated
+    * (a) per source and (b) for the union of all sources by MAX-merging
+    * the same registers — no second scan of the data. Merge correctness
+    * is cross-engine-checked: the oracle builds the union sketch the
+    * direct way (one sketch over all rows), which equals the merged one
+    * because per-bucket MAX is associative — any divergence in hash,
+    * bucketing, or merge breaks the bit-exact match. Same pure-BIGINT
+    * hashed surface as q45 (s_hi/s_lo halves). At 100 TB the register
+    * tables are ≤ 1024 fixed-width rows per source: daily/source-level
+    * distinct counts union in milliseconds, data rescanned never. */
+  def q51HllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("source"), col("text"))
+    val regs = graft.operators.Sketches.hllRegisters(docs, "source", "text")
+    val merged = regs.groupBy(col("bucket"))
+      .agg(max(col("mrho")).as("mrho"))
+      .withColumn("source", lit("__union__"))
+    val est = graft.operators.Sketches.hllFromRegisters(
+      regs.unionByName(merged.select(col("source"), col("bucket"),
+        col("mrho"))), "source")
+    val exact = docs.groupBy("source")
+      .agg(countDistinct(col("text")).as("exact_distinct"))
+      .unionByName(docs.agg(countDistinct(col("text")).as("exact_distinct"))
+        .withColumn("source", lit("__union__"))
+        .select(col("source"), col("exact_distinct")))
+    est.join(exact, "source")
+      .select(col("source").as("scope"), col("n_present"),
+        expr("s_scaled div 1000000000000000000").as("s_hi"),
+        expr("CAST(s_scaled % 1000000000000000000 AS BIGINT)").as("s_lo"),
+        col("est_micro"), col("small_range"), col("exact_distinct"))
+      .orderBy("scope")
+  }
+
+  val q51Sql: String =
+    """WITH vals AS (
+      |  SELECT source AS scope, text AS v FROM documents
+      |  UNION ALL
+      |  SELECT '__union__', text FROM documents),
+      |f AS (
+      |  SELECT scope,
+      |    CASE WHEN v = '' THEN 14695981039346656037::HUGEINT
+      |         ELSE list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(v, '')]),
+      |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) END AS z
+      |  FROM vals),
+      |m1 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS z FROM f),
+      |m2 AS (SELECT scope,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT scope,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS h FROM m4),
+      |reg AS (
+      |  SELECT scope, h // 18014398509481984::HUGEINT AS bucket,
+      |    MAX(55 - CASE WHEN h % 18014398509481984::HUGEINT = 0 THEN 0
+      |        ELSE LENGTH(BIN(CAST(h % 18014398509481984::HUGEINT
+      |                             AS BIGINT))) END) AS mrho
+      |  FROM m5 GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT scope, COUNT(*) AS n_present,
+      |    SUM((1::BIGINT << (63 - mrho))::HUGEINT)
+      |      + (1024 - COUNT(*))::HUGEINT * 9223372036854775808::HUGEINT AS s
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT scope, n_present,
+      |    (s // 1000000000000000000::HUGEINT)::BIGINT AS s_hi,
+      |    (s % 1000000000000000000::HUGEINT)::BIGINT AS s_lo,
+      |    CAST(7143409202692358338277906422169600000::HUGEINT
+      |         // (1025079::HUGEINT * s) AS BIGINT) AS est_micro
+      |  FROM agg),
+      |ex AS (SELECT scope, COUNT(DISTINCT v) AS exact_distinct
+      |       FROM vals GROUP BY 1)
+      |SELECT scope, n_present, s_hi, s_lo, est_micro,
+      |  CASE WHEN est_micro <= 2560000000 AND n_present < 1024
+      |       THEN 1 ELSE 0 END AS small_range,
+      |  exact_distinct
+      |FROM est JOIN ex USING (scope)
+      |ORDER BY scope""".stripMargin
+
   // ---------------------------------------------------------------- q49
   /** Hourly event-volume anomaly detection, INTEGER-EXACT: flag hours
     * whose count exceeds the per-type mean by more than 3σ, with the
@@ -313,5 +404,6 @@ object StatQueries {
     "q30_heavy_hitters" -> (q30HeavyHitters _, q30Sql),
     "q45_hll_distinct" -> (q45HllDistinct _, q45Sql),
     "q49_anomaly_hours" -> (q49AnomalyHours _, q49Sql),
+    "q51_hll_union" -> (q51HllUnion _, q51Sql),
   )
 }

@@ -63,6 +63,28 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "register state must be partitioning-invariant")
   }
 
+  test("MAX-merged registers of disjoint slices equal the direct union sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two overlapping slices: union has 12000 distincts, each slice 8000
+    val a = (0 until 8000).map(i => ("a", s"val_$i")).toDF("grp", "v")
+    val b = (4000 until 12000).map(i => ("b", s"val_$i")).toDF("grp", "v")
+    val perSlice = Sketches.hllRegisters(a.union(b), "grp", "v")
+    val merged = perSlice.groupBy(col("bucket"))
+      .agg(max(col("mrho")).as("mrho"))
+      .withColumn("grp", lit("u"))
+    val direct = Sketches.hllRegisters(
+      a.union(b).withColumn("grp", lit("u")), "grp", "v")
+    val est = (df: org.apache.spark.sql.DataFrame) =>
+      Sketches.hllFromRegisters(df, "grp").collect()(0)
+    val (me, de) = (est(merged), est(direct))
+    assert(me.getDecimal(me.fieldIndex("s_scaled")) ==
+      de.getDecimal(de.fieldIndex("s_scaled")),
+      "merged register state must equal the direct union sketch's")
+    assert(me.getLong(me.fieldIndex("est_micro")) ==
+      de.getLong(de.fieldIndex("est_micro")))
+  }
+
   test("est_micro is the truncated integer image of est_raw") {
     for (n <- Seq(300, 5000, 20000, 100000)) {
       val r = estimates(n)
