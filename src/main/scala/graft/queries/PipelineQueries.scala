@@ -670,7 +670,94 @@ object PipelineQueries {
       |  SUM(h_mod)::BIGINT AS add_fp
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p15
+  /** Incremental aggregate maintenance
+    * ([[graft.operators.Incremental.mergeState]]): per-customer order
+    * stats kept current by merging a delta batch's aggregate into
+    * yesterday's state — history (here the 90% "old" slice) is never
+    * rescanned; the merge shuffles two keys-sized aggregate tables. The
+    * oracle recomputes from scratch over everything, so the gate proves
+    * merge ≡ recompute for the decomposable aggregates (count/sum/max). */
+  def p15IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    def aggOf(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        max(col("o_orderdate")).as("last_order"))
+    val state = aggOf(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0))
+    val delta = aggOf(o.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+    graft.operators.Incremental.mergeState(state, delta,
+      Seq("o_custkey"), sumCols = Seq("n_orders", "revenue"),
+      maxCols = Seq("last_order"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"), col("last_order"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val p15Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  MAX(o_orderdate) AS last_order
+      |FROM orders
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- p16
+  /** BUCKETED co-located join: orders and customer written as 8-bucket
+    * tables on the join key, re-read and merge-joined — the bucketed
+    * scans already satisfy the join's hash distribution, so NO exchange
+    * touches either side (pinned in PlanQualitySpec; the merge hint just
+    * keeps the tiny test-side customer from broadcasting). This is the
+    * pre-shuffle-once-join-forever layout a 100 TB fact table wants:
+    * bucket at write time, and every subsequent key join rides the
+    * layout for free. Result is oracled against the plain join. */
+  def p16BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = math.abs(dir.hashCode).toString
+    val oT = s"graft_bkt_orders_$sfx"
+    val cT = s"graft_bkt_customer_$sfx"
+    // a fresh session's in-memory catalog forgets managed tables but the
+    // warehouse directory survives — drop both halves or saveAsTable
+    // refuses with LOCATION_ALREADY_EXISTS on the next run
+    Seq(oT, cT).foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = new java.io.File(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(wh)
+    }
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_custkey"))
+      .write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable(oT)
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(8, col("c_custkey"))
+      .write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable(cT)
+    spark.table(oT)
+      .join(spark.table(cT).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val p16Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p15_incremental_agg" -> (p15IncrementalAgg _, p15Sql),
+    "p16_bucketed_join" -> (p16BucketedJoin _, p16Sql),
     "p13_cdc_snapshot" -> (p13CdcSnapshot _, p13Sql),
     "p14_dataset_checksum" -> (p14DatasetChecksum _, p14Sql),
     "p06_zorder_layout" -> (p06ZorderLayout _, p06Sql),

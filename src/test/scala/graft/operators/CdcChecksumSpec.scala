@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Contract tests for the p13/p14 operators: CDC compaction picks the
-  * highest-seq event and honors tombstones; the dataset checksum is
-  * layout-invariant and duplicate-sensitive. */
+/** Contract tests for the p13/p14/p15 operators: CDC compaction picks
+  * the highest-seq event and honors tombstones; the dataset checksum is
+  * layout-invariant and duplicate-sensitive; incremental state merge
+  * equals recompute for decomposable aggregates. */
 class CdcChecksumSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -72,6 +73,22 @@ class CdcChecksumSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(duped._1 == clean._1 + 2 && duped._2 == clean._2 &&
       duped._3 != clean._3,
       s"additive digest must catch duplicated pairs: $clean vs $duped")
+  }
+
+  test("mergeState: sum/min/max merge, lone-side keys pass through") {
+    import spark.implicits._
+    val state = Seq((1L, 3L, 30.0, 2L, 9L), (2L, 1L, 5.0, 7L, 7L))
+      .toDF("k", "n", "s", "mn", "mx")
+    val delta = Seq((1L, 2L, 12.0, 1L, 4L), (3L, 4L, 8.0, 0L, 0L))
+      .toDF("k", "n", "s", "mn", "mx")
+    val merged = Incremental.mergeState(state, delta, Seq("k"),
+      sumCols = Seq("n", "s"), minCols = Seq("mn"), maxCols = Seq("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(merged == Seq(
+      (1L, 5L, 42.0, 1L, 9L), // both sides merge
+      (2L, 1L, 5.0, 7L, 7L),  // state-only key unchanged
+      (3L, 4L, 8.0, 0L, 0L))) // brand-new key adopted as-is
   }
 
   test("canonical separator distinguishes field boundaries") {

@@ -204,6 +204,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"got $shuffles:\n$p")
   }
 
+  test("p16: bucketed join exchanges NEITHER side") {
+    val p = plan("p16_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected merge join:\n$p")
+    // both scans are 8-bucket tables on the join key: the join runs on
+    // the storage layout; the only exchange is the final 5-group agg
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1,
+      s"bucketed join must not re-shuffle either side, got $shuffles:\n$p")
+  }
+
   test("q26: range join is an equi hash join on the bucket key") {
     val p = plan("q26_range_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
