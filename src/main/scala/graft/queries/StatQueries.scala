@@ -269,7 +269,12 @@ object StatQueries {
     * distinct counts union in milliseconds, data rescanned never. */
   def q51HllUnion(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("source"), col("text"))
-    val regs = graft.operators.Sketches.hllRegisters(docs, "source", "text")
+    // materialize the register table once (≤ m rows per source) so both
+    // the per-source and the merged estimates read the same tiny state
+    // instead of re-scanning documents per branch — at scale this table
+    // IS the maintained artifact, not a recomputation
+    val regs = graft.operators.Sketches
+      .hllRegisters(docs, "source", "text").localCheckpoint()
     val merged = regs.groupBy(col("bucket"))
       .agg(max(col("mrho")).as("mrho"))
       .withColumn("source", lit("__union__"))
