@@ -102,4 +102,41 @@ object Bloom {
     out.filter(allSet)
       .drop("__bf" +: "__h" +: (0 until 4).map(i => s"__pos$i"): _*)
   }
+
+  /** xxhash64 probe positions — the FAST path. The md5 layout above
+    * exists to be byte-for-byte mirrorable in an oracle engine; when no
+    * mirror is needed (pruning before an exact join, where bloom errors
+    * cannot change the answer), four seeded xxhash64 calls stay inside
+    * whole-stage codegen with no hex-string materialization, conversion,
+    * or substring work per row. Build and probe must agree on the hash —
+    * [[buildFast]] pairs with [[pruneFast]] only. */
+  private def fastPositions(key: org.apache.spark.sql.Column) =
+    (0 until 4).map(i => pmod(xxhash64(lit(i), key), lit(MBits.toLong)))
+
+  /** (word_idx, bits) filter rows over `keyCol`, xxhash64 probes. */
+  def buildFast(keys: DataFrame, keyCol: String): DataFrame =
+    keys
+      .select(explode(array(fastPositions(col(keyCol)): _*)).as("pos"))
+      .select(expr(s"pos div $WordBits").as("word_idx"),
+        expr(s"shiftleft(1L, cast(pos % $WordBits as int))").as("m"))
+      .groupBy("word_idx")
+      .agg(expr("bit_or(m)").as("bits"))
+
+  /** [[prune]] with xxhash64 probes against a [[buildFast]] filter. */
+  def pruneFast(df: DataFrame, keyCol: String, filter: DataFrame): DataFrame = {
+    val bf = filter.agg(
+      map_from_arrays(collect_list(col("word_idx")), collect_list(col("bits")))
+        .as("__bf"))
+    var out = df.crossJoin(broadcast(bf))
+    val positions = fastPositions(col(keyCol))
+    for (i <- 0 until 4)
+      out = out.withColumn(s"__pos$i", positions(i))
+    val allSet = (0 until 4)
+      .map(i => expr(
+        s"(shiftright(element_at(__bf, __pos$i div $WordBits), " +
+          s"cast(__pos$i % $WordBits as int)) & 1L) = 1L"))
+      .reduce(_ && _)
+    out.filter(allSet)
+      .drop("__bf" +: (0 until 4).map(i => s"__pos$i"): _*)
+  }
 }

@@ -156,12 +156,13 @@ object AdvancedJoinQueries {
     val urgent = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bloom = graft.operators.Bloom.build(
-      urgent.select(col("o_orderkey").cast("string").as("k")), "k")
+    // fast xxhash64 probes: no oracle ever mirrors the filter itself
+    // (false positives die in the exact join), so the codegen path wins
+    val bloom = graft.operators.Bloom.buildFast(urgent, "o_orderkey")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_returnflag"),
         col("l_extendedprice"), col("l_discount"))
-    graft.operators.Bloom.prune(li, "l_orderkey", bloom)
+    graft.operators.Bloom.pruneFast(li, "l_orderkey", bloom)
       .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"),
         "left_semi")
       .groupBy(col("l_returnflag"))

@@ -398,7 +398,90 @@ object ConnectorQueries {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // -------------------------------------------------- excel_stream_cdc
+  /** Streaming CDC upsert view, oracle-checked
+    * ([[graft.streaming.StreamingCdc.latestState]]): a deterministic
+    * changelog over orders — inserts at seq 1, every 3rd key's price
+    * revised at seq 2, every 5th key tombstoned at seq 3 — split across
+    * TWO excel micro-batches (inserts first, then updates+deletes;
+    * name-sorted listing + maxFilesPerTrigger=1 pins the order). The
+    * keyed state must carry batch-1 inserts forward so batch-2 events
+    * merge against STATE, never a rescan; the update-mode output log is
+    * then compacted with the batch twin
+    * ([[graft.operators.Cdc.latestSnapshot]]). Prices ride as integer
+    * cents (the 1.1× revision is `(cents*11) div 10` — exact), so the
+    * hashed surface is pure BIGINT and the oracle replays the whole
+    * changelog with arg_max. */
+  def excelStreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val ins = o.select(col("o_orderkey"), lit("I").as("op"),
+      lit(1L).as("seq"), col("cents").as("price_cents"))
+    val upd = o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+        expr("(cents * 11) div 10").as("price_cents"))
+    val del = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), lit("D").as("op"), lit(3L).as("seq"),
+        lit(0L).as("price_cents"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_cdc_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    ins.coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    upd.unionByName(del).coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"excel_stream_cdc_${math.abs(dir.hashCode)}"
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("excel").schema(ins.schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(in.getAbsolutePath)
+      .transform(df => graft.streaming.StreamingCdc.latestState(
+        df, "o_orderkey", "seq", "op", "price_cents"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Cdc.latestSnapshot(ss.table(qname),
+      "o_orderkey", "last_seq", "op", Seq("price_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val excelStreamCdcSql: String =
+    """WITH log AS (
+      |  SELECT o_orderkey, 'I' AS op, 1::BIGINT AS seq,
+      |         ROUND(o_totalprice * 100)::BIGINT AS price_cents
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U', 2,
+      |         (ROUND(o_totalprice * 100)::BIGINT * 11) // 10
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', 3, 0
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |latest AS (
+      |  SELECT o_orderkey,
+      |    ARG_MAX(op, seq) AS op,
+      |    ARG_MAX(price_cents, seq) AS price_cents,
+      |    MAX(seq) AS last_seq
+      |  FROM log GROUP BY 1)
+      |SELECT o_orderkey, price_cents, last_seq
+      |FROM latest WHERE op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "excel_stream_cdc" -> (excelStreamCdc _, excelStreamCdcSql),
     "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
     "excel_stream_stream_join" -> (excelStreamStreamJoin _, excelStreamStreamJoinSql),
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),

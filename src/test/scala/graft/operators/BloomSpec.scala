@@ -75,6 +75,23 @@ class BloomSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaBloom == plain)
   }
 
+  test("fast pair: no false negatives, bloom + exact join equals plain join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = (1L to 150L).toDF("dk")
+    val fact = (1L to 2000L).map(k => (k, k % 7)).toDF("fk", "v")
+    val filter = Bloom.buildFast(dim, "dk")
+    val kept = Bloom.pruneFast(fact, "fk", filter)
+      .select("fk").as[Long].collect().toSet
+    assert((1L to 150L).toSet.subsetOf(kept), "fast bloom dropped a member")
+    val viaBloom = Bloom.pruneFast(fact, "fk", filter)
+      .join(dim, col("fk") === col("dk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaBloom == plain)
+  }
+
   test("word layout: indexes and bits stay inside m = 2^16 / 60-bit words") {
     import spark.implicits._
     val filter = Bloom.build(members.toDF("gram"), "gram").collect()
