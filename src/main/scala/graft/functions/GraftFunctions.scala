@@ -34,23 +34,42 @@ object GraftFunctions {
     build(exprs(0), exprs(1))
   }
 
+  /** Single source of truth for the SQL-surface names — shared by the
+    * session-level [[register]] and the extensions-level
+    * [[injectInto]] so the two paths cannot drift. */
+  private def entries: Seq[(String, Seq[Expression] => Expression)] = {
+    import TextExpressions.{DefaultNumHashes, DefaultShingleK}
+    Seq(
+      "fnv1a64" -> unary("fnv1a64")(TextExpressions.Fnv1a64),
+      "simhash64" -> unary("simhash64")(
+        TextExpressions.SimHash64(_, DefaultShingleK)),
+      "minhash128" -> unary("minhash128")(
+        TextExpressions.MinHashSignature(_, DefaultNumHashes, DefaultShingleK)),
+      "shingles3" -> unary("shingles3")(
+        TextExpressions.ShingleSet(_, DefaultShingleK)),
+      "emb_lsh_bucket" -> unary("emb_lsh_bucket")(
+        VectorFunctions.EmbeddingLshBucket(_,
+          VectorFunctions.DefaultLshBits, VectorFunctions.DefaultLshSeed)),
+      "cosine_sim" -> binary("cosine_sim")(VectorFunctions.CosineSimilarity))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    import TextExpressions.{DefaultNumHashes, DefaultShingleK}
-    reg.createOrReplaceTempFunction("fnv1a64",
-      unary("fnv1a64")(TextExpressions.Fnv1a64), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      unary("simhash64")(TextExpressions.SimHash64(_, DefaultShingleK)), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash128",
-      unary("minhash128")(
-        TextExpressions.MinHashSignature(_, DefaultNumHashes, DefaultShingleK)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("shingles3",
-      unary("shingles3")(TextExpressions.ShingleSet(_, DefaultShingleK)), "scala_udf")
-    reg.createOrReplaceTempFunction("emb_lsh_bucket",
-      unary("emb_lsh_bucket")(VectorFunctions.EmbeddingLshBucket(_,
-        VectorFunctions.DefaultLshBits, VectorFunctions.DefaultLshSeed)), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      binary("cosine_sim")(VectorFunctions.CosineSimilarity), "scala_udf")
+    entries.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
+
+  /** Extensions-path registration: a session created with
+    * `spark.sql.extensions=graft.plans.GraftSparkExtensions` gets the
+    * SQL functions without any imperative [[register]] call — the same
+    * wiring a deployed cluster would configure once. */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    entries.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.GraftFunctions", name),
+        builder))
+    }
 }

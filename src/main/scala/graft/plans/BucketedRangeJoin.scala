@@ -133,8 +133,11 @@ object BucketedRangeJoinRule extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the optimizer rule AND the SQL
+  * function surface — one config line gives a cluster the full library. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BucketedRangeJoinRule)
+    graft.functions.GraftFunctions.injectInto(ext)
+  }
 }

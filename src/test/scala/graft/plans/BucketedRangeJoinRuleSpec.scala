@@ -108,4 +108,15 @@ class BucketedRangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!strict.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
     } finally spark.conf.unset(BucketedRangeJoinRule.WidthConf)
   }
+
+  test("extensions also inject the SQL function surface") {
+    // one spark.sql.extensions line gives a cluster the functions too —
+    // no imperative GraftFunctions.register call anywhere in this session
+    val r = spark.sql(
+      "SELECT fnv1a64('hello') AS fp, cosine_sim(array(1.0F, 0.0F), " +
+        "array(1.0F, 0.0F)) AS cos").collect()(0)
+    // public FNV-1a64 test vector for "hello"
+    assert(r.getLong(0) == 0xa430d84680aabd0bL)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
 }
