@@ -347,6 +347,65 @@ object TextAnalysis {
         expr("(surprise_bits * 1000) div n_tokens"))
 }
 
+  /** Bigram LM surprise with unigram backoff — the CCNet-style
+    * language-model quality filter, INTEGER-EXACT: a reference LM is
+    * built from `lm` (bigram counts C2, unigram counts C1, total N) and
+    * every document of `score` is charged, per bigram (a,b):
+    *   - seen bigram:  bitlen(C1(a) div C2(a,b)) − 1   (≈ −log₂ P(b|a))
+    *   - unseen, b known:  penalty + bitlen(N div C1(b)) − 1  (backoff)
+    *   - b unknown:        penalty + bitlen(N) − 1            (OOV floor)
+    * No float log anywhere, so the oracle replays every charge exactly.
+    * Scoring against a HELD-OUT reference (not self) is what makes the
+    * backoff path live — the gate trains on ¾ of the corpus and scores
+    * all of it. High mean bits ⇒ text the reference LM finds improbable
+    * (boilerplate, noise, other-domain) — the standard perplexity-bucket
+    * curation signal, in exactly-reproducible integer form.
+    *
+    * Scale shape: the LM tables are partial-agg aggregates (fixed-width
+    * keys); the document bigram stream pays one equi-join against each
+    * (bigram-keyed, then unigram-keyed) plus a broadcast scalar for the
+    * OOV floor; per-doc totals are one more partial-agg groupBy. Nothing
+    * driver-side, nothing quadratic. */
+  def bigramSurprise(lm: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      penaltyBits: Int = 4): org.apache.spark.sql.DataFrame = {
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.filter(trim(col(textCol)) =!= "")
+        .select(col(idCol), words(col(textCol)).as("t"))
+    def bigrams(d: org.apache.spark.sql.DataFrame) =
+      toks(d).select(col(idCol), explode(expr(
+        "filter(zip_with(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "slice(t, 2, greatest(size(t) - 1, 0)), " +
+          "(a, b) -> struct(a AS w1, b AS w2)), " +
+          "p -> p.w1 <> '' AND p.w2 <> '')")).as("bg"))
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c1 = toks(lm).select(explode(col("t")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val nT = c1.agg(sum(col("c1")).as("n_total"))
+      .withColumn("max_bits", expr("length(bin(n_total)) - 1").cast("long"))
+    val c2 = bigrams(lm).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val bgBits = c2.join(c1.withColumnRenamed("w", "w1"), "w1")
+      .select(col("w1"), col("w2"),
+        expr("length(bin(c1 div c2)) - 1").cast("long").as("bg_bits"))
+    val ugBits = c1.crossJoin(broadcast(nT.select(col("n_total"))))
+      .select(col("w").as("w2"),
+        expr("length(bin(n_total div c1)) - 1").cast("long").as("ug_bits"))
+    bigrams(score)
+      .join(bgBits, Seq("w1", "w2"), "left")
+      .join(ugBits, Seq("w2"), "left")
+      .crossJoin(broadcast(nT.select(col("max_bits"))))
+      .withColumn("bits", coalesce(col("bg_bits"),
+        lit(penaltyBits.toLong) + coalesce(col("ug_bits"), col("max_bits"))))
+      .withColumn("oov", when(col("bg_bits").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("oov_bigrams"),
+        sum(col("bits")).as("surprise_bits"))
+      .withColumn("mean_millibits",
+        expr("(surprise_bits * 1000) div n_bigrams"))
+  }
+
   /** Fixed-window document CHUNKING with overlap — the splitter that
     * feeds RAG indexing and long-context training-window construction: a
     * character window of `size` starts every `size - overlap` characters

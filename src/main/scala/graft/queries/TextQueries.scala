@@ -822,7 +822,9 @@ object TextQueries {
       |  MD5(SUBSTRING(text, (i * 400 + 1)::INT, 500)) AS chunk_fp
       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
 
-  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+  // lazy: t21's def/Sql are declared below this map (the file reads in
+  // gate order); forcing happens at SparkEntry access, after object init
+  lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
     "t10_domain_stats" -> (t10DomainStats _, t10Sql),
@@ -843,5 +845,65 @@ object TextQueries {
     "t18_domain_divergence" -> (t18DomainDivergence _, t18Sql),
     "t19_chunking" -> (t19Chunking _, t19Sql),
     "t20_hybrid_retrieval" -> (t20HybridRetrieval _, t20Sql),
+    "t21_bigram_surprise" -> (t21BigramSurprise _, t21Sql),
   )
+
+  // ---------------------------------------------------------------- t21
+  /** Bigram LM perplexity-bucket scoring
+    * ([[TextAnalysis.bigramSurprise]]): the reference LM trains on the
+    * ¾ of the corpus with doc_id % 4 ≠ 0 and every document is charged
+    * integer bits per bigram, with 4-bit-penalty unigram backoff for
+    * bigrams the LM never saw — held-out docs genuinely exercise the
+    * backoff and OOV-floor paths. Every charge is integral, so the
+    * oracle replays them all bit-for-bit. */
+  def t21BigramSurprise(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.bigramSurprise(
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 0), d, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val t21Sql: String =
+    """WITH lm AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id % 4 <> 0 AND TRIM(text) <> ''),
+      |sc AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |c1 AS (
+      |  SELECT w, COUNT(*) AS c1
+      |  FROM (SELECT UNNEST(t) AS w FROM lm) WHERE w <> '' GROUP BY 1),
+      |n AS (SELECT SUM(c1)::BIGINT AS n_total FROM c1),
+      |c2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2
+      |  FROM (SELECT UNNEST(t[1:LEN(t)-1]) AS w1, UNNEST(t[2:LEN(t)]) AS w2
+      |        FROM lm)
+      |  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+      |bgb AS (
+      |  SELECT w1, w2,
+      |    (LENGTH(BIN(CAST(c1.c1 // c2.c2 AS BIGINT))) - 1)::BIGINT AS bg_bits
+      |  FROM c2 JOIN c1 ON c1.w = c2.w1),
+      |ugb AS (
+      |  SELECT w,
+      |    (LENGTH(BIN(CAST(n_total // c1 AS BIGINT))) - 1)::BIGINT AS ug_bits
+      |  FROM c1 CROSS JOIN n),
+      |mx AS (SELECT (LENGTH(BIN(CAST(n_total AS BIGINT))) - 1)::BIGINT
+      |         AS max_bits FROM n),
+      |doc_bg AS (
+      |  SELECT doc_id, UNNEST(t[1:LEN(t)-1]) AS w1, UNNEST(t[2:LEN(t)]) AS w2
+      |  FROM sc),
+      |scored AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN bgb.bg_bits IS NOT NULL THEN bgb.bg_bits
+      |         ELSE 4 + COALESCE(ugb.ug_bits, mx.max_bits) END AS bits,
+      |    CASE WHEN bgb.bg_bits IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM doc_bg d
+      |  LEFT JOIN bgb ON bgb.w1 = d.w1 AND bgb.w2 = d.w2
+      |  LEFT JOIN ugb ON ugb.w = d.w2
+      |  CROSS JOIN mx
+      |  WHERE d.w1 <> '' AND d.w2 <> '')
+      |SELECT doc_id, COUNT(*) AS n_bigrams, SUM(oov)::BIGINT AS oov_bigrams,
+      |  SUM(bits)::BIGINT AS surprise_bits,
+      |  ((SUM(bits) * 1000) // COUNT(*))::BIGINT AS mean_millibits
+      |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 }

@@ -1031,4 +1031,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextAnalysis.chunkDocuments(df, "doc_id", "text", size = 4, overlap = 4)
     }
   }
+
+  test("bigram surprise: seen / backoff / OOV-floor charges, hand-computed") {
+    import spark.implicits._
+    // LM corpus: "a b a b c" → C2(a,b)=2 (b,a)=1 (b,c)=1; C1 a=2 b=2 c=1; N=5
+    val lm = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b a b c"), // in-LM doc: all bigrams seen
+      (2L, "a b z c"))   // held-out: seen + OOV-floor(z) + backoff(c)
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSurprise(lm, score, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).sortBy(_._1).toSeq
+    // doc 1: (a,b)=bitlen(2/2)-1=0 twice, (b,a)=(b,c)=bitlen(2/1)-1=1 each
+    // doc 2: (a,b)=0; (b,z): z unknown → 4+bitlen(5)-1=6;
+    //        (z,c): c known  → 4+bitlen(5/1)-1=6
+    assert(r == Seq(
+      (1L, 4L, 0L, 2L, 500L),
+      (2L, 3L, 2L, 12L, 4000L)))
+  }
 }
