@@ -106,6 +106,88 @@ object MultimodalQueries {
       |  (CASE WHEN mp4 THEN frame_idx * 20 END)::BIGINT AS t_ticks
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m09
+  /** Shot-change KEYFRAME selection over a synthesized frame stream: each
+    * "video" (every 3rd doc) yields 6–12 frames as REAL 9×8 gradient
+    * PNGs whose seed advances every 4 frames (a 4-frame "shot"); every
+    * frame is perceptually hashed through the real decode path
+    * ([[Multimodal.dHash64]] — ImageIO decode, block means, 64-bit
+    * gradient hash), and a frame is a keyframe iff it's the first or its
+    * hamming distance to the PREVIOUS frame's hash is nonzero — the
+    * dedup-adjacent-frames primitive of video ingestion. Decode is
+    * mapPartitions (binary codec work, the right tool); everything after
+    * is one per-video lag window. The oracle reproduces the dHash in
+    * closed form (m07's verified pixel formula), the lag, and the
+    * bit_count, exactly. */
+  def m09KeyframeSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .withColumn("n_frames", (lit(6) + pmod(col("doc_id"), lit(7))).cast("int"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+      .as[(Long, Int)]
+    val hashed = frames.mapPartitions(_.map { case (id, fi) =>
+      val seed = id + 13L * (fi / 4) // new seed every 4 frames = a shot
+      val png = Multimodal.gradientPng(9, 8, seed)
+      val (_, _, hi, lo) = Multimodal.dHash64(png).get
+      (id, fi.toLong, hi, lo)
+    }).toDF("doc_id", "frame_idx", "h_hi", "h_lo")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    hashed
+      .withColumn("p_hi", lag(col("h_hi"), 1).over(w))
+      .withColumn("p_lo", lag(col("h_lo"), 1).over(w))
+      .withColumn("hamming", when(col("p_hi").isNull, lit(null))
+        .otherwise(expr("bit_count(h_hi ^ p_hi) + bit_count(h_lo ^ p_lo)"))
+        .cast("long"))
+      .withColumn("keyframe",
+        when(col("hamming").isNull || col("hamming") > 0, 1).otherwise(0))
+      .select(col("doc_id"), col("frame_idx"), col("hamming"),
+        col("keyframe"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val m09Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id, 6 + doc_id % 7 AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |fr AS (
+      |  SELECT doc_id, UNNEST(RANGE(0, n_frames)) AS frame_idx FROM v),
+      |sd AS (
+      |  SELECT doc_id, frame_idx,
+      |    doc_id + 13 * (frame_idx // 4) AS seed
+      |  FROM fr),
+      |bits AS (
+      |  SELECT doc_id, frame_idx, (t2.y * 8 + t1.x)::INT AS idx,
+      |    CASE WHEN (seed + 3 * t1.x + 7 * t2.y) % 256
+      |            > (seed + 3 * (t1.x + 1) + 7 * t2.y) % 256
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM sd
+      |  CROSS JOIN RANGE(0, 8) t1(x)
+      |  CROSS JOIN RANGE(0, 8) t2(y)),
+      |hashed AS (
+      |  SELECT doc_id, frame_idx,
+      |    SUM(CASE WHEN idx >= 32 THEN bit::BIGINT << (idx - 32)
+      |             ELSE 0 END)::BIGINT AS h_hi,
+      |    SUM(CASE WHEN idx < 32 THEN bit::BIGINT << idx
+      |             ELSE 0 END)::BIGINT AS h_lo
+      |  FROM bits GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT doc_id, frame_idx, h_hi, h_lo,
+      |    LAG(h_hi) OVER w AS p_hi, LAG(h_lo) OVER w AS p_lo
+      |  FROM hashed
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+      |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+      |  (CASE WHEN p_hi IS NULL THEN NULL
+      |        ELSE bit_count(xor(h_hi, p_hi)) + bit_count(xor(h_lo, p_lo))
+      |   END)::BIGINT AS hamming,
+      |  (CASE WHEN p_hi IS NULL
+      |         OR bit_count(xor(h_hi, p_hi)) + bit_count(xor(h_lo, p_lo)) > 0
+      |        THEN 1 ELSE 0 END)::INT AS keyframe
+      |FROM lagged ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---------------------------------------------------------------- m03
   /** Resize-to-fit 224x224: source dimensions are PARSED from each planted
     * PNG IHDR; the aspect-preserving fit is pure integer arithmetic
@@ -380,6 +462,7 @@ object MultimodalQueries {
       |FROM s ORDER BY doc_id""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m09_keyframe_select" -> (m09KeyframeSelect _, m09Sql),
     "m01_multimodal_meta" -> (m01DecodeMeta _, m01Sql),
     "m02_frame_sample" -> (m02FrameSample _, m02Sql),
     "m03_resize" -> (m03Resize _, m03Sql),
