@@ -406,6 +406,75 @@ object TextAnalysis {
         expr("(surprise_bits * 1000) div n_bigrams"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling") in INTEGER-EXACT form: every raw document is
+    * scored by how much more probable its hashed-unigram bag is under a
+    * TARGET corpus's LM than under the RAW corpus's own LM —
+    * log w(x) = log p_target(x) − log p_raw(x) — and high-weight docs are
+    * what importance resampling keeps when curating pretraining data
+    * toward a target domain.
+    *
+    * Features are FNV-1a64-hashed unigram buckets (`dim` a power of two,
+    * the t13 hashing trick, so bucket assignment mirrors bit-for-bit in
+    * any engine). Both LMs are bucket-count tables; the per-bucket charge
+    * is an integer bit length — bits_X(b) = bitlen(N_X div C_X(b)) − 1 ≈
+    * −log₂ P_X(b) — and a bucket unseen in the target pays the t21-style
+    * backoff floor bitlen(N_t) − 1 plus `penaltyBits`. The score is then
+    * logw_bits = Σ cnt·(bits_raw − bits_target): positive ⇒ the target LM
+    * finds the document MORE probable than the raw LM does ⇒ keep.
+    * No float log anywhere, so an oracle replays every charge exactly.
+    *
+    * Scale shape: the two LM tables are ≤ `dim` rows (partial-agg
+    * aggregates, broadcast onto the probe); the document feature stream
+    * pays ONE (id, bucket) fixed-width partial-agg shuffle and the final
+    * per-doc rollup — the corpus text itself never shuffles. A hot token
+    * inflates one (id, bucket) count, not a join fan-out, so no skew
+    * guard is needed.
+    *
+    * @return (idCol, n_tokens, raw_bits, target_bits, logw_bits,
+    *         mean_millibits, keep) */
+  def dsirWeights(raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096,
+      penaltyBits: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of 2: $dim")
+    def buckets(d: org.apache.spark.sql.DataFrame) =
+      d.filter(trim(col(textCol)) =!= "")
+        .select(col(idCol), explode(words(col(textCol))).as("__w"))
+        .select(col(idCol),
+          pmod(graft.functions.TextExpressions.fnv1a64(col("__w")),
+            lit(dim.toLong)).as("bucket"))
+    def lm(d: org.apache.spark.sql.DataFrame, bitsName: String) = {
+      val counts = buckets(d).groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("n_total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("bucket"),
+          expr("length(bin(n_total div cnt)) - 1").cast("long").as(bitsName))
+    }
+    val rawLm = lm(raw, "raw_bits_b")
+    val tgtLm = lm(target, "tgt_bits_b")
+    val tgtFloor = buckets(target).groupBy().agg(count(lit(1)).as("n_total"))
+      .select((expr("length(bin(n_total)) - 1") + lit(penaltyBits.toLong))
+        .cast("long").as("tgt_floor_bits"))
+    buckets(raw)
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(rawLm), "bucket") // always hits: raw LM covers raw docs
+      .join(broadcast(tgtLm), Seq("bucket"), "left")
+      .crossJoin(broadcast(tgtFloor))
+      .withColumn("tgt_bits_eff",
+        coalesce(col("tgt_bits_b"), col("tgt_floor_bits")))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("raw_bits_b")).as("raw_bits"),
+        sum(col("cnt") * col("tgt_bits_eff")).as("target_bits"))
+      .withColumn("logw_bits", col("raw_bits") - col("target_bits"))
+      .withColumn("mean_millibits",
+        expr("(logw_bits * 1000) div n_tokens"))
+      .withColumn("keep", col("logw_bits") > 0)
+  }
+
   /** Fixed-window document CHUNKING with overlap — the splitter that
     * feeds RAG indexing and long-context training-window construction: a
     * character window of `size` starts every `size - overlap` characters

@@ -413,6 +413,98 @@ object MultimodalQueries {
       |  COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS n_same_hash
       |FROM hashed ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+  /** Perceptual NEAR-dup join over dHash — the visual twin of d03's
+    * SimHash banding, built on m07's verified hash path.
+    *
+    * The scalable shape: the corpus first collapses to DISTINCT hashes
+    * (one fixed-width groupBy carrying a representative id and a
+    * multiplicity — identical-hash images are exact perceptual dups and
+    * never enter the pair join; at sf0.1 that is 1667 images → 94
+    * hashes, and at 100 TB it bounds the join by unique-image count, not
+    * corpus size). Distinct hashes then band into 4 chunks of 16 bits:
+    * by pigeonhole any pair within Hamming distance 3 shares a chunk, so
+    * the candidate set is an equi-join on (chunk, cval) — never hash².
+    * Every step is integer arithmetic over the m07 hash, so the oracle
+    * reproduces the exact result set (unlike float-LSH, where bucket
+    * boundaries are IEEE-sensitive). */
+  def m10PerceptualNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[Long]
+    val hashed = ids.mapPartitions(_.map { id =>
+      val w = (9 * (1 + id % 3)).toInt
+      val h = (8 * (1 + id % 2)).toInt
+      val (_, _, hi, lo) = Multimodal.dHash64(
+        Multimodal.gradientPng(w, h, id)).get
+      (id, hi, lo)
+    }).toDF("doc_id", "hi", "lo")
+    val grp = hashed.groupBy(col("hi"), col("lo"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+    val chunked = grp.select(col("rep"), col("hi"), col("lo"), col("cnt"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(0xffffL)),
+        col("hi").bitwiseAND(lit(0xffffL)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("chunk", "cval")))
+    val l = chunked.select(col("rep").as("rep_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"), col("cnt").as("cnt_a"), col("chunk"), col("cval"))
+    val r = chunked.select(col("rep").as("rep_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"), col("cnt").as("cnt_b"), col("chunk"), col("cval"))
+    l.join(r, Seq("chunk", "cval"))
+      .filter(col("rep_a") < col("rep_b"))
+      .dropDuplicates("rep_a", "rep_b")
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("rep_a"), col("rep_b"), col("hamming"), col("cnt_a"),
+        col("cnt_b"))
+      .orderBy("rep_a", "rep_b")
+  }
+
+  val m10Sql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, 9 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT doc_id, w, h, UNNEST(RANGE(0, w * h)) AS p FROM imgs),
+      |blocks AS (
+      |  SELECT doc_id, w, h, (p % w) // (w // 9) AS cx, (p // w) // (h // 8) AS cy,
+      |    SUM((doc_id + 3 * (p % w) + 7 * (p // w)) % 256) AS s
+      |  FROM px GROUP BY 1,2,3,4,5),
+      |means AS (SELECT doc_id, w, h, cx, cy, (s // ((w // 9) * (h // 8)))::BIGINT AS m FROM blocks),
+      |bits AS (
+      |  SELECT a.doc_id, (a.cy * 8 + a.cx)::INT AS idx,
+      |    CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+      |  FROM means a JOIN means b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN idx >= 32 THEN bit::BIGINT << (idx - 32) ELSE 0 END)::BIGINT AS hi,
+      |    SUM(CASE WHEN idx < 32 THEN bit::BIGINT << idx ELSE 0 END)::BIGINT AS lo
+      |  FROM bits GROUP BY 1),
+      |grp AS (SELECT hi, lo, MIN(doc_id) AS rep, COUNT(*)::BIGINT AS cnt
+      |        FROM hashed GROUP BY 1, 2),
+      |chunked AS (
+      |  SELECT rep, hi, lo, cnt, c.chunk,
+      |    CASE c.chunk WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |                 WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cval
+      |  FROM grp, (SELECT UNNEST(RANGE(0,4)) AS chunk) c),
+      |pairs AS (
+      |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b, a.hi AS hi_a,
+      |    a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b, a.cnt AS cnt_a,
+      |    b.cnt AS cnt_b
+      |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.cval = b.cval
+      |  WHERE a.rep < b.rep)
+      |SELECT rep_a, rep_b,
+      |  (BIT_COUNT(XOR(hi_a, hi_b)) + BIT_COUNT(XOR(lo_a, lo_b)))::BIGINT AS hamming,
+      |  cnt_a, cnt_b
+      |FROM pairs
+      |WHERE BIT_COUNT(XOR(hi_a, hi_b)) + BIT_COUNT(XOR(lo_a, lo_b)) <= 3
+      |ORDER BY rep_a, rep_b""".stripMargin
+
   // ---------------------------------------------------------------- m08
   /** REAL end-to-end audio resample, fully oracled: planted PCM WAV
     * (m05's doc_id-derived samples) → [[Multimodal.resampleAudioPayload]]
@@ -471,5 +563,6 @@ object MultimodalQueries {
     "m06_real_resize" -> (m06RealResize _, m06Sql),
     "m07_perceptual_hash" -> (m07PerceptualHash _, m07Sql),
     "m08_audio_resample" -> (m08AudioResample _, m08Sql),
+    "m10_perceptual_neardup" -> (m10PerceptualNeardup _, m10Sql),
   )
 }

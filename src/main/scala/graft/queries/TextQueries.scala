@@ -822,8 +822,8 @@ object TextQueries {
       |  MD5(SUBSTRING(text, (i * 400 + 1)::INT, 500)) AS chunk_fp
       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
 
-  // lazy: t21's def/Sql are declared below this map (the file reads in
-  // gate order); forcing happens at SparkEntry access, after object init
+  // lazy: t21/t22's defs/Sqls are declared below this map (the file reads
+  // in gate order); forcing happens at SparkEntry access, after object init
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
@@ -846,6 +846,7 @@ object TextQueries {
     "t19_chunking" -> (t19Chunking _, t19Sql),
     "t20_hybrid_retrieval" -> (t20HybridRetrieval _, t20Sql),
     "t21_bigram_surprise" -> (t21BigramSurprise _, t21Sql),
+    "t22_dsir_weights" -> (t22DsirWeights _, t22Sql),
   )
 
   // ---------------------------------------------------------------- t21
@@ -905,5 +906,57 @@ object TextQueries {
       |SELECT doc_id, COUNT(*) AS n_bigrams, SUM(oov)::BIGINT AS oov_bigrams,
       |  SUM(bits)::BIGINT AS surprise_bits,
       |  ((SUM(bits) * 1000) // COUNT(*))::BIGINT AS mean_millibits
+      |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t22
+  /** DSIR importance weights ([[TextAnalysis.dsirWeights]]): every doc
+    * scored by log p_target − log p_raw over hashed-unigram LMs, target =
+    * the English slice — the importance-resampling signal for steering a
+    * raw crawl toward a target domain. All charges are integer bit
+    * lengths over FNV-hashed buckets (t13's verified fold), so the
+    * oracle replays the full computation; non-English docs genuinely
+    * exercise the target-LM backoff floor. */
+  def t22DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.dsirWeights(d, d.filter(col("lang") === "en"),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val t22Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS w
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(w, '')]),
+      |      (h, x) -> (xor(h, x) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) % 4096 AS BIGINT)
+      |      AS bucket
+      |  FROM toks),
+      |raw_lm AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY 1),
+      |raw_n AS (SELECT SUM(cnt)::BIGINT AS n FROM raw_lm),
+      |tgt_lm AS (SELECT bucket, COUNT(*) AS cnt FROM b WHERE lang = 'en'
+      |           GROUP BY 1),
+      |tgt_n AS (SELECT SUM(cnt)::BIGINT AS n FROM tgt_lm),
+      |feats AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT f.doc_id, f.cnt,
+      |    (LENGTH(BIN(CAST(rn.n // r.cnt AS BIGINT))) - 1)::BIGINT AS rb,
+      |    COALESCE(LENGTH(BIN(CAST(tn.n // t.cnt AS BIGINT))) - 1,
+      |             LENGTH(BIN(tn.n)) - 1 + 4)::BIGINT AS tb
+      |  FROM feats f
+      |  JOIN raw_lm r USING (bucket) CROSS JOIN raw_n rn
+      |  LEFT JOIN tgt_lm t USING (bucket) CROSS JOIN tgt_n tn)
+      |SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens,
+      |  SUM(cnt * rb)::BIGINT AS raw_bits,
+      |  SUM(cnt * tb)::BIGINT AS target_bits,
+      |  (SUM(cnt * rb) - SUM(cnt * tb))::BIGINT AS logw_bits,
+      |  ((SUM(cnt * rb) - SUM(cnt * tb)) * 1000 // SUM(cnt))::BIGINT
+      |    AS mean_millibits,
+      |  SUM(cnt * rb) - SUM(cnt * tb) > 0 AS keep
       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 }

@@ -1050,4 +1050,27 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 4L, 0L, 2L, 500L),
       (2L, 3L, 2L, 12L, 4000L)))
   }
+
+  test("dsir weights: hand-computed charges, backoff floor, keep sign") {
+    import spark.implicits._
+    // Distinct buckets for x/y/z (asserted below, 4096 buckets): the
+    // hand-computation assumes no hash collision between the 3 tokens.
+    val b = Seq("x", "y", "z").map(t =>
+      java.lang.Math.floorMod(GraftHash.fnv1a64(t.getBytes("UTF-8")), 4096L))
+    assert(b.distinct.size == 3)
+    val raw = Seq((1L, "x x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") === 1L)
+    // raw LM: x:3 y:2 z:1 N=6 → bits x=bitlen(2)-1=1, y=bitlen(3)-1=1,
+    //   z=bitlen(6)-1=2.  target LM: x:2 y:1 N=3 → bits x=0, y=1;
+    //   z floor = bitlen(3)-1+4 = 5.
+    // doc1 (x,x,y): raw=3 tgt=1 logw=+2 keep; doc2 (x,y,z): raw=4 tgt=6
+    //   logw=-2, mean = -2000 div 3 = -666 (both engines truncate to 0).
+    val r = TextAnalysis.dsirWeights(raw, target, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getBoolean(6))).toSeq
+    assert(r == Seq(
+      (1L, 3L, 3L, 1L, 2L, 666L, true),
+      (2L, 3L, 4L, 6L, -2L, -666L, false)))
+  }
 }
