@@ -377,4 +377,93 @@ object Similarity {
       .select(col("embedding"))
       .collect().head.getSeq[Float](0).map(_.toDouble).toArray
   }
+
+  // --------------------------------------------------- product quantization
+  // PQ (Jégou et al. 2011) is the memory-bound ANN path for a 100 TB
+  // embedding corpus: each vector compresses to m sub-codes (here 8 codes
+  // of 4 bits = one INT per vector, a 64× reduction over fp32×64), and a
+  // query ranks the whole corpus through an m×ksub lookup table without
+  // touching the raw floats. The variant here is INTEGER-EXACT end to
+  // end — components quantize to floor(x·128) (the s06 scale), codebooks
+  // are fixed-point sub-vectors of a deterministic md5-ordered corpus
+  // sample, and assignment/ADC are integer squared-L2 — so unlike
+  // classical float k-means PQ, the full result SET mirrors in SQL.
+
+  /** Deterministic PQ codebook: the `ksub` corpus rows with the smallest
+    * (md5(id), id) key — a uniform, engine-reproducible sample — sliced
+    * into `m` fixed-point sub-vectors each. Returns cb(mi)(c) =
+    * sub-vector of centroid c in subspace mi. Driver collect is bounded
+    * at `ksub` rows. */
+  private[graft] def pqCodebook(df: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int): Array[Array[Array[Long]]] = {
+    val seeds = df
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(md5(col("cid").cast("string").cast("binary")), col("cid"))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: java.lang.Float => math.floor(f.toDouble * QlshScale).toLong
+        case d: java.lang.Double => math.floor(d.doubleValue() * QlshScale).toLong
+      }.toArray)
+    val dsub = seeds.head.length / m
+    Array.tabulate(m, ksub)((mi, c) => seeds(c).slice(mi * dsub, (mi + 1) * dsub))
+  }
+
+  /** PQ ANN top-k: encode every corpus vector row-locally against the
+    * broadcast codebook (argmin integer squared-L2 per subspace, lowest
+    * centroid id on ties), rank by the ADC approximation — the sum of
+    * driver-precomputed query-to-centroid distances indexed by the row's
+    * codes — and carry the exact cosine for inspection. The scan is
+    * map-only (codebook and lookup tables ride in as literals; no
+    * shuffle, top-k is TakeOrderedAndProject); at scale the m 4-bit
+    * codes persist as one INT column and the raw vectors never re-read.
+    *
+    * @return (vec_id, code BIGINT — m 4-bit fields, approx_dist BIGINT,
+    *         cos) ordered by (approx_dist ASC, vec_id ASC) */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, m: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    require(ksub <= 16, "code packs 4 bits per subspace")
+    val cb = pqCodebook(df, idCol, vecCol, m, ksub)
+    val dsub = query.length / m
+    val qq = query.map(x => math.floor(x * QlshScale).toLong)
+    // ADC lookup table: distance from the query's sub-vector to every
+    // centroid, all integer
+    val qdist: Array[Array[Long]] = Array.tabulate(m, ksub) { (mi, c) =>
+      var s = 0L; var j = 0
+      while (j < dsub) {
+        val d = qq(mi * dsub + j) - cb(mi)(c)(j); s += d * d; j += 1
+      }
+      s
+    }
+    val perSub = (0 until m).map { mi =>
+      val sub = slice(col("__qv"), mi * dsub + 1, dsub)
+      val dists = array((0 until ksub).map { c =>
+        aggregate(
+          zip_with(sub, typedLit(cb(mi)(c).toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }: _*)
+      val code = (array_position(dists, array_min(dists)) - 1L).as(s"__c$mi")
+      code
+    }
+    val withCodes = df
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__vec"))
+      .withColumn("__qv", transform(col("__vec"),
+        x => floor(x.cast("double") * lit(QlshScale)).cast("long")))
+      .select(col("vec_id") +: col("__vec") +: perSub: _*)
+    withCodes
+      .withColumn("code",
+        (0 until m).map(mi => shiftleft(col(s"__c$mi"), 4 * mi))
+          .reduce(_ + _).cast("long"))
+      .withColumn("approx_dist",
+        (0 until m).map(mi => element_at(typedLit(qdist(mi).toSeq),
+          (col(s"__c$mi") + 1L).cast("int")))
+          .reduce(_ + _).cast("long"))
+      .withColumn("cos",
+        round(VectorFunctions.cosine(col("__vec"), vecLit(query)), 6))
+      .select(col("vec_id"), col("code"), col("approx_dist"), col("cos"))
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -238,7 +238,61 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s09
+  /** Product-quantization ANN ([[Similarity.pqTopK]]): every vector
+    * compresses to 8 four-bit codes against a deterministic fixed-point
+    * codebook and the whole corpus ranks through a 8×16 integer lookup
+    * table — the memory-bound ANN layout for a 100 TB embedding store
+    * (one INT per vector at query time, raw floats never re-read).
+    * Integer codebooks + integer squared-L2 make the exact result set
+    * mirrorable, codes included. */
+  def s09PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    Similarity.pqTopK(emb(spark, dir), "vec_id", "embedding", q, 10)
+  }
+
+  val s09Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 128)::BIGINT) AS v
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT v, ROW_NUMBER() OVER (ORDER BY MD5(vec_id::VARCHAR), vec_id) - 1 AS c
+      |  FROM qv
+      |  QUALIFY c < 16),
+      |cbm AS (
+      |  SELECT s.c, mm.m, s.v[mm.m*8+1 : mm.m*8+8] AS sub
+      |  FROM seeds s, (SELECT UNNEST(RANGE(0, 8)) AS m) mm),
+      |enc AS (
+      |  SELECT q.vec_id, cb.m, cb.c,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+      |      i -> (q.v[cb.m*8+i] - cb.sub[i]) * (q.v[cb.m*8+i] - cb.sub[i])))::BIGINT AS d
+      |  FROM qv q CROSS JOIN cbm cb),
+      |codes AS (
+      |  SELECT vec_id, m, c, d
+      |  FROM enc
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) = 1),
+      |qd AS (SELECT m, c, d FROM enc WHERE vec_id = 0),
+      |packed AS (
+      |  SELECT k.vec_id,
+      |    SUM(k.c::BIGINT << (4 * k.m))::BIGINT AS code,
+      |    SUM(qd.d)::BIGINT AS approx_dist
+      |  FROM codes k JOIN qd ON qd.m = k.m AND qd.c = k.c
+      |  GROUP BY 1),
+      |q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT p.vec_id, p.code, p.approx_dist,
+      |  ROUND(
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |    / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    / SQRT(LIST_SUM(LIST_TRANSFORM(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |    6) AS cos
+      |FROM packed p JOIN embeddings e USING (vec_id) CROSS JOIN q0
+      |ORDER BY approx_dist ASC, vec_id ASC
+      |LIMIT 10""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s09_ann_pq" -> (s09PqTopK _, s09Sql),
     "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),
     "s02_ann_lsh" -> (s02LshTopK _, null),
     "s03_ann_ivf" -> (s03IvfTopK _, null),

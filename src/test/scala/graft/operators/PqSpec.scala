@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization ANN ground truth (s09): the column-expression
+  * encoder must agree with an independent driver-side replay, and the
+  * result must be partitioning-invariant. */
+class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pq codes replay on the driver; top-k is partitioning-invariant") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", 8, 16)
+    val dsub = q.length / 8
+    val qq = q.map(x => math.floor(x * 128d).toLong)
+    val qdist = Array.tabulate(8, 16) { (mi, c) =>
+      var s = 0L; var j = 0
+      while (j < dsub) {
+        val d = qq(mi * dsub + j) - cb(mi)(c)(j); s += d * d; j += 1
+      }
+      s
+    }
+
+    val out = Similarity.pqTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 10)
+    out.foreach { case (_, code, approx) =>
+      val codes = (0 until 8).map(mi => ((code >> (4 * mi)) & 0xfL).toInt)
+      assert(codes.forall(c => c >= 0 && c < 16))
+      // ADC replay: the packed codes fully determine the approx distance
+      assert(codes.zipWithIndex.map { case (c, mi) => qdist(mi)(c) }.sum
+        == approx)
+    }
+
+    val repart = Similarity.pqTopK(emb.repartition(7), "vec_id",
+      "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(repart.toSeq == out.toSeq)
+
+    // the query vector itself (vec_id 0) must reconstruct losslessly to
+    // its own codebook distances — i.e. its ADC distance is the minimum
+    // over its own code cells, and it appears in the top-k
+    assert(out.exists(_._1 == 0L))
+  }
+}
