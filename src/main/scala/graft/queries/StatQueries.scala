@@ -350,6 +350,68 @@ object StatQueries {
       |FROM est JOIN ex USING (scope)
       |ORDER BY scope""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Mergeable HISTOGRAM percentiles — the percentile twin of q51's HLL
+    * register merge: per-slice equi-width histograms over lineitem price
+    * cents (fixed $100 buckets, exact DECIMAL(18,2)→cents conversion)
+    * built ONCE as tiny state tables, then SUM-merged per bucket — no
+    * second scan — and read out at p50/p90/p99 as the smallest bucket
+    * whose cumulative count reaches ceil(p·N). The oracle computes the
+    * histogram the DIRECT way over all rows; equality proves the
+    * per-slice merge is lossless (bucket counts are associative sums)
+    * and the binning/threshold arithmetic is engine-exact.
+    *
+    * At 100 TB: per-slice (day, shard, …) histograms are fixed-width
+    * (slice, bucket, cnt) rows — ~1k rows per slice at any data size —
+    * so percentile tracking across arbitrary slice unions is a metadata
+    * operation; raw data is scanned exactly once, ever. The readout
+    * window runs over the MERGED SUMMARY (≤ ~1k rows, single-partition
+    * by design), never over data. */
+  def q52HistogramUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("slice"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .withColumn("bucket", expr("cents div 10000"))
+    // per-slice histogram state tables (the maintained artifact at scale)
+    val slices = li.groupBy("slice", "bucket").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val merged = slices.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+    val n = merged.agg(sum(col("cnt")).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Long.MinValue, 0)
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(w))
+    val ps = Seq(500L, 900L, 990L).toDF("p_mille")
+    ps.crossJoin(broadcast(n))
+      .join(cum,
+        col("cum") >= expr("(n_total * p_mille + 999) div 1000"))
+      .groupBy(col("p_mille"), col("n_total"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("p_mille"), col("n_total"), col("bucket"),
+        (col("bucket") * 10000L).as("lo_cents"),
+        ((col("bucket") + 1L) * 10000L).as("hi_cents"))
+      .orderBy("p_mille")
+  }
+
+  val q52Sql: String =
+    """WITH cents AS (
+      |  SELECT (CAST(l_extendedprice AS DECIMAL(18,2)) * 100)::BIGINT AS c
+      |  FROM lineitem),
+      |hist AS (SELECT c // 10000 AS bucket, COUNT(*) AS cnt
+      |         FROM cents GROUP BY 1),
+      |n AS (SELECT SUM(cnt)::BIGINT AS n_total FROM hist),
+      |cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket)::BIGINT AS cum
+      |        FROM hist),
+      |ps AS (SELECT UNNEST([500, 900, 990])::BIGINT AS p_mille)
+      |SELECT p.p_mille, n.n_total, MIN(c.bucket) AS bucket,
+      |  (MIN(c.bucket) * 10000)::BIGINT AS lo_cents,
+      |  ((MIN(c.bucket) + 1) * 10000)::BIGINT AS hi_cents
+      |FROM ps p CROSS JOIN n
+      |JOIN cum c ON c.cum >= (n.n_total * p.p_mille + 999) // 1000
+      |GROUP BY 1, 2
+      |ORDER BY p_mille""".stripMargin
+
   // ---------------------------------------------------------------- q49
   /** Hourly event-volume anomaly detection, INTEGER-EXACT: flag hours
     * whose count exceeds the per-type mean by more than 3σ, with the
@@ -410,5 +472,6 @@ object StatQueries {
     "q45_hll_distinct" -> (q45HllDistinct _, q45Sql),
     "q49_anomaly_hours" -> (q49AnomalyHours _, q49Sql),
     "q51_hll_union" -> (q51HllUnion _, q51Sql),
+    "q52_histogram_union" -> (q52HistogramUnion _, q52Sql),
   )
 }
