@@ -332,6 +332,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-NEGATIVE mining for contrastive/embedding training: for each
+    * probe, the top-k corpus items that are MOST similar yet carry a
+    * DIFFERENT label — the pairs that teach a model the most (easy
+    * negatives are already far; same-label neighbors are positives).
+    *
+    * Candidate generation is [[knnJoinQuantized]]'s integer-banded
+    * equi-join (ids-only shuffle, bucket-collision-bounded fan-out); the
+    * label inequality filters BEFORE the rank window, so per-query state
+    * is bounded by k and candidates never rank against positives. Same
+    * oracle story as s06/s08: every bucket decision is integer, so the
+    * mined set mirrors exactly.
+    *
+    * @return (qid, q_label, vec_id, neg_label, cos, rank) */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, qIdCol: String,
+      qVecCol: String, qLabelCol: String, idCol: String, vecCol: String,
+      labelCol: String, k: Int, bandBits: Int = 4,
+      bandCount: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(df: DataFrame, id: String, vec: String, outId: String) =
+      df.select(col(id).as(outId),
+        posexplode(array((0 until bandCount).map(b =>
+          quantizedLshBucket(col(vec), bandBits, b)): _*))
+          .as(Seq("band", "bucket")))
+    val qb = banded(queries, qIdCol, qVecCol, "qid")
+    val cb = banded(corpus, idCol, vecCol, "vec_id")
+    val candidates = qb.join(cb, Seq("band", "bucket"))
+      .select(col("qid"), col("vec_id"))
+      .dropDuplicates("qid", "vec_id")
+      .join(broadcast(queries.select(col(qIdCol).as("qid"),
+        col(qVecCol).as("qvec"), col(qLabelCol).as("q_label"))), "qid")
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+        col(labelCol).as("neg_label")), "vec_id")
+      .filter(col("q_label") =!= col("neg_label"))
+      .select(col("qid"), col("q_label"), col("vec_id"), col("neg_label"),
+        round(VectorFunctions.cosine(col("cvec"), col("qvec")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate batch KNN join: candidates are (query, corpus) pairs
     * sharing at least one sign-random-projection band bucket — an ordinary
     * equi-join on (band, bucket) instead of a cross product — then exact

@@ -291,8 +291,62 @@ object SimilarityQueries {
       |ORDER BY approx_dist ASC, vec_id ASC
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- s10
+  /** Contrastive hard-negative mining ([[Similarity.hardNegatives]]):
+    * per probe (vec_id < 5), the 5 most-similar corpus vectors with a
+    * DIFFERENT label — integer-banded candidates, exact-cosine rank,
+    * label filter before the window. Fully mirrored like s08, plus the
+    * label inequality. */
+  def s10HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = emb(spark, dir)
+    Similarity.hardNegatives(
+      e.filter(col("vec_id") < 5), e, "vec_id", "embedding", "label",
+      "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val s10Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |bk AS (
+      |  SELECT vec_id, band,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, 4), bit ->
+      |      CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q) + 1), i ->
+      |          q[i] * ((((band * 4 + bit) * LEN(q) + (i - 1)) * 2654435761
+      |                   + 40503) % 8191 - 4095)))
+      |        >= 0 THEN 1 << bit ELSE 0 END)) AS bucket
+      |  FROM qv CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS band)),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id
+      |  FROM bk qb JOIN bk cb ON cb.band = qb.band AND cb.bucket = qb.bucket
+      |  WHERE qb.vec_id < 5),
+      |scored AS (
+      |  SELECT c.qid, q.label AS q_label, c.vec_id, e.label AS neg_label,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN embeddings q ON q.vec_id = c.qid
+      |  WHERE q.label <> e.label),
+      |ranked AS (
+      |  SELECT qid, q_label, vec_id, neg_label, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT qid, q_label, vec_id, neg_label, cos, rank FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "s09_ann_pq" -> (s09PqTopK _, s09Sql),
+    "s10_hard_negatives" -> (s10HardNegatives _, s10Sql),
     "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),
     "s02_ann_lsh" -> (s02LshTopK _, null),
     "s03_ann_ivf" -> (s03IvfTopK _, null),

@@ -1051,6 +1051,54 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 2L, 12L, 4000L)))
   }
 
+  test("hard negatives: labels differ, ranks contiguous, recall vs exact") {
+    import spark.implicits._
+    // The regime hard-negative mining exists for: two CONFUSABLE classes
+    // (close clusters, different labels). Banding recall is high exactly
+    // where it matters — the near-boundary cross-label pairs. (On far
+    // random negatives any LSH has low recall by design; that regime's
+    // mining value is nil.)
+    val rnd = new scala.util.Random(7)
+    val c0 = Array.fill(32)(rnd.nextGaussian())
+    val pts = for (lbl <- 0 to 1; j <- 0 until 40) yield {
+      val v = c0.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      ((lbl * 40 + j).toLong, v, lbl)
+    }
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val probes = df.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(probes, df, "vec_id", "embedding",
+      "label", "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(5)))
+    assert(out.nonEmpty)
+    // no mined negative shares its probe's label; ranks run 1..n per probe
+    assert(out.forall { case (_, ql, _, nl, _) => ql != nl })
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._5).sorted.toSeq == (1 to g.length))
+    }
+    // every probe has label 0, so every mined negative is a label-1 point
+    assert(out.forall { case (_, ql, v, nl, _) => ql == 0 && nl == 1 && v >= 40 })
+    // recall vs the exact different-label top-5 (banded candidates are
+    // approximate; the same 0.8 bound as the s05/s08 specs)
+    val exactTop = (for (p <- pts if p._1 < 5) yield {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        d / math.sqrt(na) / math.sqrt(nb)
+      }
+      pts.filter(_._3 != p._3)
+        .map(q => (q._1, cos(p._2, q._2)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).map { case (id, _) => (p._1, id) }
+    }).flatten.toSet
+    val mined = out.map { case (q, _, v, _, _) => (q, v) }.toSet
+    val recall = (exactTop & mined).size.toDouble / exactTop.size
+    assert(recall >= 0.8, s"recall was $recall")
+  }
+
   test("dsir weights: hand-computed charges, backoff floor, keep sign") {
     import spark.implicits._
     // Distinct buckets for x/y/z (asserted below, 4096 buckets): the
