@@ -414,7 +414,10 @@ object ConnectorQueries {
     * changelog with arg_max. */
   def excelStreamCdc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // even keys only: every CDC path (insert/update/tombstone/late merge)
+    // still fires, at half the xlsx-codec volume the gate pays twice
     val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
       .select(col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
     val ins = o.select(col("o_orderkey"), lit("I").as("op"),
@@ -462,14 +465,14 @@ object ConnectorQueries {
     """WITH log AS (
       |  SELECT o_orderkey, 'I' AS op, 1::BIGINT AS seq,
       |         ROUND(o_totalprice * 100)::BIGINT AS price_cents
-      |  FROM orders
+      |  FROM orders WHERE o_orderkey % 2 = 0
       |  UNION ALL
       |  SELECT o_orderkey, 'U', 2,
       |         (ROUND(o_totalprice * 100)::BIGINT * 11) // 10
-      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
       |  UNION ALL
       |  SELECT o_orderkey, 'D', 3, 0
-      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 = 0),
       |latest AS (
       |  SELECT o_orderkey,
       |    ARG_MAX(op, seq) AS op,

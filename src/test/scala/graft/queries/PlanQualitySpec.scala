@@ -347,6 +347,47 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"documents scanned more than once:\n$p")
   }
 
+  test("s09: PQ encode+ADC is a map-only scan, zero shuffles") {
+    val p = plan("s09_ann_pq")
+    // codebook and lookup tables ride as literals; encoding and ADC are
+    // row-local, so the only data movement is the top-k merge
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PQ must not shuffle the corpus:\n$p")
+  }
+
+  test("q52: one lineitem scan; readout windows run over the merged summary") {
+    val p = plan("q52_histogram_union")
+    // the per-slice histogram state table is localCheckpoint-materialized,
+    // so the readout plan reads the CHECKPOINTED summary — lineitem itself
+    // appears at most once (in practice zero times: lineage truncated)
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 1,
+      s"readout must not rescan lineitem:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      s"summary aggregation must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop") ||
+      p.contains("BroadcastNestedLoopJoin"), // 3-row p×summary probe only
+      s"q52 degenerated:\n$p")
+  }
+
+  test("m10: banded perceptual join is equi-join, never cartesian") {
+    val p = plan("m10_perceptual_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"pigeonhole banding must stay an equi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"distinct-hash collapse must partial-aggregate:\n$p")
+  }
+
+  test("t22: DSIR LM tables broadcast; corpus pays one fixed-width shuffle") {
+    val p = plan("t22_dsir_weights")
+    assert(p.contains("BroadcastExchange"),
+      s"LM tables must broadcast onto the probe stream:\n$p")
+    assert(p.contains("partial_count"),
+      s"bucket counts must map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle-join against a <=4096-row LM:\n$p")
+  }
+
   test("excel scan prunes columns at the source") {
     import org.apache.spark.sql.functions._
     // reuse the roundtrip fixture: write then read a projection
