@@ -452,14 +452,28 @@ object TextAnalysis {
         .select(col("bucket"),
           expr("length(bin(n_total div cnt)) - 1").cast("long").as(bitsName))
     }
-    val rawLm = lm(raw, "raw_bits_b")
     val tgtLm = lm(target, "tgt_bits_b")
     val tgtFloor = buckets(target).groupBy().agg(count(lit(1)).as("n_total"))
       .select((expr("length(bin(n_total)) - 1") + lit(penaltyBits.toLong))
         .cast("long").as("tgt_floor_bits"))
-    buckets(raw)
+    // the raw corpus is tokenized+hashed ONCE: the per-doc feature table
+    // is the only raw scan, materialized (it feeds both the raw LM and
+    // the probe join — at scale this table IS the persisted DSIR
+    // artifact), and the raw LM folds out of it (sum of per-doc counts
+    // per bucket ≡ a direct bucket count)
+    val feats = buckets(raw)
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rawLm = {
+      val counts = feats.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("n_total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("bucket"),
+          expr("length(bin(n_total div cnt)) - 1").cast("long")
+            .as("raw_bits_b"))
+    }
+    feats
       .join(broadcast(rawLm), "bucket") // always hits: raw LM covers raw docs
       .join(broadcast(tgtLm), Seq("bucket"), "left")
       .crossJoin(broadcast(tgtFloor))
