@@ -65,13 +65,13 @@ object AsOfJoin {
     val ul = left.filter(col(leftTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__tag"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(rType).as("__r")): _*)
     val ur = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__tag"),
         lit(null).cast(lType).as("__l"),
-        struct(rightPayload.map(col): _*).as("__r")): _*)
+        struct(rightPayload.toIndexedSeq.map(col): _*).as("__r")): _*)
 
     // right rows sort before left rows at equal __ts → inclusive match
     val order =
@@ -83,7 +83,7 @@ object AsOfJoin {
     ul.unionByName(ur)
       .withColumn("__ref", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1 && col("__ref").isNotNull)
-      .select(left.columns.map(c => col("__l").getField(c).as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col("__l").getField(c).as(c)) ++
         rightPayload.map(c => col("__ref").getField(c).as(c)): _*)
   }
 }

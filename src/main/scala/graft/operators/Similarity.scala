@@ -18,7 +18,7 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  private def vecLit(q: Array[Double]) = array(q.map(lit): _*)
+  private def vecLit(q: Array[Double]) = array(q.toIndexedSeq.map(lit): _*)
 
   /** Exact top-k by cosine vs a constant query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,

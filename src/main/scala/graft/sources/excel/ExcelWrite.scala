@@ -156,9 +156,9 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
         val parts = messages.collect { case m: ExcelCommitMessage => m }
           .sortBy(_.partitionId)
         val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName,
-          opts.widthsFor(schema.fieldNames))
+          opts.widthsFor(schema.fieldNames.toIndexedSeq))
         try {
-          if (opts.header) ExcelWrite.header(writer, schema.fieldNames, opts)
+          if (opts.header) ExcelWrite.header(writer, schema.fieldNames.toIndexedSeq, opts)
           parts.foreach(m => mergeTempInto(writer, m.tempPath))
         } finally writer.close()
       } else {
@@ -185,13 +185,13 @@ class ExcelWrite(schema: StructType, opts: ExcelOptions, truncate: Boolean)
         val dataNames = schema.fieldNames.filterNot(_ == opts.sheetColumn.get)
         val writer = new XlsxWriter(fs.create(staging, true),
           sheetNames.headOption.getOrElse(opts.writeSheetName),
-          opts.widthsFor(dataNames))
+          opts.widthsFor(dataNames.toIndexedSeq))
         try {
           if (sheetNames.isEmpty) { // empty input: keep the header contract
-            if (opts.header) ExcelWrite.header(writer, dataNames, opts)
+            if (opts.header) ExcelWrite.header(writer, dataNames.toIndexedSeq, opts)
           } else sheetNames.zipWithIndex.foreach { case (s, i) =>
             if (i > 0) writer.startSheet(s)
-            if (opts.header) ExcelWrite.header(writer, dataNames, opts)
+            if (opts.header) ExcelWrite.header(writer, dataNames.toIndexedSeq, opts)
             parts.foreach(_.sheets.collect {
               case (`s`, tempPath) => mergeTempInto(writer, tempPath)
             })
@@ -300,9 +300,9 @@ class ExcelStreamingWrite(schema: StructType, opts: ExcelOptions)
     val parts = messages.collect { case m: ExcelCommitMessage => m }
       .sortBy(_.partitionId)
     val writer = new XlsxWriter(fs.create(staging, true), opts.writeSheetName,
-      opts.widthsFor(schema.fieldNames))
+      opts.widthsFor(schema.fieldNames.toIndexedSeq))
     try {
-      if (opts.header) ExcelWrite.header(writer, schema.fieldNames, opts)
+      if (opts.header) ExcelWrite.header(writer, schema.fieldNames.toIndexedSeq, opts)
       parts.foreach { m =>
         val (local, temp) = ExcelFiles.toLocal(m.tempPath, conf)
         val r = new XlsxReader(local)
@@ -378,10 +378,10 @@ class ExcelDataWriter(schema: StructType, opts: ExcelOptions, tmpDir: String,
     if (sheetColIdx >= 0) null
     else if (sharded) // a shard IS final output: styles apply
       new XlsxWriter(fs.create(tempPath, true), opts.writeSheetName,
-        opts.widthsFor(schema.fieldNames))
+        opts.widthsFor(schema.fieldNames.toIndexedSeq))
     else new XlsxWriter(fs.create(tempPath, true), "data")
   if (writer != null && sharded && opts.header)
-    ExcelWrite.header(writer, schema.fieldNames, opts)
+    ExcelWrite.header(writer, schema.fieldNames.toIndexedSeq, opts)
 
   // sheet-routing mode state: value → (writer, temp path), kept in LRU
   // order (a get re-inserts). Open writers are capped at
