@@ -443,6 +443,31 @@ object Multimodal {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** REAL sample decode: the raw 16-bit PCM sample array out of a WAV
+    * payload via javax.sound frame streaming — the input every sample-
+    * level audio operator (segmentation, resampling, feature windows)
+    * starts from. Mono little-endian 16-bit only; None otherwise. */
+  def decodeAudioSamples(payload: Array[Byte]): Option[Array[Short]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getChannels != 1) None
+        else {
+          val bytes = ais.readAllBytes()
+          val out = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
   /** Encode mono 16-bit PCM samples as a canonical WAV (fixture/test
     * helper — a REAL, playable WAV file). */
   def pcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {

@@ -553,8 +553,85 @@ object MultimodalQueries {
       |  LIST_MAX(LIST_TRANSFORM(xs, x -> ABS(x)))::BIGINT AS max_abs
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m11
+  /** Audio ACTIVITY segmentation (VAD-style silence trimming) over REAL
+    * decoded PCM: each audio doc's planted WAV (the m05 fixture) decodes
+    * through javax.sound ([[Multimodal.decodeAudioSamples]]), windows of
+    * 16 samples score an integer energy Σ|x|, a window is active iff its
+    * mean |x| exceeds 16380 (`energy > 16380·win_len` — no division),
+    * and consecutive active windows merge to segments by the
+    * gaps-and-islands window (the d10 span pattern). Decode is
+    * mapPartitions (binary codec work); everything after is one per-doc
+    * window pass. Every quantity is integral, so the oracle regenerates
+    * the samples in closed form and replays windows, verdicts, and
+    * segment merges exactly. */
+  def m11AudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+    val wins = ids.mapPartitions(_.flatMap { id =>
+      val n = (50 + id % 30).toInt
+      val rate = (8000L * (1 + id % 5)).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 31 + i.toLong * 17) % 65521) - 32760).toShort)
+      val dec = Multimodal.decodeAudioSamples(
+        Multimodal.pcmWav(rate, samples)).get
+      dec.grouped(16).zipWithIndex.map { case (w, wi) =>
+        (id, wi.toLong, w.map(s => math.abs(s.toLong)).sum, w.length.toLong)
+      }
+    }).toDF("doc_id", "win_idx", "energy", "win_len")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start_win"))
+    wins.filter(col("energy") > lit(16380L) * col("win_len"))
+      .withColumn("island", col("win_idx") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("win_idx")).as("start_win"),
+        max(col("win_idx")).as("end_win"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("sum_energy"))
+      .withColumn("seg_idx",
+        (row_number().over(byStart) - 1).cast("long"))
+      .select(col("doc_id"), col("seg_idx"), col("start_win"),
+        col("end_win"), col("n_windows"), col("sum_energy"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  val m11Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 50 + doc_id % 30 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (SELECT doc_id, UNNEST(RANGE(0, n)) AS i FROM a),
+      |x AS (
+      |  SELECT doc_id, i // 16 AS win_idx,
+      |    ABS((doc_id * 31 + i * 17) % 65521 - 32760) AS ax
+      |  FROM s),
+      |wins AS (
+      |  SELECT doc_id, win_idx, SUM(ax)::BIGINT AS energy,
+      |    COUNT(*)::BIGINT AS win_len
+      |  FROM x GROUP BY 1, 2),
+      |act AS (
+      |  SELECT doc_id, win_idx, energy,
+      |    win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win_idx)
+      |      AS island
+      |  FROM wins WHERE energy > 16380 * win_len),
+      |seg AS (
+      |  SELECT doc_id, island, MIN(win_idx) AS start_win,
+      |    MAX(win_idx) AS end_win, COUNT(*) AS n_windows,
+      |    SUM(energy)::BIGINT AS sum_energy
+      |  FROM act GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  (ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_win) - 1)
+      |    ::BIGINT AS seg_idx,
+      |  start_win, end_win, n_windows, sum_energy
+      |FROM seg ORDER BY doc_id, seg_idx""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "m09_keyframe_select" -> (m09KeyframeSelect _, m09Sql),
+    "m11_audio_segments" -> (m11AudioSegments _, m11Sql),
     "m01_multimodal_meta" -> (m01DecodeMeta _, m01Sql),
     "m02_frame_sample" -> (m02FrameSample _, m02Sql),
     "m03_resize" -> (m03Resize _, m03Sql),

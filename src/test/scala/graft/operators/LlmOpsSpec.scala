@@ -649,6 +649,11 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array[Int](0x10, 0xb1, 0x02, 0, 4, 0, 16, 0)).map(_.toByte)
     assert(Multimodal.parseWavHeader(wav).contains((44100, 16, 2)))
 
+    // sample decode round-trips the encoder exactly (the m11 input path)
+    val pcm = Array.tabulate(77)(i => ((i * 1013) % 65521 - 32760).toShort)
+    assert(Multimodal.decodeAudioSamples(Multimodal.pcmWav(8000, pcm))
+      .exists(_.sameElements(pcm)))
+
     // unrecognized bytes fall back to the stub
     val junk = "just some text".getBytes("UTF-8")
     assert(Multimodal.parsePngHeader(junk).isEmpty)
