@@ -26,10 +26,24 @@ object Bench {
     // measured 86-121 s across runs on this host depending on what else
     // is running, so the artifact carries the evidence needed to
     // adjudicate noise instead of leaving it to manual uptime checks.
-    val load = try {
+    def loadAvg(): Double = try {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     } catch { case _: Throwable => -1.0 }
+    // Noise rejection (two rounds of driver artifacts recorded at loadavg
+    // ~8 — the regime BASELINE.md warns produces 1.2-2x phantom spikes):
+    // if the host is busy at start, wait once for the 1-min average to
+    // decay; if it is STILL busy, run anyway but stamp "noisy":true so
+    // nobody compares the artifact against clean-host history.
+    val loadLimit = sys.env.getOrElse("SPARK_GRAFT_LOAD_LIMIT", "2.0").toDouble
+    var load = loadAvg()
+    if (load > loadLimit) {
+      System.err.println(
+        f"[bench] loadavg $load%.2f > $loadLimit%.1f; sleeping 90s for decay")
+      Thread.sleep(90000)
+      load = loadAvg()
+    }
+    val noisy = load > loadLimit
 
     // JIT/codegen/IO-path warmup so the alphabetically-first query isn't
     // taxed with one-time initialization: exercise the parquet reader,
@@ -89,7 +103,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$load%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$load%.2f,"noisy":$noisy,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver only captures the last ~2000 chars of stdout; with 76+
     // queries the full line above overflows that window and its leading
@@ -109,7 +123,7 @@ object Bench {
       if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","load":$load%.2f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -426,7 +426,9 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
         else {
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
@@ -446,14 +448,18 @@ object Multimodal {
   /** REAL sample decode: the raw 16-bit PCM sample array out of a WAV
     * payload via javax.sound frame streaming — the input every sample-
     * level audio operator (segmentation, resampling, feature windows)
-    * starts from. Mono little-endian 16-bit only; None otherwise. */
+    * starts from. Signed mono little-endian 16-bit PCM only; None
+    * otherwise (an unsigned or companded stream must not be
+    * reinterpreted as signed samples). */
   def decodeAudioSamples(payload: Array[Byte]): Option[Array[Short]] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
           fmt.getChannels != 1) None
         else {
           val bytes = ais.readAllBytes()

@@ -411,6 +411,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Accuracy-contract harness for the float-projection ANN variants
+    * (the q19/q41 sketch-gate pattern applied to approximate search):
+    * returns the EXACT ground-truth rows — fully SQL-mirrorable — with one
+    * appended boolean column asserting the approximate operator recalled
+    * at least `minHits` of the ground-truth keys. The approximate query
+    * runs in-engine to produce the flag, so an operator crash or a recall
+    * collapse turns the gate red, while the row surface stays bit-exact
+    * against the brute-force mirror (the oracle emits the same rows with
+    * the contract as a constant TRUE).
+    *
+    * Both inputs are top-k results (≤ tens of rows); the hit count is a
+    * left-semi join + global count on those tiny frames, broadcast back
+    * onto the ground truth — no data-scale work beyond the two operators
+    * themselves. */
+  def withRecallContract(exact: DataFrame, approx: DataFrame,
+      keyCols: Seq[String], minHits: Int, flagCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val flag = exact.select(keys: _*)
+      .join(approx.select(keys: _*), keyCols, "left_semi")
+      .agg(count(lit(1)).as("__nhit"))
+      .select((col("__nhit") >= minHits).as(flagCol))
+    exact.crossJoin(broadcast(flag))
+  }
+
   /** Fetch one embedding as the query vector (driver-side, k rows ≪ data). */
   def vectorOf(spark: SparkSession, dir: String, vecId: Long): Array[Double] = {
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -445,7 +469,14 @@ object Similarity {
       .map(_.getSeq[Any](1).map {
         case f: java.lang.Float => math.floor(f.toDouble * QlshScale).toLong
         case d: java.lang.Double => math.floor(d.doubleValue() * QlshScale).toLong
+        case other => throw new IllegalArgumentException(
+          s"$vecCol must be an array<float|double>, found element: " +
+            (if (other == null) "null" else other.getClass.getName))
       }.toArray)
+    require(seeds.length >= ksub,
+      s"PQ codebook needs at least ksub=$ksub corpus rows, found ${seeds.length}")
+    require(seeds.head.length % m == 0,
+      s"vector dim ${seeds.head.length} must be divisible by m=$m subspaces")
     val dsub = seeds.head.length / m
     Array.tabulate(m, ksub)((mi, c) => seeds(c).slice(mi * dsub, (mi + 1) * dsub))
   }
@@ -465,6 +496,9 @@ object Similarity {
       query: Array[Double], k: Int, m: Int = 8,
       ksub: Int = 16): DataFrame = {
     require(ksub <= 16, "code packs 4 bits per subspace")
+    require(query.length % m == 0,
+      s"query dim ${query.length} must be divisible by m=$m subspaces " +
+        "(trailing dimensions would silently drop from every distance)")
     val cb = pqCodebook(df, idCol, vecCol, m, ksub)
     val dsub = query.length / m
     val qq = query.map(x => math.floor(x * QlshScale).toLong)

@@ -431,8 +431,15 @@ object TextAnalysis {
     * inflates one (id, bucket) count, not a join fan-out, so no skew
     * guard is needed.
     *
+    * API contract: empty/whitespace-only raw documents produce NO output
+    * row (the tokenizer's trim filter runs before bucketing — there is no
+    * bag to score, and resampling has nothing to keep). Callers wanting a
+    * total function over ids should left-join this result back to the
+    * input and treat absent rows as zero-token documents.
+    *
     * @return (idCol, n_tokens, raw_bits, target_bits, logw_bits,
-    *         mean_millibits, keep) */
+    *         mean_millibits, keep) — one row per raw document with at
+    *         least one token */
   def dsirWeights(raw: org.apache.spark.sql.DataFrame,
       target: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, dim: Int = 4096,

@@ -11,10 +11,13 @@ class SparkEntryContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("exactly the three documented ANN gates are rows-only") {
+  test("every registered gate carries a DuckDB oracle (no rows-only gates)") {
+    // r12: the last three rows-only ANN gates moved to the q19-style
+    // accuracy-contract shape (exact mirrored rows + in-engine recall
+    // flag), so the oracled surface is total and must stay that way.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("s02_ann_lsh", "s03_ann_ivf", "s05_knn_join_lsh"),
-      s"rows-only set drifted (COVERAGE.md documents why each is exempt): $rowsOnly")
+    assert(rowsOnly.isEmpty,
+      s"rows-only gates appeared (every gate must ship an oracle): $rowsOnly")
   }
 
   test("gate names are well-formed and unique per family convention") {

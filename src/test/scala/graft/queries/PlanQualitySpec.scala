@@ -125,13 +125,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
       "d05_embedding_neardup", "d07_containment", "d09_decontamination",
       "d10_substring_spans", "d11_substring_dedup", "d14_fuzzy_join",
-      "d15_semantic_dedup", "s05_knn_join_lsh", "s08_knn_join_qlsh",
+      "d15_semantic_dedup", "s08_knn_join_qlsh",
       "g02_triangles", "d19_incremental_dedup", "g06_link_prediction")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
           s"$q degenerated:\n$p")
       }
+    // the s05 GATE legitimately appends a one-row broadcast contract flag
+    // (accuracy-contract shape), so pin the raw OPERATOR's plan instead:
+    // the banded knn join itself must stay an equi-join, never a cross
+    // product
+    locally {
+      import org.apache.spark.sql.functions.col
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val p = graft.operators.Similarity.knnJoinLsh(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, bandBits = 6, bandCount = 12,
+        seed = 42L).queryExecution.executedPlan.toString
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"knnJoinLsh degenerated:\n$p")
+    }
   }
 
   test("d10: gram counting is partial-aggregated and the count scan prunes to text") {
