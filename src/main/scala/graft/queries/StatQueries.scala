@@ -463,7 +463,184 @@ object StatQueries {
       |      > 9 * (t.n * t.s2 - t.s * t.s)
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** KLL-style MERGEABLE QUANTILE SKETCH ([[graft.operators.QuantileSketch]])
+    * — the rank-accurate completion of the summaries family: q52's
+    * equi-width histogram is exact-mirrorable but its accuracy collapses
+    * on heavy-tailed columns (token counts, doc lengths); this sketch
+    * bounds RANK error regardless of the value distribution. Compaction
+    * is derandomized — an item's survival level is the trailing-zero
+    * count of FNV-1a64(row key) — so the whole sketch state is a pure
+    * function of the data and mirrors in SQL bit-for-bit.
+    *
+    * The gate builds per-slice sketches (slice = l_returnflag) over
+    * lineitem price cents, MERGES them (union + re-threshold above the
+    * floor), reads out p25/p50/p75/p95, and emits two in-engine audit
+    * columns the oracle RECOMPUTES (not constants): `merge_exact` — the
+    * merged threshold and kept-count equal the direct one-shot sketch's
+    * (the mergeability theorem, see the operator scaladoc) — and
+    * `rank_err_ok` — each estimate's true rank within 5% of target
+    * (capacity 2048 ⇒ ~2% expected error).
+    *
+    * Scale: level counts are one map-side partial agg (≤ slices·21
+    * rows), thresholds broadcast back, the keep filter is the only other
+    * data pass, and all windows run over the ≤ capacity kept rows. The
+    * exact_rank audit column pays one extra conditional-count scan the
+    * operator itself never needs. Duplicate row keys (this fixture has
+    * ~19% (orderkey, linenumber) collisions) sample together — a small
+    * variance inflation, never a correctness issue, since the level is a
+    * function of the key on both engines. */
+  def q53KllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QuantileSketch
+    val cap = 2048
+    val li = t(spark, dir, "lineitem")
+    val lvls = QuantileSketch.withLevels(li,
+      col("l_returnflag"),
+      col("l_orderkey") * 8 + col("l_linenumber"),
+      (dec(col("l_extendedprice")) * 100).cast("long"))
+    val lc = QuantileSketch.levelCounts(lvls).localCheckpoint()
+    val tSlice = QuantileSketch.thresholds(lc, cap)
+    val kept = lvls.join(broadcast(tSlice), "slice")
+      .filter(col("lvl") >= col("t_slice"))
+      .select("slice", "key", "value", "lvl")
+      .localCheckpoint() // ≤ slices·cap rows; reused for merge + readout
+    val tFloorRow = tSlice.agg(max(col("t_slice")).as("tf"))
+    val mergedLc = kept.groupBy("lvl").agg(count(lit(1)).as("cnt"))
+      .withColumn("slice", lit("__all__"))
+    val tM = QuantileSketch.thresholds(mergedLc, cap,
+        floor = Some(tFloorRow))
+      .select(col("t_slice").cast("long").as("t_m"))
+    // the direct one-shot sketch's threshold + size, derived from the
+    // same tiny level-count summary — what the merge must reproduce
+    val globalLc = lc.groupBy("lvl").agg(sum(col("cnt")).as("cnt"))
+      .withColumn("slice", lit("__all__"))
+    val tD = QuantileSketch.thresholds(globalLc, cap)
+      .select(col("t_slice").cast("long").as("t_d"))
+    val finalKept = kept.crossJoin(broadcast(tM))
+      .filter(col("lvl") >= col("t_m"))
+      .select("key", "value", "lvl")
+    val nKeptM = finalKept.agg(count(lit(1)).as("n_kept"))
+    val nKeptD = globalLc.crossJoin(broadcast(tD))
+      .agg(coalesce(sum(when(col("lvl") >= col("t_d"), col("cnt"))), lit(0L))
+        .as("n_kept_direct"))
+    val nTotal = lc.agg(sum(col("cnt")).as("n_total"))
+    val est = QuantileSketch.estQuantiles(finalKept, tM, nTotal,
+      Seq(250L, 500L, 750L, 950L))
+    val exactRank = lvls.select(col("value"))
+      .crossJoin(broadcast(est.select(col("p_mille"), col("est_value"))))
+      .groupBy("p_mille", "est_value")
+      .agg(sum(when(col("value") <= col("est_value"), 1L).otherwise(0L))
+        .as("exact_rank"))
+      .select(col("p_mille"), col("exact_rank"))
+    val flags = tM.crossJoin(tD).crossJoin(nKeptM).crossJoin(nKeptD)
+      .select(col("t_m"), col("n_kept"),
+        (col("t_m") === col("t_d") &&
+          col("n_kept") === col("n_kept_direct")).as("merge_exact"))
+    est.join(exactRank, "p_mille")
+      .crossJoin(broadcast(flags))
+      .select(col("p_mille"), col("n_total"), col("target"),
+        col("t_m"), col("n_kept"), col("est_value").as("est_cents"),
+        col("exact_rank"),
+        (abs(col("exact_rank") - col("target")) * 20 <= col("n_total"))
+          .as("rank_err_ok"),
+        col("merge_exact"))
+      .orderBy("p_mille")
+  }
+
+  /** Full sketch replay: FNV trailing-zero levels, per-slice and merged
+    * thresholds, direct-sketch equality, readout, and the audit booleans
+    * all recomputed (nothing pinned constant). */
+  val q53Sql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS slice,
+      |    l_orderkey * 8 + l_linenumber AS key,
+      |    (CAST(l_extendedprice AS DECIMAL(18,2)) * 100)::BIGINT AS value
+      |  FROM lineitem),
+      |hv AS (
+      |  SELECT slice, key, value,
+      |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(CAST(key AS VARCHAR), '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) AS h
+      |  FROM base),
+      |lv AS (
+      |  SELECT slice, key, value,
+      |    LIST_MAX(LIST_TRANSFORM(RANGE(0, 21),
+      |      l -> CASE WHEN h % (CAST(1 AS BIGINT) << l) = 0
+      |           THEN l ELSE 0 END)) AS lvl
+      |  FROM hv),
+      |lc AS (SELECT slice, lvl, COUNT(*) AS cnt FROM lv GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT s.slice, t.t
+      |  FROM (SELECT DISTINCT slice FROM lc) s
+      |  CROSS JOIN (SELECT UNNEST(RANGE(0, 22)) AS t) t),
+      |tails AS (
+      |  SELECT c.slice, c.t,
+      |    COALESCE(SUM(CASE WHEN l.lvl >= c.t THEN l.cnt ELSE 0 END), 0) AS tail
+      |  FROM cand c LEFT JOIN lc l ON l.slice = c.slice
+      |  GROUP BY 1, 2),
+      |tsl AS (SELECT slice, MIN(t) AS t_slice FROM tails
+      |        WHERE tail <= 2048 GROUP BY 1),
+      |keep AS (
+      |  SELECT lv.slice, lv.key, lv.value, lv.lvl
+      |  FROM lv JOIN tsl ON tsl.slice = lv.slice
+      |  WHERE lv.lvl >= tsl.t_slice),
+      |tf AS (SELECT MAX(t_slice) AS tf FROM tsl),
+      |mtails AS (
+      |  SELECT t.t,
+      |    COALESCE(SUM(CASE WHEN k.lvl >= t.t THEN 1 ELSE 0 END), 0) AS tail
+      |  FROM (SELECT UNNEST(RANGE(0, 22)) AS t) t
+      |  LEFT JOIN keep k ON TRUE
+      |  GROUP BY 1),
+      |tm AS (SELECT MIN(m.t)::BIGINT AS t_m FROM mtails m, tf
+      |       WHERE m.t >= tf.tf AND m.tail <= 2048),
+      |glc AS (SELECT lvl, SUM(cnt) AS cnt FROM lc GROUP BY 1),
+      |gtails AS (
+      |  SELECT t.t,
+      |    COALESCE(SUM(CASE WHEN g.lvl >= t.t THEN g.cnt ELSE 0 END), 0) AS tail
+      |  FROM (SELECT UNNEST(RANGE(0, 22)) AS t) t
+      |  LEFT JOIN glc g ON TRUE
+      |  GROUP BY 1),
+      |td AS (SELECT MIN(t)::BIGINT AS t_d FROM gtails WHERE tail <= 2048),
+      |nkd AS (SELECT COALESCE(SUM(CASE WHEN g.lvl >= td.t_d THEN g.cnt
+      |                             ELSE 0 END), 0)::BIGINT AS n_kept_direct
+      |        FROM glc g, td),
+      |fin AS (
+      |  SELECT k.key, k.value,
+      |    ROW_NUMBER() OVER (ORDER BY k.value, k.key) AS rn
+      |  FROM keep k, tm WHERE k.lvl >= tm.t_m),
+      |nk AS (SELECT COUNT(*)::BIGINT AS n_kept FROM fin),
+      |n AS (SELECT COUNT(*)::BIGINT AS n_total FROM base),
+      |ps AS (SELECT UNNEST([250, 500, 750, 950])::BIGINT AS p_mille),
+      |tgt AS (SELECT p_mille, n_total,
+      |          ((n_total * p_mille + 999) // 1000)::BIGINT AS target
+      |        FROM ps, n),
+      |estr AS (SELECT f.value,
+      |           f.rn * (CAST(1 AS BIGINT) << tm.t_m::INT) AS est_rank
+      |         FROM fin f, tm),
+      |mx AS (SELECT MAX(value) AS fallback FROM fin),
+      |est AS (
+      |  SELECT g.p_mille, g.n_total, g.target,
+      |    COALESCE(MIN(e.value), ANY_VALUE(mx.fallback)) AS est_cents
+      |  FROM tgt g CROSS JOIN mx
+      |  LEFT JOIN estr e ON e.est_rank >= g.target
+      |  GROUP BY 1, 2, 3),
+      |exr AS (
+      |  SELECT est.p_mille,
+      |    SUM(CASE WHEN b.value <= est.est_cents THEN 1 ELSE 0 END)::BIGINT
+      |      AS exact_rank
+      |  FROM est CROSS JOIN base b
+      |  GROUP BY 1)
+      |SELECT e.p_mille, e.n_total, e.target, tm.t_m, nk.n_kept,
+      |  e.est_cents, x.exact_rank,
+      |  (ABS(x.exact_rank - e.target) * 20 <= e.n_total) AS rank_err_ok,
+      |  (tm.t_m = td.t_d AND nk.n_kept = nkd.n_kept_direct) AS merge_exact
+      |FROM est e JOIN exr x USING (p_mille)
+      |CROSS JOIN tm CROSS JOIN td CROSS JOIN nk CROSS JOIN nkd
+      |ORDER BY p_mille""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q53_kll_quantiles" -> (q53KllQuantiles _, q53Sql),
     "q27_grouping_sets" -> (q27GroupingSets _, q27Sql),
     "q41_approx_percentile" -> (q41ApproxPercentile _, q41Sql),
     "q28_percentile_disc" -> (q28PercentileDisc _, q28Sql),

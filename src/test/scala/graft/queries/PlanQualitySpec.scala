@@ -384,6 +384,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q52 degenerated:\n$p")
   }
 
+  test("q53: readout windows run over the kept summary, never a data sort") {
+    val p = plan("q53_kll_quantiles")
+    // the sketch build localCheckpoints level counts + kept rows, so the
+    // readout plan never rescans lineitem beyond the audit column's one
+    // conditional-count pass
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 1,
+      s"q53 readout must not rescan lineitem:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"level counts must map-side combine:\n$p")
+  }
+
   test("m10: banded perceptual join is equi-join, never cartesian") {
     val p = plan("m10_perceptual_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
