@@ -196,6 +196,110 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Signature-table rows for the incremental near-dup STORE: (doc_id,
+    * sig) with null signatures (empty/whitespace docs) dropped — nothing
+    * to band or compare. This is the artifact a daily-ingest pipeline
+    * PERSISTS (alongside [[nearDupBandKeys]]' bucket index) so history is
+    * signatured exactly once, ever. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, k: Int = 3): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      TextExpressions.minhash(col(textCol), numHashes, k).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Band-bucket index rows (doc_id, band, bkey) over a signature table:
+    * bkey is the FNV-1a64 of the band's comma-joined signature slice — a
+    * fixed 8-byte store key (what a production bucket index persists and
+    * equi-joins on) that still mirrors bit-for-bit in SQL, unlike a
+    * murmur3 `hash()`. */
+  def nearDupBandKeys(sigs: DataFrame, numHashes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => TextExpressions.fnv1a64(
+          array_join(transform(slice(col("sig"), b * r + lit(1), lit(r)),
+            x => x.cast("string")), ","))))
+        .as(Seq("band", "bkey")))
+  }
+
+  /** Exact MinHash-agreement estimate between two signature columns:
+    * matching positions / numHashes — an integer count over a power-of-two
+    * divisor, so the double is engine-exact. */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes, 6)
+
+  /** INCREMENTAL NEAR-dup detection against a persisted store — d19's
+    * daily-ingest shape extended from exact fingerprints to MinHash band
+    * buckets. `storeSigs` is yesterday's signature table ((doc_id, sig),
+    * built once by [[minhashSignatures]] and never recomputed — history
+    * TEXT is never re-read, let alone re-signatured); the batch signatures
+    * itself, probes the store's band-bucket index by (band, bkey)
+    * equi-join, verifies candidates with the exact integer agreement
+    * estimate, and checks itself the same way (earlier id wins in-batch).
+    * Unique rows' signatures + bucket keys are what the caller appends to
+    * the store.
+    *
+    * Scale shape: both candidate joins ship ids + an 8-byte bucket key;
+    * signatures re-attach to the surviving candidate pairs only, by plain
+    * equi-join (fixed 128-long rows — never document text). History size
+    * enters only the store-probe join, which in production is bucketed by
+    * bkey ⇒ co-located. New batches never reclassify old documents.
+    *
+    * @return one row per batch doc: (doc_id, status ∈ dup_of_history |
+    *         dup_in_batch | unique, dup_of, est_j) — history partner wins
+    *         over in-batch, lowest partner id on ties. */
+  def incrementalNearDup(storeSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 16,
+      k: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val batchSigs = minhashSignatures(batch, idCol, textCol, numHashes, k)
+    val storeB = nearDupBandKeys(storeSigs, numHashes, bands)
+      .select(col("doc_id").as("hid"), col("band"), col("bkey"))
+    val batchB = nearDupBandKeys(batchSigs, numHashes, bands)
+      .select(col("doc_id").as("bid"), col("band"), col("bkey"))
+    val histHit = batchB.join(storeB, Seq("band", "bkey"))
+      .select("bid", "hid").dropDuplicates("bid", "hid")
+      .join(batchSigs.select(col("doc_id").as("bid"), col("sig").as("sa")),
+        "bid")
+      .join(storeSigs.select(col("doc_id").as("hid"), col("sig").as("sb")),
+        "hid")
+      .select(col("bid"), col("hid"),
+        sigAgreement(col("sa"), col("sb"), numHashes).as("est"))
+      .filter(col("est") >= threshold)
+      .groupBy("bid")
+      .agg(min(struct(col("hid"), col("est"))).as("m"))
+      .select(col("bid").as("doc_id"), col("m.hid").as("hist_dup"),
+        col("m.est").as("hist_est"))
+    val batchHit = batchB.select(col("bid").as("ia"), col("band"), col("bkey"))
+      .join(batchB.select(col("bid").as("ib"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").dropDuplicates("ia", "ib")
+      .join(batchSigs.select(col("doc_id").as("ia"), col("sig").as("sa")),
+        "ia")
+      .join(batchSigs.select(col("doc_id").as("ib"), col("sig").as("sb")),
+        "ib")
+      .select(col("ia"), col("ib"),
+        sigAgreement(col("sa"), col("sb"), numHashes).as("est"))
+      .filter(col("est") >= threshold)
+      .groupBy("ib")
+      .agg(min(struct(col("ia"), col("est"))).as("m"))
+      .select(col("ib").as("doc_id"), col("m.ia").as("batch_dup"),
+        col("m.est").as("batch_est"))
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(histHit, Seq("doc_id"), "left")
+      .join(batchHit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hist_dup").isNotNull, "dup_of_history")
+          .when(col("batch_dup").isNotNull, "dup_in_batch")
+          .otherwise("unique").as("status"),
+        coalesce(col("hist_dup"), col("batch_dup")).as("dup_of"),
+        when(col("hist_dup").isNotNull, col("hist_est"))
+          .when(col("batch_dup").isNotNull, col("batch_est")).as("est_j"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` (≤3 for full recall with
     * 4 chunks of 16 bits, by pigeonhole). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -1066,7 +1066,136 @@ object DedupQueries {
       |FROM batch b LEFT JOIN hist h ON h.fp = b.fp
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d20
+  /** INCREMENTAL NEAR-dup store ([[Dedup.incrementalNearDup]]) — d19's
+    * daily-ingest shape upgraded from exact md5 fingerprints to MinHash
+    * band buckets, so a new batch catches near-duplicates of history
+    * without ever re-reading historical text: history (doc_id % 10 ≠ 7)
+    * is signatured ONCE into the store (the artifact production
+    * persists), the batch (doc_id % 10 = 7) probes the store's
+    * (band, fnv-bucket-key) index by equi-join, verifies candidates with
+    * the exact integer MinHash agreement (≥ 0.9), and checks itself the
+    * same way (earlier id wins). The streaming twin is d16
+    * (`StreamingDedup.nearDupHits`); this is the batch-ingest form.
+    *
+    * FULL oracle: the d16 sketch mirror (HUGEINT FNV shingle fold +
+    * splitmix chain + per-(doc, perm) MIN) rebuilt per doc, band keys as
+    * the FNV-1a64 of the comma-joined band slice (the store's actual
+    * 8-byte key — both engines fold the identical string), est_j as the
+    * exact agreement count / 128. */
+  def d20IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val store = Dedup.minhashSignatures(
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 7), "doc_id", "text")
+    Dedup.incrementalNearDup(store,
+      d.filter(pmod(col("doc_id"), lit(10)) === 7), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val d20Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
+      |base AS (
+      |  SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(s, sg -> list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(sg, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT))) AS b
+      |  FROM sh),
+      |seeds AS (
+      |  SELECT j, ((j + 1)::HUGEINT * 11400714819323198485::HUGEINT)
+      |           % 18446744073709551616::HUGEINT AS seed
+      |  FROM (SELECT UNNEST(RANGE(0, 128)) AS j)),
+      |m0 AS (SELECT doc_id, j, xor(b, seed) AS z FROM base CROSS JOIN seeds),
+      |m1 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m0),
+      |m2 AS (SELECT doc_id, j,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT doc_id, j,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m4),
+      |dsig AS (
+      |  SELECT doc_id, j, MIN(CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+      |      THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT)) AS sig
+      |  FROM m5 GROUP BY doc_id, j),
+      |bnd AS (
+      |  SELECT doc_id, j // 8 AS band,
+      |    CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+      |         THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT)
+      |      AS bkey
+      |  FROM (
+      |    SELECT doc_id, j // 8,
+      |      list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in
+      |          string_split(STRING_AGG(sig::VARCHAR, ',' ORDER BY j), '')]),
+      |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                    % 18446744073709551616::HUGEINT) AS f
+      |    FROM dsig GROUP BY doc_id, j // 8) sub(doc_id, j, f)),
+      |sigl AS (SELECT doc_id, LIST(sig ORDER BY j) AS sl FROM dsig GROUP BY 1),
+      |histc AS (
+      |  SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+      |  FROM bnd b JOIN bnd h ON b.band = h.band AND b.bkey = h.bkey
+      |  WHERE b.doc_id % 10 = 7 AND h.doc_id % 10 <> 7),
+      |hest AS (
+      |  SELECT c.bid, c.hid,
+      |    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 129),
+      |      i -> CASE WHEN a.sl[i] = h.sl[i] THEN 1 ELSE 0 END))::DOUBLE
+      |          / 128.0, 6) AS est
+      |  FROM histc c
+      |  JOIN sigl a ON a.doc_id = c.bid
+      |  JOIN sigl h ON h.doc_id = c.hid
+      |  WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, 129),
+      |      i -> CASE WHEN a.sl[i] = h.sl[i] THEN 1 ELSE 0 END)) >= 116),
+      |hhit AS (SELECT bid, MIN(hid) AS dup_of FROM hest GROUP BY 1),
+      |batc AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM bnd a JOIN bnd b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 = 7),
+      |best AS (
+      |  SELECT c.ia, c.ib,
+      |    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 129),
+      |      i -> CASE WHEN x.sl[i] = y.sl[i] THEN 1 ELSE 0 END))::DOUBLE
+      |          / 128.0, 6) AS est
+      |  FROM batc c
+      |  JOIN sigl x ON x.doc_id = c.ia
+      |  JOIN sigl y ON y.doc_id = c.ib
+      |  WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, 129),
+      |      i -> CASE WHEN x.sl[i] = y.sl[i] THEN 1 ELSE 0 END)) >= 116),
+      |bhit AS (SELECT ib AS bid, MIN(ia) AS dup_of FROM best GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN hh.dup_of IS NOT NULL THEN 'dup_of_history'
+      |       WHEN bh.dup_of IS NOT NULL THEN 'dup_in_batch'
+      |       ELSE 'unique' END AS status,
+      |  COALESCE(hh.dup_of, bh.dup_of) AS dup_of,
+      |  CASE WHEN hh.dup_of IS NOT NULL THEN he.est
+      |       WHEN bh.dup_of IS NOT NULL THEN be.est END AS est_j
+      |FROM documents d
+      |LEFT JOIN hhit hh ON hh.bid = d.doc_id
+      |LEFT JOIN bhit bh ON bh.bid = d.doc_id
+      |LEFT JOIN hest he ON he.bid = d.doc_id AND he.hid = hh.dup_of
+      |LEFT JOIN best be ON be.ib = d.doc_id AND be.ia = bh.dup_of
+      |WHERE d.doc_id % 10 = 7
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d20_incremental_neardup" -> (d20IncrementalNearDup _, d20Sql),
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),
     "d02_minhash_lsh" -> (d02MinhashLsh _, d02Sql),

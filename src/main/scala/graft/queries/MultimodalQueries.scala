@@ -629,7 +629,107 @@ object MultimodalQueries {
       |  start_win, end_win, n_windows, sum_energy
       |FROM seg ORDER BY doc_id, seg_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m12
+  /** CROSS-MODAL retrieval — the multimodal surface composed with the
+    * ANN surface, proving the two stacks join: each probe embedding
+    * (vec_id < 5, the "text query") retrieves its top-5 IMAGE-modality
+    * documents (doc_id % 3 = 0, restricted to ids carrying embeddings)
+    * through [[graft.operators.Similarity.knnJoinQuantized]] — s08's
+    * integer-banded candidate join, so the retrieval set mirrors exactly
+    * — and each hit comes back with its REAL decoded dimensions + 224²
+    * fit plan from the planted-PNG header decode path (m03's
+    * [[Multimodal.resizeImages]], actual byte parsing in mapPartitions,
+    * not id arithmetic on the Spark side; the ORACLE uses the planted
+    * arithmetic, which is exactly what the decoder must reproduce).
+    *
+    * Scale shape: pure composition of pinned pieces — banded ids-only
+    * candidate shuffle (s08), one equi-join to re-attach decoded image
+    * metadata; the decode runs once over image docs, never per probe. */
+  def m12CrossModalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val imgDocs = docsDf.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.join(imgDocs.select(col("doc_id").as("__img_id")),
+        col("vec_id") === col("__img_id"))
+      .select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 5)
+    val knn = graft.operators.Similarity.knnJoinQuantized(
+      probes, corpus, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, bandBits = 4, bandCount = 8)
+    val dims = Multimodal.resizeImages(
+      Multimodal.fakeMediaFrame(imgDocs), "doc_id", "payload", "modality",
+      targetW = 224, targetH = 224)
+      .toDF()
+      .select(col("doc_id"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        col("out_w").cast("bigint").as("out_w"),
+        col("out_h").cast("bigint").as("out_h"))
+    knn.join(dims, knn("vec_id") === dims("doc_id"))
+      .select(col("qid"), col("doc_id"), col("cos"), col("rank"),
+        col("width"), col("height"), col("out_w"), col("out_h"))
+      .orderBy("qid", "rank")
+  }
+
+  /** s08's integer-bucket candidate mirror restricted to image-modality
+    * corpus ids, plus m03's planted-header fit arithmetic. */
+  val m12Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |bk AS (
+      |  SELECT vec_id, band,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, 4), bit ->
+      |      CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q) + 1), i ->
+      |          q[i] * ((((band * 4 + bit) * LEN(q) + (i - 1)) * 2654435761
+      |                   + 40503) % 8191 - 4095)))
+      |        >= 0 THEN 1 << bit ELSE 0 END)) AS bucket
+      |  FROM qv CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS band)),
+      |img AS (
+      |  SELECT e.vec_id
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      |  WHERE d.doc_id % 3 = 0),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id
+      |  FROM bk qb
+      |  JOIN bk cb ON cb.band = qb.band AND cb.bucket = qb.bucket
+      |  JOIN img ON img.vec_id = cb.vec_id
+      |  WHERE qb.vec_id < 5),
+      |scored AS (
+      |  SELECT c.qid, c.vec_id,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS cos
+      |  FROM cand c
+      |  JOIN embeddings e ON e.vec_id = c.vec_id
+      |  JOIN embeddings q ON q.vec_id = c.qid),
+      |ranked AS (
+      |  SELECT qid, vec_id AS doc_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      |  FROM scored),
+      |dims AS (
+      |  SELECT doc_id,
+      |    (16 + doc_id % 624)::BIGINT AS w,
+      |    (16 + doc_id % 464)::BIGINT AS h
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT r.qid, r.doc_id, r.cos, r.rank, d.w AS width, d.h AS height,
+      |  (CASE WHEN d.w <= 224 AND d.h <= 224 THEN d.w
+      |        WHEN d.w * 224 <= d.h * 224 THEN GREATEST(1, (d.w * 224) // d.h)
+      |        ELSE 224 END)::BIGINT AS out_w,
+      |  (CASE WHEN d.w <= 224 AND d.h <= 224 THEN d.h
+      |        WHEN d.w * 224 <= d.h * 224 THEN 224
+      |        ELSE GREATEST(1, (d.h * 224) // d.w) END)::BIGINT AS out_h
+      |FROM ranked r JOIN dims d USING (doc_id)
+      |WHERE r.rank <= 5
+      |ORDER BY r.qid, r.rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m12_crossmodal_retrieval" -> (m12CrossModalRetrieval _, m12Sql),
     "m09_keyframe_select" -> (m09KeyframeSelect _, m09Sql),
     "m11_audio_segments" -> (m11AudioSegments _, m11Sql),
     "m01_multimodal_meta" -> (m01DecodeMeta _, m01Sql),

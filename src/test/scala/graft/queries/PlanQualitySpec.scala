@@ -125,8 +125,9 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
       "d05_embedding_neardup", "d07_containment", "d09_decontamination",
       "d10_substring_spans", "d11_substring_dedup", "d14_fuzzy_join",
-      "d15_semantic_dedup", "s08_knn_join_qlsh",
-      "g02_triangles", "d19_incremental_dedup", "g06_link_prediction")
+      "d15_semantic_dedup", "s08_knn_join_qlsh", "d20_incremental_neardup",
+      "g02_triangles", "d19_incremental_dedup", "g06_link_prediction",
+      "m12_crossmodal_retrieval")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
