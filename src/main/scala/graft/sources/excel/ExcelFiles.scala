@@ -17,8 +17,19 @@ import org.apache.spark.sql.AnalysisException
   */
 object ExcelFiles {
 
+  /** Listing admits `.xlsx` (the reference's surface) plus `.xlsm` —
+    * macro-enabled workbooks are the same OOXML zip (identical
+    * worksheet parts under `xl/worksheets`, plus a vbaProject part the
+    * reader never opens), so the StAX codec reads them unchanged. Legacy
+    * binary `.xls` (BIFF, not a zip) stays excluded, matching the
+    * reference's B6 listing. */
+  private def hasExcelSuffix(name: String): Boolean = {
+    val n = name.toLowerCase
+    n.endsWith(".xlsx") || n.endsWith(".xlsm")
+  }
+
   /** path → sorted list of xlsx file URIs (dir: one level by default,
-    * `.xlsx` only, mirroring the reference; file: itself; glob pattern:
+    * `.xlsx`/`.xlsm` only; file: itself; glob pattern:
     * every match, dirs expanded). `recursive=true` (the
     * `recursiveFileLookup` option) descends into subdirectories — the
     * date-partitioned `dt=.../part.xlsx` layout object stores use.
@@ -86,7 +97,7 @@ object ExcelFiles {
     val here = files
       .filter { s =>
         val n = s.getPath.getName
-        n.toLowerCase.endsWith(".xlsx") && visible(n)
+        hasExcelSuffix(n) && visible(n)
       }
       .map(s => s.getPath.toString -> s.getModificationTime)
     val below =
@@ -107,7 +118,7 @@ object ExcelFiles {
     val here = files
       .filter { s =>
         val n = s.getPath.getName
-        n.toLowerCase.endsWith(".xlsx") && visible(n)
+        hasExcelSuffix(n) && visible(n)
       }
       .map(_.getPath.toString)
     val below =

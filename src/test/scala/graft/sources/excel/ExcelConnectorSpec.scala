@@ -68,6 +68,24 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       4 -> "David", 5 -> "Eve"))
   }
 
+  test("directory read admits .xlsm (same OOXML zip), still skips .xls") {
+    val dir = tmpDir()
+    sampleFile(dir, "plain.xlsx", Seq(1 -> "Alice"))
+    // an .xlsm is the identical zip container (the reader never opens the
+    // macro part), so writing one with the same codec is a faithful fixture
+    sampleFile(dir, "macro.XLSM", Seq(2 -> "Bob")) // case-insensitive too
+    new File(dir, "legacy.xls").createNewFile() // BIFF, not a zip: skipped
+
+    val df = spark.read.format("excel")
+      .schema(idName)
+      .option("header", "true").option("inferSchema", "false")
+      .option("path", dir.getAbsolutePath)
+      .load()
+    assert(df.rdd.getNumPartitions == 2)
+    val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set(1 -> "Alice", 2 -> "Bob"))
+  }
+
   test("user schema: extra file columns ignored") {
     val dir = tmpDir()
     val f = new File(dir, "extra.xlsx")
