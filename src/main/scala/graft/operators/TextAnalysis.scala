@@ -247,6 +247,44 @@ object TextAnalysis {
       .select(col("token_id"), col("word"), col("cnt"))
   }
 
+  /** BPE merge-candidate counting — the inner loop of tokenizer training
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units") run at corpus scale: weighted counts of
+    * adjacent SYMBOL pairs (initial symbols = characters) over the word
+    * frequency table, ranked by count. The top pair is the next BPE
+    * merge a trainer would apply.
+    *
+    * The scale trick is the same one every real BPE trainer uses: pair
+    * statistics are computed over DISTINCT words weighted by frequency,
+    * so the raw corpus is tokenized exactly once into a vocab-bounded
+    * (word, freq) state table, and each training iteration touches only
+    * the vocabulary — at 100 TB the word-frequency table is the q52-style
+    * mergeable summary (per-shard counts SUM-merge), and the pair pass
+    * costs O(vocab · word length), independent of corpus size.
+    *
+    * @return top-`topK` rows (pair "a b", cnt = Σ freq over words
+    *         containing the pair ONCE PER POSITION, n_words = distinct
+    *         words contributing), ordered (cnt DESC, pair ASC). */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val wordFreq = df.filter(trim(col(textCol)) =!= "")
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val cs = split(col("word"), "")
+    val pairs = wordFreq
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(array_compact(zip_with(cs, slice(cs, lit(2), size(cs)),
+          (a, b) => when(b.isNotNull, concat(a, lit(" "), b)))))
+          .as("pair"))
+    pairs.groupBy("pair")
+      .agg(sum(col("freq")).as("cnt"),
+        count_distinct(col("word")).as("n_words"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** Per-document out-of-vocabulary stats against a vocabulary built by
     * [[vocabulary]] (or loaded from a trained tokenizer): token count,
     * OOV count, OOV rate. The vocab side is broadcast — V is bounded by

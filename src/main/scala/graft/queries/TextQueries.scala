@@ -824,7 +824,39 @@ object TextQueries {
 
   // lazy: t21/t22's defs/Sqls are declared below this map (the file reads
   // in gate order); forcing happens at SparkEntry access, after object init
+  // ---------------------------------------------------------------- t23
+  /** BPE merge-candidate counting ([[TextAnalysis.bpePairCounts]]) — the
+    * inner loop of tokenizer training: weighted adjacent-character-pair
+    * counts over the word-frequency table (pair stats from DISTINCT words
+    * × freq, the vocab-bounded trick every real BPE trainer uses — the
+    * corpus is tokenized once, iterations touch only the vocabulary).
+    * Top-20 pairs by (cnt DESC, pair ASC); the head row is the first
+    * merge a trainer would apply. Pure integer counts over ASCII words ⇒
+    * full mirror. */
+  def t23BpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bpePairCounts(docs(spark, dir), "text",
+      topK = 20)
+
+  val t23Sql: String =
+    """WITH w AS (
+      |  SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |wf AS (
+      |  SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY 1),
+      |p AS (
+      |  SELECT word, freq,
+      |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word)),
+      |      i -> SUBSTRING(word, i, 1) || ' ' || SUBSTRING(word, i + 1, 1)))
+      |      AS pair
+      |  FROM wf WHERE LEN(word) >= 2)
+      |SELECT pair, SUM(freq)::BIGINT AS cnt,
+      |  COUNT(DISTINCT word)::BIGINT AS n_words
+      |FROM p GROUP BY 1
+      |ORDER BY cnt DESC, pair ASC
+      |LIMIT 20""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t23_bpe_pairs" -> (t23BpePairs _, t23Sql),
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
     "t10_domain_stats" -> (t10DomainStats _, t10Sql),
