@@ -54,27 +54,42 @@ object QuantileSketch {
   val DefaultMaxLevel = 20
 
   /** Survival level of an item: the number of low-order zero bits of
-    * FNV-1a64(key-as-string), capped at `maxLevel`. Pure codegen'd
-    * builtins over the repo's FNV expression; low bits of the signed
+    * FNV-1a64(key-as-string), capped at `maxLevel`. Trailing zeros via
+    * the branch-free mask trick — m = low (maxLevel+1) bits of the hash;
+    * m = 0 means every countable bit is zero (capped), otherwise
+    * `bit_count(m XOR (m-1)) - 1` counts them — two codegen'd builtins
+    * instead of a maxLevel-clause CASE chain. Low bits of the signed
     * long match the unsigned hash, so the DuckDB HUGEINT mirror agrees
-    * bit-for-bit. */
-  def levelOf(key: Column, maxLevel: Int = DefaultMaxLevel): Column = {
-    val h = graft.functions.TextExpressions.fnv1a64(key.cast("string"))
-    (1 to maxLevel).foldLeft(lit(0)) { (acc, l) =>
-      // monotone: if the low-l mask is nonzero, every larger mask is too,
-      // so the last satisfied clause is the trailing-zero count
-      when(h.bitwiseAND(lit((1L << l) - 1)) === lit(0L), lit(l)).otherwise(acc)
-    }
+    * bit-for-bit (masking first also keeps bit_count inside DuckDB's
+    * TINYINT return range). */
+  def levelOf(key: Column, maxLevel: Int = DefaultMaxLevel): Column =
+    levelOfHash(
+      graft.functions.TextExpressions.fnv1a64(key.cast("string")), maxLevel)
+
+  /** The trailing-zero fold over an already-computed hash column —
+    * callers that stage the hash in its own projection (see
+    * [[withLevels]]) evaluate the string fold once per row. */
+  def levelOfHash(h: Column, maxLevel: Int = DefaultMaxLevel): Column = {
+    val m = h.bitwiseAND(lit((1L << (maxLevel + 1)) - 1))
+    when(m === 0L, lit(maxLevel))
+      .otherwise(bit_count(m.bitwiseXOR(m - 1)) - 1)
   }
 
   /** (slice, key, value, lvl) — the scan-side projection every other
     * step derives from. `key` must be unique per row (duplicated values
-    * are sampled independently, as KLL requires). */
+    * are sampled independently, as KLL requires). The FNV hash is staged
+    * as its own projection column so the trailing-zero expression
+    * references it instead of re-evaluating the string fold per use
+    * (CollapseProject keeps the two projections apart because the hash
+    * is non-cheap and multiply-referenced). */
   def withLevels(df: DataFrame, slice: Column, key: Column, value: Column,
       maxLevel: Int = DefaultMaxLevel): DataFrame =
     df.select(slice.as("slice"), key.cast("long").as("key"),
       value.as("value"))
-      .withColumn("lvl", levelOf(col("key"), maxLevel))
+      .withColumn("__h",
+        graft.functions.TextExpressions.fnv1a64(col("key").cast("string")))
+      .withColumn("lvl", levelOfHash(col("__h"), maxLevel))
+      .drop("__h")
 
   /** Per-(slice, lvl) counts — the partial-agg summary thresholds are
     * decided on (≤ slices·(maxLevel+1) rows at any data size). */

@@ -494,10 +494,15 @@ object StatQueries {
     import graft.operators.QuantileSketch
     val cap = 2048
     val li = t(spark, dir, "lineitem")
+    // materialize the level-annotated projection ONCE (the "signature
+    // table" pattern): every downstream consumer — level counts, the keep
+    // filter, the exact-rank audit — reads this instead of re-scanning
+    // lineitem and re-evaluating the hash fold
     val lvls = QuantileSketch.withLevels(li,
       col("l_returnflag"),
       col("l_orderkey") * 8 + col("l_linenumber"),
       (dec(col("l_extendedprice")) * 100).cast("long"))
+      .localCheckpoint()
     val lc = QuantileSketch.levelCounts(lvls).localCheckpoint()
     val tSlice = QuantileSketch.thresholds(lc, cap)
     val kept = lvls.join(broadcast(tSlice), "slice")
@@ -565,9 +570,9 @@ object StatQueries {
       |  FROM base),
       |lv AS (
       |  SELECT slice, key, value,
-      |    LIST_MAX(LIST_TRANSFORM(RANGE(0, 21),
-      |      l -> CASE WHEN h % (CAST(1 AS BIGINT) << l) = 0
-      |           THEN l ELSE 0 END)) AS lvl
+      |    CAST(CASE WHEN h % 2097152 = 0 THEN 20
+      |         ELSE bit_count(xor(h % 2097152, h % 2097152 - 1)) - 1
+      |         END AS INT) AS lvl
       |  FROM hv),
       |lc AS (SELECT slice, lvl, COUNT(*) AS cnt FROM lv GROUP BY 1, 2),
       |cand AS (
