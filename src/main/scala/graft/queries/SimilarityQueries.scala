@@ -426,7 +426,46 @@ object SimilarityQueries {
       |WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s11
+  /** Per-dimension embedding DISTRIBUTION DRIFT
+    * ([[graft.operators.Embeddings.driftStats]]) between two corpus
+    * slices (labels 0–4 vs 5–9, standing in for old-encoder vs
+    * new-encoder or day-over-day shards): exact fixed-point counts /
+    * sums / sums-of-squares per dimension, and an integer
+    * cross-multiplied mean-shift verdict (|Δmean| > 0.005) — the
+    * monitor that catches a drifted encoder before an index rebuild.
+    * Dim-bounded summary state; verdicts mirror exactly (the oracle
+    * RECOMPUTES the drift booleans, they are not constants). */
+  def s11EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = emb(spark, dir)
+    graft.operators.Embeddings.driftStats(
+      e.filter(col("label") < 5), e.filter(col("label") >= 5), "embedding")
+  }
+
+  val s11Sql: String =
+    """WITH ex AS (
+      |  SELECT label,
+      |    UNNEST(RANGE(0, LEN(embedding))) AS dim,
+      |    UNNEST(LIST_TRANSFORM(embedding,
+      |      x -> FLOOR(CAST(x AS DOUBLE) * 16777216)::BIGINT)) AS q
+      |  FROM embeddings),
+      |a AS (SELECT dim, COUNT(*) AS n_a, SUM(q) AS sum_a,
+      |        SUM(q * q) AS ssq_a
+      |      FROM ex WHERE label < 5 GROUP BY 1),
+      |b AS (SELECT dim, COUNT(*) AS n_b, SUM(q) AS sum_b,
+      |        SUM(q * q) AS ssq_b
+      |      FROM ex WHERE label >= 5 GROUP BY 1)
+      |SELECT a.dim::INT AS dim,
+      |  n_a::BIGINT AS n_a, sum_a::BIGINT AS sum_a, ssq_a::BIGINT AS ssq_a,
+      |  n_b::BIGINT AS n_b, sum_b::BIGINT AS sum_b, ssq_b::BIGINT AS ssq_b,
+      |  (ABS(sum_a * n_b - sum_b * n_a) * 200 > n_a * n_b * 16777216)
+      |    AS drift
+      |FROM a JOIN b USING (dim)
+      |ORDER BY dim""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s11_embedding_drift" -> (s11EmbeddingDrift _, s11Sql),
     "s09_ann_pq" -> (s09PqTopK _, s09Sql),
     "s10_hard_negatives" -> (s10HardNegatives _, s10Sql),
     "s01_ann_bruteforce" -> (s01BruteForceTopK _, s01Sql),

@@ -855,7 +855,75 @@ object TextQueries {
       |ORDER BY cnt DESC, pair ASC
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- t24
+  /** Exact tie-aware ROC-AUC ([[graft.operators.EvalMetrics.rocAuc]]) of
+    * the t13 hashed-classifier logit against a document-length label
+    * (n_chars ≥ 300) — the eval primitive every filter in the pipeline
+    * needs before its threshold goes to production. The sweep runs over
+    * the DISTINCT-logit summary (never a data sort), 2U stays integer,
+    * and AUC lands as one integer division — so the whole statistic,
+    * ties included, mirrors bit-for-bit. The hash-random weights carry
+    * no real length signal (AUC ≈ 0.5 here); the metric machinery, not
+    * classifier quality, is what the gate pins — `EvalMetricsSpec`
+    * hand-computes AUC on separable and tied corpora. */
+  def t24ClassifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scores = graft.operators.QualityClassifier
+      .score(d, "doc_id", "text", dim = 4096)
+      .select(col("doc_id"), col("logit"))
+    val labeled = scores.join(
+      d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
+    graft.operators.EvalMetrics.rocAuc(labeled, col("logit"), col("label"))
+  }
+
+  /** t13's logit mirror feeding the integer Mann-Whitney sweep. */
+  val t24Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT doc_id, UNNEST(
+      |    CASE WHEN LEN(t) >= 2 THEN
+      |      t || LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE t END) AS g
+      |  FROM toks),
+      |feats AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(g, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) % 4096 AS BIGINT)
+      |      AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM grams GROUP BY 1, 2),
+      |w AS (
+      |  SELECT bucket, bucket * 2654435761 % 4294967296 % 17 - 8 AS weight
+      |  FROM (SELECT UNNEST(RANGE(0, 4096)) AS bucket)),
+      |scored AS (
+      |  SELECT f.doc_id, CAST(SUM(cnt * weight) AS BIGINT) AS score
+      |  FROM feats f JOIN w USING (bucket) GROUP BY 1),
+      |lab AS (
+      |  SELECT s.score, d.n_chars >= 300 AS label
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |bys AS (
+      |  SELECT score, SUM(CASE WHEN label THEN 1 ELSE 0 END) AS pos,
+      |         SUM(CASE WHEN label THEN 0 ELSE 1 END) AS neg
+      |  FROM lab GROUP BY 1),
+      |cum AS (
+      |  SELECT score, pos, neg,
+      |    COALESCE(SUM(neg) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      |  FROM bys)
+      |SELECT SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+      |  COUNT(*)::BIGINT AS n_scores,
+      |  SUM(pos * (2 * cnb + neg))::BIGINT AS u2,
+      |  (SUM(pos * (2 * cnb + neg)) * 500000
+      |     // (SUM(pos) * SUM(neg)))::BIGINT AS auc_micro
+      |FROM cum""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t24_classifier_auc" -> (t24ClassifierAuc _, t24Sql),
     "t23_bpe_pairs" -> (t23BpePairs _, t23Sql),
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
