@@ -483,7 +483,127 @@ object ConnectorQueries {
       |FROM latest WHERE op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------- excel_stream_quantile
+  /** STREAMING quantile sketch over two excel micro-batches
+    * ([[graft.streaming.StreamingSketch.quantileSketch]]) — the
+    * incremental twin of the q53 batch sketch, and the payoff of its
+    * derandomized compaction: because survival levels are a pure
+    * function of the key, the keyed state after the last micro-batch
+    * equals the BATCH sketch over the union of both batches
+    * bit-for-bit, so a streaming gate carries a full batch-replay
+    * DuckDB oracle — impossible for any coin-flipping KLL. Orders
+    * (quarter volume, o_orderkey % 4 = 0) split into two batches by
+    * key parity; per-status state is a 22-entry level histogram + the
+    * ≤ 512 kept rows; output is the final snapshot per status
+    * (threshold, kept size, p50-estimate in cents). */
+  def excelStreamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_kll_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    o.filter(pmod(col("o_orderkey"), lit(8)) === 0)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    o.filter(pmod(col("o_orderkey"), lit(8)) === 4)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"excel_stream_quantile_${math.abs(dir.hashCode)}"
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = graft.streaming.StreamingSketch.quantileSketch(
+      ss.readStream.format("excel").schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in.getAbsolutePath),
+      "o_orderstatus", "o_orderkey", "cents", capacity = 512)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // n_total is monotone per slice, so the max-n_total snapshot is final
+    ss.table(qname).groupBy("slice")
+      .agg(max(struct(col("n_total"), col("t_slice"), col("n_kept"),
+        col("est_p50"))).as("m"))
+      .select(col("slice"), col("m.n_total").as("n_total"),
+        col("m.t_slice").as("t_slice"), col("m.n_kept").as("n_kept"),
+        col("m.est_p50").as("est_p50"))
+      .orderBy("slice")
+  }
+
+  /** Batch sketch replay (the q53 mirror shape, per slice, no merge
+    * step) over the SAME rows — exact because the sketch is a pure
+    * function of the data, independent of batch arrival. */
+  val excelStreamQuantileSql: String =
+    """WITH base AS (
+      |  SELECT o_orderstatus AS slice, o_orderkey AS key,
+      |    (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS value
+      |  FROM orders WHERE o_orderkey % 4 = 0),
+      |hv AS (
+      |  SELECT slice, key, value,
+      |    list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(CAST(key AS VARCHAR), '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) AS h
+      |  FROM base),
+      |lv AS (
+      |  SELECT slice, key, value,
+      |    CAST(CASE WHEN h % 2097152 = 0 THEN 20
+      |         ELSE bit_count(xor(h % 2097152, h % 2097152 - 1)) - 1
+      |         END AS INT) AS lvl
+      |  FROM hv),
+      |lc AS (SELECT slice, lvl, COUNT(*) AS cnt FROM lv GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT s.slice, t.t
+      |  FROM (SELECT DISTINCT slice FROM lc) s
+      |  CROSS JOIN (SELECT UNNEST(RANGE(0, 22)) AS t) t),
+      |tails AS (
+      |  SELECT c.slice, c.t,
+      |    COALESCE(SUM(CASE WHEN l.lvl >= c.t THEN l.cnt ELSE 0 END), 0) AS tail
+      |  FROM cand c LEFT JOIN lc l ON l.slice = c.slice
+      |  GROUP BY 1, 2),
+      |tsl AS (SELECT slice, MIN(t) AS t_slice FROM tails
+      |        WHERE tail <= 512 GROUP BY 1),
+      |keep AS (
+      |  SELECT lv.slice, lv.key, lv.value
+      |  FROM lv JOIN tsl ON tsl.slice = lv.slice
+      |  WHERE lv.lvl >= tsl.t_slice),
+      |n AS (SELECT slice, COUNT(*) AS n_total FROM base GROUP BY 1),
+      |nk AS (SELECT slice, COUNT(*) AS n_kept FROM keep GROUP BY 1),
+      |fin AS (
+      |  SELECT slice, key, value,
+      |    ROW_NUMBER() OVER (PARTITION BY slice ORDER BY value, key) AS rn
+      |  FROM keep),
+      |tgt AS (
+      |  SELECT n.slice, n.n_total, tsl.t_slice,
+      |    (n.n_total * 500 + 999) // 1000 AS target
+      |  FROM n JOIN tsl USING (slice)),
+      |est AS (
+      |  SELECT g.slice,
+      |    COALESCE(MIN(CASE WHEN f.rn * (CAST(1 AS BIGINT) << g.t_slice::INT)
+      |                        >= g.target THEN f.value END),
+      |             MAX(f.value)) AS est_p50
+      |  FROM tgt g JOIN fin f USING (slice)
+      |  GROUP BY 1)
+      |SELECT t.slice, t.n_total::BIGINT AS n_total, t.t_slice::INT AS t_slice,
+      |  nk.n_kept::BIGINT AS n_kept, e.est_p50::BIGINT AS est_p50
+      |FROM tgt t JOIN nk USING (slice) JOIN est e USING (slice)
+      |ORDER BY slice""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "excel_stream_quantile" -> (excelStreamQuantile _, excelStreamQuantileSql),
     "excel_stream_cdc" -> (excelStreamCdc _, excelStreamCdcSql),
     "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
     "excel_stream_stream_join" -> (excelStreamStreamJoin _, excelStreamStreamJoinSql),
