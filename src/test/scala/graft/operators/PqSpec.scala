@@ -55,4 +55,24 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     // over its own code cells, and it appears in the top-k
     assert(out.exists(_._1 == 0L))
   }
+
+  test("edge guards: indivisible dims, tiny corpus, empty corpus fail loudly") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    // query dim not divisible by m would silently drop trailing dims
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, "vec_id", "embedding", q.take(63), 10)
+    }
+    // corpus smaller than ksub cannot seed a full codebook
+    val tiny = emb.limit(5)
+    val eTiny = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tiny, "vec_id", "embedding", q, 3)
+    }
+    assert(eTiny.getMessage.contains("ksub"))
+    // empty corpus: a clear require, not an NPE
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb.limit(0), "vec_id", "embedding", q, 3)
+    }
+  }
 }
