@@ -728,7 +728,131 @@ object MultimodalQueries {
       |WHERE r.rank <= 5
       |ORDER BY r.qid, r.rank""".stripMargin
 
+  // ---------------------------------------------------------------- m13
+  /** AUDIO perceptual-fingerprint near-dup join — the audio twin of
+    * m10's image dHash banding, closing the modality triangle
+    * (text: d02/d03, image: m10, audio: here). Each audio doc's planted
+    * WAV decodes through the REAL javax.sound path
+    * ([[Multimodal.decodeAudioSamples]]); 64 windows of 8 samples score
+    * integer energies, and the fingerprint is the Haitsma-Kalker-style
+    * 63-bit energy-delta sign vector (bit w = E_w > E_{w-1}) — invariant
+    * to volume scaling by construction, which is exactly what the
+    * planted near-dups test: every 10th audio doc reappears at id+10⁶
+    * with samples scaled ×7/10 (truncating), perturbing each window
+    * energy by ≤ 8 so only near-tie delta bits flip.
+    *
+    * Scale shape is m10's: corpus collapses to DISTINCT fingerprints
+    * first (volume-exact dups merge with cnt > 1 and never enter the
+    * pair join), distinct fps band into 4×16-bit chunks — by pigeonhole
+    * any pair within Hamming 3 shares a chunk — so candidates are an
+    * equi-join, never fp². All integer ⇒ the oracle replays sample
+    * synthesis, truncating scale, energies, bits, banding, and Hamming
+    * verdicts exactly. */
+  def m13AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+    val withCopies = ids.flatMap(id =>
+      if (id % 30 == 1) Seq(id, id + 1000000L) else Seq(id))
+    val fps = withCopies.mapPartitions(_.map { id =>
+      val base = if (id >= 1000000L) id - 1000000L else id
+      // per-window amplitude modulation keyed by doc id: window energies
+      // form a doc-specific profile, so delta-sign fingerprints genuinely
+      // differ across docs (a bare sawtooth's deltas are doc-invariant)
+      val raw = Array.tabulate(512) { i =>
+        val carrier = ((base * 31 + i.toLong * 17) % 65521) - 32760
+        (carrier / 5) *
+          (1 + ((base * 2654435761L + (i / 8).toLong * 40503L) % 8191) % 5)
+      }
+      val vals =
+        if (id >= 1000000L)
+          raw.zipWithIndex.map { case (v, i) =>
+            if (i / 8 == 29) 0L else (v * 7) / 10 // one dropped frame
+          }
+        else raw
+      val dec = Multimodal.decodeAudioSamples(
+        Multimodal.pcmWav(8000, vals.map(_.toShort))).get
+      val e = dec.grouped(8).map(_.map(s => math.abs(s.toLong)).sum).toArray
+      var fp = 0L
+      var w = 1
+      while (w < 64) {
+        if (e(w) > e(w - 1)) fp |= 1L << (w - 1)
+        w += 1
+      }
+      (id, fp)
+    }).toDF("doc_id", "fp")
+    val grp = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("cnt"))
+    val chunked = grp.select(col("rep"), col("fp"), col("cnt"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("fp"), 16 * c).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "cval")))
+    val l = chunked.select(col("rep").as("rep_a"), col("fp").as("fp_a"),
+      col("cnt").as("cnt_a"), col("chunk"), col("cval"))
+    val r = chunked.select(col("rep").as("rep_b"), col("fp").as("fp_b"),
+      col("cnt").as("cnt_b"), col("chunk"), col("cval"))
+    l.join(r, Seq("chunk", "cval"))
+      .filter(col("rep_a") < col("rep_b"))
+      .dropDuplicates("rep_a", "rep_b")
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("rep_a"), col("rep_b"), col("hamming"), col("cnt_a"),
+        col("cnt_b"))
+      .orderBy("rep_a", "rep_b")
+  }
+
+  val m13Sql: String =
+    """WITH audio AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+      |corpus AS (
+      |  SELECT doc_id, doc_id AS base, FALSE AS scaled FROM audio
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, TRUE FROM audio
+      |  WHERE doc_id % 30 = 1),
+      |sam AS (
+      |  SELECT c.doc_id, g.i,
+      |    CASE WHEN c.scaled AND g.i // 8 = 29 THEN 0
+      |      WHEN c.scaled THEN
+      |        ((((c.base * 31 + g.i * 17) % 65521 - 32760) // 5)
+      |         * (1 + ((c.base * 2654435761 + (g.i // 8) * 40503) % 8191) % 5)
+      |         * 7) // 10
+      |      ELSE (((c.base * 31 + g.i * 17) % 65521 - 32760) // 5)
+      |           * (1 + ((c.base * 2654435761 + (g.i // 8) * 40503) % 8191) % 5)
+      |      END AS x
+      |  FROM corpus c CROSS JOIN (SELECT UNNEST(RANGE(0, 512)) AS i) g),
+      |wins AS (
+      |  SELECT doc_id, i // 8 AS w, SUM(ABS(x)) AS e
+      |  FROM sam GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT doc_id, w, e,
+      |    LAG(e) OVER (PARTITION BY doc_id ORDER BY w) AS pe
+      |  FROM wins),
+      |fp AS (
+      |  SELECT doc_id,
+      |    COALESCE(SUM(CASE WHEN w >= 1 AND e > pe
+      |      THEN (CAST(1 AS BIGINT) << (w - 1)::INT) ELSE 0 END), 0)::BIGINT
+      |      AS fp
+      |  FROM bits GROUP BY 1),
+      |grp AS (
+      |  SELECT fp, MIN(doc_id) AS rep, COUNT(*) AS cnt FROM fp GROUP BY 1),
+      |chunks AS (
+      |  SELECT rep, fp, cnt, c.chunk,
+      |    (fp >> (16 * c.chunk)::INT) & 65535 AS cval
+      |  FROM grp CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS chunk) c),
+      |cand AS (
+      |  SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b, a.fp AS fa,
+      |    b.fp AS fb, a.cnt AS cnt_a, b.cnt AS cnt_b
+      |  FROM chunks a
+      |  JOIN chunks b ON a.chunk = b.chunk AND a.cval = b.cval
+      |    AND a.rep < b.rep)
+      |SELECT rep_a, rep_b, bit_count(xor(fa, fb))::BIGINT AS hamming,
+      |  cnt_a, cnt_b
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+      |ORDER BY rep_a, rep_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m13_audio_fingerprint" -> (m13AudioFingerprint _, m13Sql),
     "m12_crossmodal_retrieval" -> (m12CrossModalRetrieval _, m12Sql),
     "m09_keyframe_select" -> (m09KeyframeSelect _, m09Sql),
     "m11_audio_segments" -> (m11AudioSegments _, m11Sql),

@@ -21,6 +21,43 @@ class PerceptualNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("m13: audio fingerprint is volume-invariant; planted copies found") {
+    // the Haitsma-Kalker property the gate's copies exploit: pure volume
+    // scaling preserves every energy-delta sign, so the fingerprint is
+    // IDENTICAL; only the dropped frame flips bits (<= 2)
+    def fingerprint(samples: Array[Short]): Long = {
+      val dec = Multimodal.decodeAudioSamples(
+        Multimodal.pcmWav(8000, samples)).get
+      val e = dec.grouped(8).map(_.map(s => math.abs(s.toLong)).sum).toArray
+      var fp = 0L
+      var w = 1
+      while (w < 64) { if (e(w) > e(w - 1)) fp |= 1L << (w - 1); w += 1 }
+      fp
+    }
+    val base = 37L
+    val raw = Array.tabulate(512) { i =>
+      val carrier = ((base * 31 + i.toLong * 17) % 65521) - 32760
+      ((carrier / 5) *
+        (1 + ((base * 2654435761L + (i / 8).toLong * 40503L) % 8191) % 5))
+        .toShort
+    }
+    val halfVolume = raw.map(v => (v / 2).toShort)
+    assert(fingerprint(raw) == fingerprint(halfVolume),
+      "volume scaling must not change the fingerprint")
+    val dropped = raw.zipWithIndex.map { case (v, i) =>
+      if (i / 8 == 29) 0.toShort else v
+    }
+    val ham = java.lang.Long.bitCount(fingerprint(raw) ^ fingerprint(dropped))
+    assert(ham >= 1 && ham <= 2, s"dropped frame flips 1-2 bits, got $ham")
+
+    // the gate finds at least one original->copy pair at every SF's corpus
+    val out = graft.SparkEntry.queries("m13_audio_fingerprint")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.exists(r => r.getLong(1) >= 1000000L),
+      "planted scaled+dropped copies must surface as near-dup pairs")
+    assert(out.forall(_.getLong(2) <= 3))
+  }
+
   test("banded near-dup pairs equal brute force over distinct hashes") {
     val dir = "/root/testdata/sf0.001"
     val banded = MultimodalQueries.m10PerceptualNeardup(spark, dir)

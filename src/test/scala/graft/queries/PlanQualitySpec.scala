@@ -127,7 +127,7 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "d10_substring_spans", "d11_substring_dedup", "d14_fuzzy_join",
       "d15_semantic_dedup", "s08_knn_join_qlsh", "d20_incremental_neardup",
       "g02_triangles", "d19_incremental_dedup", "g06_link_prediction",
-      "m12_crossmodal_retrieval")
+      "m12_crossmodal_retrieval", "m13_audio_fingerprint")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
