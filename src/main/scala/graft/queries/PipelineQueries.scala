@@ -755,7 +755,68 @@ object PipelineQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- p17
+  /** DATA-RECIPE MIXTURE PLAN — the token-budget allocation every
+    * pretraining run computes before a single example is sampled
+    * (the LLaMA/GPT "how many epochs of each source" table): per-source
+    * token inventories, a per-source recipe weight, and a total token
+    * budget combine into target tokens, epoch multipliers, and
+    * oversampling flags. Everything is integer arithmetic — weights in
+    * mille, targets as one integer division against the weight sum,
+    * epochs in milli-passes — so the plan is engine-exact.
+    *
+    * The gate's recipe weight is a deterministic function of the source
+    * id (20 + 8·(num mod 10)) so both under- and over-sampled branches
+    * genuinely occur; the budget is 2× the corpus inventory. Scale
+    * shape: one partial-agg pass over the corpus to |sources| rows, a
+    * broadcast one-row total, and per-source arithmetic — recipe
+    * planning over a 100 TB corpus is a metadata computation on the
+    * p12-style accounting table. */
+  def p17MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val per = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("weight",
+        lit(20L) + lit(8L) *
+          pmod(substring(col("source"), 4, 10).cast("long"), lit(10L)))
+    val tot = per.agg(sum(col("n_tokens")).as("corpus_tokens"),
+      sum(col("weight")).as("w_sum"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("(corpus_tokens * 2 * weight) div w_sum"))
+      .withColumn("epochs_milli",
+        expr("(target_tokens * 1000) div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("epochs_milli"),
+        (col("epochs_milli") > 1000L).as("oversampled"))
+      .orderBy("source")
+  }
+
+  val p17Sql: String =
+    """WITH per0 AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |        ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |per AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    20 + 8 * (SUBSTRING(source, 4)::BIGINT % 10) AS weight
+      |  FROM per0),
+      |tot AS (SELECT SUM(n_tokens) AS corpus_tokens, SUM(weight) AS w_sum
+      |        FROM per)
+      |SELECT p.source, p.n_docs::BIGINT AS n_docs,
+      |  p.n_tokens::BIGINT AS n_tokens, p.weight::BIGINT AS weight,
+      |  ((t.corpus_tokens * 2 * p.weight) // t.w_sum)::BIGINT AS target_tokens,
+      |  (((t.corpus_tokens * 2 * p.weight) // t.w_sum) * 1000
+      |     // p.n_tokens)::BIGINT AS epochs_milli,
+      |  (((t.corpus_tokens * 2 * p.weight) // t.w_sum) * 1000
+      |     // p.n_tokens) > 1000 AS oversampled
+      |FROM per p CROSS JOIN tot t
+      |ORDER BY p.source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p17_mixture_plan" -> (p17MixturePlan _, p17Sql),
     "p15_incremental_agg" -> (p15IncrementalAgg _, p15Sql),
     "p16_bucketed_join" -> (p16BucketedJoin _, p16Sql),
     "p13_cdc_snapshot" -> (p13CdcSnapshot _, p13Sql),
