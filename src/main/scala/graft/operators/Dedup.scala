@@ -253,9 +253,15 @@ object Dedup {
     *         over in-batch, lowest partner id on ties. */
   def incrementalNearDup(storeSigs: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 16,
-      k: Int = 3, threshold: Double = 0.9): DataFrame = {
+      k: Int = 3, threshold: Double = 0.9,
+      storeIndex: Option[DataFrame] = None): DataFrame = {
     val batchSigs = minhashSignatures(batch, idCol, textCol, numHashes, k)
-    val storeB = nearDupBandKeys(storeSigs, numHashes, bands)
+    // honor the persisted-index contract: a caller that stored
+    // [[nearDupBandKeys]]' (doc_id, band, bkey) rows passes them here and
+    // history is never re-banded; the fallback derives the index from the
+    // signature store (still never from history TEXT)
+    val storeB = storeIndex
+      .getOrElse(nearDupBandKeys(storeSigs, numHashes, bands))
       .select(col("doc_id").as("hid"), col("band"), col("bkey"))
     val batchB = nearDupBandKeys(batchSigs, numHashes, bands)
       .select(col("doc_id").as("bid"), col("band"), col("bkey"))

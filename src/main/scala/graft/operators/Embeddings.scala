@@ -63,26 +63,29 @@ object Embeddings {
   /** Per-DIMENSION distribution drift between two embedding slices — the
     * monitor a pipeline runs when a new encoder version, data source, or
     * ingest day lands: has the embedding distribution moved? Components
-    * quantize to floor(x·2²⁴) longs (the Lloyd fixed-point scale), so
-    * per-dim counts / sums / sums-of-squares are EXACT integers that
-    * merge across shards by addition, and the mean-shift test is a pure
-    * integer cross-multiplication —
+    * quantize to floor(x·2¹²) longs, so per-dim counts / sums /
+    * sums-of-squares are EXACT integers that merge across shards by
+    * addition, and the mean-shift test is a pure integer
+    * cross-multiplication —
     *
     *   drift(dim)  ⇔  |sumA·nB − sumB·nA| · (1000/thresholdMilli)
-    *                      >  nA·nB·2²⁴
+    *                      >  nA·nB·2¹²
     *
     * i.e. |meanA − meanB| > thresholdMilli/1000 in original units, with
     * no float division anywhere, so the verdict mirrors bit-for-bit.
     *
     * Scale shape: one narrow pass per slice (posexplode → partial agg),
     * state = dims rows per slice — at 100 TB drift monitoring is a
-    * metadata join of two dim-bounded summary tables. With |x| < 1 and
-    * n ≤ 2³⁰ every product stays far from Long range. */
+    * metadata join of two dim-bounded summary tables. Overflow safety:
+    * components quantize at 2¹² (so with |x| < 2 the per-dim
+    * sum-of-squares stays in Long past 2³⁰ rows per slice), and the
+    * cross-multiplied comparison — whose products scale with n² — runs
+    * in DECIMAL(38,0) (mirrored as HUGEINT), exact to ~10³⁸. */
   def driftStats(a: DataFrame, b: DataFrame, vecCol: String,
       thresholdMilli: Int = 5): DataFrame = {
     require(thresholdMilli > 0 && 1000 % thresholdMilli == 0,
       s"thresholdMilli must divide 1000: $thresholdMilli")
-    val scale = (1L << 24).toDouble
+    val scale = (1L << 12).toDouble
     def moments(df: DataFrame, p: String) = df
       .select(posexplode(transform(col(vecCol),
         x => floor(x.cast("double") * lit(scale)).cast("long")))
@@ -90,11 +93,13 @@ object Embeddings {
       .groupBy("dim")
       .agg(count(lit(1)).as(s"n_$p"), sum(col("q")).as(s"sum_$p"),
         sum(col("q") * col("q")).as(s"ssq_$p"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
     moments(a, "a").join(moments(b, "b"), "dim")
       .withColumn("drift",
-        abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+        abs(dec(col("sum_a")) * dec(col("n_b"))
+            - dec(col("sum_b")) * dec(col("n_a")))
           * lit(1000L / thresholdMilli)
-          > col("n_a") * col("n_b") * lit(1L << 24))
+          > dec(col("n_a")) * dec(col("n_b")) * lit(1L << 12))
       .orderBy("dim")
   }
 }

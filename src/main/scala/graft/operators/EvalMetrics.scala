@@ -43,6 +43,11 @@ object EvalMetrics {
         count(lit(1)).as("n_scores"),
         sum(col("pos") * (col("cnb") * 2 + col("neg"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("n_scores"), col("u2"),
-        expr("u2 * 500000 div (n_pos * n_neg)").as("auc_micro"))
+        // u2 <= 2*n_pos*n_neg keeps u2 itself in Long out to ~2e9 rows a
+        // side, but u2*500000 would wrap once n_pos*n_neg > ~1.8e13, so
+        // the final division runs in DECIMAL(38,0) (mirrored as HUGEINT)
+        expr("""cast((cast(u2 as decimal(38,0)) * 500000)
+                 div (cast(n_pos as decimal(38,0)) * n_neg) as bigint)""")
+          .as("auc_micro"))
   }
 }

@@ -427,12 +427,16 @@ object Similarity {
     * themselves. */
   def withRecallContract(exact: DataFrame, approx: DataFrame,
       keyCols: Seq[String], minHits: Int, flagCol: String): DataFrame = {
+    // the ground-truth subtree (a full exact scan) feeds BOTH the flag's
+    // semi-join and the output surface; materialize its <= top-k rows once
+    // so the gate pays the exact computation once, not twice
+    val exactM = exact.localCheckpoint()
     val keys = keyCols.map(col)
-    val flag = exact.select(keys: _*)
+    val flag = exactM.select(keys: _*)
       .join(approx.select(keys: _*), keyCols, "left_semi")
       .agg(count(lit(1)).as("__nhit"))
       .select((col("__nhit") >= minHits).as(flagCol))
-    exact.crossJoin(broadcast(flag))
+    exactM.crossJoin(broadcast(flag))
   }
 
   /** Fetch one embedding as the query vector (driver-side, k rows ≪ data). */

@@ -448,7 +448,7 @@ object SimilarityQueries {
       |  SELECT label,
       |    UNNEST(RANGE(0, LEN(embedding))) AS dim,
       |    UNNEST(LIST_TRANSFORM(embedding,
-      |      x -> FLOOR(CAST(x AS DOUBLE) * 16777216)::BIGINT)) AS q
+      |      x -> FLOOR(CAST(x AS DOUBLE) * 4096)::BIGINT)) AS q
       |  FROM embeddings),
       |a AS (SELECT dim, COUNT(*) AS n_a, SUM(q) AS sum_a,
       |        SUM(q * q) AS ssq_a
@@ -459,8 +459,8 @@ object SimilarityQueries {
       |SELECT a.dim::INT AS dim,
       |  n_a::BIGINT AS n_a, sum_a::BIGINT AS sum_a, ssq_a::BIGINT AS ssq_a,
       |  n_b::BIGINT AS n_b, sum_b::BIGINT AS sum_b, ssq_b::BIGINT AS ssq_b,
-      |  (ABS(sum_a * n_b - sum_b * n_a) * 200 > n_a * n_b * 16777216)
-      |    AS drift
+      |  (ABS(sum_a::HUGEINT * n_b - sum_b::HUGEINT * n_a) * 200
+      |     > n_a::HUGEINT * n_b * 4096) AS drift
       |FROM a JOIN b USING (dim)
       |ORDER BY dim""".stripMargin
 

@@ -918,8 +918,8 @@ object TextQueries {
       |SELECT SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
       |  COUNT(*)::BIGINT AS n_scores,
       |  SUM(pos * (2 * cnb + neg))::BIGINT AS u2,
-      |  (SUM(pos * (2 * cnb + neg)) * 500000
-      |     // (SUM(pos) * SUM(neg)))::BIGINT AS auc_micro
+      |  (SUM(pos * (2 * cnb + neg))::HUGEINT * 500000
+      |     // (SUM(pos)::HUGEINT * SUM(neg)))::BIGINT AS auc_micro
       |FROM cum""".stripMargin
 
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(

@@ -61,6 +61,13 @@ class IncrementalNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the lowest history id (3) is the canonical partner
     assert(out(20L) == ("dup_of_history", 3L))
     assert(out(21L) == ("dup_of_history", 3L))
+    // a persisted bucket index (the production contract) yields the same
+    // verdicts without re-banding the signature store
+    val idx = Dedup.nearDupBandKeys(store).localCheckpoint()
+    val viaIndex = Dedup.incrementalNearDup(store, batch, "doc_id", "text",
+        storeIndex = Some(idx))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(viaIndex == out)
   }
 
   test("store probe never touches history text (API holds only signatures)") {
