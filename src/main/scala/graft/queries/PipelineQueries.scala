@@ -815,7 +815,126 @@ object PipelineQueries {
       |FROM per p CROSS JOIN tot t
       |ORDER BY p.source""".stripMargin
 
+  // ---------------------------------------------------------------- p18
+  /** END-TO-END CURATION REPORT — the full funnel a pretraining data
+    * team publishes per source, composed from four green surfaces in one
+    * plan: exact dedup (p01's md5-canonical semantics) → quality gate
+    * (t03's score ≥ 0.5) → per-source token inventory → p17's mixture
+    * allocation over the SURVIVING tokens. One row per source: raw
+    * count, canonical count, quality-kept count, kept tokens, recipe
+    * weight, target tokens, milli-epochs. Proves the dedup, text-quality,
+    * and planning surfaces compose end to end under one fully mirrored
+    * oracle.
+    *
+    * Scale shape: the funnel is two fixed-width shuffles (md5 canonical
+    * agg + per-source rollup) over one corpus pass; the allocation is
+    * arithmetic on the |sources|-row summary with a broadcast one-row
+    * total. */
+  def p18CurationReport(spark: SparkSession, dir: String): DataFrame = {
+    // deterministic attrition so every funnel stage genuinely fires on
+    // this clean fixture: every 9th doc degrades to junk (fails the
+    // quality gate), every other 13th doc becomes corpus-wide boilerplate
+    // (collapses in dedup) — the d17/t12 decoration pattern
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit("!! ?? !!"))
+          .when(pmod(col("doc_id"), lit(13)) === 0,
+            lit("duplicated boilerplate passage filler"))
+          .otherwise(col("text")).as("text"))
+    val canonIds = docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val canon = docs.join(canonIds, Seq("doc_id"), "left_semi")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      // same codegen barrier as p01: stop the optimizer from inlining the
+      // quality tree into every consumer
+      .withColumn("__barrier", monotonically_increasing_id())
+    val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val canonCnt = canon.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_canonical"))
+    val keptAgg = canon.filter(col("quality") >= 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+    val per = raw
+      .join(canonCnt, Seq("source"), "left")
+      .join(keptAgg, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_canonical"), lit(0L)).as("n_canonical"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .withColumn("weight",
+        lit(20L) + lit(8L) *
+          pmod(substring(col("source"), 4, 10).cast("long"), lit(10L)))
+    val tot = per.agg(sum(col("kept_tokens")).as("corpus_tokens"),
+      sum(col("weight")).as("w_sum"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("(corpus_tokens * 2 * weight) div w_sum"))
+      .withColumn("epochs_milli",
+        expr("(target_tokens * 1000) div kept_tokens"))
+      .select(col("source"), col("n_raw"), col("n_canonical"), col("n_kept"),
+        col("kept_tokens"), col("weight"), col("target_tokens"),
+        col("epochs_milli"))
+      .orderBy("source")
+  }
+
+  /** p01's dedup+quality mirror, rolled up by source, feeding p17's
+    * allocation arithmetic. */
+  val p18Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 9 = 0 THEN '!! ?? !!'
+      |         WHEN doc_id % 13 = 0 THEN 'duplicated boilerplate passage filler'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, source, text,
+      |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w,
+      |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS n_tok,
+      |    CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |         ELSE (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE
+      |              / LENGTH(text)::DOUBLE END AS pr,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+      |  FROM aug),
+      |scored AS (
+      |  SELECT doc_id, source, n_tok,
+      |    ROUND(
+      |      (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.4
+      |      + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3
+      |      + (CASE WHEN (CASE WHEN LEN(w) = 0 THEN 0.0
+      |                    ELSE LENGTH(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', '', 'g'))::DOUBLE / LEN(w)::DOUBLE END)
+      |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3,
+      |      4) AS quality
+      |  FROM base WHERE rk = 1),
+      |raw AS (SELECT source, COUNT(*) AS n_raw FROM aug GROUP BY 1),
+      |cc AS (SELECT source, COUNT(*) AS n_canonical FROM scored GROUP BY 1),
+      |ka AS (SELECT source, COUNT(*) AS n_kept, SUM(n_tok) AS kept_tokens
+      |       FROM scored WHERE quality >= 0.5 GROUP BY 1),
+      |per AS (
+      |  SELECT r.source, r.n_raw,
+      |    COALESCE(cc.n_canonical, 0) AS n_canonical,
+      |    COALESCE(ka.n_kept, 0) AS n_kept,
+      |    COALESCE(ka.kept_tokens, 0) AS kept_tokens,
+      |    20 + 8 * (SUBSTRING(r.source, 4)::BIGINT % 10) AS weight
+      |  FROM raw r
+      |  LEFT JOIN cc ON cc.source = r.source
+      |  LEFT JOIN ka ON ka.source = r.source),
+      |tot AS (SELECT SUM(kept_tokens) AS corpus_tokens, SUM(weight) AS w_sum
+      |        FROM per)
+      |SELECT p.source, p.n_raw::BIGINT AS n_raw,
+      |  p.n_canonical::BIGINT AS n_canonical, p.n_kept::BIGINT AS n_kept,
+      |  p.kept_tokens::BIGINT AS kept_tokens, p.weight::BIGINT AS weight,
+      |  ((t.corpus_tokens * 2 * p.weight) // t.w_sum)::BIGINT AS target_tokens,
+      |  (((t.corpus_tokens * 2 * p.weight) // t.w_sum) * 1000
+      |     // NULLIF(p.kept_tokens, 0))::BIGINT AS epochs_milli
+      |FROM per p CROSS JOIN tot t
+      |ORDER BY p.source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p18_curation_report" -> (p18CurationReport _, p18Sql),
     "p17_mixture_plan" -> (p17MixturePlan _, p17Sql),
     "p15_incremental_agg" -> (p15IncrementalAgg _, p15Sql),
     "p16_bucketed_join" -> (p16BucketedJoin _, p16Sql),
