@@ -44,6 +44,26 @@ object Bench {
       load = loadAvg()
     }
     val noisy = load > loadLimit
+    // Machine-speed canary: loadavg misses slow-host regimes (thermal
+    // throttling, hypervisor CPU steal) that have inflated identical-code
+    // totals 136→187 s at loadavg < 1 on this host. A fixed single-thread
+    // integer workload timestamps the machine itself, so cross-round
+    // comparisons can normalize: if probe_ms inflates 40%, so do totals.
+    val probeMs = {
+      def run(): Long = {
+        val t0 = System.nanoTime()
+        var h = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 50000000) {
+          h ^= i; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          i += 1
+        }
+        if (h == 42L) println("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1000000
+      }
+      run() // JIT warm
+      math.min(run(), run())
+    }
 
     // JIT/codegen/IO-path warmup so the alphabetically-first query isn't
     // taxed with one-time initialization: exercise the parquet reader,
@@ -103,7 +123,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$load%.2f,"noisy":$noisy,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver only captures the last ~2000 chars of stdout; with 76+
     // queries the full line above overflows that window and its leading
@@ -123,7 +143,7 @@ object Bench {
       if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
