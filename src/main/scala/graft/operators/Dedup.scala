@@ -227,6 +227,35 @@ object Dedup {
   /** Exact MinHash-agreement estimate between two signature columns:
     * matching positions / numHashes — an integer count over a power-of-two
     * divisor, so the double is engine-exact. */
+  /** In-batch candidate (ia, ib) pairs over a (doc_id, band, bkey) bucket
+    * index: capped-resident side × full side on (band, bkey), ia < ib.
+    * Package-private so specs can pin the sub-quadratic fan-out a hot
+    * bucket produces under `bucketCap` — ≤ cap·members candidates instead
+    * of members·(members−1)/2. */
+  private[graft] def inBatchCandidates(index: DataFrame,
+      bucketCap: Int): DataFrame =
+    capResidents(index, bucketCap)
+      .select(col("doc_id").as("ia"), col("band"), col("bkey"))
+      .join(index.select(col("doc_id").as("ib"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").dropDuplicates("ia", "ib")
+
+  /** Keep only the `cap` lowest-id members of each (band, bkey) bucket —
+    * the batch mirror of the streaming bucket's stops-admitting-past-cap
+    * rule (state arrives in id order there, so residents are the lowest
+    * ids in both shapes). Identity when the cap is unset: no window, no
+    * extra shuffle. */
+  private def capResidents(index: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) index
+    else {
+      import org.apache.spark.sql.expressions.Window
+      index.withColumn("_rn", row_number().over(
+          Window.partitionBy(col("band"), col("bkey"))
+            .orderBy(col("doc_id"))))
+        .filter(col("_rn") <= cap).drop("_rn")
+    }
+
   private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
     round(aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes, 6)
@@ -248,22 +277,33 @@ object Dedup {
     * enters only the store-probe join, which in production is bucketed by
     * bkey ⇒ co-located. New batches never reclassify old documents.
     *
+    * `bucketCap` bounds any one (band, bkey) bucket's RESIDENT side — the
+    * same graceful degradation as the streaming twin
+    * [[graft.streaming.StreamingDedup.nearDupHits]]: past the cap a bucket
+    * stops admitting residents (lowest ids stay resident — the canonical
+    * survivors), so a boilerplate bucket fans out O(cap · members) instead
+    * of O(members²). Every doc still PROBES (compares against residents);
+    * recall only drops for a pair whose sole shared bucket is hot and
+    * whose lower id fell past the cap — the documented LSH skew trade.
+    *
     * @return one row per batch doc: (doc_id, status ∈ dup_of_history |
     *         dup_in_batch | unique, dup_of, est_j) — history partner wins
     *         over in-batch, lowest partner id on ties. */
   def incrementalNearDup(storeSigs: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 16,
       k: Int = 3, threshold: Double = 0.9,
-      storeIndex: Option[DataFrame] = None): DataFrame = {
+      storeIndex: Option[DataFrame] = None,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     val batchSigs = minhashSignatures(batch, idCol, textCol, numHashes, k)
     // honor the persisted-index contract: a caller that stored
     // [[nearDupBandKeys]]' (doc_id, band, bkey) rows passes them here and
     // history is never re-banded; the fallback derives the index from the
     // signature store (still never from history TEXT)
-    val storeB = storeIndex
-      .getOrElse(nearDupBandKeys(storeSigs, numHashes, bands))
+    val storeB = capResidents(storeIndex
+      .getOrElse(nearDupBandKeys(storeSigs, numHashes, bands)), bucketCap)
       .select(col("doc_id").as("hid"), col("band"), col("bkey"))
-    val batchB = nearDupBandKeys(batchSigs, numHashes, bands)
+    val batchBAll = nearDupBandKeys(batchSigs, numHashes, bands)
+    val batchB = batchBAll
       .select(col("doc_id").as("bid"), col("band"), col("bkey"))
     val histHit = batchB.join(storeB, Seq("band", "bkey"))
       .select("bid", "hid").dropDuplicates("bid", "hid")
@@ -278,11 +318,7 @@ object Dedup {
       .agg(min(struct(col("hid"), col("est"))).as("m"))
       .select(col("bid").as("doc_id"), col("m.hid").as("hist_dup"),
         col("m.est").as("hist_est"))
-    val batchHit = batchB.select(col("bid").as("ia"), col("band"), col("bkey"))
-      .join(batchB.select(col("bid").as("ib"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("ia") < col("ib"))
-      .select("ia", "ib").dropDuplicates("ia", "ib")
+    val batchHit = inBatchCandidates(batchBAll, bucketCap)
       .join(batchSigs.select(col("doc_id").as("ia"), col("sig").as("sa")),
         "ia")
       .join(batchSigs.select(col("doc_id").as("ib"), col("sig").as("sb")),

@@ -1078,17 +1078,24 @@ object DedupQueries {
     * same way (earlier id wins). The streaming twin is d16
     * (`StreamingDedup.nearDupHits`); this is the batch-ingest form.
     *
+    * The gate runs with `bucketCap = 8` (the anti-boilerplate skew guard
+    * mirroring the streaming twin's `bucketCap`): only the 8 lowest-id
+    * members of any (band, bkey) bucket stay RESIDENT on the probed side,
+    * in both history and in-batch joins.
+    *
     * FULL oracle: the d16 sketch mirror (HUGEINT FNV shingle fold +
     * splitmix chain + per-(doc, perm) MIN) rebuilt per doc, band keys as
     * the FNV-1a64 of the comma-joined band slice (the store's actual
     * 8-byte key — both engines fold the identical string), est_j as the
-    * exact agreement count / 128. */
+    * exact agreement count / 128, residents via QUALIFY row_number() ≤ 8
+    * per (band, bkey). */
   def d20IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val store = Dedup.minhashSignatures(
       d.filter(pmod(col("doc_id"), lit(10)) =!= 7), "doc_id", "text")
     Dedup.incrementalNearDup(store,
-      d.filter(pmod(col("doc_id"), lit(10)) === 7), "doc_id", "text")
+      d.filter(pmod(col("doc_id"), lit(10)) === 7), "doc_id", "text",
+      bucketCap = 8)
       .orderBy("doc_id")
   }
 
@@ -1135,7 +1142,7 @@ object DedupQueries {
       |      THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT)) AS sig
       |  FROM m5 GROUP BY doc_id, j),
       |bnd AS (
-      |  SELECT doc_id, j // 8 AS band,
+      |  SELECT doc_id, band,
       |    CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
       |         THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT)
       |      AS bkey
@@ -1146,12 +1153,20 @@ object DedupQueries {
       |          string_split(STRING_AGG(sig::VARCHAR, ',' ORDER BY j), '')]),
       |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
       |                    % 18446744073709551616::HUGEINT) AS f
-      |    FROM dsig GROUP BY doc_id, j // 8) sub(doc_id, j, f)),
+      |    FROM dsig GROUP BY doc_id, j // 8) sub(doc_id, band, f)),
+      |res_h AS (
+      |  SELECT doc_id, band, bkey FROM bnd WHERE doc_id % 10 <> 7
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bkey
+      |                             ORDER BY doc_id) <= 8),
+      |res_b AS (
+      |  SELECT doc_id, band, bkey FROM bnd WHERE doc_id % 10 = 7
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bkey
+      |                             ORDER BY doc_id) <= 8),
       |sigl AS (SELECT doc_id, LIST(sig ORDER BY j) AS sl FROM dsig GROUP BY 1),
       |histc AS (
       |  SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
-      |  FROM bnd b JOIN bnd h ON b.band = h.band AND b.bkey = h.bkey
-      |  WHERE b.doc_id % 10 = 7 AND h.doc_id % 10 <> 7),
+      |  FROM bnd b JOIN res_h h ON b.band = h.band AND b.bkey = h.bkey
+      |  WHERE b.doc_id % 10 = 7),
       |hest AS (
       |  SELECT c.bid, c.hid,
       |    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 129),
@@ -1165,9 +1180,9 @@ object DedupQueries {
       |hhit AS (SELECT bid, MIN(hid) AS dup_of FROM hest GROUP BY 1),
       |batc AS (
       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-      |  FROM bnd a JOIN bnd b
+      |  FROM res_b a JOIN bnd b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 = 7),
+      |  WHERE b.doc_id % 10 = 7),
       |best AS (
       |  SELECT c.ia, c.ib,
       |    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 129),

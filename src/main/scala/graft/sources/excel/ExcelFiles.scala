@@ -61,6 +61,55 @@ object ExcelFiles {
     else Seq(path.toString)
   }
 
+  /** Total on-disk bytes of the files [[list]] would plan, from the same
+    * listing (the sizes are already in the `FileStatus`es the listing
+    * fetches — no extra RPCs). Feeds the scan's
+    * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+    * estimate so Catalyst can size excel relations for join planning.
+    * Swallows nothing: a missing path throws exactly like [[list]]. */
+  def totalBytes(pathStr: String, conf: Configuration,
+      recursive: Boolean = false): Long = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    if (hasGlob(pathStr)) {
+      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matches.isEmpty) {
+        throw new AnalysisException(
+          errorClass = "PATH_NOT_FOUND",
+          messageParameters = Map("path" -> pathStr))
+      }
+      return matches.flatMap { s =>
+        if (s.isDirectory) listDirWithSizes(fs, s.getPath, recursive)
+        else Seq(s.getPath.toString -> s.getLen)
+      }.distinctBy(_._1).map(_._2).sum
+    }
+    if (!fs.exists(path)) {
+      throw new AnalysisException(
+        errorClass = "PATH_NOT_FOUND",
+        messageParameters = Map("path" -> pathStr))
+    }
+    val status = fs.getFileStatus(path)
+    if (status.isDirectory) listDirWithSizes(fs, path, recursive).map(_._2).sum
+    else status.getLen
+  }
+
+  private def listDirWithSizes(fs: FileSystem, dir: Path,
+      recursive: Boolean): Seq[(String, Long)] = {
+    val (dirs, files) = fs.listStatus(dir).toSeq.partition(_.isDirectory)
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    val here = files
+      .filter { s =>
+        val n = s.getPath.getName
+        hasExcelSuffix(n) && visible(n)
+      }
+      .map(s => s.getPath.toString -> s.getLen)
+    val below =
+      if (!recursive) Seq.empty
+      else dirs.filter(d => visible(d.getPath.getName))
+        .flatMap(d => listDirWithSizes(fs, d.getPath, recursive = true))
+    here ++ below
+  }
+
   /** Like [[list]] but returning (uri, modificationTimeMs) pairs — the
     * streaming source's retention compaction needs mtimes to expire old
     * entries from its offset. Same visibility/suffix/recursion semantics. */

@@ -162,6 +162,18 @@ final case class ExcelOptions(options: Map[String, String]) {
     n
   }
 
+  /** Decompressed-size multiplier for the scan's reported statistics
+    * (extension). xlsx is zip-compressed sheetML: the row data Spark
+    * materializes is typically 5–15× the on-disk bytes, and
+    * UNDER-estimating is the dangerous direction (a "small" relation gets
+    * broadcast and OOMs executors at scale), so the default is a
+    * conservative 8. Set to 1 to report raw listed bytes. */
+  def statsSizeFactor: Double = get("statssizefactor").map { s =>
+    val f = s.toDouble
+    require(f > 0, s"statsSizeFactor must be positive, got $f")
+    f
+  }.getOrElse(8.0)
+
   /** When true, a schema column absent from a file reads as nulls instead
     * of erroring (extension — needed for merged multi-file schemas; default
     * false keeps the reference's strict contract, tests/

@@ -256,9 +256,43 @@ case class ExcelAggReaderFactory(fullSchema: StructType, readFields: StructType,
 class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     opts: ExcelOptions, limit: Int,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
+
+  /** Relation sizing for Catalyst's join planning (CBO/broadcast
+    * threshold): sum of the listed files' on-disk bytes — already in hand
+    * from the same `FileStatus`es partition planning lists, no file is
+    * opened — inflated by [[ExcelOptions.statsSizeFactor]] (xlsx is
+    * zip-compressed; raw bytes under-report materialized size, the
+    * direction that mis-broadcasts big relations) and scaled down by the
+    * pruned-column fraction, since Spark invokes this AFTER pushdown on
+    * the pruned scan. Without this, DSv2 falls back to
+    * `defaultSizeInBytes` (effectively "huge"), so a small excel dimension
+    * is never broadcast. numRows stays empty — counting rows exactly would
+    * open every workbook at plan time. */
+  override def estimateStatistics(): Statistics = {
+    val bytes =
+      try {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        ExcelFiles.totalBytes(opts.path, conf, opts.recursiveFileLookup)
+      } catch {
+        // planning must not die on a stats probe (path races with cleanup,
+        // transient FS errors) — the scan itself will surface real errors
+        case scala.util.control.NonFatal(_) => -1L
+      }
+    val colFrac =
+      if (fullSchema.isEmpty) 1.0
+      else math.max(1, requiredSchema.length).toDouble / fullSchema.length
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (bytes < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(
+          math.max(1L, (bytes * opts.statsSizeFactor * colFrac).toLong))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String =
     s"ExcelScan path=${opts.pathOpt.getOrElse("?")} sheet=${opts.sheetName} " +

@@ -70,6 +70,35 @@ class IncrementalNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex == out)
   }
 
+  test("bucketCap bounds a hot bucket's fan-out sub-quadratically, " +
+      "verdicts stay correct") {
+    import spark.implicits._
+    // 1000 identical docs: every doc lands in the SAME bucket in all 16
+    // bands — the boilerplate worst case. Uncapped that is 999·1000/2
+    // candidate pairs; capped at 8 residents it is ≤ 8·999.
+    val boiler = mkDoc(11, 40)
+    val batch = (0 until 1000).map(i => (100L + i, boiler))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(batch, "doc_id", "text")
+    val index = Dedup.nearDupBandKeys(sigs).localCheckpoint()
+    val uncapped = Dedup.inBatchCandidates(index, Int.MaxValue).count()
+    val capped = Dedup.inBatchCandidates(index, 8).count()
+    assert(uncapped == 999L * 1000 / 2, s"uncapped=$uncapped")
+    assert(capped <= 8L * 999, s"capped=$capped not sub-quadratic")
+    // min-id docs stay resident, so every dup is still caught: 1 unique
+    // (the lowest id) + 999 dup_in_batch all pointing at it
+    val store = Dedup.minhashSignatures(
+      Seq((1L, mkDoc(5, 40))).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Dedup.incrementalNearDup(store, batch, "doc_id", "text",
+        bucketCap = 8)
+      .groupBy("status").agg(count(lit(1)).as("n"),
+        min("dup_of").as("lo"), max("dup_of").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("unique")._1 == 1L)
+    assert(out("dup_in_batch") == ((999L, Some(100L), Some(100L))))
+  }
+
   test("store probe never touches history text (API holds only signatures)") {
     import spark.implicits._
     val hist = Seq((1L, mkDoc(1, 30))).toDF("doc_id", "text")

@@ -426,4 +426,43 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("columns=[n_name]"), p)
   }
+
+  test("excel scan reports statistics: small side broadcasts, large does not") {
+    import org.apache.spark.sql.functions._
+    val tmp = System.getProperty("java.io.tmpdir")
+    val bigPath = new java.io.File(tmp, "graft_stats_big.xlsx").getAbsolutePath
+    val smallPath = new java.io.File(tmp, "graft_stats_small.xlsx").getAbsolutePath
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    li.coalesce(1).write.format("excel").mode("overwrite").save(bigPath)
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    nation.coalesce(1).write.format("excel").mode("overwrite").save(smallPath)
+    val big = spark.read.format("excel").schema(li.schema).load(bigPath)
+    val small = spark.read.format("excel").schema(nation.schema).load(smallPath)
+    val threshold = 256 * 1024L
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      // Catalyst must see REAL sizes (pre-stats DSv2 reports "huge" for
+      // both sides and nothing ever broadcasts): the 6k-row lineitem
+      // workbook lands over the threshold, the 25-row nation under it
+      val joined = big.join(small,
+        pmod(col("l_suppkey"), lit(25)) === col("n_nationkey"))
+      val bigBytes = joined.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).max
+      val smallBytes = joined.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).min
+      assert(smallBytes < threshold, s"small side reported $smallBytes")
+      assert(bigBytes > threshold, s"big side reported only $bigBytes")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+      assert("BroadcastExchange".r.findAllIn(p).size == 1,
+        s"exactly one (small) side must broadcast:\n$p")
+      // pruning scales the estimate: a 1-of-4-column projection of the big
+      // workbook reads as ~quarter size
+      val pruned = big.select(col("l_quantity"))
+        .queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).max
+      assert(pruned * 3 < bigBytes, s"pruned=$pruned vs full=$bigBytes")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
