@@ -116,7 +116,15 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[ExcelStreamOffset].names.toSet
-    val fresh = end.asInstanceOf[ExcelStreamOffset].names.filterNot(seen)
+    val freshAll = end.asInstanceOf[ExcelStreamOffset].names.filterNot(seen)
+    // static `_file_path` pruning, same contract as the batch scan: a file
+    // provably failing a pushed predicate is never opened (it still enters
+    // the offset — admission is listing-driven, so pruning can't re-admit)
+    val fresh =
+      if (filters.nonEmpty &&
+        !fullSchema.fieldNames.contains(ExcelSchema.FilePathColumn))
+        freshAll.filter(f => ExcelScan.fileMayMatch(f, filters))
+      else freshAll
     // maxRowsPerPartition applies per admitted file: a large workbook
     // landing in a micro-batch fans out across executors like in batch
     ExcelSplitPlanner.plan(fresh, opts, conf, filters)

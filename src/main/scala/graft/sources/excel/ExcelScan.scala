@@ -33,8 +33,15 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
 
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    // widen with the `_file_path` metadata column (when not shadowed by a
+    // real data column) so its filters survive into `pushed` — that is
+    // what lets planInputPartitions drop whole files statically
+    val filterSchema =
+      if (fullSchema.fieldNames.contains(ExcelSchema.FilePathColumn)) fullSchema
+      else fullSchema.add(ExcelSchema.FilePathColumn,
+        org.apache.spark.sql.types.StringType, nullable = false)
     pushed = org.apache.spark.sql.graftbridge.ColumnBridge
-      .supportedFilters(filters, fullSchema)
+      .supportedFilters(filters, filterSchema)
     filters // all stay post-scan: Spark re-applies (cheap, simple correctness)
   }
 
@@ -256,9 +263,57 @@ case class ExcelAggReaderFactory(fullSchema: StructType, readFields: StructType,
 class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     opts: ExcelOptions, limit: Int,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = requiredSchema
+
+  // `_file_path` acts as a metadata column only when no data column took
+  // the name (shadow rule — mirrored in the reader's resolution)
+  private def filePathIsMeta: Boolean =
+    !fullSchema.fieldNames.contains(ExcelSchema.FilePathColumn)
+
+  // ---- runtime (join-driven) pruning -------------------------------------
+  // Spark materializes the build side of an eligible join, converts its
+  // keys to = / IN predicates on our declared filter attributes, and calls
+  // filter() BEFORE (re)planning input partitions — dynamic partition
+  // pruning for file-grained excel layouts (dt=…/part.xlsx manifests).
+  // State is additive-only and conservative: anything unparsable is
+  // ignored, so runtime filtering can only drop files/sheets Spark proved
+  // irrelevant; results never change.
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+  @volatile private var runtimeSheets: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only advertise columns that are IN this scan's output: Spark's
+    // PartitionPruning resolves filter attributes against readSchema and
+    // raises if one is absent (a pruned-away `_file_path` can't be a
+    // runtime join key anyway)
+    val fp =
+      if (filePathIsMeta &&
+        requiredSchema.fieldNames.contains(ExcelSchema.FilePathColumn))
+        Seq(org.apache.spark.sql.connector.expressions.Expressions
+          .column(ExcelSchema.FilePathColumn))
+      else Nil
+    val sh =
+      if (opts.allSheets &&
+        requiredSchema.fieldNames.contains(ExcelSchema.SheetColumn))
+        Seq(org.apache.spark.sql.connector.expressions.Expressions
+          .column(ExcelSchema.SheetColumn))
+      else Nil
+    (fp ++ sh).toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      ExcelScan.eqOrInValues(p).foreach { case (name, values) =>
+        if (name == ExcelSchema.FilePathColumn && filePathIsMeta)
+          runtimeFiles = Some(runtimeFiles.fold(values)(_ intersect values))
+        else if (name == ExcelSchema.SheetColumn && opts.allSheets)
+          runtimeSheets = Some(runtimeSheets.fold(values)(_ intersect values))
+      }
+    }
 
   /** Relation sizing for Catalyst's join planning (CBO/broadcast
     * threshold): sum of the listed files' on-disk bytes — already in hand
@@ -309,15 +364,66 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    ExcelSplitPlanner.plan(
-      ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup), opts, conf,
-      filters)
+    val listed = ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup)
+    // file-grained pruning: a file whose URI PROVABLY fails a pushed (or
+    // runtime) `_file_path` predicate is never staged, opened, or parsed.
+    // Conservative keep on anything inexact — Spark re-applies all filters
+    // above the scan, so pruning is an optimization, never correctness.
+    val statically =
+      if (filePathIsMeta && filters.nonEmpty)
+        listed.filter(f => ExcelScan.fileMayMatch(f, filters))
+      else listed
+    val files =
+      runtimeFiles.fold(statically)(allowed => statically.filter(allowed))
+    val sheetFilters = runtimeSheets.fold(filters)(allowed =>
+      filters :+ org.apache.spark.sql.sources.In(ExcelSchema.SheetColumn,
+        allowed.toArray[Any]))
+    ExcelSplitPlanner.plan(files, opts, conf, sheetFilters)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     ExcelPartitionReaderFactory(fullSchema, requiredSchema, opts, limit, conf, filters)
+  }
+}
+
+object ExcelScan {
+
+  /** Parse a runtime V2 predicate of shape `col = lit` / `col IN (lits…)`
+    * into (column, allowed string values); None for anything else —
+    * unparsable predicates are simply not used for pruning. */
+  private[excel] def eqOrInValues(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Set[String])] = p.name() match {
+    case "=" | "IN" =>
+      import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+      val children = p.children()
+      val refs = children.collect { case r: NamedReference => r }
+      val lits = children.collect { case l: V2Literal[_] => l }
+      if (refs.length == 1 && refs(0).fieldNames().length == 1 &&
+        refs.length + lits.length == children.length && lits.nonEmpty)
+        Some(refs(0).fieldNames()(0) ->
+          lits.map(l => String.valueOf(l.value())).toSet)
+      else None
+    case _ => None
+  }
+
+  /** Exactly-evaluable `_file_path` predicates a listed URI must satisfy
+    * to stay planned; inexact shapes conservatively keep the file. */
+  private[excel] def fileMayMatch(path: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    val C = ExcelSchema.FilePathColumn
+    filters.forall {
+      case EqualTo(C, v) => v == path
+      case In(C, vs) => vs.contains(path)
+      case StringStartsWith(C, p) => path.startsWith(p)
+      case StringEndsWith(C, s) => path.endsWith(s)
+      case StringContains(C, s) => path.contains(s)
+      case IsNotNull(C) => true // synthesized, never null
+      case _ => true
+    }
   }
 }
 
@@ -492,9 +598,16 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
 
   private val ranged = startRow > 0
   // multi-sheet mode: sheets legitimately differ in columns → absent
-  // columns read as nulls, and `_sheet` is synthesized (index marker -2)
+  // columns read as nulls, and `_sheet` is synthesized (index marker -2);
+  // the `_file_path` metadata column is synthesized likewise (marker -3),
+  // unless shadowed by a real data column of that name
   private val allowMissing = opts.allowMissingColumns || opts.allSheets
   private val SheetIdx = -2
+  private val FilePathIdx = -3
+  private val filePathIsMeta =
+    !fullSchema.fieldNames.contains(ExcelSchema.FilePathColumn)
+  private val filePathValue =
+    org.apache.spark.unsafe.types.UTF8String.fromString(filePath)
 
   // pushed-filter evaluation via Catalyst's own OrderedFilters (exact Spark
   // comparison semantics); an optimization only — Spark re-applies all
@@ -552,6 +665,8 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
           val nameToIdx = names.zipWithIndex.toMap
           val idx = requiredSchema.fields.map { f =>
             if (opts.allSheets && f.name == ExcelSchema.SheetColumn) SheetIdx
+            else if (filePathIsMeta && f.name == ExcelSchema.FilePathColumn)
+              FilePathIdx
             else nameToIdx.getOrElse(f.name,
               if (allowMissing) -1
               else throw new org.apache.spark.SparkException(
@@ -566,6 +681,8 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
         // file columns after a select())
         (requiredSchema.fields.map { f =>
           if (opts.allSheets && f.name == ExcelSchema.SheetColumn) SheetIdx
+          else if (filePathIsMeta && f.name == ExcelSchema.FilePathColumn)
+            FilePathIdx
           else fullSchema.fieldIndex(f.name)
         }, it)
       }
@@ -588,6 +705,8 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
         val src = indices(i)
         if (src == SheetIdx) {
           values(i) = sheetNameValue
+        } else if (src == FilePathIdx) {
+          values(i) = filePathValue
         } else {
           val cell = if (src >= 0 && src < raw.length) raw(src) else null
           values(i) = ExcelSchema.convert(cell, requiredSchema.fields(i).dataType)

@@ -133,6 +133,12 @@ object ExcelSchema {
   /** Synthesized sheet-name column for `sheetName="*"` reads. */
   final val SheetColumn = "_sheet"
 
+  /** Metadata column: the listed URI of the file a row came from
+    * (SELECT `_file_path` to materialize it; filter or join on it to
+    * prune whole files from the scan). A real data column named
+    * `_file_path` shadows it, per the DSv2 metadata-column contract. */
+  final val FilePathColumn = "_file_path"
+
   private def inferSheet(reader: XlsxReader, sheet: XlsxReader.Sheet,
       opts: ExcelOptions): StructType = {
     val it = reader.rowIterator(sheet)
