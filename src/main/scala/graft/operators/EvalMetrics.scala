@@ -25,7 +25,13 @@ object EvalMetrics {
     * auc_micro = ⌊2U·10⁶ / (2·n⁺·n⁻)⌋ — micro-units of AUC.
     * The window runs over DISTINCT scores only (summary-bounded; a
     * production sweep over a billion rows still windows over the
-    * thousands of distinct thresholds). */
+    * thousands of distinct thresholds).
+    *
+    * Degenerate single-class input (n⁺ = 0 or n⁻ = 0): AUC is undefined
+    * — `auc_micro` is NULL by contract, via an explicit nullif on the
+    * divisor (ANSI-mode-independent; the t24 SQL mirror pins the same
+    * with NULLIF). Counts still report, so callers can distinguish
+    * "undefined" from "0.5". */
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = df
@@ -45,9 +51,12 @@ object EvalMetrics {
       .select(col("n_pos"), col("n_neg"), col("n_scores"), col("u2"),
         // u2 <= 2*n_pos*n_neg keeps u2 itself in Long out to ~2e9 rows a
         // side, but u2*500000 would wrap once n_pos*n_neg > ~1.8e13, so
-        // the final division runs in DECIMAL(38,0) (mirrored as HUGEINT)
+        // the final division runs in DECIMAL(38,0) (mirrored as HUGEINT);
+        // nullif makes the single-class null contract explicit and
+        // ANSI-mode-independent (div-by-zero would otherwise throw)
         expr("""cast((cast(u2 as decimal(38,0)) * 500000)
-                 div (cast(n_pos as decimal(38,0)) * n_neg) as bigint)""")
+                 div nullif(cast(n_pos as decimal(38,0)) * n_neg, 0)
+                 as bigint)""")
           .as("auc_micro"))
   }
 }

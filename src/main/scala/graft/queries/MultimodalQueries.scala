@@ -754,10 +754,13 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
+    // the copy marker travels as an explicit flag (never inferred back
+    // from id magnitude — a corpus whose real ids cross the 10⁶ planting
+    // offset would otherwise misclassify genuine documents as copies)
     val withCopies = ids.flatMap(id =>
-      if (id % 30 == 1) Seq(id, id + 1000000L) else Seq(id))
-    val fps = withCopies.mapPartitions(_.map { id =>
-      val base = if (id >= 1000000L) id - 1000000L else id
+      if (id % 30 == 1) Seq((id, false), (id, true)) else Seq((id, false)))
+    val fps = withCopies.mapPartitions(_.map { case (base, isCopy) =>
+      val id = if (isCopy) base + 1000000L else base
       // per-window amplitude modulation keyed by doc id: window energies
       // form a doc-specific profile, so delta-sign fingerprints genuinely
       // differ across docs (a bare sawtooth's deltas are doc-invariant)
@@ -767,7 +770,7 @@ object MultimodalQueries {
           (1 + ((base * 2654435761L + (i / 8).toLong * 40503L) % 8191) % 5)
       }
       val vals =
-        if (id >= 1000000L)
+        if (isCopy)
           raw.zipWithIndex.map { case (v, i) =>
             if (i / 8 == 29) 0L else (v * 7) / 10 // one dropped frame
           }

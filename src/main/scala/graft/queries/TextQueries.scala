@@ -919,7 +919,7 @@ object TextQueries {
       |  COUNT(*)::BIGINT AS n_scores,
       |  SUM(pos * (2 * cnb + neg))::BIGINT AS u2,
       |  (SUM(pos * (2 * cnb + neg))::HUGEINT * 500000
-      |     // (SUM(pos)::HUGEINT * SUM(neg)))::BIGINT AS auc_micro
+      |     // NULLIF(SUM(pos)::HUGEINT * SUM(neg), 0))::BIGINT AS auc_micro
       |FROM cum""".stripMargin
 
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(

@@ -48,6 +48,15 @@ class EvalMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == 625000L)
   }
 
+  test("single-class input → counts report, auc_micro is NULL by contract") {
+    import spark.implicits._
+    val onlyPos = Seq(1L -> true, 2L -> true, 3L -> true)
+    val r = EvalMetrics.rocAuc(onlyPos.toDF("s", "l"), col("s"), col("l"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 0L)))
+    assert(r.isNullAt(4), "AUC undefined on one class → null, not a number")
+  }
+
   test("partitioning-invariant") {
     import spark.implicits._
     val rows = (0 until 5000).map(i => ((i * 7 % 100).toLong, i % 3 == 0))
