@@ -285,6 +285,75 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** ITERATED BPE training — `merges` rounds of the [[bpePairCounts]]
+    * inner loop, i.e. the actual tokenizer-training algorithm (Sennrich
+    * et al. 2016): repeatedly pick the highest-count adjacent symbol
+    * pair (cnt DESC, pair ASC on ties) and merge it greedily
+    * left-to-right in every word, starting from characters.
+    *
+    * State is the DISTINCT-word (spaced-symbols, freq) table — the
+    * corpus is tokenized exactly once, and every round costs
+    * O(vocab · word length) regardless of corpus size (the real-trainer
+    * trick t23 documents, iterated). A word's symbol sequence is encoded
+    * as a delimiter-wrapped string `" s1  s2  …  sn "` (each symbol
+    * wrapped in single spaces), so applying a merge (a, b) is one
+    * engine-native `replace(state, " a  b ", " ab ")` — the double
+    * delimiter makes consecutive matches share no characters, so
+    * left-to-right non-overlapping string replacement IS greedy BPE
+    * merge order, identically in Spark and any SQL mirror.
+    *
+    * The whole training run is ONE declarative plan: each round's
+    * winning pair (a 1-row DataFrame) broadcast-cross-joins back onto
+    * the state, so no pair value ever passes through the driver; state
+    * is localCheckpoint-ed per round (the d12 fixed-rounds discipline)
+    * to truncate lineage — each round materializes only the
+    * vocab-bounded table.
+    *
+    * @return one row per merge: (merge_idx, pair "a b", new_token "ab",
+    *         cnt), ordered by merge_idx — the ordered merge list IS the
+    *         trained tokenizer artifact. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    require(merges >= 1, s"merges must be >= 1: $merges")
+    val wf = df.filter(trim(col(textCol)) =!= "")
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var state = wf.select(
+      concat(lit(" "), array_join(split(col("word"), ""), "  "), lit(" "))
+        .as("st"),
+      col("freq"))
+    var chosen: org.apache.spark.sql.DataFrame = null
+    for (r <- 0 until merges) {
+      val syms = split(trim(col("st")), "  ")
+      val pc = state
+        .select(col("freq"), explode(array_compact(zip_with(
+          syms, slice(syms, lit(2), size(syms)),
+          (a, b) => when(b.isNotNull, concat(a, lit(" "), b))))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      // 1-row winner, checkpointed so the union and the merge application
+      // both read the materialized row instead of replaying the round
+      val top = pc.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(lit(r.toLong).as("merge_idx"), col("pair"), col("cnt"))
+        .localCheckpoint()
+      chosen = if (chosen == null) top else chosen.unionAll(top)
+      state = state
+        .join(broadcast(top.select(col("pair").as("mp"))), lit(true), "left")
+        .select(
+          // no winner (corpus exhausted of pairs) → state passes through
+          when(col("mp").isNull, col("st")).otherwise(expr(
+            """replace(st, concat(' ', replace(mp, ' ', '  '), ' '),
+                           concat(' ', replace(mp, ' ', ''),  ' '))"""))
+            .as("st"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    chosen
+      .select(col("merge_idx"), col("pair"),
+        expr("replace(pair, ' ', '')").as("new_token"), col("cnt"))
+      .orderBy("merge_idx")
+  }
+
   /** Per-document out-of-vocabulary stats against a vocabulary built by
     * [[vocabulary]] (or loaded from a trained tokenizer): token count,
     * OOV count, OOV rate. The vocab side is broadcast — V is bounded by

@@ -855,6 +855,59 @@ object TextQueries {
       |ORDER BY cnt DESC, pair ASC
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- t25
+  /** ITERATED BPE training ([[graft.operators.TextAnalysis.bpeTrain]]) —
+    * 10 rounds of t23's inner loop, i.e. the real tokenizer-training
+    * algorithm: each round merges the top (cnt DESC, pair ASC) adjacent
+    * symbol pair greedily left-to-right across the DISTINCT-word
+    * (symbols, freq) state, so every round is corpus-size-independent.
+    * The winning pair re-enters the plan by broadcast cross-join (never
+    * through the driver) and the delimiter-wrapped symbol encoding makes
+    * `replace` application EXACTLY greedy merge order in both engines.
+    *
+    * FULL oracle: the 10 rounds unrolled as chained CTEs — per round a
+    * pair-count aggregate, a 1-row LIMIT winner, and the same
+    * double-delimiter REPLACE on the state — then the winners unioned in
+    * merge order. All integer counts over ASCII words ⇒ bit-exact. */
+  def t25BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bpeTrain(docs(spark, dir), "text",
+      merges = 10)
+
+  val t25Sql: String = {
+    val rounds = (0 until 10).map { r =>
+      s"""sy$r AS (SELECT string_split(TRIM(st), '  ') AS s, freq FROM st$r),
+         |pc$r AS (
+         |  SELECT pair, SUM(freq)::BIGINT AS cnt FROM (
+         |    SELECT freq, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(s)),
+         |      i -> s[i] || ' ' || s[i+1])) AS pair
+         |    FROM sy$r) q
+         |  GROUP BY 1),
+         |m$r AS (
+         |  SELECT $r::BIGINT AS merge_idx, pair, cnt FROM pc$r
+         |  ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |st${r + 1} AS (
+         |  SELECT REPLACE(st, ' ' || REPLACE(m.pair, ' ', '  ') || ' ',
+         |                     ' ' || REPLACE(m.pair, ' ', '') || ' ') AS st,
+         |         freq
+         |  FROM st$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until 10).map(r => s"SELECT * FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS word
+       |  FROM documents WHERE TRIM(text) <> ''),
+       |wf AS (
+       |  SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY 1),
+       |st0 AS (
+       |  SELECT ' ' || ARRAY_TO_STRING(string_split(word, ''), '  ') || ' '
+       |           AS st, freq
+       |  FROM wf),
+       |$rounds
+       |SELECT merge_idx, pair, REPLACE(pair, ' ', '') AS new_token, cnt
+       |FROM ($union) allm
+       |ORDER BY merge_idx""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t24
   /** Exact tie-aware ROC-AUC ([[graft.operators.EvalMetrics.rocAuc]]) of
     * the t13 hashed-classifier logit against a document-length label
@@ -924,6 +977,7 @@ object TextQueries {
 
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "t24_classifier_auc" -> (t24ClassifierAuc _, t24Sql),
+    "t25_bpe_merges" -> (t25BpeMerges _, t25Sql),
     "t23_bpe_pairs" -> (t23BpePairs _, t23Sql),
     "t01_token_stats" -> (t01TokenStats _, t01Sql),
     "t09_keywords" -> (t09Keywords _, t09Sql),
