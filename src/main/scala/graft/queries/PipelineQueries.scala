@@ -933,7 +933,167 @@ object PipelineQueries {
       |FROM per p CROSS JOIN tot t
       |ORDER BY p.source""".stripMargin
 
+  // ---------------------------------------------------------------- p19
+  /** INCREMENTAL curation report — p18's funnel in its production shape:
+    * yesterday's PERSISTED artifacts (the d19-style md5 fingerprint
+    * store + the published per-source report) plus today's batch
+    * (doc_id % 10 = 7, the d19/d20 ingest convention) produce the
+    * updated report WITHOUT re-reading history text. Both artifacts are
+    * built once and lineage-severed with localCheckpoint — the update
+    * plan physically cannot rescan history (PlanQualitySpec pins the
+    * scan count: history appears only as materialized RDD rows).
+    *
+    * Incremental semantics are d19's first-seen-wins: a batch doc whose
+    * fingerprint exists in the store is a dup of history regardless of
+    * id order (new batches never reclassify old documents); batch-only
+    * fingerprints elect the lowest batch id. The per-source counters are
+    * ADDITIVE (raw/canonical/kept/tokens sums), so update = yesterday +
+    * batch delta; only the |sources|-row allocation arithmetic recomputes
+    * globally — the p17 metadata op.
+    *
+    * FULL oracle proving incremental ≡ full recompute: one pass over the
+    * whole decorated corpus with the arrival-priority canonical rule
+    * (history before batch, then id) — if the incremental composition
+    * dropped or double-counted anything, the hashes diverge. */
+  def p19IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit("!! ?? !!"))
+          .when(pmod(col("doc_id"), lit(13)) === 0,
+            lit("duplicated boilerplate passage filler"))
+          .otherwise(col("text")).as("text"))
+    val hist = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+
+    // ---- yesterday's job: build + persist the store and the report
+    val histFp = hist.withColumn("fp", md5(col("text").cast("binary")))
+    val store = histFp
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("canonical_id"))
+      .localCheckpoint()
+    val histCanon = histFp
+      .join(store.select(col("canonical_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("__barrier", monotonically_increasing_id())
+    val reportY = hist.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      .join(histCanon.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_canonical")), Seq("source"), "left")
+      .join(histCanon.filter(col("quality") >= 0.5).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens")), Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_canonical"), lit(0L)).as("n_canonical"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .localCheckpoint()
+
+    // ---- today's update: the batch partition is read ONCE — its
+    // fingerprinted rows (exactly what the caller appends to the store)
+    // are materialized and every update consumer reads the materialized
+    // rows, so the final plan contains zero parquet scans
+    val batchFp = batch.withColumn("fp", md5(col("text").cast("binary")))
+      .localCheckpoint()
+    val newCanonIds = batchFp
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val newCanon = batchFp.join(newCanonIds, Seq("doc_id"), "left_semi")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("__barrier", monotonically_increasing_id())
+    val delta = batchFp.groupBy(col("source")).agg(count(lit(1)).as("d_raw"))
+      .join(newCanon.groupBy(col("source"))
+        .agg(count(lit(1)).as("d_canonical")), Seq("source"), "left")
+      .join(newCanon.filter(col("quality") >= 0.5).groupBy(col("source"))
+        .agg(count(lit(1)).as("d_kept"),
+          sum(col("n_tokens")).as("d_tokens")), Seq("source"), "left")
+
+    // additive counter merge (full outer: a batch may open a new source)
+    val per = reportY.join(delta, Seq("source"), "full")
+      .select(col("source"),
+        (coalesce(col("n_raw"), lit(0L)) + coalesce(col("d_raw"), lit(0L)))
+          .as("n_raw"),
+        (coalesce(col("n_canonical"), lit(0L)) +
+          coalesce(col("d_canonical"), lit(0L))).as("n_canonical"),
+        (coalesce(col("n_kept"), lit(0L)) + coalesce(col("d_kept"), lit(0L)))
+          .as("n_kept"),
+        (coalesce(col("kept_tokens"), lit(0L)) +
+          coalesce(col("d_tokens"), lit(0L))).as("kept_tokens"))
+      .withColumn("weight",
+        lit(20L) + lit(8L) *
+          pmod(substring(col("source"), 4, 10).cast("long"), lit(10L)))
+    val tot = per.agg(sum(col("kept_tokens")).as("corpus_tokens"),
+      sum(col("weight")).as("w_sum"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("(corpus_tokens * 2 * weight) div w_sum"))
+      .withColumn("epochs_milli",
+        expr("(target_tokens * 1000) div nullif(kept_tokens, 0)"))
+      .select(col("source"), col("n_raw"), col("n_canonical"), col("n_kept"),
+        col("kept_tokens"), col("weight"), col("target_tokens"),
+        col("epochs_milli"))
+      .orderBy("source")
+  }
+
+  /** p18's mirror with the arrival-priority canonical rule: full
+    * recompute over history ∪ batch, history-first on fingerprint ties —
+    * exactly what the incremental composition must equal. */
+  val p19Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 9 = 0 THEN '!! ?? !!'
+      |         WHEN doc_id % 13 = 0 THEN 'duplicated boilerplate passage filler'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, source, text,
+      |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w,
+      |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END AS n_tok,
+      |    CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |         ELSE (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE
+      |              / LENGTH(text)::DOUBLE END AS pr,
+      |    ROW_NUMBER() OVER (PARTITION BY text
+      |      ORDER BY CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END, doc_id)
+      |      AS rk
+      |  FROM aug),
+      |scored AS (
+      |  SELECT doc_id, source, n_tok,
+      |    ROUND(
+      |      (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END) * 0.4
+      |      + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3
+      |      + (CASE WHEN (CASE WHEN LEN(w) = 0 THEN 0.0
+      |                    ELSE LENGTH(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', '', 'g'))::DOUBLE / LEN(w)::DOUBLE END)
+      |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.3,
+      |      4) AS quality
+      |  FROM base WHERE rk = 1),
+      |raw AS (SELECT source, COUNT(*) AS n_raw FROM aug GROUP BY 1),
+      |cc AS (SELECT source, COUNT(*) AS n_canonical FROM scored GROUP BY 1),
+      |ka AS (SELECT source, COUNT(*) AS n_kept, SUM(n_tok) AS kept_tokens
+      |       FROM scored WHERE quality >= 0.5 GROUP BY 1),
+      |per AS (
+      |  SELECT r.source, r.n_raw,
+      |    COALESCE(cc.n_canonical, 0) AS n_canonical,
+      |    COALESCE(ka.n_kept, 0) AS n_kept,
+      |    COALESCE(ka.kept_tokens, 0) AS kept_tokens,
+      |    20 + 8 * (SUBSTRING(r.source, 4)::BIGINT % 10) AS weight
+      |  FROM raw r
+      |  LEFT JOIN cc ON cc.source = r.source
+      |  LEFT JOIN ka ON ka.source = r.source),
+      |tot AS (SELECT SUM(kept_tokens) AS corpus_tokens, SUM(weight) AS w_sum
+      |        FROM per)
+      |SELECT p.source, p.n_raw::BIGINT AS n_raw,
+      |  p.n_canonical::BIGINT AS n_canonical, p.n_kept::BIGINT AS n_kept,
+      |  p.kept_tokens::BIGINT AS kept_tokens, p.weight::BIGINT AS weight,
+      |  ((t.corpus_tokens * 2 * p.weight) // t.w_sum)::BIGINT AS target_tokens,
+      |  (((t.corpus_tokens * 2 * p.weight) // t.w_sum) * 1000
+      |     // NULLIF(p.kept_tokens, 0))::BIGINT AS epochs_milli
+      |FROM per p CROSS JOIN tot t
+      |ORDER BY p.source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p19_incremental_curation" -> (p19IncrementalCuration _, p19Sql),
     "p18_curation_report" -> (p18CurationReport _, p18Sql),
     "p17_mixture_plan" -> (p17MixturePlan _, p17Sql),
     "p15_incremental_agg" -> (p15IncrementalAgg _, p15Sql),

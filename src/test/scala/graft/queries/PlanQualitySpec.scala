@@ -414,6 +414,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must never shuffle-join against a <=4096-row LM:\n$p")
   }
 
+  test("p19: the incremental update never rescans history text") {
+    val p = plan("p19_incremental_curation")
+    // yesterday's artifacts enter as lineage-severed materialized rows —
+    // if the composition ever inlined history, these would revert to
+    // parquet scans and the scan count below would grow past the batch
+    // side's references
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+      s"store + report + batch rows must be checkpointed:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"raw text re-entered the update plan:\n$p")
+  }
+
   test("excel scan prunes columns at the source") {
     import org.apache.spark.sql.functions._
     // reuse the roundtrip fixture: write then read a projection
