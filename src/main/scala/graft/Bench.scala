@@ -122,8 +122,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Machine-speed-normalized total: 89 ms is the canonical fast-host
+    // probe reading every clean r12 artifact recorded, so
+    // value · 89 / probe_ms restates this run's total as "what the fast
+    // host would have measured" — cross-round tables compare
+    // value_normalized directly instead of manually adjudicating
+    // slow-host regimes (VERDICT r12 item 8).
+    val refProbeMs = 89.0
+    val totalNorm = if (probeMs > 0) total * refProbeMs / probeMs else total
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"unit":"sec","queries":$qs,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver only captures the last ~2000 chars of stdout; with 76+
     // queries the full line above overflows that window and its leading
@@ -143,7 +151,7 @@ object Bench {
       if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

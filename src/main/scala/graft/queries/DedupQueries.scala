@@ -1209,7 +1209,55 @@ object DedupQueries {
       |WHERE d.doc_id % 10 = 7
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d21
+  /** SOFT dedup — downweight instead of drop: every document keeps a
+    * sampling weight of 1/|its near-dup cluster| so each cluster
+    * contributes one document's worth of total mass to the training mix
+    * (the "keep one copy in expectation" policy pretraining pipelines
+    * use when hard-dropping near-dups costs too much diversity).
+    * Clusters are the d12 connected components over the exact n-gram
+    * Jaccard ≥ 0.7 pair graph; singletons (docs in no cluster) weight 1.
+    * Scale shape: the cluster-size table is |clustered docs| rows — a
+    * partial-agg rollup of the label table — and joins back to the
+    * corpus by doc_id, co-partitioned; the corpus text is never
+    * reshuffled, only (doc_id, size) moves. */
+  def d21SoftDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val edges = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    val labels = graft.operators.DedupClusters
+      .connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val sized = labels.join(
+      labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+      "cluster_id")
+      .select(col("doc_id"), col("cluster_size"))
+    d.select(col("doc_id"))
+      .join(sized, Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .select(col("doc_id"), col("cluster_size"),
+        round(lit(1.0d) / col("cluster_size").cast("double"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** d12's recursive closure rolled up to cluster sizes, left-joined back
+    * over the whole corpus with a singleton default of 1. */
+  val d21Sql: String =
+    s"""WITH labels AS (
+       |${d12Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n FROM labels GROUP BY cluster_id),
+       |j AS (
+       |  SELECT d.doc_id, COALESCE(sz.n, 1) AS cluster_size
+       |  FROM documents d
+       |  LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |  LEFT JOIN sz ON l.cluster_id = sz.cluster_id)
+       |SELECT doc_id, cluster_size::BIGINT AS cluster_size,
+       |  ROUND(CAST(1 AS DOUBLE) / cluster_size::DOUBLE, 6) AS weight
+       |FROM j ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d21_soft_dedup_weights" -> (d21SoftDedupWeights _, d21Sql),
     "d20_incremental_neardup" -> (d20IncrementalNearDup _, d20Sql),
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),
     "d06_group_similarity" -> (d06GroupSimilarity _, d06Sql),

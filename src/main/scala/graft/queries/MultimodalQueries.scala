@@ -119,7 +119,13 @@ object MultimodalQueries {
     * is one per-video lag window. The oracle reproduces the dHash in
     * closed form (m07's verified pixel formula), the lag, and the
     * bit_count, exactly. */
-  def m09KeyframeSelect(spark: SparkSession, dir: String): DataFrame = {
+  def m09KeyframeSelect(spark: SparkSession, dir: String): DataFrame =
+    m09Keyframes(spark, dir).orderBy("doc_id", "frame_idx")
+
+  /** m09's keyframe stream WITHOUT the presentation sort — the shape m14
+    * composes on (its own window re-partitions by doc_id; a global sort
+    * in between would be a wasted range exchange). */
+  private def m09Keyframes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val frames = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"))
@@ -146,7 +152,6 @@ object MultimodalQueries {
         when(col("hamming").isNull || col("hamming") > 0, 1).otherwise(0))
       .select(col("doc_id"), col("frame_idx"), col("hamming"),
         col("keyframe"))
-      .orderBy("doc_id", "frame_idx")
   }
 
   val m09Sql: String =
@@ -854,7 +859,49 @@ object MultimodalQueries {
       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
       |ORDER BY rep_a, rep_b""".stripMargin
 
+  // ---------------------------------------------------------------- m14
+  /** Shot-boundary SEGMENTATION — the grouping stage video curation runs
+    * right after m09's keyframe detection: every keyframe opens a new
+    * shot, the shot id is a running sum of the boundary flags within the
+    * video, and each shot rolls up to (first frame, last frame, length).
+    * Built by COMPOSING m09's real-decode keyframe stream (ImageIO PNG
+    * decode → dHash64 → per-video lag window) with one more per-video
+    * running-sum window and a fixed-width (video, shot) aggregation —
+    * no re-decode, no extra scan of the frame payloads. At 100 TB the
+    * windows stay per-video (frames per video are bounded by the
+    * container format), and the rollup partial-aggregates map-side. The
+    * oracle replays m09's closed-form dHash mirror plus the same running
+    * sum. */
+  def m14ShotSegments(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    m09Keyframes(spark, dir)
+      .withColumn("shot_id", sum(col("keyframe").cast("long")).over(w))
+      .groupBy(col("doc_id"), col("shot_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"), col("shot_id"))
+  }
+
+  val m14Sql: String =
+    s"""WITH base AS (
+       |${m09Sql}
+       |),
+       |shots AS (
+       |  SELECT doc_id, frame_idx,
+       |    (SUM(keyframe::BIGINT) OVER (PARTITION BY doc_id
+       |      ORDER BY frame_idx))::BIGINT AS shot_id
+       |  FROM base)
+       |SELECT doc_id, shot_id,
+       |  MIN(frame_idx)::BIGINT AS start_frame,
+       |  MAX(frame_idx)::BIGINT AS end_frame,
+       |  COUNT(*)::BIGINT AS n_frames
+       |FROM shots GROUP BY doc_id, shot_id
+       |ORDER BY doc_id, shot_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m14_shot_segments" -> (m14ShotSegments _, m14Sql),
     "m13_audio_fingerprint" -> (m13AudioFingerprint _, m13Sql),
     "m12_crossmodal_retrieval" -> (m12CrossModalRetrieval _, m12Sql),
     "m09_keyframe_select" -> (m09KeyframeSelect _, m09Sql),

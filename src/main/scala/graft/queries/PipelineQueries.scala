@@ -1092,7 +1092,51 @@ object PipelineQueries {
       |FROM per p CROSS JOIN tot t
       |ORDER BY p.source""".stripMargin
 
+  // ---------------------------------------------------------------- p20
+  /** Snapshot reconciliation ([[graft.operators.Cdc.snapshotDiff]]): two
+    * versions of the orders table — version B deterministically removes
+    * every 97th key, revises every 89th surviving price by one IEEE
+    * multiply, and appends a re-keyed copy of every 101st row — diffed
+    * back to row-level added/removed/changed classifications without any
+    * changelog, then rolled up per change type with a key-sum
+    * fingerprint. The diff itself is one co-partitioned full outer join
+    * over (key, 8-byte FNV row digest) — fixed shuffle width no matter
+    * how wide the snapshot rows are — and the oracle derives the same
+    * classification structurally from the mutation rules. */
+  def p20SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val survivors = a.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(89)) === 0,
+          col("o_totalprice") * lit(1.05d))
+          .otherwise(col("o_totalprice")))
+    val appended = a.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+    val b = survivors.unionByName(appended)
+    graft.operators.Cdc.snapshotDiff(a, b, Seq("o_orderkey"),
+      Seq("o_totalprice", "o_orderstatus"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("change_type"))
+  }
+
+  val p20Sql: String =
+    """WITH diff AS (
+      |  SELECT o_orderkey + 100000000 AS o_orderkey, 'added' AS change_type
+      |  FROM orders WHERE o_orderkey % 101 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'changed' FROM orders
+      |  WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0)
+      |SELECT change_type, COUNT(*)::BIGINT AS n,
+      |  SUM(o_orderkey)::BIGINT AS key_sum
+      |FROM diff GROUP BY change_type ORDER BY change_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p20_snapshot_diff" -> (p20SnapshotDiff _, p20Sql),
     "p19_incremental_curation" -> (p19IncrementalCuration _, p19Sql),
     "p18_curation_report" -> (p18CurationReport _, p18Sql),
     "p17_mixture_plan" -> (p17MixturePlan _, p17Sql),

@@ -91,6 +91,35 @@ class CdcChecksumSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 4L, 8.0, 0L, 0L))) // brand-new key adopted as-is
   }
 
+  test("snapshotDiff classifies added/removed/changed, drops unchanged") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0, "O"), (2L, 20.0, "F"), (3L, 30.0, "P"),
+      (4L, 40.0, "O")).toDF("k", "price", "st")
+    val b = Seq((1L, 10.0, "O"),              // unchanged → dropped
+      (2L, 21.0, "F"),                        // price changed
+      (3L, 30.0, "F"),                        // status changed
+      (5L, 50.0, "O")).toDF("k", "price", "st") // new key; 4 removed
+    val d = Cdc.snapshotDiff(a, b, Seq("k"), Seq("price", "st"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(d == Seq((2L, "changed"), (3L, "changed"), (4L, "removed"),
+      (5L, "added")))
+  }
+
+  test("snapshotDiff plan: one join, digests computed below the exchange") {
+    val a = spark.range(100).select(col("id").as("k"),
+      (col("id") * 2).cast("double").as("v"))
+    val b = spark.range(100).select(col("id").as("k"),
+      (col("id") * 3).cast("double").as("v"))
+    val plan = Cdc.snapshotDiff(a, b, Seq("k"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    // the join must compare 8-byte digests, not raw payload columns:
+    // fnv1a64 appears on the scan side (below the join), and the join
+    // itself is a single FullOuter
+    assert(plan.contains("FullOuter"), plan)
+    assert("fnv1a64".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("canonical separator distinguishes field boundaries") {
     import spark.implicits._
     // ("ab", "c") and ("a", "bc") must hash differently

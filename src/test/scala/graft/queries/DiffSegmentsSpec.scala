@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts for the r13 gates d21 (soft dedup weights),
+  * m14 (shot segmentation), p20 (snapshot diff rollup) on the sf0.001
+  * fixture — the gate oracles pin cross-engine equality; these pin the
+  * invariants a user relies on. */
+class DiffSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("d21: every doc weighted, cluster mass sums to ~1, singletons = 1") {
+    val w = DedupQueries.all("d21_soft_dedup_weights")._1(spark, dir)
+    val rows = w.collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs, "one weight per corpus document")
+    rows.foreach { r =>
+      val size = r.getLong(1); val weight = r.getDouble(2)
+      assert(size >= 1, r.toString)
+      assert(math.abs(weight - 1.0 / size) < 1e-6, r.toString)
+    }
+    assert(rows.exists(_.getLong(1) > 1), "fixture must contain a dup cluster")
+    // each multi-member cluster's total sampling mass is ~1 (the policy)
+    val mass = w.filter(col("cluster_size") > 1)
+      .groupBy(col("cluster_size")).agg(sum(col("weight")).as("m"),
+        count(lit(1)).as("n")).collect()
+    mass.foreach { r =>
+      val perCluster = r.getDouble(1) / (r.getLong(2).toDouble / r.getLong(0))
+      assert(math.abs(perCluster - 1.0) < 1e-4,
+        s"cluster of ${r.getLong(0)} should sum to 1, got $perCluster")
+    }
+  }
+
+  test("m14: shots are contiguous, disjoint, and cover every frame") {
+    val shots = MultimodalQueries.all("m14_shot_segments")._1(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(shots.nonEmpty)
+    shots.groupBy(_._1).foreach { case (docId, ss) =>
+      val ordered = ss.sortBy(_._2)
+      // first shot opens at frame 0 with shot_id 1 (frame 0 is a keyframe)
+      assert(ordered.head._2 == 1L && ordered.head._3 == 0L, ordered.head)
+      // contiguity: n_frames == end - start + 1, next shot starts at end+1
+      ordered.foreach { case (_, _, s, e, n) => assert(n == e - s + 1) }
+      ordered.sliding(2).foreach {
+        case Array((_, i1, _, e1, _), (_, i2, s2, _, _)) =>
+          assert(i2 == i1 + 1 && s2 == e1 + 1, s"gap in doc $docId")
+        case _ =>
+      }
+      // coverage: frames 0 .. (6 + docId % 7 - 1) are all assigned
+      assert(ordered.map(_._5).sum == 6 + docId % 7, s"doc $docId coverage")
+    }
+  }
+
+  test("p20: rollup counts match the mutation rules computed directly") {
+    val got = PipelineQueries.all("p20_snapshot_diff")._1(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val removed = o.filter(pmod(col("o_orderkey"), lit(97)) === 0).count()
+    val changed = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0 &&
+      pmod(col("o_orderkey"), lit(89)) === 0).count()
+    val added = o.filter(pmod(col("o_orderkey"), lit(101)) === 0).count()
+    assert(got.getOrElse("removed", 0L) == removed)
+    assert(got.getOrElse("changed", 0L) == changed)
+    assert(got.getOrElse("added", 0L) == added)
+  }
+}
