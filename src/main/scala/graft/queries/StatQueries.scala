@@ -644,7 +644,106 @@ object StatQueries {
       |CROSS JOIN tm CROSS JOIN td CROSS JOIN nk CROSS JOIN nkd
       |ORDER BY p_mille""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** KMV / bottom-k theta sketch ([[graft.operators.Sketches.kmvBottomK]])
+    * over the distinct customers per order status, PLUS the union
+    * estimate built by MERGING the per-status sketches (k smallest of
+    * the kept sets — never re-reading the data), demonstrating the
+    * theta-family mergeability that HLL's q51 shows for registers. The
+    * whole sketch is integer hashes + one mirrored IEEE division, so the
+    * oracle replays estimate digits exactly; `grp_err_ok`/`union_err_ok`
+    * pin the estimates within 25 % of the exact counts (k=256 → stderr
+    * ≈ 6 %, so the bound is ~4σ). The exact counts are verification
+    * columns — at 100 TB only the sketch side runs. */
+  def q54KmvTheta(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val k = 256
+    val sk = graft.operators.Sketches.kmvBottomK(
+      orders, "o_orderstatus", "o_custkey", k)
+    val merged = sk.select(explode(col("bottom_k")).as("h"))
+      .dropDuplicates("h")
+      .agg(slice(sort_array(collect_list(col("h"))), 1, k).as("bottom_k"))
+    val uex = orders.select(
+      graft.functions.TextExpressions.mix64(graft.functions.TextExpressions
+        .fnv1a64(col("o_custkey").cast("string"))).as("h"))
+      .agg(countDistinct(col("h")).as("union_exact"))
+    val urow = merged.crossJoin(uex).select(
+      col("union_exact"),
+      graft.operators.Sketches.kmvEstimate(
+        col("union_exact"), col("bottom_k"), k).as("union_est"))
+    sk.crossJoin(broadcast(urow))
+      .select(col("o_orderstatus"), col("n_exact"), col("kmv_est"),
+        (abs(col("kmv_est") / col("n_exact").cast("double") - lit(1.0d))
+          <= lit(0.25d)).as("grp_err_ok"),
+        col("union_exact"), col("union_est"),
+        (abs(col("union_est") / col("union_exact").cast("double") - lit(1.0d))
+          <= lit(0.25d)).as("union_err_ok"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** FNV-1a64 + mix64 mirror (t06's HUGEINT fold, q45's finalizer CTEs,
+    * re-signed) + window rank for the true bottom-k, then the same
+    * (k−1)/u arithmetic digit for digit. */
+  val q54Sql: String =
+    """WITH f AS (
+      |  SELECT o_orderstatus, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(o_custkey::VARCHAR, '')]),
+      |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) AS z
+      |  FROM orders),
+      |m1 AS (SELECT o_orderstatus, xor(z, z // 8589934592::HUGEINT) AS z FROM f),
+      |m2 AS (SELECT o_orderstatus,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT o_orderstatus, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT o_orderstatus,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT o_orderstatus, xor(z, z // 8589934592::HUGEINT) AS hu FROM m4),
+      |per AS (
+      |  SELECT DISTINCT o_orderstatus,
+      |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+      |  FROM m5),
+      |n AS (SELECT o_orderstatus, COUNT(*) AS n_exact FROM per GROUP BY 1),
+      |r AS (SELECT o_orderstatus, h,
+      |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+      |      FROM per),
+      |kth AS (SELECT o_orderstatus, MAX(CASE WHEN rn = 256 THEN h END) AS kth
+      |        FROM r GROUP BY 1),
+      |g AS (
+      |  SELECT n.o_orderstatus, n.n_exact,
+      |    CASE WHEN n.n_exact <= 256 THEN ROUND(n.n_exact::DOUBLE, 4)
+      |         ELSE ROUND(255.0 / ((CAST(kth.kth AS DOUBLE)
+      |                + 9.223372036854775808e18) / 1.8446744073709551616e19), 4)
+      |    END AS kmv_est
+      |  FROM n JOIN kth USING (o_orderstatus)),
+      |u AS (SELECT DISTINCT h FROM per),
+      |un AS (SELECT COUNT(*) AS union_exact FROM u),
+      |ur AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM u),
+      |ukth AS (SELECT MAX(CASE WHEN rn = 256 THEN h END) AS kth FROM ur),
+      |uu AS (
+      |  SELECT un.union_exact,
+      |    CASE WHEN un.union_exact <= 256 THEN ROUND(un.union_exact::DOUBLE, 4)
+      |         ELSE ROUND(255.0 / ((CAST(ukth.kth AS DOUBLE)
+      |                + 9.223372036854775808e18) / 1.8446744073709551616e19), 4)
+      |    END AS union_est
+      |  FROM un CROSS JOIN ukth)
+      |SELECT g.o_orderstatus, g.n_exact::BIGINT AS n_exact, g.kmv_est,
+      |  (ABS(g.kmv_est / g.n_exact::DOUBLE - 1.0) <= 0.25) AS grp_err_ok,
+      |  uu.union_exact::BIGINT AS union_exact, uu.union_est,
+      |  (ABS(uu.union_est / uu.union_exact::DOUBLE - 1.0) <= 0.25) AS union_err_ok
+      |FROM g CROSS JOIN uu ORDER BY g.o_orderstatus""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q54_kmv_theta" -> (q54KmvTheta _, q54Sql),
     "q53_kll_quantiles" -> (q53KllQuantiles _, q53Sql),
     "q27_grouping_sets" -> (q27GroupingSets _, q27Sql),
     "q41_approx_percentile" -> (q41ApproxPercentile _, q41Sql),

@@ -108,6 +108,43 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kmv: exact below k, within 4σ above k, estimate monotone-sane") {
+    import spark.implicits._
+    // n ≤ k → the sketch IS the distinct set and the estimate is exact
+    val small = (0 until 100).map(i => ("g", s"v_$i")).toDF("grp", "v")
+    val rs = Sketches.kmvBottomK(small, "grp", "v", k = 256).collect()(0)
+    assert(rs.getLong(rs.fieldIndex("n_exact")) == 100)
+    assert(rs.getSeq[Long](rs.fieldIndex("bottom_k")).size == 100)
+    assert(rs.getDouble(rs.fieldIndex("kmv_est")) == 100.0)
+    // n >> k → (k-1)/u estimate within 4σ (σ ≈ 1/√(k−2) ≈ 6.3%)
+    for (n <- Seq(5000, 50000)) {
+      val df = (0 until n).map(i => ("g", s"v_$i")).toDF("grp", "v")
+      val r = Sketches.kmvBottomK(df, "grp", "v", k = 256).collect()(0)
+      val est = r.getDouble(r.fieldIndex("kmv_est"))
+      assert(r.getSeq[Long](r.fieldIndex("bottom_k")).size == 256)
+      assert(math.abs(est - n) / n < 0.25, s"n=$n est=$est")
+    }
+  }
+
+  test("kmv merge: k smallest of unioned sketches == sketch of the union") {
+    import spark.implicits._
+    val k = 64
+    // two overlapping slices of one population
+    val df = (0 until 3000).map { i =>
+      (if (i % 2 == 0 || i % 3 == 0) "a" else "b", s"v_$i")
+    }.toDF("grp", "v")
+    val perSlice = Sketches.kmvBottomK(df, "grp", "v", k).collect()
+    val mergedBottom = perSlice
+      .flatMap(_.getSeq[Long](perSlice.head.fieldIndex("bottom_k")))
+      .distinct.sorted.take(k).toSeq
+    val direct = Sketches.kmvBottomK(
+      df.select(org.apache.spark.sql.functions.lit("all").as("grp"),
+        org.apache.spark.sql.functions.col("v")), "grp", "v", k)
+      .collect()(0)
+    assert(direct.getSeq[Long](direct.fieldIndex("bottom_k")) == mergedBottom,
+      "merging per-slice bottom-k sets must reproduce the union's bottom-k")
+  }
+
   test("b >= 12 propagates NULL to est_micro AND small_range") {
     import spark.implicits._
     val df = (0 until 1000).map(i => ("g", s"val_$i")).toDF("grp", "v")
