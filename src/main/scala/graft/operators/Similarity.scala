@@ -425,6 +425,49 @@ object Similarity {
     * left-semi join + global count on those tiny frames, broadcast back
     * onto the ground truth — no data-scale work beyond the two operators
     * themselves. */
+  /** Exact top-k by INNER PRODUCT vs a constant query vector — MIPS
+    * (maximum inner product search), the retrieval objective when vector
+    * magnitudes carry signal (e.g. popularity-scaled item embeddings),
+    * where cosine's normalization would erase it. Same sequential-fold
+    * arithmetic as [[bruteForceTopK]] minus the norms, so the s12 oracle
+    * mirrors every digit. */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      round(VectorFunctions.dot(col(vecCol), vecLit(query)), 6).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** Approximate MIPS by the norm-augmentation reduction (Bachrach et
+    * al. 2014; Shrivastava & Li 2014): append one coordinate
+    * sqrt(M² − ‖v‖²) to every corpus vector (M = max corpus norm) and 0
+    * to the query — all augmented corpus vectors then share norm M, so
+    * cos(q⁺, v⁺) = ⟨q,v⟩ / (‖q‖·M) is MONOTONE in the inner product and
+    * the integer-exact sign-LSH banding of [[quantizedLshTopK]] applies
+    * unchanged. Candidates are ranked by the exact inner product.
+    *
+    * Scale shape: M is ONE partial-agg scalar (the only driver value);
+    * banding/bucketing then behaves exactly like the cosine ANN path —
+    * fixed-width candidate shuffles, no all-pairs anywhere. */
+  def mipsTopKQuantized(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, bandBits: Int = 4,
+      bandCount: Int = 8): DataFrame = {
+    val m2 = df.agg(max(VectorFunctions.dot(col(vecCol), col(vecCol))))
+      .collect()(0).getDouble(0)
+    val aug = concat(transform(col(vecCol), x => x.cast("double")),
+      array(sqrt(greatest(
+        lit(m2) - VectorFunctions.dot(col(vecCol), col(vecCol)), lit(0.0)))))
+    val qb = quantizedBuckets(query :+ 0.0, bandBits, bandCount)
+    val candidate = (0 until bandCount).map(b =>
+      quantizedLshBucket(aug, bandBits, b) === lit(qb(b)))
+      .reduce(_ || _)
+    df.filter(candidate)
+      .select(col(idCol).as("vec_id"),
+        round(VectorFunctions.dot(col(vecCol), vecLit(query)), 6).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def withRecallContract(exact: DataFrame, approx: DataFrame,
       keyCols: Seq[String], minHits: Int, flagCol: String): DataFrame = {
     // the ground-truth subtree (a full exact scan) feeds BOTH the flag's

@@ -464,7 +464,45 @@ object SimilarityQueries {
       |FROM a JOIN b USING (dim)
       |ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- s12
+  /** MIPS (maximum inner product search) under the s02 accuracy-contract
+    * shape: the row surface is the exact inner-product top-10 — the s01
+    * double-fold mirror minus the norm divisions — and
+    * [[Similarity.mipsTopKQuantized]] runs the norm-augmentation
+    * reduction (append sqrt(M²−‖v‖²); MIPS becomes cosine) through the
+    * integer-exact sign-LSH banding in-engine to produce
+    * `mips_recall_ok`, pinned TRUE. Bound ≥ 4 of 10 on this corpus
+    * (chance E[hits] = k²/n ≈ 0.2). MIPS ≠ cosine on this data: vector
+    * norms vary, so the top-10 by inner product genuinely differs from
+    * s01's cosine top-10. */
+  def s12MipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    val e = emb(spark, dir)
+    Similarity.withRecallContract(
+      Similarity.mipsTopK(e, "vec_id", "embedding", q, 10),
+      Similarity.mipsTopKQuantized(e, "vec_id", "embedding", q, 10,
+        bandBits = 4, bandCount = 8),
+      Seq("vec_id"), minHits = 4, flagCol = "mips_recall_ok")
+      .orderBy(org.apache.spark.sql.functions.col("dot").desc,
+        org.apache.spark.sql.functions.col("vec_id").asc)
+  }
+
+  val s12Sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |gt AS (
+      |  SELECT vec_id,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+      |      6) AS dot
+      |  FROM embeddings, q
+      |  ORDER BY dot DESC, vec_id ASC
+      |  LIMIT 10)
+      |SELECT vec_id, dot, TRUE AS mips_recall_ok FROM gt
+      |ORDER BY dot DESC, vec_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s12_mips" -> (s12MipsTopK _, s12Sql),
     "s11_embedding_drift" -> (s11EmbeddingDrift _, s11Sql),
     "s09_ann_pq" -> (s09PqTopK _, s09Sql),
     "s10_hard_negatives" -> (s10HardNegatives _, s10Sql),

@@ -349,6 +349,39 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped(1L) && capped(101L) && capped(102L), capped.toString)
   }
 
+  test("MIPS: norm dominates cosine; augmented LSH recall on scaled data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // unit-ish directions with WIDELY varying magnitudes: the MIPS winner
+    // is the large-norm vector aligned with the query, which cosine
+    // ranking would ignore
+    val pts = (0 until 500).map { i =>
+      val dir = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(dir.map(x => x * x).sum)
+      val scale = 1.0 + (i % 10) // norms 1..10
+      (i.toLong, dir.map(x => (x / n * scale).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val query = pts.head._2.map(_.toDouble)
+    val brute = Similarity.mipsTopK(df, "vec_id", "embedding", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    // ground truth independently on the driver
+    def dot(a: Array[Float], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expect = pts.sortBy(p => -dot(p._2, query)).take(20).map(_._1).toSet
+    assert(brute == expect, "engine MIPS top-k must equal driver top-k")
+    // the top-20 by inner product skews to large norms (scale ≥ 6 ⇒
+    // i%10 ≥ 5); cosine's top-20 would be norm-blind
+    val bigNorm = brute.count(_ % 10 >= 5)
+    assert(bigNorm >= 15, s"MIPS should prefer large norms, got $bigNorm/20")
+    // augmented quantized LSH clears the same recall regime the s12 gate
+    // pins (≥ 4/10 on uniform corpus; clustered-by-norm data here)
+    val approx = Similarity.mipsTopKQuantized(
+      df, "vec_id", "embedding", query, 20).collect().map(_.getLong(0)).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"augmented-LSH MIPS recall was $recall")
+  }
+
   test("ANN: brute-force exact; LSH recall ≥ 0.8 on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
