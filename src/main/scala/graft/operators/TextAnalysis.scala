@@ -634,4 +634,71 @@ object TextAnalysis {
         expr(s"substring(__chunk_src, cast(chunk_idx * $step as int) + 1, $size)")
           .as("chunk"))
   }
+
+  /** Kneser–Ney smoothed bigram language-model scoring (Kneser & Ney
+    * 1995), absolute discount D = 3/4, in MIRRORABLE arithmetic: every
+    * probability is built from integer counts with a fixed IEEE
+    * +,−,×,÷ sequence (no log, no exp), and the per-document aggregate
+    * sidesteps float-summation order by summing ROUND(p·10¹²) BIGINT
+    * fixed-point charges — integer addition commutes, so any partitioning
+    * and any engine reproduce the totals bit-for-bit (the t21/q29
+    * discipline applied to a real smoothed LM).
+    *
+    * Model, for a scored bigram (w′, w) against training counts:
+    *   P_cont(w)   = N₁₊(·w) / N₁₊(··)          (continuation probability;
+    *                 unseen w backs off to a 0.5 pseudo-type)
+    *   P_KN(w|w′) = max(c(w′,w) − D, 0)/c(w′·)
+    *                 + D·N₁₊(w′·)/c(w′·) · P_cont(w)
+    *   and P_KN = P_cont when w′ was never a context in training.
+    * With D = 3/4 both terms are written over a common ×4 integerized
+    * numerator so the mirror is a textual copy.
+    *
+    * Scale shape: the LM is three partial-agg count tables (bigram,
+    * per-context rollup, per-continuation rollup) + one scalar; scoring
+    * is the document bigram stream joined to them on (w′,w)/w′/w — the
+    * same fixed-width equi-join shape as t21, no window, no sort.
+    *
+    * @return (idCol, n_bigrams, unseen_ctx, kn_sum_fix, kn_avg_prob) */
+  def knBigramScore(lm: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.filter(trim(col(textCol)) =!= "")
+        .select(col(idCol), words(col(textCol)).as("t"))
+    def bigrams(d: org.apache.spark.sql.DataFrame) =
+      toks(d).select(col(idCol), explode(expr(
+        "filter(zip_with(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "slice(t, 2, greatest(size(t) - 1, 0)), " +
+          "(a, b) -> struct(a AS w1, b AS w2)), " +
+          "p -> p.w1 <> '' AND p.w2 <> '')")).as("bg"))
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams(lm).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ctx = c2.groupBy("w1")
+      .agg(sum(col("c2")).as("cw"), count(lit(1)).as("n1fwd"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val nt = c2.agg(count(lit(1)).as("ntypes"))
+    val pcont = coalesce(col("ncont").cast("double"), lit(0.5d)) /
+      col("ntypes").cast("double")
+    val c2d = coalesce(col("c2"), lit(0L)).cast("double")
+    val cwd = col("cw").cast("double")
+    val p = when(col("cw").isNull, pcont)
+      .otherwise(
+        greatest(c2d * lit(4.0d) - lit(3.0d), lit(0.0d)) / (cwd * lit(4.0d)) +
+          ((lit(3.0d) * col("n1fwd").cast("double")) / (cwd * lit(4.0d))) *
+            pcont)
+    bigrams(score)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(nt))
+      .withColumn("p_fix", round(p * lit(1.0e12d)).cast("long"))
+      .withColumn("unseen", when(col("cw").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("unseen_ctx"),
+        sum(col("p_fix")).as("kn_sum_fix"))
+      .withColumn("kn_avg_prob",
+        round(col("kn_sum_fix").cast("double") / lit(1.0e12d) /
+          col("n_bigrams").cast("double"), 9))
+  }
 }

@@ -1001,6 +1001,7 @@ object TextQueries {
     "t20_hybrid_retrieval" -> (t20HybridRetrieval _, t20Sql),
     "t21_bigram_surprise" -> (t21BigramSurprise _, t21Sql),
     "t22_dsir_weights" -> (t22DsirWeights _, t22Sql),
+    "t26_kneser_ney" -> (t26KneserNey _, t26Sql),
   )
 
   // ---------------------------------------------------------------- t21
@@ -1112,5 +1113,63 @@ object TextQueries {
       |  ((SUM(cnt * rb) - SUM(cnt * tb)) * 1000 // SUM(cnt))::BIGINT
       |    AS mean_millibits,
       |  SUM(cnt * rb) - SUM(cnt * tb) > 0 AS keep
+      |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t26
+  /** Kneser–Ney smoothed bigram LM scoring
+    * ([[TextAnalysis.knBigramScore]]): the LM trains on the t21 split
+    * (doc_id % 4 ≠ 0) and every document is scored by its average KN
+    * bigram probability — the genuinely smoothed upgrade of t21's
+    * bucketed backoff, with continuation counts doing the work Kneser–
+    * Ney is famous for. Held-out docs (doc_id % 4 = 0) exercise the
+    * unseen-bigram discount path, the unseen-context backoff, and the
+    * unseen-continuation pseudo-type. Every per-bigram probability is a
+    * fixed IEEE formula over integer counts and accumulates as
+    * ROUND(p·10¹²) BIGINT — the oracle replays every charge exactly. */
+  def t26KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextAnalysis.knBigramScore(
+      d.filter(pmod(col("doc_id"), lit(4)) =!= 0), d, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val t26Sql: String =
+    """WITH lm AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id % 4 <> 0 AND TRIM(text) <> ''),
+      |sc AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |c2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2
+      |  FROM (SELECT UNNEST(t[1:LEN(t)-1]) AS w1, UNNEST(t[2:LEN(t)]) AS w2
+      |        FROM lm)
+      |  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+      |ctx AS (SELECT w1, SUM(c2)::BIGINT AS cw, COUNT(*)::BIGINT AS n1fwd
+      |        FROM c2 GROUP BY 1),
+      |cont AS (SELECT w2, COUNT(*)::BIGINT AS ncont FROM c2 GROUP BY 1),
+      |nt AS (SELECT COUNT(*)::BIGINT AS ntypes FROM c2),
+      |doc_bg AS (
+      |  SELECT doc_id, UNNEST(t[1:LEN(t)-1]) AS w1, UNNEST(t[2:LEN(t)]) AS w2
+      |  FROM sc),
+      |scored AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN ctx.cw IS NULL THEN 1 ELSE 0 END AS unseen,
+      |    ROUND((CASE WHEN ctx.cw IS NULL
+      |      THEN COALESCE(cont.ncont::DOUBLE, 0.5) / nt.ntypes::DOUBLE
+      |      ELSE GREATEST(COALESCE(c2.c2, 0)::DOUBLE * 4.0 - 3.0, 0.0)
+      |             / (ctx.cw::DOUBLE * 4.0)
+      |           + ((3.0 * ctx.n1fwd::DOUBLE) / (ctx.cw::DOUBLE * 4.0))
+      |             * (COALESCE(cont.ncont::DOUBLE, 0.5) / nt.ntypes::DOUBLE)
+      |      END) * 1e12)::BIGINT AS p_fix
+      |  FROM doc_bg d
+      |  LEFT JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+      |  LEFT JOIN ctx ON ctx.w1 = d.w1
+      |  LEFT JOIN cont ON cont.w2 = d.w2
+      |  CROSS JOIN nt
+      |  WHERE d.w1 <> '' AND d.w2 <> '')
+      |SELECT doc_id, COUNT(*) AS n_bigrams, SUM(unseen)::BIGINT AS unseen_ctx,
+      |  SUM(p_fix)::BIGINT AS kn_sum_fix,
+      |  ROUND(SUM(p_fix)::DOUBLE / 1e12 / COUNT(*)::DOUBLE, 9) AS kn_avg_prob
       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 }

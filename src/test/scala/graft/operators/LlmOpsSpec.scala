@@ -1137,6 +1137,40 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall was $recall")
   }
 
+  test("Kneser-Ney: P(w|ctx) sums to 1 over vocab; backoff paths fire") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "a cat and a dog sat")).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "dog", "log", "a", "and")
+    // one probe document per (ctx, w) pair: its single bigram's
+    // kn_avg_prob IS P_KN(w|ctx)
+    def probs(ctx: String): Map[String, Double] = {
+      val probes = vocab.zipWithIndex
+        .map { case (w, i) => (i.toLong, s"$ctx $w") }.toDF("doc_id", "text")
+      TextAnalysis.knBigramScore(train, probes, "doc_id", "text")
+        .collect().map(r => vocab(r.getLong(0).toInt) ->
+          r.getDouble(r.fieldIndex("kn_avg_prob"))).toMap
+    }
+    // seen context: the discount mass redistributes exactly — the
+    // telescoping sum [Σc − D·N1+] / cw + D·N1+/cw · Σ P_cont = 1
+    // (P_cont sums to 1 over the TRAINING vocabulary by construction)
+    for (ctx <- Seq("the", "sat", "a")) {
+      val total = probs(ctx).values.sum
+      assert(math.abs(total - 1.0) < 1e-6, s"ctx=$ctx sums to $total")
+    }
+    val pThe = probs("the")
+    // seen bigram ("the cat") outweighs unseen-under-this-context
+    // ("the log"), which still gets positive continuation mass
+    assert(pThe("cat") > pThe("log") && pThe("log") > 0, pThe.toString)
+    // unseen context backs off to the continuation distribution alone
+    val pZ = probs("zzz")
+    assert(math.abs(pZ.values.sum - 1.0) < 1e-6, s"unseen ctx: ${pZ.values.sum}")
+    // frequent-as-continuation words score higher there than rare ones
+    assert(pZ("sat") > pZ("mat"), pZ.toString)
+  }
+
   test("dsir weights: hand-computed charges, backoff floor, keep sign") {
     import spark.implicits._
     // Distinct buckets for x/y/z (asserted below, 4096 buckets): the
