@@ -25,7 +25,7 @@ object HeavyHitters {
 
   /** Hash of `s` for sketch row `d` (seeded FNV-1a + splitmix finalizer —
     * same mixing discipline as the LSH hyperplanes). */
-  private[operators] def rowIndex(s: String, d: Int, width: Int, seed: Long): Int = {
+  private[graft] def rowIndex(s: String, d: Int, width: Int, seed: Long): Int = {
     val h = GraftHash.mix64(
       GraftHash.fnv1a64Seeded(s.getBytes("UTF-8"), seed) ^
         (d + 1) * 0x9e3779b97f4a7c15L)

@@ -602,7 +602,72 @@ object ConnectorQueries {
       |FROM tgt t JOIN nk USING (slice) JOIN est e USING (slice)
       |ORDER BY slice""".stripMargin
 
+  // ----------------------------------------- excel_stream_heavyhitters
+  /** Streaming count–min heavy hitters
+    * ([[graft.streaming.StreamingHeavyHitters.countMin]]): orders rows
+    * arrive as two xlsx micro-batches; keyed state per order status holds
+    * the depth×width count–min registers plus the tracked key set, and
+    * every batch emits per-key estimate snapshots. Because CM registers
+    * are SUMS, the streaming state is bit-identical to the batch sketch
+    * over the same rows — and on this key set (5 priorities hashed into
+    * 4×1024 registers, collision-free in at least one row per key, a
+    * data-independent property of the key strings + seed) the estimate
+    * equals the exact count, so the oracle is the exact GROUP BY (the
+    * q30 contract carried into streaming). */
+  def excelStreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_hh_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    o.filter(pmod(col("o_orderkey"), lit(8)) === 0)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    o.filter(pmod(col("o_orderkey"), lit(8)) === 4)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"excel_stream_hh_${math.abs(dir.hashCode)}"
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = graft.streaming.StreamingHeavyHitters.countMin(
+      ss.readStream.format("excel").schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in.getAbsolutePath),
+      "o_orderstatus", "o_orderpriority")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // n_total is monotone per slice: keep each key's final snapshot
+    ss.table(qname).groupBy("slice", "key")
+      .agg(max(struct(col("n_total"), col("est_count"))).as("m"))
+      .select(col("slice"), col("key"),
+        col("m.n_total").as("n_total"), col("m.est_count").as("est_count"))
+      .orderBy("slice", "key")
+  }
+
+  val excelStreamHeavyHittersSql: String =
+    """SELECT o_orderstatus AS slice, o_orderpriority AS key,
+      |  (SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus))::BIGINT AS n_total,
+      |  COUNT(*)::BIGINT AS est_count
+      |FROM orders WHERE o_orderkey % 4 = 0
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY slice, key""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "excel_stream_heavyhitters" ->
+      (excelStreamHeavyHitters _, excelStreamHeavyHittersSql),
     "excel_stream_quantile" -> (excelStreamQuantile _, excelStreamQuantileSql),
     "excel_stream_cdc" -> (excelStreamCdc _, excelStreamCdcSql),
     "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
