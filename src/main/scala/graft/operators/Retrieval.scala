@@ -129,4 +129,64 @@ object Retrieval {
       .select(col(queryCol), col("rank"), col(idCol), col("rrf_micro"),
         col("rank_a"), col("rank_b"))
   }
+
+  /** MMR — maximal marginal relevance (Carbonell & Goldstein 1998):
+    * greedily select k items maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), the classic
+    * relevance-vs-redundancy re-rank retrieval and data-selection
+    * pipelines run over a bounded candidate pool.
+    *
+    * Spark-first shape: greedy selection is inherently sequential in k,
+    * so this runs k FIXED rounds of declarative jobs (the d12/g01
+    * fixed-round discipline) over the localCheckpointed candidate pool —
+    * each round is one anti-join (drop already-selected), one broadcast
+    * join against the ≤ k selected vectors, one partial-aggregated
+    * max-sim rollup, and a top-1 pick. The pool is top-N from a
+    * DISTRIBUTED retrieval stage (s01/t16/t20), so at 100 TB the corpus
+    * is never touched here — N stays bounded by construction and only
+    * (id, vector, rel) rows ever move.
+    *
+    * Determinism: rel and every pairwise sim are rounded to 6 decimals
+    * BEFORE scoring; the score is the fixed IEEE form
+    * 0.7·rel − 0.3·maxsim (λ hard-coded rational), ties break on id
+    * ascending — an oracle replays the greedy walk exactly.
+    *
+    * @param cand bounded candidate pool: (idCol, vecCol, relCol)
+    * @return (step, idCol, rel, maxsim, mmr) — the k picks in order */
+  def mmrSelect(cand: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val c = cand.select(col(idCol), col(vecCol).as("__v"),
+      col(relCol).as("rel")).localCheckpoint()
+    def score(rel: Column, maxsim: Column): Column =
+      lit(0.7d) * rel - lit(0.3d) * maxsim
+    val first = c
+      .orderBy(col("rel").desc, col(idCol).asc).limit(1)
+      .select(lit(1).as("step"), col(idCol), col("rel"),
+        lit(0.0d).as("maxsim"),
+        round(score(col("rel"), lit(0.0d)), 6).as("mmr"), col("__v"))
+    var selected = first.localCheckpoint()
+    var step = 2
+    while (step <= k) {
+      val selVecs = selected.select(col(idCol).as("__sid"),
+        col("__v").as("__sv"))
+      val next = c
+        .join(selected.select(col(idCol)), Seq(idCol), "left_anti")
+        .crossJoin(broadcast(selVecs))
+        .select(col(idCol), col("rel"),
+          round(VectorFunctions.cosine(col("__v"), col("__sv")), 6)
+            .as("__sim"), col("__v"))
+        .groupBy(col(idCol))
+        .agg(first_value(col("rel")).as("rel"), max(col("__sim")).as("maxsim"),
+          first_value(col("__v")).as("__v"))
+        .withColumn("mmr", round(score(col("rel"), col("maxsim")), 6))
+        .orderBy(col("mmr").desc, col(idCol).asc).limit(1)
+        .select(lit(step).as("step"), col(idCol), col("rel"), col("maxsim"),
+          col("mmr"), col("__v"))
+      selected = selected.unionByName(next).localCheckpoint()
+      step += 1
+    }
+    selected.select(col("step"), col(idCol), col("rel"), col("maxsim"),
+      col("mmr"))
+  }
 }

@@ -501,7 +501,79 @@ object SimilarityQueries {
       |SELECT vec_id, dot, TRUE AS mips_recall_ok FROM gt
       |ORDER BY dot DESC, vec_id ASC""".stripMargin
 
+  // ---------------------------------------------------------------- s13
+  /** MMR diversified selection ([[graft.operators.Retrieval.mmrSelect]]):
+    * retrieve the cosine top-12 for the vec_id=0 query (the s01
+    * distributed stage), then greedily pick 5 maximizing
+    * 0.7·rel − 0.3·max-sim-to-already-picked — the relevance-vs-
+    * redundancy re-rank RAG and few-shot-selection pipelines run. Every
+    * rel and pairwise sim is rounded to 6 decimals before scoring, so
+    * the DuckDB oracle replays the whole greedy walk in one recursive
+    * CTE — the selection ORDER is part of the hashed surface (`step`). */
+  def s13MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    val e = emb(spark, dir)
+    val cand = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 12)
+      .withColumnRenamed("cos", "rel")
+      .join(e, "vec_id")
+    graft.operators.Retrieval.mmrSelect(cand, "vec_id", "embedding", "rel",
+      k = 5)
+      .orderBy(org.apache.spark.sql.functions.col("step"))
+  }
+
+  val s13Sql: String =
+    """WITH RECURSIVE
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT vec_id, embedding,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS rel
+      |  FROM embeddings, q
+      |  ORDER BY rel DESC, vec_id ASC
+      |  LIMIT 12),
+      |simm AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS sim
+      |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      |sel(step, picked, prev) AS (
+      |  SELECT 1 AS step,
+      |    (SELECT vec_id FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)
+      |      AS picked,
+      |    []::BIGINT[] AS prev
+      |  UNION ALL
+      |  SELECT s.step + 1,
+      |    (SELECT c.vec_id FROM cand c
+      |     WHERE NOT list_contains(list_append(s.prev, s.picked), c.vec_id)
+      |     ORDER BY ROUND(0.7 * c.rel - 0.3 *
+      |         (SELECT MAX(m.sim) FROM simm m WHERE m.ia = c.vec_id
+      |            AND list_contains(list_append(s.prev, s.picked), m.ib)),
+      |         6) DESC,
+      |       c.vec_id ASC
+      |     LIMIT 1),
+      |    list_append(s.prev, s.picked)
+      |  FROM sel s WHERE s.step < 5)
+      |SELECT s.step::INT AS step, s.picked AS vec_id, c.rel,
+      |  COALESCE((SELECT MAX(m.sim) FROM simm m
+      |            WHERE m.ia = s.picked AND list_contains(s.prev, m.ib)),
+      |           0.0) AS maxsim,
+      |  ROUND(0.7 * c.rel - 0.3 *
+      |    COALESCE((SELECT MAX(m.sim) FROM simm m
+      |              WHERE m.ia = s.picked AND list_contains(s.prev, m.ib)),
+      |             0.0), 6) AS mmr
+      |FROM sel s JOIN cand c ON c.vec_id = s.picked
+      |ORDER BY step""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s13_mmr_diversify" -> (s13MmrDiversify _, s13Sql),
     "s12_mips" -> (s12MipsTopK _, s12Sql),
     "s11_embedding_drift" -> (s11EmbeddingDrift _, s11Sql),
     "s09_ann_pq" -> (s09PqTopK _, s09Sql),

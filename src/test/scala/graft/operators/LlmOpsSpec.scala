@@ -1137,6 +1137,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall was $recall")
   }
 
+  test("MMR: skips the redundant near-twin, picks the diverse doc") {
+    import spark.implicits._
+    // candidates: id 1 = best rel; id 2 = near-identical twin of 1 with
+    // 2nd-best rel; id 3 = orthogonal direction, lower rel. Pure
+    // relevance ranking picks (1, 2); MMR must pick (1, 3): the twin's
+    // redundancy penalty 0.3·~1.0 dwarfs its 0.7·0.05 rel edge.
+    val cand = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0.95),
+      (2L, Array(0.999f, 0.04f, 0.0f), 0.90),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0.60),
+      (4L, Array(0.0f, 0.9f, 0.4f), 0.55)
+    ).toDF("vec_id", "embedding", "rel")
+    val picks = Retrieval.mmrSelect(cand, "vec_id", "embedding", "rel", k = 3)
+      .orderBy("step").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(picks.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"expected diversity-aware order, got ${picks.toSeq}")
+    // and the scores are the fixed formula over rounded sims
+    val r2 = Retrieval.mmrSelect(cand, "vec_id", "embedding", "rel", k = 3)
+      .filter(col("step") === 2).collect()(0)
+    assert(math.abs(r2.getDouble(r2.fieldIndex("mmr")) -
+      (0.7 * 0.60 - 0.3 * 0.0)) < 1e-9) // doc 3 ⊥ doc 1: maxsim = 0
+  }
+
   test("Kneser-Ney: P(w|ctx) sums to 1 over vocab; backoff paths fire") {
     import spark.implicits._
     val train = Seq(
