@@ -997,7 +997,86 @@ object RelationalQueries {
       |FROM cells JOIN sizes ON sizes.cohort_week = cells.cohort_week
       |ORDER BY cells.cohort_week, k""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** MAXIMUM CONCURRENCY sweep — how many intervals overlap at the peak,
+    * and when the peak first occurs — the classic +1/−1 endpoint sweep
+    * behind concurrent-sessions, capacity and license-audit queries.
+    * Each event opens an interval of (event_id % 7 + 1) minutes.
+    *
+    * The naive sweep is a GLOBAL running sum — a single-partition sort
+    * per event type, the scale killer. This runs the distributed
+    * TWO-PHASE PREFIX SUM instead: (1) endpoints bucket by hour and a
+    * partial-agg rollup computes each bucket's net delta; (2) a window
+    * over the BUCKET TABLE (rows = time-span hours, thousands — never
+    * the data) turns deltas into per-bucket starting offsets;
+    * (3) the within-bucket running sum windows on (type, bucket) — fully
+    * parallel across buckets — and adds the offset. Max and first-peak
+    * come from one max_by-style struct aggregate, no second pass.
+    *
+    * Tie discipline: simultaneous endpoints order (t, d) so closes
+    * (−1) precede opens (+1) — half-open [s, e) intervals, zero-length
+    * overlap does not count. Within equal (t, d) the prefix-sum MULTISET
+    * is permutation-invariant (equal deltas), so max and first-peak are
+    * engine-independent — the oracle runs the single-window formulation
+    * and must agree exactly. */
+  def q56MaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = EventTime.load(spark, dir)
+      .select($"event_type", $"ts_us", $"event_id")
+    val dur = (pmod($"event_id", lit(7)) + 1) * lit(60000000L)
+    val endpoints = ev.select($"event_type", $"ts_us".as("t"), lit(1L).as("d"))
+      .unionAll(ev.select($"event_type", ($"ts_us" + dur).as("t"),
+        lit(-1L).as("d")))
+      .withColumn("bucket", expr("t div 3600000000"))
+    val perBucket = endpoints.groupBy($"event_type", $"bucket")
+      .agg(sum($"d").as("delta"))
+    val wOff = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("offset", coalesce(sum($"delta").over(wOff), lit(0L)))
+      .select($"event_type", $"bucket", $"offset")
+    val wRun = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"t", $"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    endpoints.join(offsets, Seq("event_type", "bucket"))
+      .withColumn("concur", $"offset" + sum($"d").over(wRun))
+      .groupBy($"event_type")
+      .agg(max(struct($"concur", (-$"t").as("negt"))).as("m"),
+        count(lit(1)).as("n_endpoints"))
+      .select($"event_type", $"m.concur".as("max_concurrent"),
+        (-$"m.negt").as("first_peak_us"), $"n_endpoints")
+      .orderBy($"event_type")
+  }
+
+  /** Single-window sweep formulation — must equal the distributed
+    * two-phase prefix sum exactly. */
+  val q56Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+      |ep AS (
+      |  SELECT event_type, ts_us AS t, 1 AS d FROM ev
+      |  UNION ALL
+      |  SELECT event_type, ts_us + (event_id % 7 + 1) * 60000000, -1 FROM ev),
+      |run AS (
+      |  SELECT event_type, t, d,
+      |    SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concur
+      |  FROM ep),
+      |mx AS (SELECT event_type, MAX(concur) AS max_concurrent
+      |       FROM run GROUP BY 1),
+      |n AS (SELECT event_type, COUNT(*) AS n_endpoints FROM ep GROUP BY 1)
+      |SELECT r.event_type, m.max_concurrent::BIGINT AS max_concurrent,
+      |  MIN(r.t)::BIGINT AS first_peak_us,
+      |  ANY_VALUE(n.n_endpoints)::BIGINT AS n_endpoints
+      |FROM run r
+      |JOIN mx m ON m.event_type = r.event_type
+      |         AND r.concur = m.max_concurrent
+      |JOIN n ON n.event_type = r.event_type
+      |GROUP BY r.event_type, m.max_concurrent
+      |ORDER BY r.event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q56_max_concurrency" -> (q56MaxConcurrency _, q56Sql),
     "q46_gap_fill" -> (q46GapFill _, q46Sql),
     "q47_funnel" -> (q47Funnel _, q47Sql),
     "q48_retention_cohorts" -> (q48RetentionCohorts _, q48Sql),

@@ -86,4 +86,62 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df.schema.nonEmpty, s"$g produced an empty schema")
     }
   }
+
+  test("q56: two-phase prefix sum == single-window sweep on tie-heavy data") {
+    import spark.implicits._
+    // adversarial: many simultaneous opens/closes, open==close instants,
+    // bucket boundaries crossed mid-interval
+    val rnd = new scala.util.Random(3)
+    val h = 3600000000L
+    val events = (0 until 4000).map { i =>
+      val t0 = (rnd.nextInt(6) * h / 2) + (rnd.nextInt(4) * 15L * 60000000L)
+      val dur = (rnd.nextInt(7) + 1) * 30L * 60000000L
+      ("t" + (i % 2), t0, t0 + dur)
+    }
+    val ep = events.toDF("event_type", "s", "e")
+      .select(col("event_type"), col("s").as("t"), lit(1L).as("d"))
+      .unionAll(events.toDF("event_type", "s", "e")
+        .select(col("event_type"), col("e").as("t"), lit(-1L).as("d")))
+      .withColumn("bucket", expr("t div 3600000000"))
+    import org.apache.spark.sql.expressions.Window
+    // single-window reference (the oracle's formulation)
+    val wAll = Window.partitionBy(col("event_type")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = ep.withColumn("concur", sum(col("d")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("concur"), (-col("t")).as("negt"))).as("m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(1).getLong(0), -r.getStruct(1).getLong(1))).toMap
+    // two-phase distributed formulation (the q56 engine shape)
+    val perBucket = ep.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("d")).as("delta"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("offset", coalesce(sum(col("delta")).over(wOff), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("offset"))
+    val wRun = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = ep.join(offsets, Seq("event_type", "bucket"))
+      .withColumn("concur", col("offset") + sum(col("d")).over(wRun))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("concur"), (-col("t")).as("negt"))).as("m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(1).getLong(0), -r.getStruct(1).getLong(1))).toMap
+    assert(got == ref,
+      s"two-phase $got != single-window $ref — prefix-sum decomposition broke")
+  }
+
+  test("q56 plan: the data window partitions by (type, bucket), not type") {
+    val plan = RelationalQueries.all("q56_max_concurrency")._1(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    // the running-sum window spec over the endpoint stream must include
+    // the hour bucket in its partitioning -- a window keyed on type alone
+    // would be the single-partition global sort this operator exists to
+    // avoid
+    assert(plan.contains("windowspecdefinition(event_type#") &&
+      plan.contains(", bucket#"),
+      s"expected a (event_type, bucket)-partitioned window:\n${plan.take(3000)}")
+  }
 }
