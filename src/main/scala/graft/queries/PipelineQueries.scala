@@ -1135,7 +1135,89 @@ object PipelineQueries {
       |  SUM(o_orderkey)::BIGINT AS key_sum
       |FROM diff GROUP BY change_type ORDER BY change_type""".stripMargin
 
+  // ---------------------------------------------------------------- p21
+  /** Layout-pruning EFFECTIVENESS audit — the "why z-order" receipt: the
+    * same events rows are chunked into 64 files under two layouts
+    * (linear by event_id vs p06's z-order over the two query dims), each
+    * file's min/max column stats are computed, and a 2-D box predicate
+    * is pruned against those stats exactly the way a parquet reader
+    * prunes on footer min/max. The z-ordered layout scans a small
+    * fraction of the files the linear layout touches for the SAME query
+    * — the quantified justification for p06's clustered write.
+    *
+    * This is an offline AUDIT op: at 100 TB the per-file min/max come
+    * from footer metadata (a listing-scale read, not a data scan), and
+    * the production write path is p06's repartitionByRange — the global
+    * ntile windows here exist to make the simulated chunking exactly
+    * mirrorable. All columns are integral, so the oracle replays file
+    * assignment, stats, and pruning decisions bit-for-bit. */
+  def p21LayoutPruning(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("uk", pmod(col("user_id"), lit(1024L)))
+      .withColumn("ek", pmod(col("event_id"), lit(1024L)))
+      .withColumn("zkey", graft.operators.Layout.zorderKey(
+        Seq(col("uk"), col("ek")), bits = 10))
+    val wLin = org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))
+    val wZ = org.apache.spark.sql.expressions.Window
+      .orderBy(col("zkey"), col("event_id"))
+    val assigned = e.select(lit("1_linear").as("layout"),
+        ntile(64).over(wLin).as("file"), col("uk"), col("ek"))
+      .unionByName(e.select(lit("2_zorder").as("layout"),
+        ntile(64).over(wZ).as("file"), col("uk"), col("ek")))
+    val stats = assigned.groupBy(col("layout"), col("file"))
+      .agg(min(col("uk")).as("min_uk"), max(col("uk")).as("max_uk"),
+        min(col("ek")).as("min_ek"), max(col("ek")).as("max_ek"),
+        count(lit(1)).as("n"))
+    val scanned = stats.withColumn("hit",
+      col("min_uk") <= 200 && col("max_uk") >= 100 &&
+        col("min_ek") <= 400 && col("max_ek") >= 300)
+    val matching = e.filter(col("uk").between(100, 200) &&
+      col("ek").between(300, 400))
+      .agg(count(lit(1)).as("rows_matching"))
+    scanned.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_scanned"))
+      .crossJoin(broadcast(matching))
+      .orderBy(col("layout"))
+  }
+
+  val p21Sql: String = {
+    val z = graft.operators.Layout.zorderKeySql(
+      Seq("user_id % 1024", "event_id % 1024"), bits = 10)
+    s"""WITH e AS (
+       |  SELECT event_id, user_id % 1024 AS uk, event_id % 1024 AS ek,
+       |    ($z)::BIGINT AS zkey
+       |  FROM events),
+       |assigned AS (
+       |  SELECT '1_linear' AS layout,
+       |    NTILE(64) OVER (ORDER BY event_id) AS file, uk, ek FROM e
+       |  UNION ALL
+       |  SELECT '2_zorder',
+       |    NTILE(64) OVER (ORDER BY zkey, event_id), uk, ek FROM e),
+       |stats AS (
+       |  SELECT layout, file, MIN(uk) AS min_uk, MAX(uk) AS max_uk,
+       |    MIN(ek) AS min_ek, MAX(ek) AS max_ek, COUNT(*) AS n
+       |  FROM assigned GROUP BY 1, 2),
+       |m AS (
+       |  SELECT COUNT(*) AS rows_matching FROM e
+       |  WHERE uk BETWEEN 100 AND 200 AND ek BETWEEN 300 AND 400)
+       |SELECT layout, COUNT(*)::BIGINT AS n_files,
+       |  SUM(CASE WHEN min_uk <= 200 AND max_uk >= 100
+       |            AND min_ek <= 400 AND max_ek >= 300
+       |      THEN 1 ELSE 0 END)::BIGINT AS files_scanned,
+       |  SUM(CASE WHEN min_uk <= 200 AND max_uk >= 100
+       |            AND min_ek <= 400 AND max_ek >= 300
+       |      THEN n ELSE 0 END)::BIGINT AS rows_scanned,
+       |  ANY_VALUE(m.rows_matching)::BIGINT AS rows_matching
+       |FROM stats CROSS JOIN m
+       |GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p21_layout_pruning" -> (p21LayoutPruning _, p21Sql),
     "p20_snapshot_diff" -> (p20SnapshotDiff _, p20Sql),
     "p19_incremental_curation" -> (p19IncrementalCuration _, p19Sql),
     "p18_curation_report" -> (p18CurationReport _, p18Sql),

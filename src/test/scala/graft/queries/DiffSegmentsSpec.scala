@@ -64,6 +64,25 @@ class DiffSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p21: pruning is sound (never drops matches) and z-order wins") {
+    // sf0.001's 1k events leave the 2-D box empty (0 files hit under
+    // both layouts) — the win is only observable at sf0.01+
+    val rows = PipelineQueries.all("p21_layout_pruning")
+      ._1(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (lin, zo) = (rows("1_linear"), rows("2_zorder"))
+    assert(lin._1 == 64 && zo._1 == 64)
+    // soundness: a pruned file can contain NO matching row, so scanned
+    // rows always cover the matches
+    assert(lin._3 >= lin._4 && zo._3 >= zo._4)
+    assert(lin._4 == zo._4, "same query, same matches under both layouts")
+    // the point of the audit: clustering by the query dims scans
+    // strictly fewer files than the linear layout
+    assert(zo._2 < lin._2,
+      s"z-order should prune more: zorder=${zo._2} linear=${lin._2}")
+  }
+
   test("p20: rollup counts match the mutation rules computed directly") {
     val got = PipelineQueries.all("p20_snapshot_diff")._1(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
