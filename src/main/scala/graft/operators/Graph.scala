@@ -379,4 +379,76 @@ object Graph {
     deg.unpersist()
     predicted
   }
+
+  /** k-TRUSS decomposition (Cohen 2008) by fixed peeling rounds: keep
+    * only edges whose SUPPORT (number of triangles containing the edge)
+    * is ≥ k−2, recompute support on the survivor graph, repeat. The
+    * truss is the edge-level strengthening of [[kCore]]: a 3-truss edge
+    * is embedded in at least one triangle of the surviving subgraph, so
+    * truss edges mark relationships corroborated by a third party —
+    * the "safe to trust this near-dup link" filter.
+    *
+    * Scale shape: support is computed by the SAME degree-ordered
+    * orientation as [[triangleCounts]] (Suri–Vassilvitskii) — each
+    * triangle is enumerated exactly once from bounded O(√E) oriented
+    * fan-out and exploded into its three edge contributions, one
+    * partial-agg rollup per round. Fixed `rounds` keeps the result a
+    * deterministic pure function of the graph (the [[kCore]] contract),
+    * so an oracle unrolls the same rounds.
+    *
+    * @return (id_a, id_b, support) — surviving canonical edges with
+    *         their support in the final survivor graph */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 4): DataFrame = {
+    require(k >= 3 && rounds >= 1)
+    var canon = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      canon = canon
+        .join(triangleSupport(canon), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    canon.join(triangleSupport(canon), Seq("a", "b"), "left")
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Per-edge triangle support over a canonical (a < b, deduped) edge
+    * set, via one oriented-wedge enumeration: each closed wedge
+    * (u, v, w) is one triangle, exploded into its three canonical
+    * edges. Edges in no triangle get no row (support 0 by absence). */
+  private def triangleSupport(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), "u")
+      .filter(col("v") =!= col("w"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"), "left_semi")
+    tri.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .union(tri.select(least(col("u"), col("w")).as("a"),
+        greatest(col("u"), col("w")).as("b")))
+      .union(tri.select(least(col("v"), col("w")).as("a"),
+        greatest(col("v"), col("w")).as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
 }

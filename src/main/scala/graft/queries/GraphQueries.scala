@@ -333,7 +333,62 @@ object GraphQueries {
        |JOIN deg dw ON dw.node = np.w
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- g07
+  /** 3-truss of the near-dup pair graph by four fixed peeling rounds
+    * ([[Graph.kTruss]]): surviving edges are corroborated by at least
+    * one triangle in the survivor graph — the edge-level strengthening
+    * of g04's node-level 2-core, and the "collapse only third-party-
+    * confirmed links" policy for aggressive dedup. The engine computes
+    * per-round support by degree-ordered oriented wedge enumeration
+    * (bounded fan-out); the oracle unrolls the same rounds with the
+    * naive common-neighbor join, which must agree exactly. */
+  def g07KTruss(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    Graph.kTruss(edges, "id_a", "id_b", k = 3, rounds = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val g07Sql: String = {
+    // AS MATERIALIZED throughout: each round reads the prior edge set
+    // three times (edge list + both sym probes) — inlining would
+    // recompute the d04 base exponentially
+    val round = (r: Int) =>
+      s"""sup$r AS MATERIALIZED (
+         |  SELECT l.a, l.b, COUNT(*) AS sup
+         |  FROM e${r - 1} l
+         |  JOIN sym${r - 1} x ON x.a = l.a
+         |  JOIN sym${r - 1} y ON y.a = l.b AND y.b = x.b
+         |  GROUP BY l.a, l.b),
+         |e$r AS MATERIALIZED (
+         |  SELECT l.a, l.b FROM e${r - 1} l
+         |  JOIN sup$r s ON s.a = l.a AND s.b = l.b AND s.sup >= 1),
+         |sym$r AS MATERIALIZED (
+         |  SELECT a, b FROM e$r UNION ALL SELECT b, a FROM e$r)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |${DedupQueries.all("d04_ngram_jaccard")._2}
+       |),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+       |  FROM pairs WHERE id_a <> id_b),
+       |sym0 AS MATERIALIZED (
+       |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |supF AS (
+       |  SELECT l.a, l.b, COUNT(*) AS sup
+       |  FROM e4 l
+       |  JOIN sym4 x ON x.a = l.a
+       |  JOIN sym4 y ON y.a = l.b AND y.b = x.b
+       |  GROUP BY l.a, l.b)
+       |SELECT e.a AS id_a, e.b AS id_b,
+       |  COALESCE(s.sup, 0)::BIGINT AS support
+       |FROM e4 e LEFT JOIN supF s ON s.a = e.a AND s.b = e.b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g07_ktruss" -> (g07KTruss _, g07Sql),
     "g01_pagerank" -> (g01PageRank _, g01Sql),
     "g02_triangles" -> (g02Triangles _, g02Sql),
     "g03_personalized_pagerank" -> (g03PersonalizedPageRank _, g03Sql),

@@ -276,4 +276,25 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // capped below the hub degree: leaves (degree 1) generate no wedges
     assert(runCn(star, cap = 4L).isEmpty)
   }
+
+  test("kTruss: keeps triangle-corroborated edges, peels chains and tails") {
+    import spark.implicits._
+    def truss(edges: Seq[(Long, Long)]): Map[(Long, Long), Long] =
+      Graph.kTruss(edges.toDF("src", "dst"), "src", "dst", k = 3, rounds = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // triangle + pendant tail: the three triangle edges survive with
+    // support 1; the tail edge (3,4) is in no triangle and peels
+    val t1 = truss(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(t1 == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L), t1)
+    // two triangles sharing edge (2,3): the shared edge has support 2
+    val bow = truss(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(bow((2L, 3L)) == 2L, bow.toString)
+    assert(bow.size == 5 && bow.count(_._2 == 1L) == 4, bow.toString)
+    // path edge attached to a triangle vertex pair: (2,3) touches the
+    // triangle {1,3,4} only through vertex 3, has no common neighbor
+    // with its other endpoint, and peels; the triangle's edges survive
+    val sq = truss(Seq((2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)))
+    assert(sq.keySet == Set((3L, 4L), (1L, 4L), (1L, 3L)), sq.toString)
+  }
 }
