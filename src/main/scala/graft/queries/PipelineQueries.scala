@@ -1216,7 +1216,82 @@ object PipelineQueries {
        |GROUP BY layout ORDER BY layout""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p22
+  /** Declarative data-quality constraint suite
+    * ([[graft.operators.QualityConstraints.check]], the Deequ /
+    * great-expectations shape): seven constraints over orders —
+    * completeness, two value-bound checks (one passing, one designed to
+    * FAIL so the verdict path is exercised), pattern conformance, two
+    * uniqueness checks (key unique, customer deliberately not), and a
+    * broadcast FK containment probe against customer. All row-local
+    * metrics fold into ONE scan; metrics are integral micro-fractions,
+    * so every verdict and metric mirrors exactly. */
+  def p22QualityConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityConstraints._
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    check(o, Seq(
+      Complete("1_complete_status", "o_orderstatus", 1000000L),
+      Bounded("2_price_positive", "o_totalprice", 0.0, 1.0e9),
+      Bounded("3_price_under_100k", "o_totalprice", 0.0, 100000.0),
+      Pattern("4_priority_pattern", "o_orderpriority", "^[1-5]-", 1000000L),
+      Unique("5_unique_orderkey", "o_orderkey"),
+      Unique("6_unique_custkey", "o_custkey"),
+      ContainedIn("7_fk_custkey", "o_custkey", c, "c_custkey")))
+  }
+
+  val p22Sql: String =
+    """SELECT '1_complete_status' AS check_name,
+      |  (COUNT(o_orderstatus) * 1000000 // COUNT(*))::BIGINT AS metric_micro,
+      |  COUNT(o_orderstatus) * 1000000 // COUNT(*) >= 1000000 AS passed
+      |FROM orders
+      |UNION ALL
+      |SELECT '2_price_positive',
+      |  SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1e9
+      |      THEN 1 ELSE 0 END)::BIGINT,
+      |  SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1e9
+      |      THEN 1 ELSE 0 END) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT '3_price_under_100k',
+      |  SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 100000
+      |      THEN 1 ELSE 0 END)::BIGINT,
+      |  SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 100000
+      |      THEN 1 ELSE 0 END) = 0
+      |FROM orders
+      |UNION ALL
+      |SELECT '4_priority_pattern',
+      |  (SUM(CASE WHEN REGEXP_MATCHES(o_orderpriority, '^[1-5]-')
+      |       THEN 1 ELSE 0 END) * 1000000
+      |   // COUNT(o_orderpriority))::BIGINT,
+      |  SUM(CASE WHEN REGEXP_MATCHES(o_orderpriority, '^[1-5]-')
+      |      THEN 1 ELSE 0 END) * 1000000
+      |   // COUNT(o_orderpriority) >= 1000000
+      |FROM orders
+      |UNION ALL
+      |SELECT '5_unique_orderkey',
+      |  (COUNT(DISTINCT o_orderkey) * 1000000 // COUNT(o_orderkey))::BIGINT,
+      |  COUNT(DISTINCT o_orderkey) = COUNT(o_orderkey)
+      |FROM orders
+      |UNION ALL
+      |SELECT '6_unique_custkey',
+      |  (COUNT(DISTINCT o_custkey) * 1000000 // COUNT(o_custkey))::BIGINT,
+      |  COUNT(DISTINCT o_custkey) = COUNT(o_custkey)
+      |FROM orders
+      |UNION ALL
+      |SELECT '7_fk_custkey',
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey = o.o_custkey))::BIGINT,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey IS NOT NULL
+      |     AND NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey = o.o_custkey)) = 0
+      |ORDER BY check_name""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p22_quality_constraints" -> (p22QualityConstraints _, p22Sql),
     "p21_layout_pruning" -> (p21LayoutPruning _, p21Sql),
     "p20_snapshot_diff" -> (p20SnapshotDiff _, p20Sql),
     "p19_incremental_curation" -> (p19IncrementalCuration _, p19Sql),

@@ -83,6 +83,28 @@ class DiffSegmentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z-order should prune more: zorder=${zo._2} linear=${lin._2}")
   }
 
+  test("p22: constraint verdicts on planted nulls, dups, and orphans") {
+    import spark.implicits._
+    import graft.operators.QualityConstraints._
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 10.0, "a"), (2L, 20.0, "b"), (3L, null, "c"), (4L, -5.0, "a"),
+      (4L, 30.0, null)).toDF("k", "v", "s")
+    val ref = Seq(1L, 2L, 3L).toDF("rk")
+    val out = check(df, Seq(
+      Complete("c1_v_complete", "v", 1000000L),      // 4/5 non-null → fail
+      Bounded("c2_v_nonneg", "v", 0.0, 100.0),       // -5.0 violates
+      Unique("c3_k_unique", "k"),                    // 4 dup → fail
+      Pattern("c4_s_lower", "s", "^[a-z]$", 1000000L), // nulls excluded → pass
+      ContainedIn("c5_k_fk", "k", ref, "rk")))       // k=4 orphan (twice)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out("c1_v_complete") == (800000L, false))
+    assert(out("c2_v_nonneg") == (1L, false))
+    assert(out("c3_k_unique") == (800000L, false))
+    assert(out("c4_s_lower") == (1000000L, true))
+    assert(out("c5_k_fk") == (2L, false))
+  }
+
   test("p20: rollup counts match the mutation rules computed directly") {
     val got = PipelineQueries.all("p20_snapshot_diff")._1(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
