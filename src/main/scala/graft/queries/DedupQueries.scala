@@ -1256,7 +1256,65 @@ object DedupQueries {
        |  ROUND(CAST(1 AS DOUBLE) / cluster_size::DOUBLE, 6) AS weight
        |FROM j ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d22
+  /** Winnowing fingerprint matching ([[Dedup.winnowPairs]] — Schleimer
+    * et al. 2003, the MOSS algorithm): ~2/(w+1) of each document's
+    * 4-word-gram hashes are SELECTED (window minimum, rightmost tie) with
+    * the guarantee that any shared run of ≥ w+k−1 words contributes a
+    * common fingerprint; docs then match purely through the sampled
+    * fingerprint table. Complements d02/d03 (whole-document sketches)
+    * and d10 (exhaustive span marking) with the sampled-index middle
+    * ground plagiarism detectors use. The selection is one window MIN
+    * over a packed (40-bit hash, 20-bit reversed position) integer, so
+    * the oracle replays every selection decision exactly. */
+  def d22WinnowingPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(docs(spark, dir), "doc_id", "text",
+      k = 4, w = 4, dfCap = 100L, minShared = 3L)
+      .orderBy("id_a", "id_b")
+
+  val d22Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT doc_id,
+      |    UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t) - 4 + 1, 1) + 1),
+      |      i -> {'p': i, 'g': ARRAY_TO_STRING(t[i:i+3], ' ')})) AS pg
+      |  FROM toks),
+      |g2 AS (SELECT doc_id, pg.p AS p, pg.g AS gram FROM grams),
+      |hashed AS (
+      |  SELECT doc_id, p,
+      |    (list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(gram, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT)
+      |     % 1099511627776::HUGEINT)::BIGINT AS h40
+      |  FROM g2),
+      |packs AS (
+      |  SELECT doc_id, p, h40 * 1048576 + (1048575 - p) AS pack
+      |  FROM hashed),
+      |win AS (
+      |  SELECT doc_id, p,
+      |    MIN(pack) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS g
+      |  FROM packs),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash
+      |  FROM win WHERE p <= GREATEST(g - 3, 1)),
+      |rare AS (
+      |  SELECT fp_hash FROM fps GROUP BY fp_hash HAVING COUNT(*) <= 100)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+      |FROM fps a
+      |JOIN rare r ON r.fp_hash = a.fp_hash
+      |JOIN fps b ON b.fp_hash = a.fp_hash
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d22_winnowing" -> (d22WinnowingPairs _, d22Sql),
     "d21_soft_dedup_weights" -> (d21SoftDedupWeights _, d21Sql),
     "d20_incremental_neardup" -> (d20IncrementalNearDup _, d20Sql),
     "d01_exact_dedup" -> (d01ExactDedup _, d01Sql),

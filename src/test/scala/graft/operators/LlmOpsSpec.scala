@@ -1137,6 +1137,46 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall was $recall")
   }
 
+  test("winnowing: match guarantee, density, rightmost tie rule") {
+    import spark.implicits._
+    val k = 4; val w = 4
+    // two docs sharing a long run (>= w+k-1 = 7 words) MUST share a
+    // fingerprint; a third unrelated doc must not match either
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = Seq(
+      (1L, s"unique one two three $shared"),
+      (2L, s"$shared different tail words here"),
+      (3L, "completely unrelated content about other topics entirely " +
+        "nothing in common with the rest at all")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byDoc = fps.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "guaranteed: a shared >= w+k-1 word run yields a common fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty)
+    // density: winnowing keeps ~2/(w+1) of grams; on a long random doc
+    // the selected fraction stays well under 1/2 and above 1/(2w)
+    val rnd = new scala.util.Random(5)
+    val long = (1 to 2000).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val sel = Dedup.winnowFingerprints(
+      Seq((9L, long)).toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .count().toDouble
+    val nGrams = 2000 - k + 1
+    assert(sel / nGrams > 1.0 / (2 * w) && sel / nGrams < 0.5,
+      s"selected density ${sel / nGrams} outside winnowing band")
+    // rightmost tie rule: a doc of one repeated word has ONE distinct
+    // gram hash; every window picks the rightmost position in frame,
+    // and the distinct fingerprint set collapses to few positions
+    val rep = Seq((7L, Seq.fill(20)("same").mkString(" "))).toDF("doc_id", "text")
+    val repFps = Dedup.winnowFingerprints(rep, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(repFps.map(_._1).distinct.length == 1)
+    // rightmost rule: selected positions are the window ENDS p+w-1, so
+    // the first selected position is w (1-based), not 1
+    assert(repFps.map(_._2).min == w,
+      s"rightmost tie rule should first select position $w, got ${repFps.map(_._2).min}")
+  }
+
   test("MMR: skips the redundant near-twin, picks the diverse doc") {
     import spark.implicits._
     // candidates: id 1 = best rel; id 2 = near-identical twin of 1 with
