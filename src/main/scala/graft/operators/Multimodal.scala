@@ -797,4 +797,46 @@ object Multimodal {
         Some((w, h, hi, lo))
       }
     } catch { case _: Exception => None }
+
+  /** Walk a PNG's chunk table — the real container-format parse an
+    * ingestion pipeline runs before trusting a payload: after the 8-byte
+    * signature, each chunk is length(4, big-endian) + type(4 ASCII) +
+    * data + CRC32(4, over type||data). Returns one entry per chunk with
+    * its declared length and whether the stored CRC matches a real
+    * java.util.zip.CRC32 over the bytes — a corrupted or truncated file
+    * surfaces as crc_ok=false or an early stop, never an exception.
+    *
+    * @return Seq of (chunk_index, type, data_length, crc_ok); empty when
+    *         the signature is absent */
+  def pngChunks(payload: Array[Byte]): Seq[(Int, String, Int, Boolean)] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    if (payload.length < 8 || !payload.take(8).sameElements(sig))
+      return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Int, Boolean)]
+    var off = 8
+    var idx = 0
+    var done = false
+    while (!done && off + 12 <= payload.length) {
+      val len = ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+        ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+      if (len < 0 || off.toLong + 12 + len > payload.length) done = true
+      else {
+        val tpe = new String(payload, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(payload, off + 4, 4 + len)
+        val stored =
+          ((payload(off + 8 + len) & 0xffL) << 24) |
+            ((payload(off + 9 + len) & 0xffL) << 16) |
+            ((payload(off + 10 + len) & 0xffL) << 8) |
+            (payload(off + 11 + len) & 0xffL)
+        out += ((idx, tpe, len, crc.getValue == stored))
+        idx += 1
+        off += 12 + len
+        if (tpe == "IEND") done = true
+      }
+    }
+    out.toSeq
+  }
 }

@@ -900,7 +900,54 @@ object MultimodalQueries {
        |FROM shots GROUP BY doc_id, shot_id
        |ORDER BY doc_id, shot_id""".stripMargin
 
+  // ---------------------------------------------------------------- m15
+  /** PNG container-format audit ([[Multimodal.pngChunks]]): every image
+    * doc is encoded as a REAL JDK-ImageIO PNG at doc-derived dimensions,
+    * then the raw bytes are chunk-walked back — length/type/CRC32 per
+    * chunk, IHDR dimensions re-parsed from the binary — the trust-but-
+    * verify parse an ingestion pipeline runs before decoding third-party
+    * payloads. The IDAT payload length is deflate-implementation-defined
+    * and deliberately NOT on the hashed surface; the chunk SEQUENCE, the
+    * parsed IHDR dimensions (mirroring the synthesis formula), and the
+    * all-CRCs-valid contract are. Binary codec work is mapPartitions
+    * (the m06/m09 discipline). */
+  def m15PngChunkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val imgs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+    imgs.mapPartitions(_.map { id =>
+      val w = (9L * (1 + id % 3)).toInt
+      val h = (8L * (1 + id % 2)).toInt
+      val png = Multimodal.gradientPng(w, h, id)
+      val chunks = Multimodal.pngChunks(png)
+      val ihdr = chunks.headOption.filter(_._2 == "IHDR").map { _ =>
+        val d = png.drop(16) // sig(8) + len(4) + "IHDR"(4)
+        val pw = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+          ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+        val ph = ((d(4) & 0xff) << 24) | ((d(5) & 0xff) << 16) |
+          ((d(6) & 0xff) << 8) | (d(7) & 0xff)
+        (pw.toLong, ph.toLong)
+      }.getOrElse((-1L, -1L))
+      (id, chunks.length.toLong, chunks.map(_._2).mkString(","),
+        ihdr._1, ihdr._2, chunks.nonEmpty && chunks.forall(_._4))
+    }).toDF("doc_id", "n_chunks", "chunk_seq", "ihdr_w", "ihdr_h",
+      "all_crc_ok")
+      .orderBy("doc_id")
+  }
+
+  val m15Sql: String =
+    """SELECT doc_id, 3::BIGINT AS n_chunks,
+      |  'IHDR,IDAT,IEND' AS chunk_seq,
+      |  (9 * (1 + doc_id % 3))::BIGINT AS ihdr_w,
+      |  (8 * (1 + doc_id % 2))::BIGINT AS ihdr_h,
+      |  TRUE AS all_crc_ok
+      |FROM documents WHERE doc_id % 3 = 1
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m15_png_chunk_audit" -> (m15PngChunkAudit _, m15Sql),
     "m14_shot_segments" -> (m14ShotSegments _, m14Sql),
     "m13_audio_fingerprint" -> (m13AudioFingerprint _, m13Sql),
     "m12_crossmodal_retrieval" -> (m12CrossModalRetrieval _, m12Sql),

@@ -1075,7 +1075,46 @@ object RelationalQueries {
       |GROUP BY r.event_type, m.max_concurrent
       |ORDER BY r.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** HOPPING (sliding) event-time windows — 1-hour windows advancing
+    * every 20 minutes, so each event lands in exactly 3 overlapping
+    * windows. The batch twin of streaming hop windows, built the way the
+    * streaming engine builds them: a map-side slot fan-out (one
+    * `explode(sequence(0, slots−1))` per event — narrow, no join) then
+    * ONE partial-aggregated rollup on (type, window start). q18 is the
+    * tumbling special case (slots = 1); the 3× row inflation happens
+    * before the combine, so the exchange still carries only aggregated
+    * (type, window) rows. Epoch-µs integer arithmetic throughout;
+    * exact-decimal value sums per the repo determinism discipline. */
+  def q57HoppingWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hop = 1200000000L // 20 min in µs
+    val slots = 3 // window = 3 hops = 1 h
+    EventTime.load(spark, dir)
+      .select($"event_type", $"ts_us", $"value")
+      .withColumn("j", explode(expr(s"sequence(0, ${slots - 1})")))
+      .withColumn("win_start_us",
+        (expr(s"ts_us div $hop") - $"j") * lit(hop))
+      .groupBy($"event_type", $"win_start_us")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec($"value"))).as("sum_value"))
+      .orderBy($"event_type", $"win_start_us")
+  }
+
+  val q57Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+      |sl AS (
+      |  SELECT event_type, value,
+      |    ((ts_us // 1200000000) - j) * 1200000000 AS win_start_us
+      |  FROM ev CROSS JOIN RANGE(0, 3) t(j))
+      |SELECT event_type, win_start_us, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sl GROUP BY 1, 2
+      |ORDER BY event_type, win_start_us""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q57_hopping_windows" -> (q57HoppingWindows _, q57Sql),
     "q56_max_concurrency" -> (q56MaxConcurrency _, q56Sql),
     "q46_gap_fill" -> (q46GapFill _, q46Sql),
     "q47_funnel" -> (q47Funnel _, q47Sql),

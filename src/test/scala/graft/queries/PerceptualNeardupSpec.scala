@@ -91,4 +91,24 @@ class PerceptualNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(banded.sorted == expected.sorted)
     assert(banded.nonEmpty) // the fixture genuinely exercises the join
   }
+
+  test("pngChunks: real walk, corruption detected, garbage rejected") {
+    import graft.operators.Multimodal
+    val png = Multimodal.gradientPng(9, 8, 42L)
+    val chunks = Multimodal.pngChunks(png)
+    assert(chunks.map(_._2) == Seq("IHDR", "IDAT", "IEND"), chunks.toString)
+    assert(chunks.forall(_._4), "fresh encoder output must CRC-verify")
+    assert(chunks.head._3 == 13, "IHDR data is 13 bytes by spec")
+    // flip one byte inside IDAT's data: its CRC must fail, others hold
+    val corrupt = png.clone()
+    val idatDataOff = 8 + 12 + 13 + 8 // sig + IHDR chunk + IDAT hdr
+    corrupt(idatDataOff) = (corrupt(idatDataOff) ^ 0x7f).toByte
+    val cc = Multimodal.pngChunks(corrupt)
+    assert(!cc(1)._4 && cc(0)._4 && cc(2)._4, cc.toString)
+    // truncation mid-chunk: the walk stops cleanly at the last whole chunk
+    val trunc = Multimodal.pngChunks(png.take(png.length - 6))
+    assert(trunc.map(_._2) == Seq("IHDR", "IDAT"), trunc.toString)
+    // not a PNG at all
+    assert(Multimodal.pngChunks("plain text".getBytes("UTF-8")).isEmpty)
+  }
 }
