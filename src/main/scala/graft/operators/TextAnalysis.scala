@@ -701,4 +701,49 @@ object TextAnalysis {
         round(col("kn_sum_fix").cast("double") / lit(1.0e12d) /
           col("n_bigrams").cast("double"), 9))
   }
+
+  /** Per-term burstiness — the Fano factor (variance-to-mean ratio) of
+    * per-document term counts, zeros included (Church & Gale 1995,
+    * "Poisson mixtures"): bursty terms (content words that clump in a
+    * few documents) score ≫ 1, evenly-spread function words ≈ 1 + tf/N
+    * corrections. Keyword extractors and topic filters use exactly this
+    * statistic to separate topical terms from glue.
+    *
+    * Exact integer algebra: over N docs with per-doc counts c_i (zero
+    * for docs lacking the term), var/mean = (N·Σc² − tf²) / (N·tf) with
+    * tf = Σc — only docs CONTAINING the term contribute to Σc²/tf, so
+    * the plan never materializes zeros. The numerator is ≥ 0 by
+    * Cauchy-Schwarz, and the division runs scaled ×10⁶ in DECIMAL(38,0)
+    * (HUGEINT in mirrors) so tf² can't wrap past 2⁶³.
+    *
+    * Scale shape: explode → (word, doc) partial-count → per-word moment
+    * agg — two map-side-combinable shuffles whose widths are token
+    * counts, never text; N rides in as a broadcast one-row total (the
+    * p17 pattern); top-k is TakeOrderedAndProject, never a global sort.
+    *
+    * @return top-`topK` terms with df ≥ `minDf`:
+    *         (word, df, tf, burst_micro), burst_micro DESC, word ASC. */
+  def burstiness(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minDf: Long = 20L, topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    val base = df.filter(trim(col(textCol)) =!= "")
+    val perDoc = base
+      .select(monotonically_increasing_id().as("_rid"),
+        words(col(textCol)).as("t"))
+      .select(col("_rid"), explode(col("t")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word", "_rid").agg(count(lit(1)).as("c"))
+    val perTerm = perDoc.groupBy("word")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .filter(col("df") >= minDf)
+    val total = base.agg(count(lit(1)).as("n_docs"))
+    perTerm.crossJoin(broadcast(total))
+      .select(col("word"), col("df"), col("tf"),
+        expr("""cast(((cast(n_docs as decimal(38,0)) * sumsq
+                       - cast(tf as decimal(38,0)) * tf) * 1000000)
+                 div (cast(n_docs as decimal(38,0)) * tf) as bigint)""")
+          .as("burst_micro"))
+      .orderBy(col("burst_micro").desc, col("word").asc)
+      .limit(topK)
+  }
 }

@@ -1002,6 +1002,7 @@ object TextQueries {
     "t21_bigram_surprise" -> (t21BigramSurprise _, t21Sql),
     "t22_dsir_weights" -> (t22DsirWeights _, t22Sql),
     "t26_kneser_ney" -> (t26KneserNey _, t26Sql),
+    "t27_burstiness" -> (t27Burstiness _, t27Sql),
   )
 
   // ---------------------------------------------------------------- t21
@@ -1172,4 +1173,37 @@ object TextQueries {
       |  SUM(p_fix)::BIGINT AS kn_sum_fix,
       |  ROUND(SUM(p_fix)::DOUBLE / 1e12 / COUNT(*)::DOUBLE, 9) AS kn_avg_prob
       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t27
+  /** Term burstiness profile ([[TextAnalysis.burstiness]]): the Fano
+    * factor of per-document term counts (zeros included) over the whole
+    * corpus — the Church–Gale statistic that separates topical content
+    * words (which clump, variance ≫ mean) from evenly-spread glue. The
+    * division is an exact ×10⁶-scaled DECIMAL integer division, so the
+    * oracle replays it in HUGEINT with the same truncate-toward-zero
+    * `//` semantics; the numerator is non-negative by Cauchy–Schwarz, so
+    * truncation and floor agree. */
+  def t27Burstiness(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.burstiness(docs(spark, dir), "text",
+      minDf = 20L, topK = 50)
+
+  val t27Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |tok AS (
+      |  SELECT doc_id, UNNEST(t) AS word FROM base),
+      |perdoc AS (
+      |  SELECT word, doc_id, COUNT(*) AS c FROM tok
+      |  WHERE word <> '' GROUP BY 1, 2),
+      |perterm AS (
+      |  SELECT word, COUNT(*) AS df, SUM(c)::BIGINT AS tf,
+      |    SUM(c * c)::BIGINT AS sumsq
+      |  FROM perdoc GROUP BY 1 HAVING COUNT(*) >= 20),
+      |tot AS (SELECT COUNT(*)::BIGINT AS n_docs FROM base)
+      |SELECT word, df, tf,
+      |  CAST(((n_docs::HUGEINT * sumsq - tf::HUGEINT * tf) * 1000000)
+      |       // (n_docs::HUGEINT * tf) AS BIGINT) AS burst_micro
+      |FROM perterm, tot
+      |ORDER BY burst_micro DESC, word ASC LIMIT 50""".stripMargin
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Term burstiness (t27): the scaled Fano factor must match the
+  * hand-computed variance-to-mean ratio with zero-docs included. */
+class BurstinessSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("burst_micro equals the exact integer Fano factor") {
+    import spark.implicits._
+    // 4 docs. "spark": counts (3, 0, 0, 1) → N=4, tf=4, Σc²=10:
+    //   burst = (4·10 − 16)·1e6 / (4·4) = 24e6/16 = 1_500_000.
+    // "the": counts (1, 1, 1, 1) → (4·4 − 16)/16 = 0 (perfectly even).
+    // "a": counts (2, 2, 0, 0) → (4·8 − 16)·1e6 / (4·4) = 1_000_000.
+    val docs = Seq(
+      "spark spark spark the a a",
+      "the a a",
+      "the",
+      "spark the").toDF("text")
+    val out = TextAnalysis.burstiness(docs, "text", minDf = 1L, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("spark") == 1500000L, out.toString)
+    assert(out("the") == 0L)
+    assert(out("a") == 1000000L)
+  }
+
+  test("minDf filters and topK bounds deterministically") {
+    import spark.implicits._
+    val docs = ((0 until 50).map(i => s"common rare$i") :+ "common")
+      .toDF("text").repartition(7)
+    val out = TextAnalysis.burstiness(docs, "text", minDf = 2L, topK = 5)
+      .collect()
+    // every rare$i has df=1 → filtered; only "common" (df=51) survives
+    assert(out.map(_.getString(0)).toSeq == Seq("common"))
+    val capped = TextAnalysis.burstiness(docs, "text", minDf = 1L, topK = 5)
+      .collect()
+    assert(capped.length == 5)
+    // rare$i: N=51, tf=1, Σc² = 1 → (51 − 1)·1e6/51 = 980392, far above
+    // common's 0 (present once in every doc). Ties break word ASC
+    // (lexicographic: rare0 < rare1 < rare10 < …)
+    assert(capped.map(_.getString(0)).toSeq ==
+      Seq("rare0", "rare1", "rare10", "rare11", "rare12"),
+      capped.mkString(","))
+  }
+}
