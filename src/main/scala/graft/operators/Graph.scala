@@ -451,4 +451,63 @@ object Graph {
         greatest(col("v"), col("w")).as("b")))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
   }
+
+  /** Newman MODULARITY of a community assignment over an undirected
+    * graph (Newman & Girvan 2004): per community c,
+    * Q_c = e_c/m − (d_c/2m)², where e_c counts intra-community edges,
+    * d_c sums member degrees, and m is the edge total. The score every
+    * community detector (Louvain, Leiden, LPA quality checks) optimizes
+    * — here as the exact evaluation pass over any (node, community)
+    * labeling, e.g. [[labelPropagation]]'s output.
+    *
+    * Integer-exact: with m2 = 2m (directed symmetric pair count) and
+    * i_c = 2e_c (directed intra pairs), Q_c·m2² = i_c·m2 − d_c², so the
+    * gate emits `q_num` = that integer and `q_micro` = its ×10⁶ integral
+    * division by m2² — both truncate-toward-zero in Spark's `div` and
+    * DuckDB's `//` alike (q_num CAN be negative for an internally
+    * edge-free community). Products run in DECIMAL(38,0) so d_c² can't
+    * wrap once degree sums pass 2³¹·√2 at real scale.
+    *
+    * Scale shape: symmetrize + distinct (one shuffle), degree partial
+    * agg, one co-partitioned labels⋈edges join per endpoint, then
+    * community-keyed partial aggs; the edge total rides in as a
+    * broadcast one-row scalar. No iteration, no driver values.
+    *
+    * @param labels (node, community) assignment — every edge endpoint
+    *               must be labeled (inner joins drop unlabeled strays)
+    * @return one row per community:
+    *         (community, n_nodes, internal_edges, degree_sum, q_num,
+    *         q_micro), where Σ q_micro ≈ 10⁶·Q. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val half = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val m2 = sym.agg(count(lit(1)).as("m2"))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val la = labels.select(col("node").as("a"), col("community"))
+    val lb = labels.select(col("node").as("b"), col("community").as("cb"))
+    val internal = sym.join(la, "a").join(lb, "b")
+      .filter(col("community") === col("cb"))
+      .groupBy("community").agg(count(lit(1)).as("ipairs"))
+    val ds = la.join(deg, "a")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    ds.join(internal, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"),
+        expr("coalesce(ipairs, 0L) div 2").as("internal_edges"),
+        col("degree_sum"),
+        expr("""cast(cast(coalesce(ipairs, 0L) as decimal(38,0)) * m2
+                 - cast(degree_sum as decimal(38,0)) * degree_sum
+                 as bigint)""").as("q_num"),
+        expr("""cast(((cast(coalesce(ipairs, 0L) as decimal(38,0)) * m2
+                       - cast(degree_sum as decimal(38,0)) * degree_sum)
+                      * 1000000)
+                 div (cast(m2 as decimal(38,0)) * m2) as bigint)""")
+          .as("q_micro"))
+  }
 }

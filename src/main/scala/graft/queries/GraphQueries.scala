@@ -387,7 +387,61 @@ object GraphQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g08
+  /** Modularity scoring of the g05 label-propagation communities
+    * ([[Graph.modularity]]): the Newman Q statistic per community, the
+    * quality number that tells a pipeline whether its community split of
+    * the near-dup graph is real structure or noise. Composes the exact
+    * same edge set and 4-round LPA labeling as g05, so the oracle embeds
+    * g05's full replay as a CTE and scores it with the identical integer
+    * algebra (×10⁶-scaled division by m2², truncate-toward-zero in both
+    * engines; q_num may be legitimately negative for an internally
+    * edge-free community). */
+  def g08Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    val labels = Graph.labelPropagation(edges, "id_a", "id_b", rounds = 4)
+    Graph.modularity(edges, "id_a", "id_b", labels).orderBy("community")
+  }
+
+  val g08Sql: String =
+    s"""WITH labels AS MATERIALIZED (
+       |${g05Sql}
+       |),
+       |opairs AS MATERIALIZED (
+       |${DedupQueries.all("d04_ngram_jaccard")._2}
+       |),
+       |ohalf AS (
+       |  SELECT id_a AS a, id_b AS b FROM opairs WHERE id_a <> id_b),
+       |oe0 AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM ohalf UNION ALL SELECT b, a FROM ohalf)),
+       |odeg AS (SELECT a, COUNT(*) AS deg FROM oe0 GROUP BY 1),
+       |om2 AS (SELECT COUNT(*)::BIGINT AS m2 FROM oe0),
+       |oint AS (
+       |  SELECT la.community, COUNT(*)::BIGINT AS ipairs
+       |  FROM oe0 e
+       |  JOIN labels la ON la.node = e.a
+       |  JOIN labels lb ON lb.node = e.b
+       |  WHERE la.community = lb.community GROUP BY 1),
+       |ods AS (
+       |  SELECT l.community, COUNT(*)::BIGINT AS n_nodes,
+       |    SUM(d.deg)::BIGINT AS degree_sum
+       |  FROM labels l JOIN odeg d ON d.a = l.node GROUP BY 1)
+       |SELECT s.community, s.n_nodes,
+       |  (COALESCE(i.ipairs, 0) // 2)::BIGINT AS internal_edges,
+       |  s.degree_sum,
+       |  (COALESCE(i.ipairs, 0)::HUGEINT * m.m2
+       |   - s.degree_sum::HUGEINT * s.degree_sum)::BIGINT AS q_num,
+       |  CAST(((COALESCE(i.ipairs, 0)::HUGEINT * m.m2
+       |         - s.degree_sum::HUGEINT * s.degree_sum) * 1000000)
+       |       // (m.m2::HUGEINT * m.m2) AS BIGINT) AS q_micro
+       |FROM ods s LEFT JOIN oint i USING (community) CROSS JOIN om2 m
+       |ORDER BY s.community""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g08_modularity" -> (g08Modularity _, g08Sql),
     "g07_ktruss" -> (g07KTruss _, g07Sql),
     "g01_pagerank" -> (g01PageRank _, g01Sql),
     "g02_triangles" -> (g02Triangles _, g02Sql),

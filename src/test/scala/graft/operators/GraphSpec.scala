@@ -297,4 +297,41 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sq = truss(Seq((2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)))
     assert(sq.keySet == Set((3L, 4L), (1L, 4L), (1L, 3L)), sq.toString)
   }
+
+  test("modularity: two triangles + bridge matches the textbook value") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by bridge 3–4: m = 7.
+    // Perfect split: e_c = 3, d_c = 7 each →
+    // Q_c = 3/7 − (7/14)² = 0.178571…, Q = 2·Q_c = 0.357142…
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s", "d")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "community")
+    val out = Graph.modularity(edges, "s", "d", labels)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // m2 = 14; per community: q_num = i_c·m2 − d_c² = 6·14 − 49 = 35,
+    // q_micro = 35e6 div 196 = 178571
+    assert(out(10L) == (3L, 3L, 7L, 35L, 178571L), out.toString)
+    assert(out(20L) == (3L, 3L, 7L, 35L, 178571L), out.toString)
+    // everyone in ONE community: i = 14 (all edges internal), d_c = 2m
+    // = 14 → q_num = 14·14 − 196 = 0 — whole-graph community scores 0
+    val one = labels.select($"node",
+      org.apache.spark.sql.functions.lit(1L).as("community"))
+    val all1 = Graph.modularity(edges, "s", "d", one).collect()
+    assert(all1.length == 1)
+    val r = all1.head
+    assert((r.getLong(4), r.getLong(5)) == (0L, 0L), r.toString)
+    // a singleton split of node 3 out of its triangle goes NEGATIVE for
+    // the singleton: i = 0, d = 3 → q_num = −9
+    val split = labels.withColumn("community",
+      org.apache.spark.sql.functions.when($"node" === 3L, 99L)
+        .otherwise($"community"))
+    val neg = Graph.modularity(edges, "s", "d", split)
+      .collect().map(x => x.getLong(0) -> (x.getLong(4), x.getLong(5)))
+      .toMap
+    // −9e6 div 196 truncates toward zero (both engines): −45918
+    assert(neg(99L) == (-9L, -45918L), neg.toString)
+  }
 }
