@@ -997,6 +997,50 @@ object RelationalQueries {
       |FROM cells JOIN sizes ON sizes.cohort_week = cells.cohort_week
       |ORDER BY cells.cohort_week, k""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** ROLLING DISTINCT users — exact trailing-7-day unique-user counts
+    * per day (the WAU curve next to the DAU curve), the canonical
+    * rolling-cardinality report. COUNT(DISTINCT) does not slide: unlike
+    * a sum, cardinality can't be incrementally retired, so the scalable
+    * exact plan is (1) collapse the raw stream to DISTINCT (day, user)
+    * pairs — one map-side-combinable shuffle that shrinks 100 TB of
+    * events to bounded day×user pairs; (2) fan each pair out to the ≤ 7
+    * trailing report days via a BROADCAST day-dimension join (the
+    * dimension is rows-of-days tiny, so the fan-out is a nested-loop
+    * over a broadcast, never a shuffle); (3) one distinct-agg by day.
+    * The ×7 expansion of the PAIRS table (not the events table) is the
+    * exact price of exactness; the sketch path for wider windows is
+    * q51's mergeable HLL union. */
+  def q55RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = EventTime.load(spark, dir)
+      .select(to_date($"ts_t").as("day"), $"user_id").distinct()
+    val days = pairs.select($"day").distinct()
+    val daily = pairs.groupBy($"day").agg(count(lit(1)).as("users_1d"))
+    val rolled = broadcast(days.select($"day".as("d")))
+      .join(pairs, $"day".between(date_sub($"d", 6), $"d"))
+      .groupBy($"d")
+      .agg(countDistinct($"user_id").as("users_7d"))
+      .select($"d".as("day"), $"users_7d")
+    days.join(rolled, "day").join(daily, "day")
+      .select($"day", $"users_7d", $"users_1d")
+      .orderBy($"day")
+  }
+
+  val q55Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM pairs),
+      |daily AS (
+      |  SELECT day, COUNT(*)::BIGINT AS users_1d FROM pairs GROUP BY 1),
+      |rolled AS (
+      |  SELECT d.day, COUNT(DISTINCT p.user_id)::BIGINT AS users_7d
+      |  FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1)
+      |SELECT d.day, r.users_7d, dl.users_1d
+      |FROM days d JOIN rolled r USING (day) JOIN daily dl USING (day)
+      |ORDER BY d.day""".stripMargin
+
   // ---------------------------------------------------------------- q56
   /** MAXIMUM CONCURRENCY sweep — how many intervals overlap at the peak,
     * and when the peak first occurs — the classic +1/−1 endpoint sweep
@@ -1114,6 +1158,7 @@ object RelationalQueries {
       |ORDER BY event_type, win_start_us""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q55_rolling_distinct" -> (q55RollingDistinct _, q55Sql),
     "q57_hopping_windows" -> (q57HoppingWindows _, q57Sql),
     "q56_max_concurrency" -> (q56MaxConcurrency _, q56Sql),
     "q46_gap_fill" -> (q46GapFill _, q46Sql),

@@ -477,4 +477,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pruned * 3 < bigBytes, s"pruned=$pruned vs full=$bigBytes")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q55: day dimension broadcasts; events collapse to distinct pairs " +
+    "before the rolling fan-out") {
+    val p = plan("q55_rolling_distinct")
+    // the ×7 range fan-out must be a nested loop over the BROADCAST
+    // day dimension — never a shuffled or cartesian pairing of the data
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"rolling fan-out must join against a broadcast day dimension:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // distinct (day, user) collapse partial-aggregates map-side
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"pairs collapse must partial-aggregate:\n$p")
+  }
 }
