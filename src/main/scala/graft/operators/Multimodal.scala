@@ -839,4 +839,80 @@ object Multimodal {
     }
     out.toSeq
   }
+
+  /** Per-tile FNV-1a64 fingerprints of an image payload via a REAL
+    * ImageIO decode: the image splits into non-overlapping `tile`×`tile`
+    * blocks (exact path — dimensions must divide evenly, like
+    * [[dHash64]]'s grid contract) and each block's row-major gray bytes
+    * (integer (r+g+b)/3, same reduction as [[dHash64]]) hash through
+    * [[graft.functions.GraftHash.fnv1a64]]. Equal tiles ⇒ equal hashes
+    * deterministically, so a tile-hash equi-join finds SUB-image overlap
+    * (crops, collages, shifted re-encodes) that whole-image perceptual
+    * hashing (m07/m10) is blind to.
+    *
+    * @return one (tx, ty, hash) per tile, row-major; None on undecodable
+    *         payloads */
+  def tileHashes(payload: Array[Byte],
+      tile: Int = 8): Option[Seq[(Int, Int, Long)]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        require(w % tile == 0 && h % tile == 0,
+          s"tileHashes exact path needs dims divisible by $tile, " +
+            s"got ${w}x$h (resize first)")
+        val out = for (ty <- 0 until h / tile; tx <- 0 until w / tile)
+          yield {
+            val bytes = new Array[Byte](tile * tile)
+            var j = 0
+            var y = ty * tile
+            while (y < (ty + 1) * tile) {
+              var x = tx * tile
+              while (x < (tx + 1) * tile) {
+                val p = img.getRGB(x, y)
+                val gray =
+                  (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                bytes(j) = gray.toByte
+                j += 1
+                x += 1
+              }
+              y += 1
+            }
+            (tx, ty, graft.functions.GraftHash.fnv1a64(bytes))
+          }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** Best-overlap partner per document over a (doc_id, thash) tile
+    * fingerprint table: equi-join on the 8-byte hash, resident side
+    * capped at the `bucketCap` lowest ids per tile content (the
+    * d20/StreamingDedup skew discipline — a boilerplate tile shared by
+    * every screenshot fans out O(cap·members), never members²), then the
+    * two-aggregate argmax readout (max shared count, min partner id on
+    * ties — both partial-aggregable).
+    *
+    * @return (doc_id, partner, shared_tiles) for docs whose best partner
+    *         shares ≥ `minShared` tile contents. */
+  def tileOverlapBestPartner(tiles: DataFrame, bucketCap: Int = 1000,
+      minShared: Long = 2L): DataFrame = {
+    val res = tiles
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("thash")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= bucketCap)
+      .select(col("doc_id").as("partner"), col("thash"))
+    val cand = tiles.join(res, "thash")
+      .filter(col("partner") =!= col("doc_id"))
+      .groupBy(col("doc_id"), col("partner"))
+      .agg(count(lit(1)).as("shared"))
+    val mx = cand.groupBy("doc_id").agg(max(col("shared")).as("ms"))
+    cand.join(mx, "doc_id").filter(col("shared") === col("ms"))
+      .groupBy(col("doc_id"), col("ms"))
+      .agg(min(col("partner")).as("partner"))
+      .filter(col("ms") >= minShared)
+      .select(col("doc_id"), col("partner"), col("ms").as("shared_tiles"))
+  }
 }

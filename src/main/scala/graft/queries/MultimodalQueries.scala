@@ -946,7 +946,75 @@ object MultimodalQueries {
       |FROM documents WHERE doc_id % 3 = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m16
+  /** Tile-hash CROP/overlap detection over REAL decoded pixels
+    * ([[Multimodal.tileHashes]]): each image-modality doc (doc_id % 7
+    * = 0) becomes a genuine gradient PNG (gray = (id + 3x + 7y) mod 256)
+    * at 8-divisible dimensions (w = 8·(2 + id mod 3), h = 8·(2 + id
+    * mod 2)), decodes back through ImageIO, and splits into 8×8 tiles
+    * whose gray bytes hash via FNV-1a64. Two images sharing ≥ 2 tile
+    * contents are sub-image overlaps — the crop/collage signal m07's
+    * whole-image dHash cannot see. Per doc the best partner (max shared
+    * tiles, min id tiebreak) is reported.
+    *
+    * 100 TB shape: tiles equi-join on the 8-byte hash — never pixels,
+    * never image pairs; the resident side of the join caps per-content
+    * membership at the 1000 lowest ids (the d20/StreamingDedup skew
+    * discipline — uncapped on this fixture whose largest content class
+    * is ≪ 1000, so the oracle sees full semantics; the cap path is
+    * spec-pinned). Argmax-partner readout is the two-aggregate
+    * max-then-min, both partial-aggregable.
+    *
+    * Oracle exactness: a tile's 64 gray bytes are fully determined by
+    * its origin residue r = (id + 24·tx + 56·ty) mod 256 (within a tile
+    * gray = (r + 3i + 7j) mod 256), so tile-content equality ⇔ equal r —
+    * the mirror joins on r while the engine joins on the FNV hash of the
+    * actual decoded bytes; `TileNeardupSpec` pins hash injectivity over
+    * all 256 possible contents, making the two joins provably identical. */
+  def m16TileCropNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+      .as[Long]
+    val tiles = ids.mapPartitions(_.flatMap { id =>
+      val w = (8 * (2 + id % 3)).toInt
+      val h = (8 * (2 + id % 2)).toInt
+      Multimodal.tileHashes(Multimodal.gradientPng(w, h, id)).get
+        .map { case (_, _, th) => (id, th) }
+    }).toDF("doc_id", "thash")
+    Multimodal.tileOverlapBestPartner(tiles, bucketCap = 1000,
+      minShared = 2L)
+      .orderBy("doc_id")
+  }
+
+  val m16Sql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS ntx, 2 + doc_id % 2 AS nty
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |tiles AS (
+      |  SELECT doc_id,
+      |    (doc_id + 24 * (p % ntx) + 56 * (p // ntx)) % 256 AS r
+      |  FROM (SELECT doc_id, ntx, nty, UNNEST(RANGE(0, ntx * nty)) AS p
+      |        FROM imgs)),
+      |res AS (
+      |  SELECT doc_id AS partner, r FROM (
+      |    SELECT doc_id, r,
+      |      ROW_NUMBER() OVER (PARTITION BY r ORDER BY doc_id) AS rn
+      |    FROM tiles) WHERE rn <= 1000),
+      |cand AS (
+      |  SELECT t.doc_id, s.partner, COUNT(*)::BIGINT AS shared
+      |  FROM tiles t JOIN res s USING (r)
+      |  WHERE s.partner <> t.doc_id GROUP BY 1, 2),
+      |mx AS (SELECT doc_id, MAX(shared) AS ms FROM cand GROUP BY 1)
+      |SELECT c.doc_id, MIN(c.partner) AS partner, m.ms AS shared_tiles
+      |FROM cand c JOIN mx m ON m.doc_id = c.doc_id AND c.shared = m.ms
+      |WHERE m.ms >= 2
+      |GROUP BY c.doc_id, m.ms
+      |ORDER BY c.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m16_tile_crop_neardup" -> (m16TileCropNeardup _, m16Sql),
     "m15_png_chunk_audit" -> (m15PngChunkAudit _, m15Sql),
     "m14_shot_segments" -> (m14ShotSegments _, m14Sql),
     "m13_audio_fingerprint" -> (m13AudioFingerprint _, m13Sql),
