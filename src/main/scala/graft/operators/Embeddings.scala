@@ -102,4 +102,57 @@ object Embeddings {
           > dec(col("n_a")) * dec(col("n_b")) * lit(1L << 12))
       .orderBy("dim")
   }
+
+  /** Simplified (centroid-based) SILHOUETTE score per cluster — the
+    * clustering-quality number an IVF/k-means pipeline reports after
+    * training (Rousseeuw 1987's medoid shortcut, the O(n·K) variant
+    * every large-scale evaluator uses instead of the O(n²) original).
+    * Every vector is assigned to its nearest centroid (a² = that squared
+    * distance, ties → lowest centroid id) and contrasted with the best
+    * OTHER centroid (b²); its score is (b² − a²)/max(a², b²) ∈ [0, 1] —
+    * the squared-distance silhouette, 0 = on a cluster boundary,
+    * → 1 = deep inside its cluster.
+    *
+    * Exactness: vectors quantize to integers by ⌊x·scale + 0.5⌋ (one
+    * global scale, so distances are cross-vector comparable — unlike
+    * [[int8Quantize]]'s per-vector scale), distances are integer sums of
+    * squares, and the score is a ×10⁶-scaled DECIMAL integral division —
+    * bit-mirrorable end to end.
+    *
+    * Scale shape: K centroids broadcast once; the n×K distance pass is
+    * a map-only zip_with fold; per-vector argmin and the per-cluster
+    * rollup are partial aggs. No shuffle ever carries a vector wider
+    * than (id, two longs).
+    *
+    * @return (cluster, n_points, sil_sum_micro, avg_sil_micro), one row
+    *         per non-empty cluster. */
+  def clusterSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      scale: Int = 1024): DataFrame = {
+    def quant(c: Column) = transform(c,
+      x => floor(x.cast("double") * scale + lit(0.5d)).cast("long"))
+    val v = df.select(col(idCol).cast("long").as("vid"),
+      quant(col(vecCol)).as("qv"))
+    val cs = centroids.select(col(cidCol).cast("long").as("cid"),
+      quant(col(cvecCol)).as("cq"))
+    val d = v.crossJoin(broadcast(cs))
+      .select(col("vid"), col("cid"),
+        aggregate(zip_with(col("qv"), col("cq"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    val m1 = d.groupBy("vid")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vid"), col("m.d2").as("a2"), col("m.cid").as("acid"))
+    val b2 = d.join(m1, "vid").filter(col("cid") =!= col("acid"))
+      .groupBy("vid").agg(min(col("d2")).as("b2"))
+    m1.join(b2, "vid")
+      .select(col("vid"), col("acid"), col("a2"), col("b2"),
+        expr("""coalesce(cast(((cast(b2 as decimal(38,0)) - a2) * 1000000)
+                 div nullif(cast(greatest(a2, b2) as decimal(38,0)), 0)
+                 as bigint), 0L)""").as("sil_micro"))
+      .groupBy(col("acid").as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("sil_micro")).as("sil_sum_micro"))
+      .withColumn("avg_sil_micro", expr("sil_sum_micro div n_points"))
+  }
 }

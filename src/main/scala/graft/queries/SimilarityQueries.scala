@@ -572,7 +572,56 @@ object SimilarityQueries {
       |FROM sel s JOIN cand c ON c.vec_id = s.picked
       |ORDER BY step""".stripMargin
 
+  // ---------------------------------------------------------------- s14
+  /** Clustering-quality evaluation: simplified silhouette
+    * ([[graft.operators.Embeddings.clusterSilhouette]]) of the
+    * assignment induced by the 8 lowest-id vectors as centroids — the
+    * report a pipeline runs after IVF/k-means training to decide whether
+    * the partition is real. Global ×1024 quantization makes every
+    * distance an integer and the per-point score an exact scaled
+    * division, so the oracle replays assignment, both distances, and the
+    * per-cluster rollup bit-for-bit. */
+  def s14Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val e = emb(spark, dir)
+    graft.operators.Embeddings.clusterSilhouette(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 8), "vec_id", "embedding")
+      .orderBy(col("cluster"))
+  }
+
+  val s14Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, LIST_TRANSFORM(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 8),
+      |d AS (
+      |  SELECT v.vec_id, c.cid,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(v.qv) + 1),
+      |      i -> (v.qv[i] - c.cq[i]) * (v.qv[i] - c.cq[i])))::BIGINT AS d2
+      |  FROM q v CROSS JOIN cent c),
+      |m1 AS (SELECT vec_id, MIN(d2) AS a2 FROM d GROUP BY 1),
+      |asg AS (
+      |  SELECT d.vec_id, MIN(d.cid) AS acid, MIN(m1.a2) AS a2
+      |  FROM d JOIN m1 ON m1.vec_id = d.vec_id AND d.d2 = m1.a2
+      |  GROUP BY 1),
+      |b AS (
+      |  SELECT d.vec_id, MIN(d.d2) AS b2
+      |  FROM d JOIN asg ON asg.vec_id = d.vec_id AND d.cid <> asg.acid
+      |  GROUP BY 1),
+      |s AS (
+      |  SELECT a.vec_id, a.acid, COALESCE(
+      |    CAST(((b.b2::HUGEINT - a.a2) * 1000000)
+      |         // NULLIF(GREATEST(a.a2, b.b2), 0)::HUGEINT AS BIGINT),
+      |    0) AS sil_micro
+      |  FROM asg a JOIN b ON b.vec_id = a.vec_id)
+      |SELECT acid AS cluster, COUNT(*)::BIGINT AS n_points,
+      |  SUM(sil_micro)::BIGINT AS sil_sum_micro,
+      |  (SUM(sil_micro) // COUNT(*))::BIGINT AS avg_sil_micro
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s14_silhouette" -> (s14Silhouette _, s14Sql),
     "s13_mmr_diversify" -> (s13MmrDiversify _, s13Sql),
     "s12_mips" -> (s12MipsTopK _, s12Sql),
     "s11_embedding_drift" -> (s11EmbeddingDrift _, s11Sql),
