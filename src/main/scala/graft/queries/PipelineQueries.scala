@@ -1290,7 +1290,72 @@ object PipelineQueries {
       |                     WHERE c.c_custkey = o.o_custkey)) = 0
       |ORDER BY check_name""".stripMargin
 
+  // ---------------------------------------------------------------- p23
+  /** LATE-DATA audit — the watermark-sizing report every streaming
+    * deployment runs before choosing `withWatermark` bounds: within each
+    * user's arrival order (event_id is the ingest sequence), an event's
+    * lateness is how far the stream's high-water mark had already passed
+    * its event time — running MAX(ts) over arrival order minus own ts.
+    * The per-type report (late fraction, p50/p95/p99/max lateness) is
+    * exactly the table you read a "set the watermark to p99 + slack"
+    * decision from.
+    *
+    * Scale shape: the running max windows PER USER — millions of small
+    * independent partitions, never a global sort (the q56 lesson); the
+    * rollup is one partial agg plus exact discrete percentiles (q28's
+    * cross-engine-exact variant). */
+  def p23LateDataAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // the synthetic stream arrives perfectly ordered, so (t07-style) a
+    // deterministic ±10-hour event-time jitter plants the disorder a
+    // real ingest has — both engines derive it identically from event_id
+    EventTime.load(spark, dir)
+      .select($"event_type", $"user_id", $"event_id",
+        ($"ts_us" + (pmod($"event_id" * 7, lit(11)) - 5) * lit(7200000000L))
+          .as("ts_eff"))
+      .withColumn("late_us", max($"ts_eff").over(w) - $"ts_eff")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
+        expr("""cast(percentile_disc(0.5)
+                 WITHIN GROUP (ORDER BY late_us) as bigint)""")
+          .as("p50_late_us"),
+        expr("""cast(percentile_disc(0.95)
+                 WITHIN GROUP (ORDER BY late_us) as bigint)""")
+          .as("p95_late_us"),
+        expr("""cast(percentile_disc(0.99)
+                 WITHIN GROUP (ORDER BY late_us) as bigint)""")
+          .as("p99_late_us"),
+        max($"late_us").as("max_late_us"))
+      .orderBy($"event_type")
+  }
+
+  val p23Sql: String =
+    """WITH base AS (
+      |  SELECT event_type, user_id, event_id,
+      |    epoch_us(ts) + ((event_id * 7) % 11 - 5) * 7200000000 AS ts_eff
+      |  FROM events),
+      |ev AS (
+      |  SELECT event_type,
+      |    MAX(ts_eff) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - ts_eff AS late_us
+      |  FROM base)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+      |  quantile_disc(late_us, 0.5)::BIGINT AS p50_late_us,
+      |  quantile_disc(late_us, 0.95)::BIGINT AS p95_late_us,
+      |  quantile_disc(late_us, 0.99)::BIGINT AS p99_late_us,
+      |  MAX(late_us)::BIGINT AS max_late_us
+      |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p23_late_data_audit" -> (p23LateDataAudit _, p23Sql),
     "p22_quality_constraints" -> (p22QualityConstraints _, p22Sql),
     "p21_layout_pruning" -> (p21LayoutPruning _, p21Sql),
     "p20_snapshot_diff" -> (p20SnapshotDiff _, p20Sql),

@@ -144,4 +144,24 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.contains(", bucket#"),
       s"expected a (event_type, bucket)-partitioned window:\n${plan.take(3000)}")
   }
+
+  test("p23: lateness is per-user running-max disorder, never negative, " +
+    "with ordered percentiles") {
+    val out = PipelineQueries.p23LateDataAudit(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, nLate) = (r.getLong(1), r.getLong(2))
+      val (p50, p95, p99, mx) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nLate > 0 && nLate < n, s"jitter must plant real disorder: $r")
+      assert(p50 <= p95 && p95 <= p99 && p99 <= mx, s"percentile order: $r")
+      assert(p50 >= 0 && mx > 0, s"lateness bounds: $r")
+    }
+    // the window must partition by user_id — per-user disorder, not a
+    // global sort (the q56 scale lesson)
+    val plan = PipelineQueries.p23LateDataAudit(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(user_id#"),
+      s"expected a user_id-partitioned window:\n${plan.take(3000)}")
+  }
 }
