@@ -746,4 +746,53 @@ object TextAnalysis {
       .orderBy(col("burst_micro").desc, col("word").asc)
       .limit(topK)
   }
+
+  /** Vocabulary COVERAGE curve — how many word types a tokenizer must
+    * keep to cover 50/90/99% of corpus token mass (the Zipf-health
+    * report that sizes every vocab: a heavy head means a small vocab
+    * suffices; a flat curve means OOV pain). For each target percent,
+    * `types_needed` is the smallest frequency-ranked prefix of the
+    * vocabulary whose cumulative count reaches the target, and
+    * `mass_micro` the exact ×10⁶-scaled mass that prefix covers.
+    *
+    * Scale shape: one map-side-combinable word-count shuffle; the rank/
+    * cumulative window runs over the VOCABULARY summary (t14's bounded-
+    * window discipline — millions of types, never corpus rows); totals
+    * and the 3-row target list ride in broadcast. All integers; the
+    * division is DECIMAL, truncate-toward-zero in both engines.
+    *
+    * @return one row per target: (target_pct, vocab_size, total_tokens,
+    *         types_needed, mass_micro). */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+      targets: Seq[Int] = Seq(50, 90, 99)): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(trim(col(textCol)) =!= "")
+      .select(explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
+    val ranked = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val tot = counts.agg(sum(col("cnt")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val tgts = targets.toDF("target_pct")
+    ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(tgts))
+      .filter(col("cum") * 100 >= col("target_pct") * col("total_tokens"))
+      .groupBy(col("target_pct").cast("long").as("target_pct"))
+      .agg(min(col("vocab_size")).as("vocab_size"),
+        min(col("total_tokens")).as("total_tokens"),
+        min(col("rank")).as("types_needed"),
+        // cum is strictly increasing in rank, so MIN(cum) is the mass at
+        // the argmin rank
+        min(col("cum")).as("cum_at"))
+      .select(col("target_pct"), col("vocab_size"), col("total_tokens"),
+        col("types_needed"),
+        expr("""cast((cast(cum_at as decimal(38,0)) * 1000000)
+                 div total_tokens as bigint)""").as("mass_micro"))
+  }
 }

@@ -1003,6 +1003,7 @@ object TextQueries {
     "t22_dsir_weights" -> (t22DsirWeights _, t22Sql),
     "t26_kneser_ney" -> (t26KneserNey _, t26Sql),
     "t27_burstiness" -> (t27Burstiness _, t27Sql),
+    "t28_vocab_coverage" -> (t28VocabCoverage _, t28Sql),
   )
 
   // ---------------------------------------------------------------- t21
@@ -1206,4 +1207,42 @@ object TextQueries {
       |       // (n_docs::HUGEINT * tf) AS BIGINT) AS burst_micro
       |FROM perterm, tot
       |ORDER BY burst_micro DESC, word ASC LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- t28
+  /** Vocabulary coverage curve ([[TextAnalysis.vocabCoverage]]): word
+    * types needed to reach 50/90/99% of corpus token mass — the exact
+    * Zipf-health numbers a tokenizer-sizing decision reads. Every value
+    * is an integer (counts, ranks) or an exact scaled division, so the
+    * oracle replays the ranked cumulative sum and the argmin prefix
+    * bit-for-bit. */
+  def t28VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(spark, dir), "text")
+      .orderBy("target_pct")
+
+  val t28Sql: String =
+    """WITH toks AS (
+      |  SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |counts AS (
+      |  SELECT word, COUNT(*)::BIGINT AS cnt
+      |  FROM (SELECT UNNEST(t) AS word FROM toks)
+      |  WHERE word <> '' GROUP BY 1),
+      |ranked AS (
+      |  SELECT word, cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rank,
+      |    SUM(cnt) OVER (ORDER BY cnt DESC, word ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM counts),
+      |tot AS (SELECT SUM(cnt)::BIGINT AS total_tokens,
+      |               COUNT(*)::BIGINT AS vocab_size FROM counts),
+      |tgt AS (SELECT UNNEST([50, 90, 99]) AS target_pct)
+      |SELECT target_pct::BIGINT AS target_pct,
+      |  MIN(vocab_size) AS vocab_size,
+      |  MIN(total_tokens) AS total_tokens,
+      |  MIN(rank)::BIGINT AS types_needed,
+      |  CAST((MIN(cum)::HUGEINT * 1000000) // MIN(total_tokens)
+      |       AS BIGINT) AS mass_micro
+      |FROM ranked, tot, tgt
+      |WHERE cum * 100 >= target_pct * total_tokens
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

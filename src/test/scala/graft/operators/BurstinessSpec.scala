@@ -53,4 +53,18 @@ class BurstinessSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("rare0", "rare1", "rare10", "rare11", "rare12"),
       capped.mkString(","))
   }
+
+  test("vocabCoverage: argmin prefix and exact mass per target") {
+    import spark.implicits._
+    // counts: a=4 b=2 c=1 d=1, total 8, vocab 4
+    val docs = Seq("a a a a", "b b c d").toDF("text")
+    val out = TextAnalysis.vocabCoverage(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 50%: cum(a)=4 ≥ 4 → 1 type, mass 4/8 = 500000
+    assert(out(50L) == (4L, 8L, 1L, 500000L), out.toString)
+    // 90%: need cum·100 ≥ 720 → cum 8 → all 4 types, full mass
+    assert(out(90L) == (4L, 8L, 4L, 1000000L), out.toString)
+    assert(out(99L) == (4L, 8L, 4L, 1000000L), out.toString)
+  }
 }
