@@ -478,6 +478,48 @@ object Graph {
     * @return one row per community:
     *         (community, n_nodes, internal_edges, degree_sum, q_num,
     *         q_micro), where Σ q_micro ≈ 10⁶·Q. */
+  /** Multi-source BFS hop distances, `rounds` fixed synchronous
+    * frontier expansions — the primitive behind "how far is every node
+    * from the trusted seed set" (seed-based trust/contamination radius,
+    * influence neighborhoods, landmark distance features). Returns every
+    * node within `rounds` hops of ANY seed with its exact hop distance;
+    * unreached nodes are absent, exactly like a k-hop ego query.
+    *
+    * Fixed-rounds discipline (the d12/g01 shape): each round is one
+    * co-partitioned equi-join (frontier ⋈ pre-partitioned edges) plus a
+    * min partial agg, localCheckpoint-ed so lineage stays flat and no
+    * per-round driver scalar exists. Distance propagation by min-union
+    * is idempotent, so re-relaxing already-settled nodes is harmless —
+    * no visited-set state needed. */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "multiSourceBfs needs at least one round")
+    require(seeds.nonEmpty, "multiSourceBfs needs at least one seed")
+    val half = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("a"))
+      .persist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = seeds.toDF("node")
+      .select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prop = sym
+        .join(dist.select(col("node").as("a"), col("dist")), "a")
+        .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(prop)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    dist
+  }
+
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame): DataFrame = {
     val half = edges

@@ -440,7 +440,49 @@ object GraphQueries {
        |FROM ods s LEFT JOIN oint i USING (community) CROSS JOIN om2 m
        |ORDER BY s.community""".stripMargin
 
+  // ---------------------------------------------------------------- g09
+  /** Multi-source BFS over the customer↔supplier trade graph
+    * ([[Graph.multiSourceBfs]]): exact hop distances from the seed set
+    * {customer 0, supplier 0} within 4 rounds — the k-hop trust-radius /
+    * landmark-distance primitive. The bipartite projection makes parity
+    * informative (even hops = same side as a seed), and the oracle
+    * unrolls the same four min-union relaxations. */
+  def g09BfsDistances(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    Graph.multiSourceBfs(pairs, "c", "s", seeds = Seq(0L, 1L), rounds = 4)
+      .orderBy("node")
+  }
+
+  val g09Sql: String = {
+    val round = (r: Int) =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, MIN(dist)::BIGINT AS dist FROM (
+         |    SELECT node, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.b, l.dist + 1
+         |    FROM e0 e JOIN d${r - 1} l ON l.node = e.a)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT c AS a, s AS b FROM pairs
+       |  UNION ALL
+       |  SELECT s AS a, c AS b FROM pairs),
+       |d0 AS (
+       |  SELECT CAST(UNNEST([0, 1]) AS BIGINT) AS node,
+       |         CAST(0 AS BIGINT) AS dist),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g09_bfs_distances" -> (g09BfsDistances _, g09Sql),
     "g08_modularity" -> (g08Modularity _, g08Sql),
     "g07_ktruss" -> (g07KTruss _, g07Sql),
     "g01_pagerank" -> (g01PageRank _, g01Sql),

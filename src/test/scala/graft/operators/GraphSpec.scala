@@ -334,4 +334,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // −9e6 div 196 truncates toward zero (both engines): −45918
     assert(neg(99L) == (-9L, -45918L), neg.toString)
   }
+
+  test("multiSourceBfs: exact hop distances on a path + unreached absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7, plus isolated edge 100-101
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (100L, 101L)).toDF("s", "d")
+    val out = Graph.multiSourceBfs(edges, "s", "d", seeds = Seq(1L),
+      rounds = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), out.toString)
+    // two sources: min distance wins; seeds report 0 even when absent
+    // from the edge list
+    val multi = Graph.multiSourceBfs(edges, "s", "d",
+      seeds = Seq(1L, 7L, 999L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      7L -> 0L, 6L -> 1L, 5L -> 2L, 999L -> 0L), multi.toString)
+  }
 }
