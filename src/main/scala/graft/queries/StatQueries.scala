@@ -742,7 +742,73 @@ object StatQueries {
       |  (ABS(uu.union_est / uu.union_exact::DOUBLE - 1.0) <= 0.25) AS union_err_ok
       |FROM g CROSS JOIN uu ORDER BY g.o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** WEIGHTED discrete percentiles — "the p50/p90/p99 price where
+    * percentile mass is measured in UNITS SHIPPED, not line counts" (the
+    * by-bytes-not-by-requests percentile every capacity report wants).
+    * Spark has no weighted percentile builtin; the exact answer per
+    * (group, pct) is the smallest value whose cumulative weight reaches
+    * pct% of the group's total.
+    *
+    * The naive plan is a per-group global sort window — the q56 scale
+    * killer. This runs the same distributed TWO-PHASE PREFIX SUM:
+    * (1) collapse to (group, value) weight sums (map-side combinable;
+    * prices are integer cents), (2) bucket values and window the BUCKET
+    * table for per-bucket starting offsets (thousands of rows), (3) the
+    * within-bucket running sum windows on (group, bucket) — parallel
+    * across buckets — and the 3-row target list broadcasts in for the
+    * argmin readout. All integers end to end; at data scale where even
+    * the (group, value) table is too wide, the q53 KLL sketch is the
+    * documented approximate path. */
+  def q58WeightedPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = t(spark, dir, "lineitem").select(
+      $"l_returnflag".as("grp"),
+      round($"l_extendedprice" * 100).cast("long").as("v"),
+      $"l_quantity".cast("long").as("w"))
+    val agg = base.groupBy($"grp", $"v").agg(sum($"w").as("w"))
+      .withColumn("bucket", expr("v div 10000"))
+    val perBucket = agg.groupBy($"grp", $"bucket").agg(sum($"w").as("bw"))
+    val wOff = Window.partitionBy($"grp").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("off", coalesce(sum($"bw").over(wOff), lit(0L)))
+      .select($"grp", $"bucket", $"off")
+    val wRun = Window.partitionBy($"grp", $"bucket").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = agg.join(offsets, Seq("grp", "bucket"))
+      .withColumn("cw", $"off" + sum($"w").over(wRun))
+    val tot = agg.groupBy($"grp").agg(sum($"w").as("tw"))
+    val tgts = Seq(50, 90, 99).toDF("pct")
+    cum.join(tot, "grp").crossJoin(broadcast(tgts))
+      .filter($"cw" * 100 >= $"pct" * $"tw")
+      .groupBy($"grp".as("l_returnflag"), $"pct".cast("long").as("pct"))
+      .agg(min($"v").as("value_cents"), min($"tw").as("total_weight"))
+      .orderBy($"l_returnflag", $"pct")
+  }
+
+  val q58Sql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS grp,
+      |    ROUND(l_extendedprice * 100)::BIGINT AS v,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |agg AS (SELECT grp, v, SUM(w)::BIGINT AS w FROM base GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, v, SUM(w) OVER (PARTITION BY grp ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM agg),
+      |tot AS (SELECT grp, SUM(w)::BIGINT AS tw FROM agg GROUP BY 1),
+      |tgt AS (SELECT UNNEST([50, 90, 99]) AS pct)
+      |SELECT c.grp AS l_returnflag, pct::BIGINT AS pct,
+      |  MIN(c.v)::BIGINT AS value_cents, MIN(t.tw) AS total_weight
+      |FROM cum c JOIN tot t USING (grp) CROSS JOIN tgt
+      |WHERE c.cw * 100 >= pct * t.tw
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q58_weighted_percentile" -> (q58WeightedPercentile _, q58Sql),
     "q54_kmv_theta" -> (q54KmvTheta _, q54Sql),
     "q53_kll_quantiles" -> (q53KllQuantiles _, q53Sql),
     "q27_grouping_sets" -> (q27GroupingSets _, q27Sql),

@@ -478,6 +478,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q58: weighted-percentile running sum windows on (grp, bucket), " +
+    "never a per-group global sort") {
+    val p = plan("q58_weighted_percentile")
+    assert(p.contains("windowspecdefinition(grp#"),
+      s"expected grp-keyed windows:\n${p.take(3000)}")
+    // the data-sized window must carry the bucket key (two-phase prefix
+    // sum); only the bucket-table offset window may be grp-alone
+    assert(p.contains(", bucket#"),
+      s"expected a (grp, bucket)-partitioned data window:\n${p.take(3000)}")
+  }
+
   test("q55: day dimension broadcasts; events collapse to distinct pairs " +
     "before the rolling fan-out") {
     val p = plan("q55_rolling_distinct")
