@@ -620,7 +620,68 @@ object SimilarityQueries {
       |  (SUM(sil_micro) // COUNT(*))::BIGINT AS avg_sil_micro
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s15
+  /** Recall@k CURVE of the quantized-LSH index against exact brute force
+    * (k = 1, 5, 10) — the evaluation sweep an ANN deployment tunes
+    * band/bit parameters against. Both sides are the gate-proven
+    * deterministic rankings (s01's double-fold cosine, s06's integer
+    * bucket decision), so the curve is exact: hits@k = |exact top-k ∩
+    * approx top-k| under the (cos DESC, id ASC) total order, and the
+    * oracle replays both rankings and the intersection count. Both
+    * top-10 tables are k-bounded, so the rank windows and the 3-row
+    * sweep join are driver-free constants, not data-scale work. */
+  def s15RecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    val e = emb(spark, dir)
+    val rk = row_number().over(
+      Window.orderBy(col("cos").desc, col("vec_id").asc))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"), rk.as("re"))
+    val approx = Similarity.quantizedLshTopK(e, "vec_id", "embedding", q,
+      10, bandBits = 4, bandCount = 8)
+      .select(col("vec_id"), rk.as("ra"))
+    val joined = exact.join(approx, "vec_id")
+    val ks = Seq(1, 5, 10).toDF("k")
+    val hits = ks.crossJoin(broadcast(joined))
+      .filter(col("re") <= col("k") && col("ra") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("h"))
+    ks.join(hits, Seq("k"), "left")
+      .select(col("k").cast("long").as("k"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        expr("cast(coalesce(h, 0L) * 1000000 div k as bigint)")
+          .as("recall_micro"))
+      .orderBy("k")
+  }
+
+  val s15Sql: String =
+    s"""WITH exact0 AS (
+       |${s01Sql}
+       |),
+       |approx0 AS (
+       |${s06Sql}
+       |),
+       |exact AS (
+       |  SELECT vec_id,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS re
+       |  FROM exact0),
+       |approx AS (
+       |  SELECT vec_id,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS ra
+       |  FROM approx0),
+       |ks AS (SELECT UNNEST([1, 5, 10]) AS k),
+       |hits AS (
+       |  SELECT k, COUNT(*) AS h
+       |  FROM ks JOIN exact ON re <= k JOIN approx USING (vec_id)
+       |  WHERE ra <= k GROUP BY k)
+       |SELECT k::BIGINT AS k, COALESCE(h.h, 0)::BIGINT AS hits,
+       |  CAST(COALESCE(h.h, 0) * 1000000 // k AS BIGINT) AS recall_micro
+       |FROM ks LEFT JOIN hits h USING (k) ORDER BY k""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s15_recall_curve" -> (s15RecallCurve _, s15Sql),
     "s14_silhouette" -> (s14Silhouette _, s14Sql),
     "s13_mmr_diversify" -> (s13MmrDiversify _, s13Sql),
     "s12_mips" -> (s12MipsTopK _, s12Sql),

@@ -1256,4 +1256,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 3L, 3L, 1L, 2L, 666L, true),
       (2L, 3L, 4L, 6L, -2L, -666L, false)))
   }
+
+  test("s15 recall curve: one row per k, hits monotone, recall exact") {
+    val out = graft.queries.SimilarityQueries.s15RecallCurve(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 5L, 10L), out.mkString(","))
+    out.foreach { case (k, hits, micro) =>
+      assert(hits >= 0 && hits <= k, s"hits@$k out of range: $hits")
+      assert(micro == hits * 1000000L / k, s"recall math: $k $hits $micro")
+    }
+    // hits are monotone in k (top-k sets are nested on both sides)
+    assert(out.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      out.mkString(","))
+    // the index must actually retrieve: exact top-1 is vec 0 itself
+    // (cos = 1), and its bucket always matches its own query
+    assert(out.head._2 == 1L, s"recall@1 must be 1: ${out.head}")
+  }
 }
