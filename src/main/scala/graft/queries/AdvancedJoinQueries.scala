@@ -183,7 +183,56 @@ object AdvancedJoinQueries {
       |                     WHERE o_orderpriority = '1-URGENT')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** LAST-TOUCH ATTRIBUTION — the marketing/conversion rollup every
+    * event warehouse runs: each purchase attributes to the user's most
+    * recent preceding click (backward as-of join per user), but only
+    * within a 24 h window (a stale click attributes nothing — the filter
+    * applies AFTER the as-of pick, which is what makes it last-touch
+    * rather than any-touch). The click's campaign rides in from the
+    * props JSON (q24's extraction), and revenue rolls up per campaign in
+    * exact DECIMAL.
+    *
+    * Same-ts duplicate clicks collapse deterministically (max campaign)
+    * before the join — as-of semantics need a unique timeline per key on
+    * the reference side, the q25 discipline. Scale: the as-of join
+    * shuffles on user_id (co-partitioned, no range explosion), the
+    * rollup is a partial agg over ≤ |campaigns| groups. */
+  def q59LastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = EventTime.load(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("campaign"))
+      .groupBy(col("user_id"), col("click_ts"))
+      .agg(max(col("campaign")).as("campaign"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts_us", "click_ts")
+      .filter(col("ts_us") - col("click_ts") <= 86400000000L)
+      .groupBy(col("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"),
+        max(col("ts_us") - col("click_ts")).as("max_lag_us"))
+      .orderBy(col("campaign"))
+  }
+
+  val q59Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, MAX(CAST(props->>'$.k' AS BIGINT)) AS campaign
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT c.campaign, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  MAX(epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS max_lag_us
+      |FROM p ASOF JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q59_attribution" -> (q59LastTouchAttribution _, q59Sql),
     "q25_asof_join" -> (q25AsofJoin _, q25Sql),
     "q26_range_join" -> (q26RangeJoin _, q26Sql),
     "q31_range_frame" -> (q31RangeFrame _, q31Sql),

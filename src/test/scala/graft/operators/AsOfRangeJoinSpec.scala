@@ -109,4 +109,21 @@ class AsOfRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("last-touch window filters AFTER the as-of pick (q59 semantics)") {
+    import spark.implicits._
+    // user 1: stale latest click at 200 — the purchase at 300 must NOT
+    // fall back to the older click at 100; it attributes to nothing.
+    // user 2: in-window latest click attributes normally.
+    val clicks = Seq((1L, 100L, 7L), (1L, 200L, 8L), (2L, 280L, 9L))
+      .toDF("user_id", "click_ts", "campaign")
+    val purchases = Seq((10L, 1L, 300L), (20L, 2L, 300L))
+      .toDF("event_id", "user_id", "ts_us")
+    val out = AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+        "ts_us", "click_ts")
+      .filter(col("ts_us") - col("click_ts") <= 50L)
+      .select("event_id", "campaign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(20L -> 9L), out.toString)
+  }
 }
