@@ -588,4 +588,72 @@ object Similarity {
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** (vec_id, band, bucket) rows over the integer-exact sign-LSH bands —
+    * the persistable ANN bucket INDEX (what a production vector store
+    * writes partitioned by (band, bucket) and probes by equi-join). */
+  def quantizedBandIndex(df: DataFrame, idCol: String, vecCol: String,
+      bandBits: Int = 4, bandCount: Int = 8): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id"),
+      posexplode(array((0 until bandCount).map(b =>
+        quantizedLshBucket(col(vecCol), bandBits, b)): _*))
+        .as(Seq("band", "bucket")))
+
+  /** INCREMENTAL KNN against a persisted bucket index — the d19/d20
+    * daily-ingest discipline applied to vectors: history vectors are
+    * never re-bucketed (the caller passes the stored
+    * [[quantizedBandIndex]] rows), the new batch buckets itself, probes
+    * the store by (band, bucket) equi-join plus an in-batch self-probe,
+    * and each new vector ranks its candidates by exact cosine. New
+    * batches never re-rank old vectors — exactly how a production ANN
+    * index absorbs appends.
+    *
+    * Scale shape: both candidate joins ship (id, band, bucket) — never
+    * vectors; vectors re-attach to surviving candidate PAIRS by plain
+    * equi-join. `bucketCap` bounds each (band, bucket) resident list at
+    * the cap lowest ids (the StreamingDedup/d20 skew guard), so a hot
+    * bucket fans out O(cap·probes), never members². The per-query rank
+    * window partitions by qid over candidate counts bounded by
+    * bandCount·cap.
+    *
+    * @return (qid, rank, nid, cos) — top-`k` neighbors per batch vector
+    *         among history ∪ batch, (cos DESC, nid ASC) order. */
+  def incrementalKnn(storeIndex: DataFrame, store: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String, k: Int,
+      bandBits: Int = 4, bandCount: Int = 8,
+      bucketCap: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bIdx = quantizedBandIndex(batch, idCol, vecCol, bandBits, bandCount)
+    def capRes(idx: DataFrame) = idx
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("band"), col("bucket"))
+          .orderBy(col("vec_id"))))
+      .filter(col("rn") <= bucketCap).drop("rn")
+    val probe = bIdx.select(col("vec_id").as("qid"), col("band"),
+      col("bucket"))
+    val histC = probe
+      .join(capRes(storeIndex).select(col("vec_id").as("nid"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .select("qid", "nid").dropDuplicates("qid", "nid")
+    val batchC = probe
+      .join(capRes(bIdx).select(col("vec_id").as("nid"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").dropDuplicates("qid", "nid")
+    val qv = batch.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("__q"))
+    val nv = store.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).as("__n"))
+      .unionAll(batch.select(col(idCol).cast("long").as("nid"),
+        col(vecCol).as("__n")))
+    histC.unionAll(batchC)
+      .join(qv, "qid").join(nv, "nid")
+      .select(col("qid"), col("nid"),
+        round(VectorFunctions.cosine(col("__q"), col("__n")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
 }

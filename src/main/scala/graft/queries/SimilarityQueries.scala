@@ -680,7 +680,81 @@ object SimilarityQueries {
        |  CAST(COALESCE(h.h, 0) * 1000000 // k AS BIGINT) AS recall_micro
        |FROM ks LEFT JOIN hits h USING (k) ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- s16
+  /** Incremental ANN index maintenance ([[Similarity.incrementalKnn]]):
+    * vectors with vec_id % 10 = 7 arrive as today's batch against the
+    * persisted bucket index of the rest — history is never re-bucketed
+    * (the gate passes the stored [[Similarity.quantizedBandIndex]] rows,
+    * honoring the d20 storeIndex contract), and each new vector reports
+    * its exact-cosine top-3 among history-∪-batch candidates from the
+    * (band, bucket) equi-probe. The oracle recomputes every bucket with
+    * the s06 integer mirror, replays both probes (including the 1000-cap
+    * resident rule), and re-ranks with the double-fold cosine. */
+  def s16IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb(spark, dir)
+    val hist = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+    val idx = Similarity.quantizedBandIndex(hist, "vec_id", "embedding",
+      bandBits = 4, bandCount = 8)
+    Similarity.incrementalKnn(idx, hist, batch, "vec_id", "embedding",
+      k = 3, bandBits = 4, bandCount = 8, bucketCap = 1000)
+      .orderBy("qid", "rank")
+  }
+
+  val s16Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |bk AS (
+      |  SELECT vec_id, band,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, 4), bit ->
+      |      CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q) + 1), i ->
+      |          q[i] * ((((band * 4 + bit) * LEN(q) + (i - 1)) * 2654435761
+      |                   + 40503) % 8191 - 4095)))
+      |        >= 0 THEN 1 << bit ELSE 0 END)) AS bucket
+      |  FROM qv CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS band)),
+      |histr AS (
+      |  SELECT vec_id, band, bucket FROM bk WHERE vec_id % 10 <> 7
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bucket
+      |                             ORDER BY vec_id) <= 1000),
+      |batr AS (
+      |  SELECT vec_id, band, bucket FROM bk WHERE vec_id % 10 = 7
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, bucket
+      |                             ORDER BY vec_id) <= 1000),
+      |cand AS (
+      |  SELECT DISTINCT b.vec_id AS qid, h.vec_id AS nid
+      |  FROM bk b JOIN histr h USING (band, bucket)
+      |  WHERE b.vec_id % 10 = 7
+      |  UNION
+      |  SELECT DISTINCT b.vec_id, o.vec_id
+      |  FROM bk b JOIN batr o USING (band, bucket)
+      |  WHERE b.vec_id % 10 = 7 AND o.vec_id <> b.vec_id),
+      |scored AS (
+      |  SELECT c.qid, c.nid,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.embedding) + 1),
+      |        i -> CAST(q.embedding[i] AS DOUBLE)
+      |             * CAST(n.embedding[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(n.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS cos
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.qid
+      |  JOIN embeddings n ON n.vec_id = c.nid)
+      |SELECT qid, rank, nid, cos FROM (
+      |  SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |                       ORDER BY cos DESC, nid ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s16_incremental_index" -> (s16IncrementalIndex _, s16Sql),
     "s15_recall_curve" -> (s15RecallCurve _, s15Sql),
     "s14_silhouette" -> (s14Silhouette _, s14Sql),
     "s13_mmr_diversify" -> (s13MmrDiversify _, s13Sql),
