@@ -1004,6 +1004,7 @@ object TextQueries {
     "t26_kneser_ney" -> (t26KneserNey _, t26Sql),
     "t27_burstiness" -> (t27Burstiness _, t27Sql),
     "t28_vocab_coverage" -> (t28VocabCoverage _, t28Sql),
+    "t29_effective_tokens" -> (t29EffectiveTokens _, t29Sql),
   )
 
   // ---------------------------------------------------------------- t21
@@ -1245,4 +1246,65 @@ object TextQueries {
       |FROM ranked, tot, tgt
       |WHERE cum * 100 >= target_pct * total_tokens
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- t29
+  /** EFFECTIVE dataset size per source — raw token counts discounted by
+    * d21's soft-dedup weights (1/cluster_size over the near-dup closure):
+    * the "how many tokens do we REALLY have" number an LLM data team
+    * tracks, where 50 copies of a boilerplate page count once. Exact
+    * integers end to end: per-doc effective mass is the truncated
+    * (tokens·10⁶) div cluster_size, summed per source, and
+    * `retained_micro` is the integral effective/raw ratio (NULL for a
+    * token-free source, both engines).
+    *
+    * Scale shape: the cluster sizing rides the d12 closure (banded
+    * candidate generation, never all-pairs); the rollup is one partial
+    * agg keyed by source. */
+  def t29EffectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val edges = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    val labels = graft.operators.DedupClusters
+      .connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val sized = labels.join(
+      labels.groupBy("cluster_id").agg(count(lit(1)).as("cs")),
+      "cluster_id")
+      .select(col("doc_id"), col("cs"))
+    d.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+      .join(sized, Seq("doc_id"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(1L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("raw_tokens"),
+        expr("""cast(sum((cast(toks as decimal(38,0)) * 1000000) div cs)
+                 as bigint)""").as("eff_tokens_micro"))
+      .withColumn("retained_micro",
+        expr("eff_tokens_micro div nullif(raw_tokens, 0)"))
+      .orderBy("source")
+  }
+
+  val t29Sql: String =
+    s"""WITH labels AS (
+       |${DedupQueries.all("d12_dedup_clusters")._2.linesIterator
+            .map("  " + _).mkString("\n")}
+       |),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n FROM labels
+       |       GROUP BY cluster_id),
+       |base AS (
+       |  SELECT d.doc_id, d.source,
+       |    (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+       |          ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+       |     END)::BIGINT AS toks,
+       |    COALESCE(sz.n, 1)::BIGINT AS cs
+       |  FROM documents d
+       |  LEFT JOIN labels l ON d.doc_id = l.doc_id
+       |  LEFT JOIN sz ON l.cluster_id = sz.cluster_id)
+       |SELECT source, COUNT(*) AS n_docs, SUM(toks)::BIGINT AS raw_tokens,
+       |  CAST(SUM((toks::HUGEINT * 1000000) // cs) AS BIGINT)
+       |    AS eff_tokens_micro,
+       |  CAST(SUM((toks::HUGEINT * 1000000) // cs)
+       |       // NULLIF(SUM(toks), 0) AS BIGINT) AS retained_micro
+       |FROM base GROUP BY source ORDER BY source""".stripMargin
 }

@@ -67,4 +67,19 @@ class BurstinessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(90L) == (4L, 8L, 4L, 1000000L), out.toString)
     assert(out(99L) == (4L, 8L, 4L, 1000000L), out.toString)
   }
+
+  test("t29 effective tokens: discount bounded and real on the fixture") {
+    val out = graft.queries.TextQueries
+      .t29EffectiveTokens(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    var anyDiscount = false
+    out.foreach { r =>
+      val (raw, eff, ret) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(eff <= raw * 1000000L && eff > 0, r.toString)
+      assert(ret <= 1000000L && ret > 0, r.toString)
+      if (eff < raw * 1000000L) anyDiscount = true
+    }
+    // the fixture plants near-dup clusters — some source must discount
+    assert(anyDiscount, out.mkString(","))
+  }
 }
