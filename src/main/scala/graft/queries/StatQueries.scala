@@ -807,7 +807,108 @@ object StatQueries {
       |WHERE c.cw * 100 >= pct * t.tw
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** ROLLING 7-day distinct users via mergeable HLL registers — the
+    * sketch-path twin of q55's exact rolling distinct, and the shape
+    * that actually survives 100 TB: per-day register tables (≤ 1024
+    * fixed-width rows each, built once) MAX-merge across the trailing
+    * window, so the rolling fan-out multiplies a 30-row-scale SKETCH
+    * table, not the (day, user) pair table. Because the register
+    * construction is the q51 hand-rolled FNV+mix64 sketch, the oracle
+    * mirrors every register, every merge, and the integral estimate —
+    * a FULL oracle, not an accuracy contract — and the exact rolling
+    * count rides along for self-audit. */
+  def q60RollingHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = EventTime.load(spark, dir)
+      .select(to_date($"ts_t").as("day"), $"user_id")
+    val regs = graft.operators.Sketches.hllRegisters(ev, "day", "user_id")
+      .localCheckpoint()
+    val days = regs.select($"day").distinct()
+    val reg7 = broadcast(days.select($"day".as("d")))
+      .join(regs, $"day".between(date_sub($"d", 6), $"d"))
+      .groupBy($"d", $"bucket").agg(max($"mrho").as("mrho"))
+      .select($"d".as("day"), $"bucket", $"mrho")
+    val est = graft.operators.Sketches.hllFromRegisters(reg7, "day")
+    val pairs = ev.distinct()
+    val exact = broadcast(days.select($"day".as("d")))
+      .join(pairs, $"day".between(date_sub($"d", 6), $"d"))
+      .groupBy($"d").agg(countDistinct($"user_id").as("users_7d"))
+      .select($"d".as("day"), $"users_7d")
+    est.join(exact, "day")
+      .select($"day", $"n_present",
+        expr("s_scaled div 1000000000000000000").as("s_hi"),
+        expr("CAST(s_scaled % 1000000000000000000 AS BIGINT)").as("s_lo"),
+        $"est_micro", $"small_range", $"users_7d")
+      .orderBy($"day")
+  }
+
+  val q60Sql: String =
+    """WITH vals AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS v
+      |  FROM events),
+      |f AS (
+      |  SELECT day,
+      |    CASE WHEN v = '' THEN 14695981039346656037::HUGEINT
+      |         ELSE list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(v, '')]),
+      |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) END AS z
+      |  FROM vals),
+      |m1 AS (SELECT day, xor(z, z // 8589934592::HUGEINT) AS z FROM f),
+      |m2 AS (SELECT day,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT day, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT day,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT day, xor(z, z // 8589934592::HUGEINT) AS h FROM m4),
+      |reg AS (
+      |  SELECT day, h // 18014398509481984::HUGEINT AS bucket,
+      |    MAX(55 - CASE WHEN h % 18014398509481984::HUGEINT = 0 THEN 0
+      |        ELSE LENGTH(BIN(CAST(h % 18014398509481984::HUGEINT
+      |                             AS BIGINT))) END) AS mrho
+      |  FROM m5 GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM reg),
+      |reg7 AS (
+      |  SELECT d.day, r.bucket, MAX(r.mrho) AS mrho
+      |  FROM days d JOIN reg r ON r.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT day, COUNT(*) AS n_present,
+      |    SUM((1::BIGINT << (63 - mrho))::HUGEINT)
+      |      + (1024 - COUNT(*))::HUGEINT * 9223372036854775808::HUGEINT AS s
+      |  FROM reg7 GROUP BY 1),
+      |est AS (
+      |  SELECT day, n_present,
+      |    (s // 1000000000000000000::HUGEINT)::BIGINT AS s_hi,
+      |    (s % 1000000000000000000::HUGEINT)::BIGINT AS s_lo,
+      |    CAST(7143409202692358338277906422169600000::HUGEINT
+      |         // (1025079::HUGEINT * s) AS BIGINT) AS est_micro
+      |  FROM agg),
+      |exact AS (
+      |  SELECT d.day, COUNT(DISTINCT p.user_id)::BIGINT AS users_7d
+      |  FROM days d JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+      |                    FROM events) p
+      |    ON p.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1)
+      |SELECT e.day, n_present, s_hi, s_lo, est_micro,
+      |  CASE WHEN est_micro <= 2560000000 AND n_present < 1024
+      |       THEN 1 ELSE 0 END AS small_range,
+      |  users_7d
+      |FROM est e JOIN exact USING (day)
+      |ORDER BY e.day""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q60_rolling_hll" -> (q60RollingHll _, q60Sql),
     "q58_weighted_percentile" -> (q58WeightedPercentile _, q58Sql),
     "q54_kmv_theta" -> (q54KmvTheta _, q54Sql),
     "q53_kll_quantiles" -> (q53KllQuantiles _, q53Sql),

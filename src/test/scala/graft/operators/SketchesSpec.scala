@@ -156,4 +156,30 @@ class SketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the float surface is still live at any b
     assert(r.getDouble(r.fieldIndex("estimate")) > 0)
   }
+
+  test("q60 rolling merge: window estimate dominates every member day " +
+    "and the small-range flag fires at fixture cardinality") {
+    val out = graft.queries.StatQueries.q60RollingHll(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // registers only gain mass under MAX-merge → n_present ≤ m, and at
+      // ~150 users the linear-counting branch must be flagged
+      assert(r.getLong(1) <= 1024, r.toString)
+      assert(r.getInt(5) == 1, s"small_range must fire: $r")
+      assert(r.getLong(6) > 0, r.toString)
+    }
+    // union dominance: the window sketch of any day must carry at least
+    // as many occupied registers as that day's own sketch
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.EventTime.load(spark, "/root/testdata/sf0.001")
+      .select(to_date(col("ts_t")).as("day"), col("user_id"))
+    val dailyN = Sketches.hllRegisters(ev, "day", "user_id")
+      .groupBy("day").agg(count(lit(1)).as("n1"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) >= dailyN(r.getDate(0).toString),
+        s"window sketch lost registers vs its own day: $r")
+    }
+  }
 }
