@@ -747,6 +747,58 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Apply an ORDERED BPE merge list to every document and report token
+    * counts — the ENCODE path that completes [[bpeTrain]]'s train path:
+    * what "tokenize the corpus with the trained tokenizer" costs at
+    * corpus scale. Each word becomes the delimiter-wrapped symbol string
+    * (the bpeTrain encoding), and each merge applies as one non-regex
+    * `replace` — left-to-right non-overlapping, which IS greedy BPE
+    * merge order (see [[bpeTrain]]'s delimiter argument).
+    *
+    * Scale shape: the merge list rides in as `nMerges` broadcast 1-row
+    * joins folded into a single map-only pass over the exploded words —
+    * no shuffle until the final per-doc rollup (one partial agg).
+    * Symbol counting is pure string arithmetic (delimiter counting), so
+    * every output is an exact integer and the compression ratio an exact
+    * scaled division.
+    *
+    * @param merges [[bpeTrain]] output (merge_idx, pair, …)
+    * @return (idCol, n_words, n_chars, n_tokens_bpe, compression_micro)
+    *         per document with non-empty text, where compression_micro
+    *         = 10⁶·tokens/chars (≤ 10⁶; smaller = better compression). */
+  def bpeEncodeCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: org.apache.spark.sql.DataFrame,
+      nMerges: Int): org.apache.spark.sql.DataFrame = {
+    var state = df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol),
+        concat(lit(" "), array_join(split(col("word"), ""), "  "), lit(" "))
+          .as("st"))
+    for (r <- 0 until nMerges) {
+      val m = merges.filter(col("merge_idx") === r)
+        .select(
+          concat(lit(" "), expr("replace(pair, ' ', '  ')"), lit(" "))
+            .as("__from"),
+          concat(lit(" "), expr("replace(pair, ' ', '')"), lit(" "))
+            .as("__to"))
+      state = state.crossJoin(broadcast(m))
+        .withColumn("st", expr("replace(st, __from, __to)"))
+        .drop("__from", "__to")
+    }
+    state
+      .select(col(idCol),
+        length(expr("replace(st, ' ', '')")).cast("long").as("nc"),
+        expr("""(length(trim(st)) - length(replace(trim(st), '  ', '')))
+                 div 2 + 1""").cast("long").as("n_sym"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+        sum(col("n_sym")).as("n_tokens_bpe"))
+      .withColumn("compression_micro",
+        expr("""cast((cast(n_tokens_bpe as decimal(38,0)) * 1000000)
+                 div n_chars as bigint)"""))
+  }
+
   /** Vocabulary COVERAGE curve — how many word types a tokenizer must
     * keep to cover 50/90/99% of corpus token mass (the Zipf-health
     * report that sizes every vocab: a heavy head means a small vocab

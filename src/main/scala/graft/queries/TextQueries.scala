@@ -873,7 +873,10 @@ object TextQueries {
     graft.operators.TextAnalysis.bpeTrain(docs(spark, dir), "text",
       merges = 10)
 
-  val t25Sql: String = {
+  /** The shared BPE-training CTE chain (w → wf → st0 → 10 rounds of
+    * sy/pc/m/st): t25 reads the merge tables m0..m9, t30 additionally
+    * replays them over per-document states. */
+  private val bpeTrainCtes: String = {
     val rounds = (0 until 10).map { r =>
       s"""sy$r AS (SELECT string_split(TRIM(st), '  ') AS s, freq FROM st$r),
          |pc$r AS (
@@ -891,9 +894,7 @@ object TextQueries {
          |         freq
          |  FROM st$r, m$r m)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until 10).map(r => s"SELECT * FROM m$r")
-      .mkString(" UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS word
        |  FROM documents WHERE TRIM(text) <> ''),
        |wf AS (
@@ -902,7 +903,13 @@ object TextQueries {
        |  SELECT ' ' || ARRAY_TO_STRING(string_split(word, ''), '  ') || ' '
        |           AS st, freq
        |  FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val t25Sql: String = {
+    val union = (0 until 10).map(r => s"SELECT * FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeTrainCtes
        |SELECT merge_idx, pair, REPLACE(pair, ' ', '') AS new_token, cnt
        |FROM ($union) allm
        |ORDER BY merge_idx""".stripMargin
@@ -1005,6 +1012,7 @@ object TextQueries {
     "t27_burstiness" -> (t27Burstiness _, t27Sql),
     "t28_vocab_coverage" -> (t28VocabCoverage _, t28Sql),
     "t29_effective_tokens" -> (t29EffectiveTokens _, t29Sql),
+    "t30_bpe_encode" -> (t30BpeEncode _, t30Sql),
   )
 
   // ---------------------------------------------------------------- t21
@@ -1307,4 +1315,48 @@ object TextQueries {
        |  CAST(SUM((toks::HUGEINT * 1000000) // cs)
        |       // NULLIF(SUM(toks), 0) AS BIGINT) AS retained_micro
        |FROM base GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- t30
+  /** BPE ENCODE at corpus scale ([[TextAnalysis.bpeEncodeCounts]]): the
+    * 10 merges t25 trains, applied to every document — per-doc word,
+    * character, and BPE-token counts plus the exact compression ratio.
+    * Train → apply is the full tokenizer lifecycle; the oracle reuses
+    * t25's m0..m9 merge CTEs verbatim and replays the same 10
+    * left-to-right replaces over per-document word states, so every
+    * count mirrors bit-for-bit. */
+  def t30BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = TextAnalysis.bpeTrain(d, "text", merges = 10)
+    TextAnalysis.bpeEncodeCounts(d, "doc_id", "text", merges, 10)
+      .orderBy("doc_id")
+  }
+
+  val t30Sql: String = {
+    val applyRounds = (0 until 10).map { r =>
+      s"""e${r + 1} AS (
+         |  SELECT doc_id, REPLACE(st, ' ' || REPLACE(m.pair, ' ', '  ') || ' ',
+         |                             ' ' || REPLACE(m.pair, ' ', '') || ' ')
+         |           AS st
+         |  FROM e$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |dw AS (
+       |  SELECT doc_id,
+       |    UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS word
+       |  FROM documents WHERE TRIM(text) <> ''),
+       |e0 AS (
+       |  SELECT doc_id,
+       |    ' ' || ARRAY_TO_STRING(string_split(word, ''), '  ') || ' ' AS st
+       |  FROM dw WHERE word <> ''),
+       |$applyRounds
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  SUM(LENGTH(REPLACE(st, ' ', '')))::BIGINT AS n_chars,
+       |  SUM((LENGTH(TRIM(st)) - LENGTH(REPLACE(TRIM(st), '  ', '')))
+       |      // 2 + 1)::BIGINT AS n_tokens_bpe,
+       |  CAST((SUM((LENGTH(TRIM(st)) - LENGTH(REPLACE(TRIM(st), '  ', '')))
+       |            // 2 + 1)::HUGEINT * 1000000)
+       |       // SUM(LENGTH(REPLACE(st, ' ', ''))) AS BIGINT)
+       |    AS compression_micro
+       |FROM e10 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -97,4 +97,21 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = engineTrain(corpus, 4)
     assert(got.map(t => (t._2, t._4)) == want, s"got=$got\nwant=$want")
   }
+
+  test("encode applies trained merges: counts and compression are exact") {
+    import spark.implicits._
+    // wf: aa×2, ab×1 → merge0 = (a a)→aa (cnt 2), merge1 = (a b)→ab
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 2)
+    val full = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text",
+      merges, 2).collect().head
+    // all three words collapse to single tokens: 3 words, 6 chars,
+    // 3 tokens, compression 3e6 div 6 = 500000
+    assert((full.getLong(1), full.getLong(2), full.getLong(3),
+      full.getLong(4)) == (3L, 6L, 3L, 500000L), full.toString)
+    // applying only merge 0 leaves "ab" unmerged: 4 tokens
+    val one = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text",
+      merges, 1).collect().head
+    assert(one.getLong(3) == 4L, one.toString)
+  }
 }
