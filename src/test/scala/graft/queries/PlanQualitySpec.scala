@@ -478,6 +478,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("m16/s16: tile and vector bucket probes are equi-joins, " +
+    "never cartesian") {
+    for (name <- Seq("m16_tile_crop_neardup", "s16_incremental_index")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$name bucket probe must stay an equi-join:\n$p")
+    }
+  }
+
+  test("g08/g09: modularity and BFS rounds are equi-joins + partial " +
+    "aggs with broadcast scalars only") {
+    for (name <- Seq("g08_modularity", "g09_bfs_distances")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: no cartesian:\n$p")
+    }
+    // g09's rounds localCheckpoint away (final plan is a checkpoint
+    // scan); g08's single-pass plan keeps its partial aggs visible
+    assert(plan("g08_modularity").contains("HashAggregate"),
+      "modularity must partial-agg")
+    // g08's one-row edge total rides in broadcast, not shuffled
+    assert(plan("g08_modularity").contains("BroadcastExchange"),
+      "modularity's m2 scalar must broadcast")
+  }
+
   test("q58: weighted-percentile running sum windows on (grp, bucket), " +
     "never a per-group global sort") {
     val p = plan("q58_weighted_percentile")
