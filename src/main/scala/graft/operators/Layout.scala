@@ -64,4 +64,33 @@ object Layout {
       else keyed.repartitionByRange(col(keyName))
     ranged.sortWithinPartitions(col(keyName))
   }
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment — the shard map
+    * an incremental store (d19/d20/s16) keys its partitions by. Each key
+    * scores every shard with FNV-1a64("id#shard") and lands on the
+    * argmax (first index on the astronomically-unlikely tie), so
+    * assignment is stateless, deterministic, and — the property the
+    * whole scheme exists for — growing N→N+1 moves ONLY the keys whose
+    * new shard wins: nothing ever moves BETWEEN old shards, so a
+    * rebalance touches ~1/(N+1) of the data instead of reshuffling
+    * everything (Thaler & Ravishankar 1998).
+    *
+    * Row-local arithmetic (one transform + argmax per key, all inside
+    * codegen) — zero shuffle; the score is the repo's mirrorable
+    * FNV-1a64 strengthened by the mix64 finalizer (raw FNV's last-byte
+    * multiply leaves the HIGH bits — which the argmax compares — too
+    * correlated across shard indices: measured 51% of keys landing on
+    * the new shard instead of 1/(N+1); the finalizer restores the
+    * uniform split), so assignments replay exactly in SQL. */
+  def rendezvousShard(df: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val scores = transform(sequence(lit(0), lit(nShards - 1)),
+      s => graft.functions.TextExpressions.mix64(
+        graft.functions.TextExpressions.fnv1a64(
+          concat(col(idCol).cast("string"), lit("#"), s.cast("string")))))
+    df.select(col(idCol).cast("long").as("doc_id"),
+      (array_position(scores, array_max(scores)) - 1).cast("long")
+        .as("shard"))
+  }
 }

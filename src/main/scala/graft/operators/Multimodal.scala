@@ -840,6 +840,52 @@ object Multimodal {
     out.toSeq
   }
 
+  /** Insert an ancillary `tEXt` metadata chunk (keyword\0text, real
+    * CRC32) immediately after the IHDR chunk — how EXIF-era tooling
+    * plants provenance/author strings in PNGs, and the fixture-side
+    * planter for [[stripAncillaryChunks]]'s scrub test. */
+  def insertTextChunk(payload: Array[Byte], keyword: String,
+      text: String): Array[Byte] = {
+    val chunks = pngChunks(payload)
+    require(chunks.nonEmpty && chunks.head._2 == "IHDR",
+      "insertTextChunk needs a valid PNG starting with IHDR")
+    val ihdrEnd = 8 + 12 + chunks.head._3
+    val data = (keyword + "\u0000" + text).getBytes("ISO-8859-1")
+    val chunk = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    chunk.write(be32(data.length))
+    val typeAndData = "tEXt".getBytes("US-ASCII") ++ data
+    chunk.write(typeAndData)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeAndData)
+    chunk.write(be32(crc.getValue))
+    payload.take(ihdrEnd) ++ chunk.toByteArray ++ payload.drop(ihdrEnd)
+  }
+
+  /** Strip every ANCILLARY chunk (lowercase first type letter — tEXt,
+    * iTXt, zTXt, tIME, eXIf, …) from a PNG, keeping only critical ones
+    * (IHDR/PLTE/IDAT/IEND): the image-side PII/metadata SCRUB a
+    * training-data pipeline runs before payloads enter the corpus —
+    * provenance strings, GPS text, editor fingerprints all live in
+    * ancillary chunks, and pixel content is untouched by construction.
+    * Returns the rebuilt byte stream (bit-identical chunks, original
+    * order, signature preserved). */
+  def stripAncillaryChunks(payload: Array[Byte]): Array[Byte] = {
+    val chunks = pngChunks(payload)
+    if (chunks.isEmpty) return payload
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(payload, 0, 8)
+    var off = 8
+    chunks.foreach { case (_, tpe, len, _) =>
+      val critical = (tpe.charAt(0) & 0x20) == 0
+      if (critical) out.write(payload, off, 12 + len)
+      off += 12 + len
+    }
+    out.toByteArray
+  }
+
   /** Per-tile FNV-1a64 fingerprints of an image payload via a REAL
     * ImageIO decode: the image splits into non-overlapping `tile`×`tile`
     * blocks (exact path — dimensions must divide evenly, like

@@ -658,7 +658,11 @@ object TextAnalysis {
     * is the document bigram stream joined to them on (w′,w)/w′/w — the
     * same fixed-width equi-join shape as t21, no window, no sort.
     *
-    * @return (idCol, n_bigrams, unseen_ctx, kn_sum_fix, kn_avg_prob) */
+    * @return (idCol, n_bigrams, unseen_ctx, kn_sum_fix, kn_avg_fix) —
+    *         kn_avg_fix is the ×10¹² fixed-point average probability as
+    *         an exact integral division (a double ROUND(…, 9) here sat
+    *         on a half-ulp boundary at sf0.1 and diverged between
+    *         engines by 1 in the 9th decimal — integer division cannot) */
   def knBigramScore(lm: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
@@ -697,9 +701,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("unseen")).as("unseen_ctx"),
         sum(col("p_fix")).as("kn_sum_fix"))
-      .withColumn("kn_avg_prob",
-        round(col("kn_sum_fix").cast("double") / lit(1.0e12d) /
-          col("n_bigrams").cast("double"), 9))
+      .withColumn("kn_avg_fix", expr("kn_sum_fix div n_bigrams"))
   }
 
   /** Per-term burstiness — the Fano factor (variance-to-mean ratio) of

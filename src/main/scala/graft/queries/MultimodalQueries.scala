@@ -1013,7 +1013,54 @@ object MultimodalQueries {
       |GROUP BY c.doc_id, m.ms
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m17
+  /** Image METADATA SCRUB ([[Multimodal.stripAncillaryChunks]]) — the
+    * image-side twin of t08's text PII scrub: every PNG (the m15 set)
+    * gets a realistic provenance `tEXt` chunk planted (real CRC32, the
+    * [[Multimodal.insertTextChunk]] writer), then the scrubber rebuilds
+    * the byte stream keeping only critical chunks. The gate proves the
+    * rewrite is REAL: chunk counts before/after, exact bytes removed
+    * (12-byte chunk framing + "src doc<id>" payload), dimensions
+    * re-parsed from the SCRUBBED bytes, and a CRC re-walk of the
+    * rebuilt file — all byte-level evidence, all arithmetic the oracle
+    * predicts exactly. Per-row mapPartitions codec work, the m06/m09
+    * discipline; no shuffle at all until the driver-side orderBy. */
+  def m17MetadataScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+    ids.mapPartitions(_.map { id =>
+      val w = (9 * (1 + id % 3)).toInt
+      val h = (8 * (1 + id % 2)).toInt
+      val png = Multimodal.gradientPng(w, h, id)
+      val tagged = Multimodal.insertTextChunk(png, "src", s"doc$id")
+      val stripped = Multimodal.stripAncillaryChunks(tagged)
+      val before = Multimodal.pngChunks(tagged)
+      val after = Multimodal.pngChunks(stripped)
+      val dims = Multimodal.parsePngHeader(stripped).get
+      (id, before.size.toLong, after.size.toLong,
+        (tagged.length - stripped.length).toLong,
+        dims._1.toLong, dims._2.toLong, after.forall(_._4))
+    }).toDF("doc_id", "n_chunks_before", "n_chunks_after",
+      "removed_bytes", "w_after", "h_after", "crc_ok_after")
+      .orderBy("doc_id")
+  }
+
+  val m17Sql: String =
+    """SELECT doc_id,
+      |  4::BIGINT AS n_chunks_before,
+      |  3::BIGINT AS n_chunks_after,
+      |  (19 + LENGTH(CAST(doc_id AS VARCHAR)))::BIGINT AS removed_bytes,
+      |  (9 * (1 + doc_id % 3))::BIGINT AS w_after,
+      |  (8 * (1 + doc_id % 2))::BIGINT AS h_after,
+      |  TRUE AS crc_ok_after
+      |FROM documents WHERE doc_id % 3 = 1
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m17_metadata_scrub" -> (m17MetadataScrub _, m17Sql),
     "m16_tile_crop_neardup" -> (m16TileCropNeardup _, m16Sql),
     "m15_png_chunk_audit" -> (m15PngChunkAudit _, m15Sql),
     "m14_shot_segments" -> (m14ShotSegments _, m14Sql),

@@ -1354,7 +1354,105 @@ object PipelineQueries {
       |  MAX(late_us)::BIGINT AS max_late_us
       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- p24
+  /** Shard-map REBALANCE audit ([[graft.operators.Layout.rendezvousShard]]):
+    * every document scored onto 8 rendezvous shards, then onto 9, with
+    * the per-shard before/after histogram, how many keys moved into
+    * each shard, and the count of ILLEGAL moves (between two old
+    * shards) — which rendezvous hashing guarantees is zero: growth only
+    * ever moves keys INTO the new shard. This is the audit a store
+    * operator runs before resharding a d19/d20/s16 incremental store;
+    * the oracle replays every FNV argmax and the zero-illegal-moves
+    * invariant exactly. */
+  def p24ShardRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val a8 = graft.operators.Layout.rendezvousShard(d, "doc_id", 8)
+      .withColumnRenamed("shard", "s8")
+    val a9 = graft.operators.Layout.rendezvousShard(d, "doc_id", 9)
+      .withColumnRenamed("shard", "s9")
+    val w = a8.join(a9, "doc_id")
+    val shards = (0 until 9).map(_.toLong).toDF("shard")
+    val nb = w.groupBy($"s8".as("shard")).agg(count(lit(1)).as("n_before"))
+    val na = w.groupBy($"s9".as("shard")).agg(count(lit(1)).as("n_after"))
+    val mi = w.filter($"s8" =!= $"s9")
+      .groupBy($"s9".as("shard")).agg(count(lit(1)).as("moved_in"))
+    val il = w.agg(sum(when($"s8" =!= $"s9" && $"s9" =!= 8, 1L)
+      .otherwise(0L)).as("illegal_moves"))
+    shards.join(nb, Seq("shard"), "left").join(na, Seq("shard"), "left")
+      .join(mi, Seq("shard"), "left")
+      .crossJoin(broadcast(il))
+      .select($"shard",
+        coalesce($"n_before", lit(0L)).as("n_before"),
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        coalesce($"moved_in", lit(0L)).as("moved_in"),
+        $"illegal_moves")
+      .orderBy($"shard")
+  }
+
+  val p24Sql: String =
+    """WITH f0 AS (
+      |  SELECT doc_id, n, s, list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(
+      |          CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR), '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) AS z
+      |  FROM documents
+      |  CROSS JOIN (SELECT UNNEST([8, 9]) AS n)
+      |  CROSS JOIN (SELECT UNNEST(RANGE(0, 9)) AS s)
+      |  WHERE s < n),
+      |x1 AS (SELECT doc_id, n, s, xor(z, z // 8589934592::HUGEINT) AS z
+      |       FROM f0),
+      |x2 AS (SELECT doc_id, n, s,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM x1),
+      |x3 AS (SELECT doc_id, n, s, xor(z, z // 8589934592::HUGEINT) AS z
+      |       FROM x2),
+      |x4 AS (SELECT doc_id, n, s,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM x3),
+      |hs AS (
+      |  SELECT doc_id, n, s,
+      |    CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+      |         THEN f - 18446744073709551616::HUGEINT ELSE f
+      |         END AS BIGINT) AS hv
+      |  FROM (SELECT doc_id, n, s, xor(z, z // 8589934592::HUGEINT) AS f
+      |        FROM x4)),
+      |asg AS (
+      |  SELECT h.doc_id, h.n, MIN(h.s) AS shard
+      |  FROM hs h JOIN (SELECT doc_id, n, MAX(hv) AS mh FROM hs
+      |                  GROUP BY 1, 2) m
+      |    ON m.doc_id = h.doc_id AND m.n = h.n AND h.hv = m.mh
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT a8.doc_id, a8.shard AS s8, a9.shard AS s9
+      |  FROM (SELECT * FROM asg WHERE n = 8) a8
+      |  JOIN (SELECT * FROM asg WHERE n = 9) a9 USING (doc_id)),
+      |sh AS (SELECT UNNEST(RANGE(0, 9)) AS shard),
+      |nb AS (SELECT s8 AS shard, COUNT(*) AS n_before FROM w GROUP BY 1),
+      |na AS (SELECT s9 AS shard, COUNT(*) AS n_after FROM w GROUP BY 1),
+      |mi AS (SELECT s9 AS shard, COUNT(*) AS moved_in FROM w
+      |       WHERE s8 <> s9 GROUP BY 1),
+      |il AS (SELECT COUNT(*) FILTER (s8 <> s9 AND s9 <> 8)::BIGINT
+      |         AS illegal_moves FROM w)
+      |SELECT shard::BIGINT AS shard,
+      |  COALESCE(n_before, 0)::BIGINT AS n_before,
+      |  COALESCE(n_after, 0)::BIGINT AS n_after,
+      |  COALESCE(moved_in, 0)::BIGINT AS moved_in,
+      |  il.illegal_moves
+      |FROM sh LEFT JOIN nb USING (shard) LEFT JOIN na USING (shard)
+      |LEFT JOIN mi USING (shard) CROSS JOIN il
+      |ORDER BY shard""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p24_shard_rebalance" -> (p24ShardRebalance _, p24Sql),
     "p23_late_data_audit" -> (p23LateDataAudit _, p23Sql),
     "p22_quality_constraints" -> (p22QualityConstraints _, p22Sql),
     "p21_layout_pruning" -> (p21LayoutPruning _, p21Sql),

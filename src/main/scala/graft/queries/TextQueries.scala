@@ -1181,7 +1181,7 @@ object TextQueries {
       |  WHERE d.w1 <> '' AND d.w2 <> '')
       |SELECT doc_id, COUNT(*) AS n_bigrams, SUM(unseen)::BIGINT AS unseen_ctx,
       |  SUM(p_fix)::BIGINT AS kn_sum_fix,
-      |  ROUND(SUM(p_fix)::DOUBLE / 1e12 / COUNT(*)::DOUBLE, 9) AS kn_avg_prob
+      |  (SUM(p_fix) // COUNT(*))::BIGINT AS kn_avg_fix
       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t27

@@ -68,4 +68,24 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ly > 60, s"linear layout should span y fully, got $ly")
     assert(zy < ly / 2)
   }
+
+  test("rendezvousShard: uniform split, minimal disruption on growth, " +
+    "no inter-old-shard moves") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("doc_id")
+    val a8 = Layout.rendezvousShard(keys, "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a9 = Layout.rendezvousShard(keys, "doc_id", 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a8.size == 2000 && a8.values.forall(s => s >= 0 && s < 8))
+    // roughly uniform: every shard within 2x of fair share
+    val hist = a8.values.groupBy(identity).view.mapValues(_.size)
+    assert(hist.values.forall(n => n > 125 && n < 500), hist.toMap.toString)
+    // growth moves ONLY into the new shard, ~1/9 of keys
+    val moved = a8.keys.filter(k => a8(k) != a9(k)).toSeq
+    assert(moved.forall(k => a9(k) == 8L),
+      s"illegal inter-old-shard moves: ${moved.filter(a9(_) != 8L).take(5)}")
+    assert(moved.size > 2000 / 18 && moved.size < 2000 / 4,
+      s"moved ${moved.size}, expected ≈ ${2000 / 9}")
+  }
 }

@@ -1214,7 +1214,7 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map { case (w, i) => (i.toLong, s"$ctx $w") }.toDF("doc_id", "text")
       TextAnalysis.knBigramScore(train, probes, "doc_id", "text")
         .collect().map(r => vocab(r.getLong(0).toInt) ->
-          r.getDouble(r.fieldIndex("kn_avg_prob"))).toMap
+          r.getLong(r.fieldIndex("kn_avg_fix")) / 1.0e12).toMap
     }
     // seen context: the discount mass redistributes exactly — the
     // telescoping sum [Σc − D·N1+] / cw + D·N1+/cw · Σ P_cont = 1
