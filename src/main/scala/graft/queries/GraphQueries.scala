@@ -398,9 +398,14 @@ object GraphQueries {
     * engines; q_num may be legitimately negative for an internally
     * edge-free community). */
   def g08Modularity(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the shingle-join edge list feeds BOTH the LPA
+    // rounds and the modularity scoring — without it the d04 join runs
+    // twice (labels are checkpointed inside labelPropagation, but the
+    // modularity pass would replay edges from scratch)
     val edges = graft.operators.Dedup.ngramJaccardPairs(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       k = 3, threshold = 0.7, dfCap = 1000000)
+      .localCheckpoint()
     val labels = Graph.labelPropagation(edges, "id_a", "id_b", rounds = 4)
     Graph.modularity(edges, "id_a", "id_b", labels).orderBy("community")
   }
