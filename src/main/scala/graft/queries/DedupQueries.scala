@@ -1313,7 +1313,172 @@ object DedupQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- d23
+  /** LSH banding-parameter SWEEP — the tuning table an engineer reads
+    * before fixing (bands, rows): for bands ∈ {8, 16, 32} over the SAME
+    * 128-hash signatures, how many candidate pairs the band index
+    * generates, how many true near-dup pairs (exact Jaccard ≥ 0.7, the
+    * d04 ground truth) it catches, and the exact recall. More bands →
+    * shorter band keys → more candidates and higher recall: the S-curve
+    * trade made measurable. Signatures are computed ONCE
+    * (localCheckpoint) and re-banded three ways — the 100 TB discipline
+    * (the corpus is never re-shingled per configuration); candidate
+    * joins ship only (band, 8-byte bkey, id).
+    *
+    * Fully oracled: the mirror replays signatures (the d20 HUGEINT
+    * chain), all three band-key folds, every candidate join, and the
+    * exact-Jaccard truth set. */
+  def d23LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // planted MID-similarity probes (j ≈ 0.3–0.55, below the 0.7
+    // threshold): every 20th doc gains a variant made of its first ⅔
+    // words plus per-doc filler — the corpus itself has nothing between
+    // 0.1 and 0.7, so without these every banding config measures
+    // identically and the sweep is vacuous. Variant ids sit at
+    // +10 000 000 (far above any fixture id; they carry no semantics —
+    // only uniqueness matters)
+    val variants = d
+      .filter(pmod(col("doc_id"), lit(20)) === 0 &&
+        trim(col("text")) =!= "")
+      .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+      .select((col("doc_id") + 10000000L).as("vid"),
+        concat_ws(" ",
+          array_join(expr(
+            "slice(w, 1, greatest(cast((size(w) * 2) div 3 as int), 1))"),
+            " "),
+          concat(lit("zz"), col("doc_id"), lit("a")),
+          concat(lit("zz"), col("doc_id"), lit("b")),
+          concat(lit("zz"), col("doc_id"), lit("c")),
+          concat(lit("zz"), col("doc_id"), lit("d")),
+          concat(lit("zz"), col("doc_id"), lit("e"))).as("text"))
+      .select(col("vid").as("doc_id"), col("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionAll(variants)
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 128, 3)
+      .localCheckpoint()
+    // ground truth stays the BASE corpus's ≥ 0.7 pairs — the planted
+    // probes are designed sub-threshold, so they are pure candidate
+    // noise the sweep should (and at few bands does) reject
+    val truePairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val rows = Seq(8, 16, 32).map { b =>
+      val keys = Dedup.nearDupBandKeys(sigs, 128, b)
+      val cand = keys.select(col("doc_id").as("ia"), col("band"),
+        col("bkey"))
+        .join(keys.select(col("doc_id").as("ib"), col("band"),
+          col("bkey")), Seq("band", "bkey"))
+        .filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      val caught = cand.join(truePairs,
+        cand("ia") === truePairs("id_a") && cand("ib") === truePairs("id_b"),
+        "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .crossJoin(truePairs.agg(count(lit(1)).as("n_true")))
+        .select(lit(b.toLong).as("bands"), col("n_candidates"),
+          col("n_true"), col("n_caught"),
+          expr("cast(n_caught * 1000000 div nullif(n_true, 0) as bigint)")
+            .as("recall_micro"))
+    }
+    rows.reduce(_ unionAll _).orderBy("bands")
+  }
+
+  val d23Sql: String = {
+    val perB = Seq(8, 16, 32).map { b =>
+      val r = 128 / b
+      s"""bnd$b AS (
+         |  SELECT doc_id, band,
+         |    CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+         |         THEN f - 18446744073709551616::HUGEINT ELSE f
+         |         END AS BIGINT) AS bkey
+         |  FROM (
+         |    SELECT doc_id, j // $r,
+         |      list_reduce(list_prepend(14695981039346656037::HUGEINT,
+         |        [unicode(c)::HUGEINT for c in
+         |          string_split(STRING_AGG(sig::VARCHAR, ',' ORDER BY j), '')]),
+         |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+         |                    % 18446744073709551616::HUGEINT) AS f
+         |    FROM dsig GROUP BY doc_id, j // $r) sub(doc_id, band, f)),
+         |cand$b AS (
+         |  SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
+         |  FROM bnd$b a JOIN bnd$b c
+         |    ON a.band = c.band AND a.bkey = c.bkey
+         |  WHERE a.doc_id < c.doc_id),
+         |row$b AS (
+         |  SELECT $b::BIGINT AS bands,
+         |    (SELECT COUNT(*) FROM cand$b)::BIGINT AS n_candidates,
+         |    (SELECT COUNT(*) FROM tp)::BIGINT AS n_true,
+         |    (SELECT COUNT(*) FROM cand$b c
+         |     JOIN tp ON tp.id_a = c.ia AND tp.id_b = c.ib)::BIGINT
+         |      AS n_caught)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    ARRAY_TO_STRING(t[1:GREATEST((LEN(t) * 2) // 3, 1)], ' ')
+       |      || ' zz' || doc_id || 'a zz' || doc_id || 'b zz' || doc_id
+       |      || 'c zz' || doc_id || 'd zz' || doc_id || 'e'
+       |  FROM (SELECT doc_id,
+       |          STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS t
+       |        FROM documents
+       |        WHERE doc_id % 20 = 0 AND TRIM(text) <> '')),
+       |toks AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS t
+       |  FROM corpus WHERE TRIM(text) <> ''),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN LEN(t) >= 3 THEN
+       |      LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+       |  FROM toks WHERE LEN(t) >= 1),
+       |base AS (
+       |  SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(s, sg -> list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        [unicode(c)::HUGEINT for c in string_split(sg, '')]),
+       |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+       |                  % 18446744073709551616::HUGEINT))) AS b
+       |  FROM sh),
+       |seeds AS (
+       |  SELECT j, ((j + 1)::HUGEINT * 11400714819323198485::HUGEINT)
+       |           % 18446744073709551616::HUGEINT AS seed
+       |  FROM (SELECT UNNEST(RANGE(0, 128)) AS j)),
+       |m0 AS (SELECT doc_id, j, xor(b, seed) AS z FROM base CROSS JOIN seeds),
+       |m1 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m0),
+       |m2 AS (SELECT doc_id, j,
+       |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+       |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+       |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+       |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+       |  % 18446744073709551616::HUGEINT AS z FROM m1),
+       |m3 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+       |m4 AS (SELECT doc_id, j,
+       |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+       |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+       |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+       |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+       |  % 18446744073709551616::HUGEINT AS z FROM m3),
+       |m5 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z FROM m4),
+       |dsig AS (
+       |  SELECT doc_id, j, MIN(CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+       |      THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT)) AS sig
+       |  FROM m5 GROUP BY doc_id, j),
+       |tp AS (
+       |  SELECT id_a, id_b FROM (
+       |${jaccardPairsSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )),
+       |$perB
+       |SELECT bands, n_candidates, n_true, n_caught,
+       |  CAST(n_caught * 1000000 // NULLIF(n_true, 0) AS BIGINT)
+       |    AS recall_micro
+       |FROM (SELECT * FROM row8 UNION ALL SELECT * FROM row16
+       |      UNION ALL SELECT * FROM row32)
+       |ORDER BY bands""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d23_lsh_tuning" -> (d23LshTuning _, d23Sql),
     "d22_winnowing" -> (d22WinnowingPairs _, d22Sql),
     "d21_soft_dedup_weights" -> (d21SoftDedupWeights _, d21Sql),
     "d20_incremental_neardup" -> (d20IncrementalNearDup _, d20Sql),

@@ -1257,6 +1257,26 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3L, 4L, 6L, -2L, -666L, false)))
   }
 
+  test("d23 LSH sweep: candidates monotone in bands, true pairs always " +
+    "caught, planted probes stay sub-threshold") {
+    val out = graft.queries.DedupQueries.d23LshTuning(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSeq == Seq(8L, 16L, 32L))
+    // more bands ⇒ shorter keys ⇒ candidate set only grows
+    assert(out.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      out.mkString(","))
+    // the ≥0.7 truth set is at j≈0.99 — every config catches all of it
+    out.foreach { case (b, _, nTrue, nCaught, recall) =>
+      assert(nTrue > 0 && nCaught == nTrue && recall == 1000000L,
+        s"bands=$b: $nCaught/$nTrue")
+    }
+    // the planted mid-similarity probes inflate candidates beyond the
+    // truth set at 32 bands (the selectivity cost the sweep measures)
+    assert(out.last._2 > out.last._3, out.mkString(","))
+  }
+
   test("s15 recall curve: one row per k, hits monotone, recall exact") {
     val out = graft.queries.SimilarityQueries.s15RecallCurve(
       spark, "/root/testdata/sf0.001").collect()
