@@ -665,7 +665,82 @@ object ConnectorQueries {
       |GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY slice, key""".stripMargin
 
+  // --------------------------------------------- excel_stream_latedata
+  /** Streaming late-data metering ([[graft.streaming.StreamingLateness]])
+    * over the p23 jittered event stream, fed through the excel streaming
+    * source in two sequence-ordered micro-batches: per-user running-max
+    * lateness computed INCREMENTALLY (8 bytes of state per user), rolled
+    * up per event type. The split point is the global event_id median —
+    * monotone per user by construction — so the streaming state replay
+    * is row-identical to the batch running-max window the oracle runs. */
+  def excelStreamLateData(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = EventTime.load(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("ts_us") + (pmod(col("event_id") * 7, lit(11)) - 5)
+          * lit(7200000000L)).as("ts_eff"))
+    // 1-row scalar: the sequence midpoint that defines the two batches
+    val thr = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_late_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    ev.filter(col("event_id") <= thr)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    ev.filter(col("event_id") > thr)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"excel_stream_late_${math.abs(dir.hashCode)}"
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = graft.streaming.StreamingLateness.lateness(
+      ss.readStream.format("excel").schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in.getAbsolutePath))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(qname)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        sum(col("late_us")).as("sum_late_us"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Batch replay: the p23 running-max window over (user, event_id) —
+    * exact because the micro-batch split is sequence-monotone. */
+  val excelStreamLateDataSql: String =
+    """WITH base AS (
+      |  SELECT event_type, user_id, event_id,
+      |    epoch_us(ts) + ((event_id * 7) % 11 - 5) * 7200000000 AS ts_eff
+      |  FROM events),
+      |ev AS (
+      |  SELECT event_type,
+      |    MAX(ts_eff) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - ts_eff AS late_us
+      |  FROM base)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+      |  SUM(late_us)::BIGINT AS sum_late_us,
+      |  MAX(late_us)::BIGINT AS max_late_us
+      |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "excel_stream_latedata" ->
+      (excelStreamLateData _, excelStreamLateDataSql),
     "excel_stream_heavyhitters" ->
       (excelStreamHeavyHitters _, excelStreamHeavyHittersSql),
     "excel_stream_quantile" -> (excelStreamQuantile _, excelStreamQuantileSql),
