@@ -753,7 +753,91 @@ object SimilarityQueries {
       |  FROM scored)
       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+  /** Quantized-LSH CONFIGURATION sweep — d23's tuning table for vectors:
+    * three (bandBits, bandCount) splits of the same 32 projection bits
+    * ((2,16) / (4,8) / (8,4)) measured for selectivity (how many corpus
+    * vectors share ≥ 1 bucket with query 0) and exact recall@10 against
+    * the s01 brute-force truth. Fewer bits per band ⇒ coarser buckets ⇒
+    * more candidates and higher recall — the S-curve trade, measured,
+    * for the index a deployment must parameterize. Bucket decisions are
+    * the s06 integer arithmetic, so every candidate set and both counts
+    * mirror exactly. */
+  def s17LshConfigSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    val rk = row_number().over(
+      Window.orderBy(col("cos").desc, col("vec_id").asc))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"), rk.as("re")).localCheckpoint()
+    val rows = Seq((2, 16), (4, 8), (8, 4)).map { case (bits, bands) =>
+      val qb = Similarity.quantizedBuckets(q, bits, bands)
+      val candidate = (0 until bands).map(b =>
+        Similarity.quantizedLshBucket(col("embedding"), bits, b) ===
+          lit(qb(b))).reduce(_ || _)
+      val cand = e.filter(candidate).select(col("vec_id"))
+      val caught = cand.join(exact, "vec_id")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+        .select(lit(bits.toLong).as("band_bits"),
+          lit(bands.toLong).as("band_count"),
+          col("n_candidates"), col("n_caught"),
+          expr("cast(n_caught * 1000000 div 10 as bigint)")
+            .as("recall_micro"))
+    }
+    rows.reduce(_ unionAll _).orderBy("band_bits")
+  }
+
+  val s17Sql: String = {
+    val perCfg = Seq((2, 16), (4, 8), (8, 4)).map { case (bits, bands) =>
+      s"""bk_${bits} AS (
+         |  SELECT vec_id, band,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(0, $bits), bit ->
+         |      CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q) + 1), i ->
+         |          q[i] * ((((band * $bits + bit) * LEN(q) + (i - 1))
+         |                   * 2654435761 + 40503) % 8191 - 4095)))
+         |        >= 0 THEN 1 << bit ELSE 0 END)) AS bucket
+         |  FROM qv CROSS JOIN (SELECT UNNEST(RANGE(0, $bands)) AS band)),
+         |cand_${bits} AS (
+         |  SELECT DISTINCT c.vec_id
+         |  FROM bk_${bits} c
+         |  JOIN (SELECT band, bucket FROM bk_${bits} WHERE vec_id = 0) qb
+         |    ON c.band = qb.band AND c.bucket = qb.bucket),
+         |row_${bits} AS (
+         |  SELECT $bits::BIGINT AS band_bits, $bands::BIGINT AS band_count,
+         |    (SELECT COUNT(*) FROM cand_${bits})::BIGINT AS n_candidates,
+         |    (SELECT COUNT(*) FROM cand_${bits} c JOIN ex ON ex.vec_id =
+         |       c.vec_id)::BIGINT AS n_caught)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    LIST_TRANSFORM(embedding,
+       |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |q0 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |ex AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id, ROUND(
+       |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+       |      / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / SQRT(LIST_SUM(LIST_TRANSFORM(qvec,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS cos
+       |    FROM embeddings e CROSS JOIN q0
+       |    ORDER BY cos DESC, e.vec_id ASC LIMIT 10)),
+       |$perCfg
+       |SELECT band_bits, band_count, n_candidates, n_caught,
+       |  CAST(n_caught * 1000000 // 10 AS BIGINT) AS recall_micro
+       |FROM (SELECT * FROM row_2 UNION ALL SELECT * FROM row_4
+       |      UNION ALL SELECT * FROM row_8)
+       |ORDER BY band_bits""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s17_lsh_config_sweep" -> (s17LshConfigSweep _, s17Sql),
     "s16_incremental_index" -> (s16IncrementalIndex _, s16Sql),
     "s15_recall_curve" -> (s15RecallCurve _, s15Sql),
     "s14_silhouette" -> (s14Silhouette _, s14Sql),

@@ -1277,6 +1277,21 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.last._2 > out.last._3, out.mkString(","))
   }
 
+  test("s17 config sweep: coarser bands buy candidates and recall") {
+    val out = graft.queries.SimilarityQueries.s17LshConfigSweep(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    // fewer bits per band (same 32 total) ⇒ monotone MORE candidates
+    // and at-least-as-much recall — the S-curve direction itself
+    assert(out.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      out.mkString(","))
+    assert(out.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      out.mkString(","))
+    // the sweep must actually discriminate on this corpus
+    assert(out.head._2 > out.last._2, out.mkString(","))
+  }
+
   test("s15 recall curve: one row per k, hits monotone, recall exact") {
     val out = graft.queries.SimilarityQueries.s15RecallCurve(
       spark, "/root/testdata/sf0.001").collect()
