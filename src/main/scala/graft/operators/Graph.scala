@@ -478,6 +478,39 @@ object Graph {
     * @return one row per community:
     *         (community, n_nodes, internal_edges, degree_sum, q_num,
     *         q_micro), where Σ q_micro ≈ 10⁶·Q. */
+  /** Degree-distribution AUDIT of an undirected graph: per power-of-two
+    * degree bucket (bucket = bit_length(degree), libm-free via
+    * `length(bin(deg))` — the t17 integer-log2 trick), how many nodes
+    * land there and the bucket's min/max degree, plus each bucket's
+    * share of total edge endpoints. This is the structural pre-check
+    * that decides whether a workload needs skew guards (a heavy tail ⇒
+    * df-caps/orientation/salting) before any join runs — cheap enough
+    * to run on every ingest.
+    *
+    * Scale shape: symmetrize+distinct (one shuffle), degree partial agg,
+    * then a partial agg over ≤ 64 buckets; the endpoint total rides in
+    * broadcast. All integers; the share is an exact scaled division. */
+  def degreeAudit(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val half = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val tot = deg.agg(sum(col("deg")).as("m2"))
+    deg.withColumn("bucket", length(bin(col("deg"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"), sum(col("deg")).as("endpoints"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_nodes"), col("min_deg"),
+        col("max_deg"), col("endpoints"),
+        expr("""cast((cast(endpoints as decimal(38,0)) * 1000000)
+                 div m2 as bigint)""").as("share_micro"))
+  }
+
   /** Multi-source BFS hop distances, `rounds` fixed synchronous
     * frontier expansions — the primitive behind "how far is every node
     * from the trusted seed set" (seed-based trust/contamination radius,

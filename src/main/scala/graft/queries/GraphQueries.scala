@@ -486,7 +486,45 @@ object GraphQueries {
        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g10
+  /** Degree-distribution audit ([[Graph.degreeAudit]]) of the trade
+    * graph — the skew census run before any wedge/join algorithm is
+    * chosen: power-of-two degree buckets (integer bit-length, no libm),
+    * node counts, bucket degree ranges, and each bucket's exact share
+    * of edge endpoints. The dense co-occurrence projection's heavy tail
+    * is visible here — the evidence for g02's degree-ordered
+    * orientation and the operator-level caps. */
+  def g10DegreeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    Graph.degreeAudit(pairs, "c", "s").orderBy("bucket")
+  }
+
+  val g10Sql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e0 AS (
+      |  SELECT c AS a, s AS b FROM pairs
+      |  UNION ALL
+      |  SELECT s AS a, c AS b FROM pairs),
+      |deg AS (SELECT a, COUNT(*)::BIGINT AS deg FROM e0 GROUP BY 1),
+      |tot AS (SELECT SUM(deg)::BIGINT AS m2 FROM deg)
+      |SELECT LENGTH(BIN(deg))::BIGINT AS bucket,
+      |  COUNT(*)::BIGINT AS n_nodes,
+      |  MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+      |  SUM(deg)::BIGINT AS endpoints,
+      |  CAST((SUM(deg)::HUGEINT * 1000000) // MIN(tot.m2) AS BIGINT)
+      |    AS share_micro
+      |FROM deg CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g10_degree_audit" -> (g10DegreeAudit _, g10Sql),
     "g09_bfs_distances" -> (g09BfsDistances _, g09Sql),
     "g08_modularity" -> (g08Modularity _, g08Sql),
     "g07_ktruss" -> (g07KTruss _, g07Sql),

@@ -335,6 +335,20 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(neg(99L) == (-9L, -45918L), neg.toString)
   }
 
+  test("degreeAudit: bit-length buckets and endpoint shares are exact") {
+    import spark.implicits._
+    // star: hub 0 with 5 leaves → hub deg 5 (bucket 3), leaves deg 1
+    // (bucket 1); endpoints total 10
+    val edges = (1L to 5L).map(l => (0L, l)).toDF("s", "d")
+    val out = Graph.degreeAudit(edges, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(out == Map(
+      1L -> (5L, 1L, 1L, 5L, 500000L),
+      3L -> (1L, 5L, 5L, 5L, 500000L)), out.toString)
+  }
+
   test("multiSourceBfs: exact hop distances on a path + unreached absent") {
     import spark.implicits._
     // path 1-2-3-4-5-6-7, plus isolated edge 100-101
