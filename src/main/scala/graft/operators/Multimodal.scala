@@ -840,6 +840,83 @@ object Multimodal {
     out.toSeq
   }
 
+  /** Walk a RIFF/WAVE container's chunk table: after the 12-byte
+    * RIFF/size/WAVE header, each chunk is fourcc(4) + size(4 LE) + data
+    * (+1 pad byte when size is odd — the RIFF alignment rule). Returns
+    * one (index, fourcc, size) per chunk; empty for non-RIFF bytes. */
+  def wavChunks(payload: Array[Byte]): Seq[(Int, String, Int)] = {
+    if (payload.length < 12) return Seq.empty
+    if (!(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E')) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int)]
+    var off = 12
+    var idx = 0
+    while (off + 8 <= payload.length) {
+      val fourcc = new String(payload, off, 4, "US-ASCII")
+      val size = le32(payload, off + 4)
+      if (size < 0 || off.toLong + 8 + size > payload.length)
+        return out.toSeq
+      out += ((idx, fourcc, size))
+      idx += 1
+      off += 8 + size + (size & 1)
+    }
+    out.toSeq
+  }
+
+  /** Insert a `JUNK` metadata chunk (the RIFF padding/annotation chunk
+    * real tooling plants) immediately after `fmt ` — with the RIFF size
+    * field corrected, so the result is a VALID wav any decoder accepts. */
+  def insertWavJunkChunk(payload: Array[Byte],
+      text: String): Array[Byte] = {
+    val chunks = wavChunks(payload)
+    require(chunks.exists(_._2 == "fmt "),
+      "insertWavJunkChunk needs a valid RIFF/WAVE with fmt ")
+    var off = 12
+    var end = off
+    chunks.takeWhile(_._2 != "fmt ").foreach { c =>
+      off += 8 + c._3 + (c._3 & 1)
+    }
+    val fmt = chunks.find(_._2 == "fmt ").get
+    end = off + 8 + fmt._3 + (fmt._3 & 1)
+    val data = text.getBytes("US-ASCII")
+    val padded = data.length + (data.length & 1)
+    val chunk = java.nio.ByteBuffer.allocate(8 + padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put("JUNK".getBytes("US-ASCII")).putInt(data.length).put(data)
+    val body = payload.take(end) ++ chunk.array() ++ payload.drop(end)
+    writeRiffSize(body)
+  }
+
+  /** Strip every non-essential chunk from a WAV (everything but `fmt `
+    * and `data` — JUNK, LIST/INFO author strings, bext broadcast
+    * metadata, …): the audio-side metadata scrub, with the RIFF size
+    * field recomputed so the rebuilt file stays decodable. Sample bytes
+    * are untouched by construction. */
+  def stripWavMetadata(payload: Array[Byte]): Array[Byte] = {
+    val chunks = wavChunks(payload)
+    if (chunks.isEmpty) return payload
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(payload, 0, 12)
+    var off = 12
+    chunks.foreach { case (_, fourcc, size) =>
+      val span = 8 + size + (size & 1)
+      if (fourcc == "fmt " || fourcc == "data")
+        out.write(payload, off, math.min(span, payload.length - off))
+      off += span
+    }
+    writeRiffSize(out.toByteArray)
+  }
+
+  private def writeRiffSize(b: Array[Byte]): Array[Byte] = {
+    val size = b.length - 8
+    b(4) = (size & 0xff).toByte
+    b(5) = ((size >> 8) & 0xff).toByte
+    b(6) = ((size >> 16) & 0xff).toByte
+    b(7) = ((size >> 24) & 0xff).toByte
+    b
+  }
+
   /** Insert an ancillary `tEXt` metadata chunk (keyword\0text, real
     * CRC32) immediately after the IHDR chunk — how EXIF-era tooling
     * plants provenance/author strings in PNGs, and the fixture-side

@@ -1059,7 +1059,56 @@ object MultimodalQueries {
       |FROM documents WHERE doc_id % 3 = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m18
+  /** Audio METADATA SCRUB ([[Multimodal.stripWavMetadata]]) — the RIFF
+    * twin of m17: each audio-modality doc becomes a REAL PCM WAV
+    * (deterministic sawtooth samples), gains a planted `JUNK` annotation
+    * chunk (the RIFF-correct metadata write, size field fixed up), and
+    * the scrubber rebuilds the container keeping only `fmt ` + `data`.
+    * Byte-level proof: chunk counts before/after, exact bytes removed
+    * (8-byte frame + "rec<id>" payload + RIFF pad to even), the PCM
+    * sample count RE-DECODED from the scrubbed bytes through
+    * javax.sound, and a sample-sum equality flag vs the original decode
+    * — the samples must survive the rewrite bit-for-bit. */
+  def m18AudioScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[Long]
+    ids.mapPartitions(_.map { id =>
+      val samples = Array.tabulate(256)(i =>
+        (((id * 31 + i.toLong * 17) % 65521) - 32760).toShort)
+      val wav = Multimodal.pcmWav(8000, samples)
+      val sum0 = Multimodal.decodeAudioSamples(wav).get
+        .foldLeft(0L)(_ + _)
+      val tagged = Multimodal.insertWavJunkChunk(wav, s"rec$id")
+      val stripped = Multimodal.stripWavMetadata(tagged)
+      val decoded = Multimodal.decodeAudioSamples(stripped).get
+      (id, Multimodal.wavChunks(tagged).size.toLong,
+        Multimodal.wavChunks(stripped).size.toLong,
+        (tagged.length - stripped.length).toLong,
+        decoded.length.toLong,
+        decoded.foldLeft(0L)(_ + _) == sum0)
+    }).toDF("doc_id", "n_chunks_before", "n_chunks_after",
+      "removed_bytes", "n_samples", "samples_intact")
+      .orderBy("doc_id")
+  }
+
+  val m18Sql: String =
+    """SELECT doc_id,
+      |  3::BIGINT AS n_chunks_before,
+      |  2::BIGINT AS n_chunks_after,
+      |  (8 + LENGTH('rec' || CAST(doc_id AS VARCHAR))
+      |     + LENGTH('rec' || CAST(doc_id AS VARCHAR)) % 2)::BIGINT
+      |    AS removed_bytes,
+      |  256::BIGINT AS n_samples,
+      |  TRUE AS samples_intact
+      |FROM documents WHERE doc_id % 3 = 2
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m18_audio_scrub" -> (m18AudioScrub _, m18Sql),
     "m17_metadata_scrub" -> (m17MetadataScrub _, m17Sql),
     "m16_tile_crop_neardup" -> (m16TileCropNeardup _, m16Sql),
     "m15_png_chunk_audit" -> (m15PngChunkAudit _, m15Sql),

@@ -34,4 +34,27 @@ class MetadataScrubSpec extends AnyFunSuite {
     val junk = Array[Byte](1, 2, 3, 4)
     assert(Multimodal.stripAncillaryChunks(junk).sameElements(junk))
   }
+
+  test("WAV: inject JUNK → strip round-trips; odd payloads pad; RIFF " +
+    "size stays correct") {
+    val samples = Array.tabulate(64)(i => (i * 100 - 3000).toShort)
+    val wav = Multimodal.pcmWav(8000, samples)
+    assert(Multimodal.wavChunks(wav).map(_._2) == Seq("fmt ", "data"))
+    // odd-length payload exercises the RIFF pad byte
+    val tagged = Multimodal.insertWavJunkChunk(wav, "abc")
+    assert(Multimodal.wavChunks(tagged).map(_._2) ==
+      Seq("fmt ", "JUNK", "data"))
+    // RIFF size field == bytes after the 8-byte header, post-insert
+    def riffSize(b: Array[Byte]) =
+      (b(4) & 0xff) | ((b(5) & 0xff) << 8) | ((b(6) & 0xff) << 16) |
+        ((b(7) & 0xff) << 24)
+    assert(riffSize(tagged) == tagged.length - 8)
+    assert(tagged.length - wav.length == 8 + 3 + 1, "pad byte expected")
+    // the tagged file still DECODES (valid container), samples intact
+    assert(Multimodal.decodeAudioSamples(tagged).get.sameElements(samples))
+    val stripped = Multimodal.stripWavMetadata(tagged)
+    assert(stripped.sameElements(wav))
+    assert(Multimodal.decodeAudioSamples(stripped).get
+      .sameElements(samples))
+  }
 }
