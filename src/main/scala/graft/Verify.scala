@@ -58,7 +58,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under a local-iteration filter, trim the oracle dump to the gates
+    // actually run so check_oracle.py compares exactly those (the driver
+    // never sets the filter, so per-round dumps stay complete)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Gate failures must be LOUD, not silent absences: round 10's events
