@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{SkewJoin, TextAnalysis}
@@ -1451,7 +1451,112 @@ object PipelineQueries {
       |LEFT JOIN mi USING (shard) CROSS JOIN il
       |ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------- p25
+  /** LEAKAGE-SAFE train/val/test split — the contamination-aware upgrade
+    * of p08: near-duplicate documents must land in the SAME split, or
+    * eval metrics silently measure memorization. Each doc's split hash
+    * is computed on its dedup-cluster ANCHOR (the d12 connected-
+    * component id; singletons anchor on themselves), so a whole near-dup
+    * cluster moves as one unit; the p08 md5 rule and 80/10/10 cuts are
+    * unchanged. The gate also measures the damage the naive per-doc
+    * split WOULD have done: `naive_leaky_pairs` counts near-dup pairs
+    * straddling splits under per-doc hashing (non-zero on this corpus),
+    * while the cluster-aware assignment's `leaky_pairs` is structurally
+    * zero — both replayed exactly by the oracle. */
+  def p25LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val edges = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000).localCheckpoint()
+    val labels = graft.operators.DedupClusters
+      .connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label").as("anchor"))
+    def splitOf(keyCol: Column): Column = {
+      val h = md5(concat(lit("split1:"), keyCol.cast("string")))
+      def digit(i: Int) = {
+        val a = ascii(substring(h, i, 1))
+        a - lit(48) - when(a >= 97, lit(39)).otherwise(lit(0))
+      }
+      val v = digit(1) * 256 + digit(2) * 16 + digit(3)
+      when(v < 3277, "train").when(v < 3686, "val").otherwise("test")
+    }
+    val assigned = d.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("anchor", coalesce(col("anchor"), col("doc_id")))
+      .withColumn("split", splitOf(col("anchor")))
+      .withColumn("naive_split", splitOf(col("doc_id")))
+    val pairSplits = edges.select(col("id_a"), col("id_b"))
+      .join(assigned.select(col("doc_id").as("id_a"),
+        col("split").as("sa"), col("naive_split").as("na")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"),
+        col("split").as("sb"), col("naive_split").as("nb")), "id_b")
+    val leaks = pairSplits.agg(
+      sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+        .as("leaky_pairs"),
+      sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+        .as("naive_leaky_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("anchor")).as("n_clusters"))
+      .crossJoin(broadcast(leaks))
+      .orderBy(col("split"))
+  }
+
+  val p25Sql: String = {
+    val splitExpr = (key: String) =>
+      s"""CASE WHEN (ASCII(SUBSTR(MD5('split1:' || $key), 1, 1)) - 48
+         |  - CASE WHEN ASCII(SUBSTR(MD5('split1:' || $key), 1, 1)) >= 97
+         |         THEN 39 ELSE 0 END) * 256
+         |  + (ASCII(SUBSTR(MD5('split1:' || $key), 2, 1)) - 48
+         |  - CASE WHEN ASCII(SUBSTR(MD5('split1:' || $key), 2, 1)) >= 97
+         |         THEN 39 ELSE 0 END) * 16
+         |  + (ASCII(SUBSTR(MD5('split1:' || $key), 3, 1)) - 48
+         |  - CASE WHEN ASCII(SUBSTR(MD5('split1:' || $key), 3, 1)) >= 97
+         |         THEN 39 ELSE 0 END) < 3277 THEN 'train'
+         |  WHEN (ASCII(SUBSTR(MD5('split1:' || $key), 1, 1)) - 48
+         |  - CASE WHEN ASCII(SUBSTR(MD5('split1:' || $key), 1, 1)) >= 97
+         |         THEN 39 ELSE 0 END) * 256
+         |  + (ASCII(SUBSTR(MD5('split1:' || $key), 2, 1)) - 48
+         |  - CASE WHEN ASCII(SUBSTR(MD5('split1:' || $key), 2, 1)) >= 97
+         |         THEN 39 ELSE 0 END) * 16
+         |  + (ASCII(SUBSTR(MD5('split1:' || $key), 3, 1)) - 48
+         |  - CASE WHEN ASCII(SUBSTR(MD5('split1:' || $key), 3, 1)) >= 97
+         |         THEN 39 ELSE 0 END) < 3686 THEN 'val'
+         |  ELSE 'test' END""".stripMargin
+    s"""WITH labels AS (
+       |${DedupQueries.all("d12_dedup_clusters")._2.linesIterator
+            .map("  " + _).mkString("\n")}
+       |),
+       |pairs AS (
+       |${DedupQueries.all("d04_ngram_jaccard")._2.linesIterator
+            .map("  " + _).mkString("\n")}
+       |),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS anchor,
+       |    ${splitExpr("COALESCE(l.cluster_id, d.doc_id)").linesIterator
+              .mkString("\n    ")} AS split,
+       |    ${splitExpr("d.doc_id").linesIterator.mkString("\n    ")}
+       |      AS naive_split
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+       |leaks AS (
+       |  SELECT
+       |    SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)::BIGINT
+       |      AS leaky_pairs,
+       |    SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0
+       |        END)::BIGINT AS naive_leaky_pairs
+       |  FROM pairs p
+       |  JOIN assigned a ON a.doc_id = p.id_a
+       |  JOIN assigned b ON b.doc_id = p.id_b)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT anchor) AS n_clusters,
+       |  leaks.leaky_pairs, leaks.naive_leaky_pairs
+       |FROM assigned CROSS JOIN leaks
+       |GROUP BY split, leaks.leaky_pairs, leaks.naive_leaky_pairs
+       |ORDER BY split""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p25_leakage_safe_split" -> (p25LeakageSafeSplit _, p25Sql),
     "p24_shard_rebalance" -> (p24ShardRebalance _, p24Sql),
     "p23_late_data_audit" -> (p23LateDataAudit _, p23Sql),
     "p22_quality_constraints" -> (p22QualityConstraints _, p22Sql),

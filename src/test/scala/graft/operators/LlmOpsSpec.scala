@@ -1277,6 +1277,23 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.last._2 > out.last._3, out.mkString(","))
   }
 
+  test("p25 leakage-safe split: clusters move atomically; naive split " +
+    "would leak") {
+    val out = graft.queries.PipelineQueries.p25LeakageSafeSplit(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getString(0)).sorted.toSeq ==
+      Seq("test", "train", "val"))
+    out.foreach { r =>
+      assert(r.getLong(3) == 0L, s"cluster-aware split leaked: $r")
+      // the corpus plants near-dups, so per-doc hashing MUST leak some
+      assert(r.getLong(4) > 0L, s"naive baseline should leak: $r")
+      assert(r.getLong(1) >= r.getLong(2), s"docs >= clusters: $r")
+    }
+    // 80/10/10 shape: train strictly dominates
+    val byName = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > byName("val") + byName("test"), byName.toString)
+  }
+
   test("s17 config sweep: coarser bands buy candidates and recall") {
     val out = graft.queries.SimilarityQueries.s17LshConfigSweep(
       spark, "/root/testdata/sf0.001").collect()
