@@ -836,7 +836,79 @@ object SimilarityQueries {
        |ORDER BY band_bits""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s18
+  /** FILTERED vector search — the "where label = X" ANN query every
+    * retrieval deployment needs (metadata predicate + similarity,
+    * served together): top-5 per label class among candidates sharing a
+    * quantized-LSH bucket with query 0, the filter applied BEFORE the
+    * distance math so selectivity multiplies with the index instead of
+    * post-filtering away the result set (the classic filtered-ANN
+    * failure: post-filter a top-k and a selective predicate empties it).
+    * Bucket decisions and the exact cosine rank are the s06 arithmetic,
+    * so every per-class result row mirrors exactly; classes whose
+    * candidates are empty are legitimately absent — the recall-vs-
+    * selectivity surface s17 quantifies, sliced by predicate. */
+  def s18FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    val qb = Similarity.quantizedBuckets(q, 4, 8)
+    val candidate = (0 until 8).map(b =>
+      Similarity.quantizedLshBucket(col("embedding"), 4, b) === lit(qb(b)))
+      .reduce(_ || _)
+    val scored = e.filter(candidate)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine(col("embedding"),
+          array(q.toIndexedSeq.map(lit): _*)), 6).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("label"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("label", "rank")
+  }
+
+  val s18Sql: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |bk AS (
+      |  SELECT vec_id, band,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, 4), bit ->
+      |      CASE WHEN LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q) + 1), i ->
+      |          q[i] * ((((band * 4 + bit) * LEN(q) + (i - 1)) * 2654435761
+      |                   + 40503) % 8191 - 4095)))
+      |        >= 0 THEN 1 << bit ELSE 0 END)) AS bucket
+      |  FROM qv CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS band)),
+      |cand AS (
+      |  SELECT DISTINCT c.vec_id
+      |  FROM bk c JOIN (SELECT band, bucket FROM bk WHERE vec_id = 0) qb
+      |    ON c.band = qb.band AND c.bucket = qb.bucket),
+      |q0 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.label::BIGINT AS label, e.vec_id,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(qvec,
+      |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS cos
+      |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+      |  CROSS JOIN q0)
+      |SELECT label, rank, vec_id, cos FROM (
+      |  SELECT label, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY label
+      |                       ORDER BY cos DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY label, rank""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s18_filtered_ann" -> (s18FilteredAnn _, s18Sql),
     "s17_lsh_config_sweep" -> (s17LshConfigSweep _, s17Sql),
     "s16_incremental_index" -> (s16IncrementalIndex _, s16Sql),
     "s15_recall_curve" -> (s15RecallCurve _, s15Sql),

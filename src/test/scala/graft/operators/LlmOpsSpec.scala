@@ -1294,6 +1294,25 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byName("train") > byName("val") + byName("test"), byName.toString)
   }
 
+  test("s18 filtered ANN: per-class ranks are dense, scores ordered, " +
+    "self-hit present in its own class") {
+    val out = graft.queries.SimilarityQueries.s18FilteredAnn(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (label, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.size).toSeq,
+        s"label $label ranks not dense: $sorted")
+      assert(sorted.map(-_._4).toSeq == sorted.map(-_._4).sorted.toSeq,
+        s"label $label not cos-ordered: $sorted")
+    }
+    // query vec 0 always matches its own bucket: rank 1 of its class is
+    // vec 0 itself at cos 1.0
+    val self = out.find(r => r._3 == 0L)
+    assert(self.exists(r => r._2 == 1L && r._4 == 1.0), self.toString)
+  }
+
   test("s17 config sweep: coarser bands buy candidates and recall") {
     val out = graft.queries.SimilarityQueries.s17LshConfigSweep(
       spark, "/root/testdata/sf0.001").collect()
