@@ -734,9 +734,12 @@ object TextAnalysis {
       .select(col("_rid"), explode(col("t")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word", "_rid").agg(count(lit(1)).as("c"))
+    // Σc² accumulates in DECIMAL(38,0): a term with c ≈ 10³ per doc
+    // wraps a Long Σc² past ~10¹² occurrences — reachable at corpus
+    // scale (per-doc c² ≤ 2⁶² stays in Long before the cast)
     val perTerm = perDoc.groupBy("word")
       .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
-        sum(col("c") * col("c")).as("sumsq"))
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sumsq"))
       .filter(col("df") >= minDf)
     val total = base.agg(count(lit(1)).as("n_docs"))
     perTerm.crossJoin(broadcast(total))
