@@ -1555,7 +1555,60 @@ object PipelineQueries {
        |ORDER BY split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- p26
+  /** Source CONCENTRATION report — the exact Gini coefficient of token
+    * mass across sources, the dataset-card number that says whether a
+    * corpus is balanced or one crawl dominates (G = 0 perfectly even,
+    * → 1 monopolized). Exact integer mean-absolute-difference form:
+    * G·(2n·Σx) = ΣᵢΣⱼ|xᵢ−xⱼ| — the pairwise sum runs over the
+    * |sources|-row SUMMARY (a broadcast self-join of a 20-row table at
+    * any corpus scale; the corpus itself pays one partial-agg token
+    * count), so the statistic is a metadata query, never a rescan. */
+  def p26SourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bySource = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy($"source")
+      .agg(sum(TextAnalysis.tokenCount($"text")).as("toks"))
+      .localCheckpoint()
+    val pairs = bySource.select($"toks".as("xa"))
+      .crossJoin(broadcast(bySource.select($"toks".as("xb"))))
+    val mad = pairs.agg(
+      sum(expr("cast(abs(xa - xb) as decimal(38,0))")).as("num"))
+    bySource.agg(count(lit(1)).as("n_sources"),
+      sum($"toks").as("total_tokens"),
+      max($"toks").as("max_source_tokens"))
+      .crossJoin(broadcast(mad))
+      .select($"n_sources", $"total_tokens", $"max_source_tokens",
+        expr("""cast((num * 1000000)
+                 div (cast(2 as decimal(38,0)) * n_sources * total_tokens)
+                 as bigint)""").as("gini_micro"),
+        expr("""cast((cast(max_source_tokens as decimal(38,0)) * 1000000)
+                 div total_tokens as bigint)""").as("top_share_micro"))
+  }
+
+  val p26Sql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |        ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))
+      |        END)::BIGINT AS toks
+      |  FROM documents GROUP BY source),
+      |mad AS (
+      |  SELECT SUM(ABS(a.toks::HUGEINT - b.toks)) AS num
+      |  FROM s a CROSS JOIN s b)
+      |SELECT COUNT(*)::BIGINT AS n_sources,
+      |  SUM(toks)::BIGINT AS total_tokens,
+      |  MAX(toks)::BIGINT AS max_source_tokens,
+      |  CAST((mad.num * 1000000)
+      |       // (2::HUGEINT * COUNT(*) * SUM(toks)) AS BIGINT)
+      |    AS gini_micro,
+      |  CAST((MAX(toks)::HUGEINT * 1000000) // SUM(toks) AS BIGINT)
+      |    AS top_share_micro
+      |FROM s CROSS JOIN mad
+      |GROUP BY mad.num""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p26_source_concentration" -> (p26SourceConcentration _, p26Sql),
     "p25_leakage_safe_split" -> (p25LeakageSafeSplit _, p25Sql),
     "p24_shard_rebalance" -> (p24ShardRebalance _, p24Sql),
     "p23_late_data_audit" -> (p23LateDataAudit _, p23Sql),

@@ -1277,6 +1277,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.last._2 > out.last._3, out.mkString(","))
   }
 
+  test("p26 source concentration: hand-computed Gini on a toy corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p26t").toString
+    // sources: a = 30 tokens, b = 10 → MAD pairs Σ|xi−xj| = 40,
+    // G = 40 / (2·2·40) = 0.25; top share 30/40 = 750000
+    Seq(
+      (1L, ("w " * 30).trim, "en", "a", 1L),
+      (2L, ("w " * 10).trim, "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.queries.PipelineQueries
+      .p26SourceConcentration(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (2L, 40L, 30L, 250000L, 750000L), r.toString)
+  }
+
   test("p25 leakage-safe split: clusters move atomically; naive split " +
     "would leak") {
     val out = graft.queries.PipelineQueries.p25LeakageSafeSplit(
