@@ -511,6 +511,46 @@ object Graph {
                  div m2 as bigint)""").as("share_micro"))
   }
 
+  /** Degree ASSORTATIVITY — the Newman (2002) degree-correlation
+    * coefficient r ∈ [−1, 1]: do high-degree nodes attach to other
+    * high-degree nodes (social graphs, r > 0) or to leaves
+    * (hub-and-spoke / bipartite projections, r < 0)? Over the symmetric
+    * directed edge list with endpoint degrees (j, k), the standard
+    * simplification r = (S1·Σjk − (Σj)²) / (S1·Σj² − (Σj)²) holds with
+    * every sum an INTEGER — so the statistic is one exact ×10⁶-scaled
+    * DECIMAL division (negative numerators truncate toward zero in both
+    * engines; a regular graph's zero denominator yields NULL, both
+    * engines via NULLIF).
+    *
+    * Scale shape: degree partial agg, two co-partitioned joins to
+    * attach (j, k) per edge, one scalar rollup. No iteration.
+    *
+    * @return one row: (m2, sum_j, sum_jk, sum_j2, assort_micro). */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val half = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("a"), col("deg").as("j")), "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("k")), "b")
+      .agg(count(lit(1)).as("m2"), sum(col("j")).as("sum_j"),
+        sum(expr("cast(j as decimal(38,0)) * k")).as("sjk"),
+        sum(expr("cast(j as decimal(38,0)) * j")).as("sj2"))
+      .select(col("m2"), col("sum_j"),
+        col("sjk").cast("bigint").as("sum_jk"),
+        col("sj2").cast("bigint").as("sum_j2"),
+        expr("""cast(((m2 * sjk - cast(sum_j as decimal(38,0)) * sum_j)
+                      * 1000000)
+                 div nullif(m2 * sj2
+                      - cast(sum_j as decimal(38,0)) * sum_j, 0)
+                 as bigint)""").as("assort_micro"))
+  }
+
   /** Multi-source BFS hop distances, `rounds` fixed synchronous
     * frontier expansions — the primitive behind "how far is every node
     * from the trusted seed set" (seed-based trust/contamination radius,

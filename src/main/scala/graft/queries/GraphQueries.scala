@@ -523,7 +523,47 @@ object GraphQueries {
       |FROM deg CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- g11
+  /** Degree assortativity ([[Graph.assortativity]]) of the trade graph:
+    * the bipartite customer↔supplier projection is structurally
+    * DISASSORTATIVE (many low-degree customers attach to few
+    * high-degree suppliers), so the gate's r < 0 is itself a semantic
+    * check, not just an arithmetic one. Every moment is an integer and
+    * the oracle replays the same scaled division. */
+  def g11Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    Graph.assortativity(pairs, "c", "s")
+  }
+
+  val g11Sql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e0 AS (
+      |  SELECT c AS a, s AS b FROM pairs
+      |  UNION ALL
+      |  SELECT s AS a, c AS b FROM pairs),
+      |deg AS (SELECT a, COUNT(*)::BIGINT AS deg FROM e0 GROUP BY 1),
+      |m AS (
+      |  SELECT COUNT(*)::BIGINT AS m2, SUM(dj.deg)::BIGINT AS sum_j,
+      |    SUM(dj.deg::HUGEINT * dk.deg) AS sjk,
+      |    SUM(dj.deg::HUGEINT * dj.deg) AS sj2
+      |  FROM e0 e
+      |  JOIN deg dj ON dj.a = e.a
+      |  JOIN deg dk ON dk.a = e.b)
+      |SELECT m2, sum_j, sjk::BIGINT AS sum_jk, sj2::BIGINT AS sum_j2,
+      |  CAST(((m2 * sjk - sum_j::HUGEINT * sum_j) * 1000000)
+      |       // NULLIF(m2 * sj2 - sum_j::HUGEINT * sum_j, 0) AS BIGINT)
+      |    AS assort_micro
+      |FROM m""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g11_assortativity" -> (g11Assortativity _, g11Sql),
     "g10_degree_audit" -> (g10DegreeAudit _, g10Sql),
     "g09_bfs_distances" -> (g09BfsDistances _, g09Sql),
     "g08_modularity" -> (g08Modularity _, g08Sql),

@@ -335,6 +335,20 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(neg(99L) == (-9L, -45918L), neg.toString)
   }
 
+  test("assortativity: star hits −1 exactly; regular graph is NULL") {
+    import spark.implicits._
+    // star (hub 0, leaves 1-3): S1=6, Σj=12, Σjk=18, Σj²=30 →
+    // r = (6·18−144)/(6·30−144) = −36/36 = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val r1 = Graph.assortativity(star, "s", "d").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
+      r1.getLong(4)) == (6L, 12L, 18L, 30L, -1000000L), r1.toString)
+    // a 4-cycle is 2-regular: zero variance → NULL, not a crash
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val r2 = Graph.assortativity(cyc, "s", "d").collect().head
+    assert(r2.isNullAt(4), r2.toString)
+  }
+
   test("degreeAudit: bit-length buckets and endpoint shares are exact") {
     import spark.implicits._
     // star: hub 0 with 5 leaves → hub deg 5 (bucket 3), leaves deg 1
