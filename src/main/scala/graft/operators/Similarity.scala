@@ -77,29 +77,19 @@ object Similarity {
   private val QlshInc = 40503L
   private val QlshMod = 8191L // 2^13 - 1; coefficients in [-4095, 4095]
 
-  /** Coefficient t ↦ LCG(t) mapped to [-(QlshMod-1)/2, (QlshMod-1)/2]. */
-  @inline private def qlshCoef(t: Long): Long =
-    (t * QlshMul + QlshInc) % QlshMod - (QlshMod - 1) / 2
-
   /** Driver-side bucket replica for the query vector (and for tests):
-    * the same integer arithmetic the column expression performs. */
+    * the same kernel ([[VectorFunctions.qlshBucketsOf]]) the column
+    * expressions run, so query and corpus agree by construction. */
   def quantizedBuckets(query: Array[Double], bandBits: Int,
-      bandCount: Int): Seq[Long] = {
-    val dims = query.length
-    val qv = query.map(x => math.floor(x * QlshScale).toLong)
-    (0 until bandCount).map { band =>
-      (0 until bandBits).map { bit =>
-        val base = (band.toLong * bandBits + bit) * dims
-        var s = 0L; var j = 0
-        while (j < dims) { s += qv(j) * qlshCoef(base + j); j += 1 }
-        if (s >= 0) 1L << bit else 0L
-      }.sum
-    }
-  }
+      bandCount: Int): Seq[Long] =
+    VectorFunctions.qlshBucketsOf(query, bandBits, bandCount).toSeq
 
-  /** One band's bucket as a column: bandBits integer sign-projections.
-    * Stays inside whole-stage codegen (built-in higher-order functions
-    * only). */
+  /** One band's bucket as a DECLARATIVE column — retained as the
+    * executable spec of the quantized-LSH arithmetic (LlmOpsSpec pins it
+    * equal to the codegen'd [[VectorFunctions.qlshSignature]] kernel and
+    * the driver replica, bit for bit). Production paths use the kernel:
+    * this form re-evaluates the interpreted quantization per band per
+    * row (the r13 s12 scale-killer). */
   def quantizedLshBucket(vec: org.apache.spark.sql.Column, bandBits: Int,
       band: Int): org.apache.spark.sql.Column = {
     val qv = transform(vec, x => floor(x.cast("double") * lit(QlshScale)).cast("long"))
@@ -123,10 +113,7 @@ object Similarity {
       query: Array[Double], k: Int, bandBits: Int = 4,
       bandCount: Int = 8): DataFrame = {
     val qb = quantizedBuckets(query, bandBits, bandCount)
-    val candidate = (0 until bandCount).map(b =>
-      quantizedLshBucket(col(vecCol), bandBits, b) === lit(qb(b)))
-      .reduce(_ || _)
-    df.filter(candidate)
+    df.filter(VectorFunctions.qlshAnyMatch(col(vecCol), qb, bandBits))
       .select(col(idCol).as("vec_id"),
         round(VectorFunctions.cosine(col(vecCol), vecLit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -312,9 +299,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     def banded(df: DataFrame, id: String, vec: String, outId: String) =
       df.select(col(id).as(outId),
-        posexplode(array((0 until bandCount).map(b =>
-          quantizedLshBucket(col(vec), bandBits, b)): _*))
-          .as(Seq("band", "bucket")))
+        posexplode(VectorFunctions.qlshSignature(col(vec), bandBits,
+          bandCount)).as(Seq("band", "bucket")))
     val qb = banded(queries, qIdCol, qVecCol, "qid")
     val cb = banded(corpus, idCol, vecCol, "vec_id")
     val candidates = qb.join(cb, Seq("band", "bucket"))
@@ -352,9 +338,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     def banded(df: DataFrame, id: String, vec: String, outId: String) =
       df.select(col(id).as(outId),
-        posexplode(array((0 until bandCount).map(b =>
-          quantizedLshBucket(col(vec), bandBits, b)): _*))
-          .as(Seq("band", "bucket")))
+        posexplode(VectorFunctions.qlshSignature(col(vec), bandBits,
+          bandCount)).as(Seq("band", "bucket")))
     val qb = banded(queries, qIdCol, qVecCol, "qid")
     val cb = banded(corpus, idCol, vecCol, "vec_id")
     val candidates = qb.join(cb, Seq("band", "bucket"))
@@ -454,14 +439,14 @@ object Similarity {
       bandCount: Int = 8): DataFrame = {
     val m2 = df.agg(max(VectorFunctions.dot(col(vecCol), col(vecCol))))
       .collect()(0).getDouble(0)
-    val aug = concat(transform(col(vecCol), x => x.cast("double")),
-      array(sqrt(greatest(
-        lit(m2) - VectorFunctions.dot(col(vecCol), col(vecCol)), lit(0.0)))))
+    // the augmented tail coordinate sqrt(M² − ‖v‖²) is computed ONCE per
+    // row (codegen'd dot) and appended inside the single-pass any-match
+    // kernel — r13's form rebuilt the augmented array and re-ran the
+    // interpreted quantization once per band per row (the 35 s s12 plan)
+    val tail = sqrt(greatest(
+      lit(m2) - VectorFunctions.dot(col(vecCol), col(vecCol)), lit(0.0)))
     val qb = quantizedBuckets(query :+ 0.0, bandBits, bandCount)
-    val candidate = (0 until bandCount).map(b =>
-      quantizedLshBucket(aug, bandBits, b) === lit(qb(b)))
-      .reduce(_ || _)
-    df.filter(candidate)
+    df.filter(VectorFunctions.qlshAnyMatchAug(col(vecCol), tail, qb, bandBits))
       .select(col(idCol).as("vec_id"),
         round(VectorFunctions.dot(col(vecCol), vecLit(query)), 6).as("dot"))
       .orderBy(col("dot").desc, col("vec_id").asc)
@@ -595,9 +580,8 @@ object Similarity {
   def quantizedBandIndex(df: DataFrame, idCol: String, vecCol: String,
       bandBits: Int = 4, bandCount: Int = 8): DataFrame =
     df.select(col(idCol).cast("long").as("vec_id"),
-      posexplode(array((0 until bandCount).map(b =>
-        quantizedLshBucket(col(vecCol), bandBits, b)): _*))
-        .as(Seq("band", "bucket")))
+      posexplode(VectorFunctions.qlshSignature(col(vecCol), bandBits,
+        bandCount)).as(Seq("band", "bucket")))
 
   /** INCREMENTAL KNN against a persisted bucket index — the d19/d20
     * daily-ingest discipline applied to vectors: history vectors are

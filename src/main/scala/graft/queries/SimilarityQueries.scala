@@ -774,10 +774,8 @@ object SimilarityQueries {
       .select(col("vec_id"), rk.as("re")).localCheckpoint()
     val rows = Seq((2, 16), (4, 8), (8, 4)).map { case (bits, bands) =>
       val qb = Similarity.quantizedBuckets(q, bits, bands)
-      val candidate = (0 until bands).map(b =>
-        Similarity.quantizedLshBucket(col("embedding"), bits, b) ===
-          lit(qb(b))).reduce(_ || _)
-      val cand = e.filter(candidate).select(col("vec_id"))
+      val cand = e.filter(graft.functions.VectorFunctions.qlshAnyMatch(
+        col("embedding"), qb, bits)).select(col("vec_id"))
       val caught = cand.join(exact, "vec_id")
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
@@ -854,10 +852,8 @@ object SimilarityQueries {
     val e = emb(spark, dir)
     val q = Similarity.vectorOf(spark, dir, 0L)
     val qb = Similarity.quantizedBuckets(q, 4, 8)
-    val candidate = (0 until 8).map(b =>
-      Similarity.quantizedLshBucket(col("embedding"), 4, b) === lit(qb(b)))
-      .reduce(_ || _)
-    val scored = e.filter(candidate)
+    val scored = e.filter(graft.functions.VectorFunctions.qlshAnyMatch(
+        col("embedding"), qb, 4))
       .select(col("label").cast("long").as("label"), col("vec_id"),
         round(graft.functions.VectorFunctions.cosine(col("embedding"),
           array(q.toIndexedSeq.map(lit): _*)), 6).as("cos"))

@@ -478,27 +478,64 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       zr.getLong(3) == 0L && zr.getDouble(4) == 0.0)
   }
 
-  test("quantized LSH: column buckets equal the driver replica, in codegen") {
+  test("quantized LSH: declarative spec == codegen kernel == driver replica") {
+    import graft.functions.VectorFunctions
     // parquet-backed (a LocalRelation would constant-fold the projection
     // away and hide the codegen assertion)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
     val bandBits = 4; val bandCount = 8
+    // three-way: the declarative HOF form (the executable spec), the
+    // single-pass codegen'd signature kernel (the production path), and
+    // the driver-side replica must agree bit for bit
     val cols = (0 until bandCount).map(b =>
       Similarity.quantizedLshBucket(col("embedding"), bandBits, b).as(s"b$b"))
-    val sel = df.select((col("vec_id") +: col("embedding") +: cols): _*)
+    val sel = df.select((col("vec_id") +: col("embedding") +:
+      VectorFunctions.qlshSignature(col("embedding"), bandBits, bandCount)
+        .as("sig") +: cols): _*)
     // bucket assignment must stay inside whole-stage codegen
     assert(sel.queryExecution.executedPlan.toString.contains("*("),
       sel.queryExecution.executedPlan.toString)
     sel.collect().foreach { r =>
       val vec = r.getSeq[Float](1).map(_.toDouble).toArray
-      val got = (0 until bandCount).map(b => r.getLong(b + 2))
+      val sig = r.getSeq[Long](2)
+      val spec = (0 until bandCount).map(b => r.getLong(b + 3))
       val expect = Similarity.quantizedBuckets(vec, bandBits, bandCount)
-      assert(got == expect, s"vec ${r.getLong(0)}: $got vs $expect")
+      assert(sig == expect, s"kernel vec ${r.getLong(0)}: $sig vs $expect")
+      assert(spec == expect, s"spec vec ${r.getLong(0)}: $spec vs $expect")
     }
     // and buckets are not degenerate (some discrimination exists)
     val distinct = sel.select(col("b0")).distinct().count()
     assert(distinct > 1)
+  }
+
+  test("quantized LSH: any-match predicate == per-band bucket comparison") {
+    import graft.functions.VectorFunctions
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.vectorOf(spark, "/root/testdata/sf0.001", 0L)
+    val bandBits = 4; val bandCount = 8
+    val qb = Similarity.quantizedBuckets(q, bandBits, bandCount)
+    val viaKernel = df.filter(VectorFunctions.qlshAnyMatch(
+      col("embedding"), qb, bandBits)).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val viaSpec = df.filter((0 until bandCount).map(b =>
+        Similarity.quantizedLshBucket(col("embedding"), bandBits, b) ===
+          org.apache.spark.sql.functions.lit(qb(b))).reduce(_ || _))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaKernel == viaSpec)
+    assert(viaKernel.contains(0L)) // the query matches its own row
+    // augmented variant: tail coordinate 0.0 must reproduce the plain
+    // signature over query :+ 0.0 (the MIPS reduction's query side)
+    val qbAug = Similarity.quantizedBuckets(q :+ 0.0, bandBits, bandCount)
+    val viaAug = df.filter(VectorFunctions.qlshAnyMatchAug(col("embedding"),
+        org.apache.spark.sql.functions.lit(0.0), qbAug, bandBits))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sigAug = df.select(col("vec_id"), VectorFunctions.qlshSignatureAug(
+        col("embedding"), org.apache.spark.sql.functions.lit(0.0), bandBits,
+        bandCount).as("sig")).collect()
+      .filter(r => r.getSeq[Long](1).zip(qbAug).exists { case (a, b) => a == b })
+      .map(_.getLong(0)).toSet
+    assert(viaAug == sigAug)
   }
 
   test("containment: substring pair ≈1.0 where jaccard is low; disjoint absent") {

@@ -183,6 +183,32 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange hashpartitioning"),
       s"quantized LSH must not shuffle the corpus:\n$p")
+    // r14: the candidate decision is ONE codegen'd kernel call, not a
+    // per-band OR-chain of interpreted HOF trees
+    assert(p.contains("qlsh_any_match"), s"expect the kernel predicate:\n$p")
+    assert(!p.contains("aggregate(transform"),
+      s"no interpreted per-band quantization in the scan filter:\n$p")
+  }
+
+  test("s12: quantized MIPS has no interpreted HOF subtree (r13 item 1)") {
+    // the r13 form rebuilt the norm-augmented array and re-ran an
+    // interpreted aggregate(transform(...)) fold once per band per row —
+    // 35 s at sf0.1, 180× the codegen'd scan of the same table. Pin the
+    // operator's plan: quantization is one qlsh kernel call, the dot
+    // products are the codegen'd dot_product expression, and no
+    // aggregate/zip_with HOF tree survives anywhere.
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = graft.operators.Similarity.vectorOf(spark, dir, 0L)
+    val df = graft.operators.Similarity.mipsTopKQuantized(
+      e, "vec_id", "embedding", q, 10, bandBits = 4, bandCount = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("qlsh_any_match"), s"expect the kernel predicate:\n$p")
+    assert(p.contains("dot_product"), s"expect codegen'd dot:\n$p")
+    assert(!p.contains("aggregate(") && !p.contains("zip_with("),
+      s"interpreted HOF fold back in the MIPS hot path:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"MIPS candidate scan must not shuffle the corpus:\n$p")
   }
 
   test("s04: exact knn join broadcasts the probe side, corpus unshuffled") {
