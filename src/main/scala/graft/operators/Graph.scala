@@ -452,32 +452,6 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
   }
 
-  /** Newman MODULARITY of a community assignment over an undirected
-    * graph (Newman & Girvan 2004): per community c,
-    * Q_c = e_c/m − (d_c/2m)², where e_c counts intra-community edges,
-    * d_c sums member degrees, and m is the edge total. The score every
-    * community detector (Louvain, Leiden, LPA quality checks) optimizes
-    * — here as the exact evaluation pass over any (node, community)
-    * labeling, e.g. [[labelPropagation]]'s output.
-    *
-    * Integer-exact: with m2 = 2m (directed symmetric pair count) and
-    * i_c = 2e_c (directed intra pairs), Q_c·m2² = i_c·m2 − d_c², so the
-    * gate emits `q_num` = that integer and `q_micro` = its ×10⁶ integral
-    * division by m2² — both truncate-toward-zero in Spark's `div` and
-    * DuckDB's `//` alike (q_num CAN be negative for an internally
-    * edge-free community). Products run in DECIMAL(38,0) so d_c² can't
-    * wrap once degree sums pass 2³¹·√2 at real scale.
-    *
-    * Scale shape: symmetrize + distinct (one shuffle), degree partial
-    * agg, one co-partitioned labels⋈edges join per endpoint, then
-    * community-keyed partial aggs; the edge total rides in as a
-    * broadcast one-row scalar. No iteration, no driver values.
-    *
-    * @param labels (node, community) assignment — every edge endpoint
-    *               must be labeled (inner joins drop unlabeled strays)
-    * @return one row per community:
-    *         (community, n_nodes, internal_edges, degree_sum, q_num,
-    *         q_micro), where Σ q_micro ≈ 10⁶·Q. */
   /** Degree-distribution AUDIT of an undirected graph: per power-of-two
     * degree bucket (bucket = bit_length(degree), libm-free via
     * `length(bin(deg))` — the t17 integer-log2 trick), how many nodes
@@ -593,6 +567,32 @@ object Graph {
     dist
   }
 
+  /** Newman MODULARITY of a community assignment over an undirected
+    * graph (Newman & Girvan 2004): per community c,
+    * Q_c = e_c/m − (d_c/2m)², where e_c counts intra-community edges,
+    * d_c sums member degrees, and m is the edge total. The score every
+    * community detector (Louvain, Leiden, LPA quality checks) optimizes
+    * — here as the exact evaluation pass over any (node, community)
+    * labeling, e.g. [[labelPropagation]]'s output.
+    *
+    * Integer-exact: with m2 = 2m (directed symmetric pair count) and
+    * i_c = 2e_c (directed intra pairs), Q_c·m2² = i_c·m2 − d_c², so the
+    * gate emits `q_num` = that integer and `q_micro` = its ×10⁶ integral
+    * division by m2² — both truncate-toward-zero in Spark's `div` and
+    * DuckDB's `//` alike (q_num CAN be negative for an internally
+    * edge-free community). Products run in DECIMAL(38,0) so d_c² can't
+    * wrap once degree sums pass 2³¹·√2 at real scale.
+    *
+    * Scale shape: symmetrize + distinct (one shuffle), degree partial
+    * agg, one co-partitioned labels⋈edges join per endpoint, then
+    * community-keyed partial aggs; the edge total rides in as a
+    * broadcast one-row scalar. No iteration, no driver values.
+    *
+    * @param labels (node, community) assignment — every edge endpoint
+    *               must be labeled (inner joins drop unlabeled strays)
+    * @return one row per community:
+    *         (community, n_nodes, internal_edges, degree_sum, q_num,
+    *         q_micro), where Σ q_micro ≈ 10⁶·Q. */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame): DataFrame = {
     val half = edges

@@ -89,7 +89,11 @@ object Layout {
       s => graft.functions.TextExpressions.mix64(
         graft.functions.TextExpressions.fnv1a64(
           concat(col(idCol).cast("string"), lit("#"), s.cast("string")))))
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // the key column passes through under ITS OWN name and type — the
+    // score already hashes the string form, so non-numeric keys (UUIDs,
+    // URLs) shard correctly; the old cast("long").as("doc_id") silently
+    // nulled them into one degenerate shard
+    df.select(col(idCol),
       (array_position(scores, array_max(scores)) - 1).cast("long")
         .as("shard"))
   }

@@ -774,6 +774,14 @@ object TextAnalysis {
   def bpeEncodeCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, merges: org.apache.spark.sql.DataFrame,
       nMerges: Int): org.apache.spark.sql.DataFrame = {
+    // bpeTrain can exhaust mergeable pairs on a tiny corpus and emit
+    // fewer than nMerges rows; a missing round's empty cross join would
+    // then silently EMPTY the whole encode result — fail loudly instead
+    val have = merges.filter(col("merge_idx") < nMerges).count()
+    require(have == nMerges,
+      s"bpeEncodeCounts: merge list has $have of the $nMerges rounds " +
+        "requested (bpeTrain exhausted pairs?) — encode with nMerges = " +
+        s"$have or retrain on a larger corpus")
     var state = df.filter(trim(col(textCol)) =!= "")
       .select(col(idCol), explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")

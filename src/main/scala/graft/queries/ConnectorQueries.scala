@@ -697,6 +697,20 @@ object ConnectorQueries {
     ev.filter(col("event_id") > thr)
       .coalesce(1).write.format("excel").mode("overwrite")
       .save(new File(in, "b.xlsx").getAbsolutePath)
+    // the running-max lateness replay needs a processed before b. The
+    // admission order is already deterministic BY NAME (ExcelFiles
+    // listings sort by path, so "a.xlsx" < "b.xlsx" under
+    // maxFilesPerTrigger=1 regardless of timestamps); additionally force
+    // strictly increasing mtimes so the gate stays correct even under a
+    // future mtime-ordered admission policy or an mtime tie on a
+    // coarse-granularity filesystem
+    def touch(f: File, t: Long): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(touch(_, t)))
+      f.setLastModified(t)
+    }
+    val t0 = (System.currentTimeMillis() / 1000L) * 1000L
+    touch(new File(in, "a.xlsx"), t0 - 4000L)
+    touch(new File(in, "b.xlsx"), t0 - 2000L)
     val qname = s"excel_stream_late_${math.abs(dir.hashCode)}"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")

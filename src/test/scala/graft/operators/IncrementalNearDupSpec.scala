@@ -49,6 +49,36 @@ class IncrementalNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 5, "every batch row classified, empties included")
   }
 
+  test("cross-band bkey collision is NOT a candidate (band is part of the key)") {
+    import spark.implicits._
+    // r13 VERDICT item 2: an oracle band-alias bug once collapsed the 16
+    // bands, making the candidate join effectively key on bkey alone. Pin
+    // the operator's contract adversarially: a history index carrying the
+    // batch doc's exact bkey VALUES at shifted band positions must produce
+    // zero candidates — and to prove a leaked candidate would have been
+    // caught, the planted history signature agrees 128/128 with the batch
+    // doc (any candidate leak flips status to dup_of_history).
+    val batch = Seq((100L, mkDoc(9, 60))).toDF("doc_id", "text")
+    val batchSigs = Dedup.minhashSignatures(batch, "doc_id", "text")
+    val keys = Dedup.nearDupBandKeys(batchSigs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(keys.map(_._2).distinct.length == 16, "expect 16 true bands")
+    val shifted = keys.map { case (_, band, bkey) =>
+      (999L, (band + 1) % 16, bkey) }.toSeq.toDF("doc_id", "band", "bkey")
+    val storeSigs = batchSigs.select(lit(999L).as("doc_id"), col("sig"))
+    val collided = Dedup.incrementalNearDup(storeSigs, batch, "doc_id",
+      "text", storeIndex = Some(shifted)).collect()
+    assert(collided.length == 1 && collided.head.getString(1) == "unique",
+      collided.mkString(";"))
+    // control: the SAME index at the true band positions → dup_of_history
+    val aligned = keys.map { case (_, band, bkey) => (999L, band, bkey) }
+      .toSeq.toDF("doc_id", "band", "bkey")
+    val hit = Dedup.incrementalNearDup(storeSigs, batch, "doc_id", "text",
+      storeIndex = Some(aligned)).collect()
+    assert(hit.length == 1 && hit.head.getString(1) == "dup_of_history" &&
+      hit.head.getLong(2) == 999L, hit.mkString(";"))
+  }
+
   test("history partner wins over an in-batch partner; lowest id on ties") {
     import spark.implicits._
     val d = mkDoc(7, 40)

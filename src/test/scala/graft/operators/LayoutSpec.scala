@@ -88,4 +88,20 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(moved.size > 2000 / 18 && moved.size < 2000 / 4,
       s"moved ${moved.size}, expected ≈ ${2000 / 9}")
   }
+
+  test("rendezvousShard: string keys shard under their own name and type") {
+    import spark.implicits._
+    // pre-r14 the output cast string ids to long → every UUID became a
+    // NULL id on one degenerate shard; keys now pass through untouched
+    val keys = (0 until 1000).map(i => s"doc-$i-uuid").toDF("url")
+    val out = Layout.rendezvousShard(keys, "url", 8)
+    assert(out.schema.fieldNames.toSeq == Seq("url", "shard"))
+    assert(out.schema("url").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 1000 && rows.keys.forall(_ != null))
+    val hist = rows.values.groupBy(identity).view.mapValues(_.size)
+    assert(hist.size == 8 && hist.values.forall(n => n > 50 && n < 300),
+      hist.toMap.toString)
+  }
 }
