@@ -32,7 +32,8 @@ class ExcelDataSource extends TableProvider with DataSourceRegister {
     // user-supplied schema arrives via getTable; here we must probe.
     // Reference parity: inference needs `path` (connector.py:72-74) and
     // probes the first configured sheet of the (first) file.
-    val files = ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup)
+    val files = ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup,
+      opts.xlsxOnly)
     if (files.isEmpty)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "UNABLE_TO_INFER_SCHEMA",

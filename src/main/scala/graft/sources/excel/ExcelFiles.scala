@@ -22,23 +22,31 @@ object ExcelFiles {
     * worksheet parts under `xl/worksheets`, plus a vbaProject part the
     * reader never opens), so the StAX codec reads them unchanged. Legacy
     * binary `.xls` (BIFF, not a zip) stays excluded, matching the
-    * reference's B6 listing. */
-  private def hasExcelSuffix(name: String): Boolean = {
+    * reference's B6 listing. `xlsxOnly` (the `xlsxOnly` option) drops
+    * the `.xlsm` superset for strict parity with the reference's
+    * case-insensitive `.xlsx`-only filter (connector.py:148-156). */
+  private def hasExcelSuffix(name: String, xlsxOnly: Boolean): Boolean = {
     val n = name.toLowerCase
-    n.endsWith(".xlsx") || n.endsWith(".xlsm")
+    n.endsWith(".xlsx") || (!xlsxOnly && n.endsWith(".xlsm"))
   }
 
-  /** path → sorted list of xlsx file URIs (dir: one level by default,
-    * `.xlsx`/`.xlsm` only; file: itself; glob pattern:
-    * every match, dirs expanded). `recursive=true` (the
-    * `recursiveFileLookup` option) descends into subdirectories — the
-    * date-partitioned `dt=.../part.xlsx` layout object stores use.
+  /** One listed workbook: URI plus the mtime/size its `FileStatus`
+    * already carried (no extra RPCs beyond the listing itself). */
+  case class Entry(uri: String, mtimeMs: Long, sizeBytes: Long)
+
+  /** The canonical listing every surface derives from: path → name-sorted
+    * entries (dir: one level by default, excel suffixes only; file:
+    * itself; glob pattern: every match, dirs expanded). `recursive=true`
+    * (the `recursiveFileLookup` option) descends into subdirectories —
+    * the date-partitioned `dt=.../part.xlsx` layout object stores use.
     * Missing path → AnalysisException like the reference's error
     * normalization. */
-  def list(pathStr: String, conf: Configuration,
-      recursive: Boolean = false): Seq[String] = {
+  def listEntries(pathStr: String, conf: Configuration,
+      recursive: Boolean = false, xlsxOnly: Boolean = false): Seq[Entry] = {
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
+    def entry(s: org.apache.hadoop.fs.FileStatus) =
+      Entry(s.getPath.toString, s.getModificationTime, s.getLen)
     if (hasGlob(pathStr)) {
       val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       if (matches.isEmpty) {
@@ -47,9 +55,9 @@ object ExcelFiles {
           messageParameters = Map("path" -> pathStr))
       }
       return matches.flatMap { s =>
-        if (s.isDirectory) listDir(fs, s.getPath, recursive)
-        else Seq(s.getPath.toString)
-      }.distinct.sorted
+        if (s.isDirectory) listDirEntries(fs, s.getPath, recursive, xlsxOnly)
+        else Seq(entry(s))
+      }.distinctBy(_.uri).sortBy(_.uri)
     }
     if (!fs.exists(path)) {
       throw new AnalysisException(
@@ -57,109 +65,36 @@ object ExcelFiles {
         messageParameters = Map("path" -> pathStr))
     }
     val status = fs.getFileStatus(path)
-    if (status.isDirectory) listDir(fs, path, recursive)
-    else Seq(path.toString)
+    if (status.isDirectory) listDirEntries(fs, path, recursive, xlsxOnly)
+    else Seq(entry(status))
   }
 
-  /** Total on-disk bytes of the files [[list]] would plan, from the same
-    * listing (the sizes are already in the `FileStatus`es the listing
-    * fetches — no extra RPCs). Feeds the scan's
-    * [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
+  /** path → sorted list of xlsx file URIs (see [[listEntries]]). */
+  def list(pathStr: String, conf: Configuration, recursive: Boolean = false,
+      xlsxOnly: Boolean = false): Seq[String] =
+    listEntries(pathStr, conf, recursive, xlsxOnly).map(_.uri)
+
+  /** Total on-disk bytes of the files [[list]] would plan. Feeds the
+    * scan's [[org.apache.spark.sql.connector.read.SupportsReportStatistics]]
     * estimate so Catalyst can size excel relations for join planning.
     * Swallows nothing: a missing path throws exactly like [[list]]. */
   def totalBytes(pathStr: String, conf: Configuration,
-      recursive: Boolean = false): Long = {
-    val path = new Path(pathStr)
-    val fs = path.getFileSystem(conf)
-    if (hasGlob(pathStr)) {
-      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      if (matches.isEmpty) {
-        throw new AnalysisException(
-          errorClass = "PATH_NOT_FOUND",
-          messageParameters = Map("path" -> pathStr))
-      }
-      return matches.flatMap { s =>
-        if (s.isDirectory) listDirWithSizes(fs, s.getPath, recursive)
-        else Seq(s.getPath.toString -> s.getLen)
-      }.distinctBy(_._1).map(_._2).sum
-    }
-    if (!fs.exists(path)) {
-      throw new AnalysisException(
-        errorClass = "PATH_NOT_FOUND",
-        messageParameters = Map("path" -> pathStr))
-    }
-    val status = fs.getFileStatus(path)
-    if (status.isDirectory) listDirWithSizes(fs, path, recursive).map(_._2).sum
-    else status.getLen
-  }
-
-  private def listDirWithSizes(fs: FileSystem, dir: Path,
-      recursive: Boolean): Seq[(String, Long)] = {
-    val (dirs, files) = fs.listStatus(dir).toSeq.partition(_.isDirectory)
-    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
-    val here = files
-      .filter { s =>
-        val n = s.getPath.getName
-        hasExcelSuffix(n) && visible(n)
-      }
-      .map(s => s.getPath.toString -> s.getLen)
-    val below =
-      if (!recursive) Seq.empty
-      else dirs.filter(d => visible(d.getPath.getName))
-        .flatMap(d => listDirWithSizes(fs, d.getPath, recursive = true))
-    here ++ below
-  }
+      recursive: Boolean = false, xlsxOnly: Boolean = false): Long =
+    listEntries(pathStr, conf, recursive, xlsxOnly).map(_.sizeBytes).sum
 
   /** Like [[list]] but returning (uri, modificationTimeMs) pairs — the
     * streaming source's retention compaction needs mtimes to expire old
     * entries from its offset. Same visibility/suffix/recursion semantics. */
   def listWithTimes(pathStr: String, conf: Configuration,
-      recursive: Boolean = false): Seq[(String, Long)] = {
-    val path = new Path(pathStr)
-    val fs = path.getFileSystem(conf)
-    if (hasGlob(pathStr)) {
-      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      if (matches.isEmpty) {
-        throw new AnalysisException(
-          errorClass = "PATH_NOT_FOUND",
-          messageParameters = Map("path" -> pathStr))
-      }
-      return matches.flatMap { s =>
-        if (s.isDirectory) listDirWithTimes(fs, s.getPath, recursive)
-        else Seq(s.getPath.toString -> s.getModificationTime)
-      }.distinctBy(_._1).sortBy(_._1)
-    }
-    if (!fs.exists(path)) {
-      throw new AnalysisException(
-        errorClass = "PATH_NOT_FOUND",
-        messageParameters = Map("path" -> pathStr))
-    }
-    val status = fs.getFileStatus(path)
-    if (status.isDirectory) listDirWithTimes(fs, path, recursive)
-    else Seq(path.toString -> status.getModificationTime)
-  }
-
-  private def listDirWithTimes(fs: FileSystem, dir: Path,
-      recursive: Boolean): Seq[(String, Long)] = {
-    val (dirs, files) = fs.listStatus(dir).toSeq.partition(_.isDirectory)
-    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
-    val here = files
-      .filter { s =>
-        val n = s.getPath.getName
-        hasExcelSuffix(n) && visible(n)
-      }
-      .map(s => s.getPath.toString -> s.getModificationTime)
-    val below =
-      if (!recursive) Seq.empty
-      else dirs.filter(d => visible(d.getPath.getName))
-        .flatMap(d => listDirWithTimes(fs, d.getPath, recursive = true))
-    (here ++ below).sortBy(_._1)
-  }
+      recursive: Boolean = false, xlsxOnly: Boolean = false): Seq[(String, Long)] =
+    listEntries(pathStr, conf, recursive, xlsxOnly)
+      .map(e => e.uri -> e.mtimeMs)
 
   private def hasGlob(p: String): Boolean =
     p.exists(c => c == '*' || c == '?' || c == '[' || c == '{')
 
-  private def listDir(fs: FileSystem, dir: Path, recursive: Boolean): Seq[String] = {
+  private def listDirEntries(fs: FileSystem, dir: Path, recursive: Boolean,
+      xlsxOnly: Boolean): Seq[Entry] = {
     val (dirs, files) = fs.listStatus(dir).toSeq.partition(_.isDirectory)
     // skip hidden/temp files AND directories (Spark file-source convention)
     // so readers never admit a half-written sink temp into an offset
@@ -167,14 +102,14 @@ object ExcelFiles {
     val here = files
       .filter { s =>
         val n = s.getPath.getName
-        hasExcelSuffix(n) && visible(n)
+        hasExcelSuffix(n, xlsxOnly) && visible(n)
       }
-      .map(_.getPath.toString)
+      .map(s => Entry(s.getPath.toString, s.getModificationTime, s.getLen))
     val below =
       if (!recursive) Seq.empty
       else dirs.filter(d => visible(d.getPath.getName))
-        .flatMap(d => listDir(fs, d.getPath, recursive = true))
-    (here ++ below).sorted
+        .flatMap(d => listDirEntries(fs, d.getPath, recursive = true, xlsxOnly))
+    (here ++ below).sortBy(_.uri)
   }
 
   /** Open an xlsx for random access. ZIP needs a seekable local file, so a

@@ -45,16 +45,21 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
     * batches) and then stop. Implementing [[SupportsTriggerAvailableNow]]
     * keeps Spark from wrapping us in AvailableNowDataStreamWrapper, which
     * would silently discard the ReadMaxFiles limit. */
-  @volatile private var availableNowFiles: Option[Seq[(String, Long)]] = None
+  @volatile private var availableNowFiles: Option[Seq[ExcelFiles.Entry]] = None
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowFiles =
-      Some(ExcelFiles.listWithTimes(opts.path, conf, opts.recursiveFileLookup))
+    availableNowFiles = Some(ExcelFiles.listEntries(opts.path, conf,
+      opts.recursiveFileLookup, opts.xlsxOnly))
   }
 
+  /** Full entries (uri, mtime, size): admission needs sizes for the
+    * `maxBytesPerTrigger` bound; offsets store only (uri, mtime). */
+  private def currentEntries(): Seq[ExcelFiles.Entry] =
+    availableNowFiles.getOrElse(ExcelFiles.listEntries(opts.path, conf,
+      opts.recursiveFileLookup, opts.xlsxOnly))
+
   private def currentListing(): Seq[(String, Long)] =
-    availableNowFiles.getOrElse(
-      ExcelFiles.listWithTimes(opts.path, conf, opts.recursiveFileLookup))
+    currentEntries().map(e => e.uri -> e.mtimeMs)
 
   override def initialOffset(): Offset =
     ExcelStreamOffset(Nil, 0L, compacted = retention.isDefined)
@@ -69,19 +74,48 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
     }
   }
 
-  /** Admission control: `maxFilesPerTrigger` bounds each micro-batch so a
-    * backlogged directory (or a 100 TB bootstrap) drains in bounded-size
-    * batches instead of one giant first batch. */
-  override def getDefaultReadLimit: ReadLimit =
-    opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  /** Admission control: `maxFilesPerTrigger` bounds each micro-batch by
+    * COUNT and `maxBytesPerTrigger` by cumulative on-disk VOLUME (both
+    * compose), so a backlogged directory (or a 100 TB bootstrap) drains
+    * in bounded-size batches instead of one giant first batch. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = (opts.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      opts.maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq).toArray
+    limits.length match {
+      case 0 => ReadLimit.allAvailable()
+      case 1 => limits(0)
+      case _ => ReadLimit.compositeLimit(limits)
+    }
+  }
+
+  /** Name-ordered prefix of `fresh` under a ReadLimit: count bound takes
+    * the first N; the byte bound admits files while the running size
+    * stays within budget but ALWAYS admits at least one (an oversized
+    * workbook must not wedge the stream — FileStreamSource's rule);
+    * composite applies every member bound. */
+  private def admitUnder(limit: ReadLimit,
+      fresh: Seq[ExcelFiles.Entry]): Seq[ExcelFiles.Entry] = limit match {
+    case m: ReadMaxFiles => fresh.take(m.maxFiles())
+    case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      var cum = 0L
+      fresh.takeWhile { e =>
+        cum += e.sizeBytes
+        cum - e.sizeBytes == 0L || cum <= b.maxBytes()
+      }
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.foldLeft(fresh)((acc, l) => admitUnder(l, acc))
+    case _ => fresh
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[ExcelStreamOffset]
-    val listing = currentListing()
-    def admit(fresh: Seq[(String, Long)]): Seq[(String, Long)] = limit match {
-      case m: ReadMaxFiles => fresh.take(m.maxFiles())
-      case _ => fresh
-    }
+    val entries = currentEntries()
+    val sizes = entries.map(e => e.uri -> e.sizeBytes).toMap
+    val listing = entries.map(e => e.uri -> e.mtimeMs)
+    def admit(fresh: Seq[(String, Long)]): Seq[(String, Long)] =
+      admitUnder(limit, fresh.map { case (n, t) =>
+        ExcelFiles.Entry(n, t, sizes.getOrElse(n, 0L)) })
+        .map(e => e.uri -> e.mtimeMs)
     retention match {
       case None =>
         val seenSet = so.names.toSet

@@ -62,6 +62,25 @@ final case class ExcelOptions(options: Map[String, String]) {
     n
   }
 
+  /** Streaming admission control by VOLUME: max cumulative on-disk bytes
+    * of new files admitted per micro-batch (extension, the knob
+    * FileStreamSource spells `maxBytesPerTrigger`) — the right bound when
+    * file sizes vary wildly (one 500 MB workbook should not ride in a
+    * batch sized for fifty 1 MB ones). At least one file is always
+    * admitted so an oversized file can't wedge the stream. Composes with
+    * `maxFilesPerTrigger`: both bounds apply. */
+  def maxBytesPerTrigger: Option[Long] = get("maxbytespertrigger").map { s =>
+    val n = s.toLong
+    require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+    n
+  }
+
+  /** STRICT reference parity for listings: admit `.xlsx` only, erroring
+    * out the `.xlsm` superset this connector otherwise accepts (the
+    * reference's case-insensitive `.xlsx` suffix filter,
+    * connector.py:148-156 / SURVEY B6). Default false = superset. */
+  def xlsxOnly: Boolean = get("xlsxonly").exists(_.toBoolean)
+
   /** Write-side extension: `path` is a DIRECTORY and every task writes its
     * own `part-NNNNN.xlsx` shard in parallel (atomic per-file renames at
     * commit) instead of the driver merging one workbook — the scale-out

@@ -20,10 +20,12 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit
+    with SupportsPushDownOffset
     with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var limit: Int = -1
+  private var offset: Int = 0
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pushedAggs: Seq[PushedExcelAgg] = Nil
 
@@ -52,6 +54,29 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     false // partial: each partition still caps rows, Spark re-applies the limit
   }
 
+  /** OFFSET pushdown is COMPLETE when accepted (Spark removes the Offset
+    * operator), so accept ONLY when this scan provably plans exactly one
+    * partition whose output order is the sheet's dense row order: a
+    * single listed file, one sheet, no row-range splits, no columnar
+    * batches, and no filters anywhere (Spark offers pushOffset only with
+    * no Filter between Offset and the relation; ours all stay post-scan,
+    * so a filtered query never reaches here — the guard is defensive).
+    * The reader then skips the first `offset` data rows without
+    * converting or emitting them. Multi-file scans decline: cross-
+    * partition row order is not defined, exactly why generic file
+    * sources don't push OFFSET at all. */
+  override def pushOffset(offset: Int): Boolean = {
+    if (opts.allSheets || opts.maxRowsPerPartition.nonEmpty ||
+      opts.enableArrow || pushed.nonEmpty || pushedAggs.nonEmpty) return false
+    val singleFile =
+      try {
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup,
+          opts.xlsxOnly).lengthCompare(1) == 0
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (singleFile) { this.offset = offset; true } else false
+  }
+
   /** Unfiltered, ungrouped COUNT(*)/MIN/MAX are answered in-scan — a pure
     * count by an XML tag scan (zero cell decode), MIN/MAX (optionally
     * beside COUNT) by a single pass that decodes ONLY the referenced
@@ -71,7 +96,7 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     // back to the row reader (`_sheet` may be referenced; per-sheet scans
     // would need the same probe anyway).
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0 ||
-      opts.allSheets) return false
+      offset > 0 || opts.allSheets) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -92,7 +117,8 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
   }
 
   override def build(): Scan = pushedAggs match {
-    case Nil => new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed)
+    case Nil =>
+      new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed, offset)
     case Seq(PushedCountStar) => new ExcelCountScan(opts) // tag-scan fast path
     case aggs => new ExcelAggScan(fullSchema, opts, aggs)
   }
@@ -119,7 +145,8 @@ class ExcelCountScan(opts: ExcelOptions) extends Scan with Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup)
+    ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup,
+      opts.xlsxOnly)
       .map(f => ExcelInputPartition(f): InputPartition).toArray
   }
 
@@ -201,7 +228,8 @@ class ExcelAggScan(fullSchema: StructType, opts: ExcelOptions,
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     ExcelSplitPlanner.plan(
-      ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup), opts, conf)
+      ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup,
+      opts.xlsxOnly), opts, conf)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -262,7 +290,8 @@ case class ExcelAggReaderFactory(fullSchema: StructType, readFields: StructType,
 
 class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     opts: ExcelOptions, limit: Int,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    offset: Int = 0)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -330,7 +359,8 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     val bytes =
       try {
         val conf = SparkSession.active.sessionState.newHadoopConf()
-        ExcelFiles.totalBytes(opts.path, conf, opts.recursiveFileLookup)
+        ExcelFiles.totalBytes(opts.path, conf, opts.recursiveFileLookup,
+          opts.xlsxOnly)
       } catch {
         // planning must not die on a stats probe (path races with cleanup,
         // transient FS errors) — the scan itself will surface real errors
@@ -353,6 +383,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     s"ExcelScan path=${opts.pathOpt.getOrElse("?")} sheet=${opts.sheetName} " +
       s"columns=[${requiredSchema.fieldNames.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
+      (if (offset > 0) s" PushedOffset=$offset" else "") +
       (if (filters.nonEmpty) s" PushedFilters=[${filters.mkString(", ")}]" else "")
 
   override def toBatch: Batch = this
@@ -364,7 +395,8 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val listed = ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup)
+    val listed = ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup,
+      opts.xlsxOnly)
     // file-grained pruning: a file whose URI PROVABLY fails a pushed (or
     // runtime) `_file_path` predicate is never staged, opened, or parsed.
     // Conservative keep on anything inexact — Spark re-applies all filters
@@ -384,7 +416,8 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    ExcelPartitionReaderFactory(fullSchema, requiredSchema, opts, limit, conf, filters)
+    ExcelPartitionReaderFactory(fullSchema, requiredSchema, opts, limit, conf,
+      filters, offset)
   }
 }
 
@@ -561,14 +594,15 @@ object ExcelSplitPlanner {
 case class ExcelPartitionReaderFactory(fullSchema: StructType,
     requiredSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: SerializableConfiguration,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    offset: Int = 0)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExcelInputPartition]
     new ExcelPartitionReader(p.filePath,
       fullSchema, requiredSchema, opts, limit, conf.value, filters,
-      p.startRow, p.endRowExcl, p.sheet)
+      p.startRow, p.endRowExcl, p.sheet, offset)
   }
 
   // columnar fast path — the reference's enableArrow branch, in-JVM
@@ -593,7 +627,8 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
     requiredSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    startRow: Int = -1, endRowExcl: Int = -1, sheetOverride: String = null)
+    startRow: Int = -1, endRowExcl: Int = -1, sheetOverride: String = null,
+    offset: Int = 0)
     extends PartitionReader[InternalRow] {
 
   private val ranged = startRow > 0
@@ -686,11 +721,17 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
           else fullSchema.fieldIndex(f.name)
         }, it)
       }
+    // pushed OFFSET (complete; builder accepted only for a single
+    // unfiltered single-sheet partition): skip the first `offset` data
+    // rows before any conversion or emission. Skipping precedes the
+    // limit cap — the pushed limit counts post-offset rows.
+    val offsetIter = if (offset > 0) dataIter.drop(offset) else dataIter
     // raw-iterator take(limit) is only sound with no pushed filters; with
     // filters, the limit must count KEPT rows (see `kept` in next()) or
     // qualifying rows beyond the first `limit` raw rows would be dropped
     (colIndex,
-      if (limit >= 0 && structFilters.isEmpty) dataIter.take(limit) else dataIter)
+      if (limit >= 0 && structFilters.isEmpty) offsetIter.take(limit)
+      else offsetIter)
   }
   private var current: InternalRow = _
   private var kept: Long = 0L

@@ -86,6 +86,58 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1 -> "Alice", 2 -> "Bob"))
   }
 
+  test("xlsxOnly=true restores the reference's .xlsx-only listing (B6 parity)") {
+    val dir = tmpDir()
+    sampleFile(dir, "plain.xlsx", Seq(1 -> "Alice"))
+    sampleFile(dir, "macro.xlsm", Seq(2 -> "Bob"))
+    def read(strict: Boolean) = spark.read.format("excel")
+      .schema(idName)
+      .option("header", "true").option("inferSchema", "false")
+      .option("xlsxOnly", strict.toString)
+      .option("path", dir.getAbsolutePath)
+      .load()
+    // default: superset admits the .xlsm
+    assert(read(strict = false).count() == 2)
+    // strict parity: the .xlsm vanishes from the listing entirely
+    val strictDf = read(strict = true)
+    assert(strictDf.rdd.getNumPartitions == 1)
+    assert(strictDf.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set(1 -> "Alice"))
+  }
+
+  test("OFFSET pushes down completely on a single-file scan") {
+    val dir = tmpDir()
+    val f = sampleFile(dir, "one.xlsx", (1 to 10).map(i => i -> s"n$i"))
+    val df = spark.read.format("excel").schema(idName)
+      .option("header", "true").option("inferSchema", "false")
+      .load(f.getAbsolutePath)
+    val page = df.offset(3)
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedOffset=3"),
+      s"offset should reach the scan:\n$plan")
+    // complete pushdown: no Offset operator survives in the plan
+    assert(!plan.contains("GlobalLimitAndOffset") && !plan.contains("Offset "),
+      s"Offset operator should have been removed:\n$plan")
+    assert(page.collect().map(_.getInt(0)).toSeq == (4 to 10))
+    // offset + limit pagination: rows 4..6
+    val p2 = df.offset(3).limit(3)
+    assert(p2.queryExecution.executedPlan.toString.contains("PushedOffset=3"))
+    assert(p2.collect().map(_.getInt(0)).toSeq == (4 to 6))
+  }
+
+  test("OFFSET declines on multi-file scans (order undefined), still correct") {
+    val dir = tmpDir()
+    sampleFile(dir, "a.xlsx", Seq(1 -> "x", 2 -> "y"))
+    sampleFile(dir, "b.xlsx", Seq(3 -> "z", 4 -> "w"))
+    val df = spark.read.format("excel").schema(idName)
+      .option("header", "true").option("inferSchema", "false")
+      .option("path", dir.getAbsolutePath).load()
+    val page = df.orderBy("id").offset(1)
+    assert(!page.queryExecution.executedPlan.toString.contains("PushedOffset"),
+      "offset must not push into a multi-partition scan")
+    assert(page.collect().map(_.getInt(0)).toSeq == Seq(2, 3, 4))
+  }
+
   test("user schema: extra file columns ignored") {
     val dir = tmpDir()
     val f = new File(dir, "extra.xlsx")

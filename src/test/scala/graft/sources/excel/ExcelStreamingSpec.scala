@@ -105,6 +105,68 @@ class ExcelStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batches >= 3, s"AvailableNow ignored the limit: $batches batches")
   }
 
+  test("maxBytesPerTrigger drains a backlog in volume-bounded batches") {
+    val dir = Files.createTempDirectory("graft-bytes").toFile
+    val ckpt = Files.createTempDirectory("graft-bytes-ck").toFile
+    (1 to 3).foreach(i => writeFile(dir, s"b$i.xlsx", Seq(i -> s"n$i")))
+    // each workbook is a few hundred bytes: a 1-byte budget still admits
+    // exactly one file per batch (at-least-one progress rule)
+    val q = spark.readStream.format("excel").schema(idName)
+      .option("maxBytesPerTrigger", "1")
+      .load(dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("bytes_out")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bytes_out").count() == 3) // all data arrives…
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"expected ≥3 volume-bounded batches: $batches")
+    } finally q.stop()
+  }
+
+  test("maxBytesPerTrigger composes with maxFilesPerTrigger") {
+    val dir = Files.createTempDirectory("graft-comp").toFile
+    val ckpt = Files.createTempDirectory("graft-comp-ck").toFile
+    (1 to 4).foreach(i => writeFile(dir, s"c$i.xlsx", Seq(i -> s"n$i")))
+    val oneFile = new File(dir, "c1.xlsx").length()
+    assert(oneFile > 0)
+    // byte budget covers two files, count bound allows three → the
+    // TIGHTER bound (bytes) wins and batches stay ≤ 2 files
+    val q = spark.readStream.format("excel").schema(idName)
+      .option("maxFilesPerTrigger", "3")
+      .option("maxBytesPerTrigger", (oneFile * 2).toString)
+      .load(dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("comp_out")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("comp_out").count() == 4)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 2, s"expected ≥2 batches under the byte bound: $batches")
+      // no batch carried more rows than two files' worth (1 row per file)
+      assert(q.recentProgress.forall(_.numInputRows <= 2),
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
+  test("non-positive maxBytesPerTrigger is rejected") {
+    val dir = Files.createTempDirectory("graft-negb").toFile
+    writeFile(dir, "x.xlsx", Seq(1 -> "a"))
+    val q = spark.readStream.format("excel").schema(idName)
+      .option("maxBytesPerTrigger", "-5")
+      .load(dir.getAbsolutePath)
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-negb-ck").toFile.getAbsolutePath)
+      .start()
+    val e = intercept[Exception](q.processAllAvailable())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be positive")), e.toString)
+  }
+
   test("non-positive maxFilesPerTrigger is rejected") {
     val dir = Files.createTempDirectory("graft-neg").toFile
     writeFile(dir, "x.xlsx", Seq(1 -> "a"))
