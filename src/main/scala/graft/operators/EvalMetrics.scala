@@ -59,4 +59,91 @@ object EvalMetrics {
                  as bigint)""")
           .as("auc_micro"))
   }
+
+  /** Shared nDCG@k discount table: w(r) = ⌊10⁹ / log₂(r+1)⌋ for ranks
+    * 1..k, computed ONCE on the driver and embedded as literals in both
+    * the Spark plan and the SQL mirror — the only transcendental in the
+    * ranking metrics, frozen into integers so every downstream sum and
+    * division is engine-exact (the repo-wide mirrorable-arithmetic
+    * pattern applied to log2). */
+  def ndcgWeights(k: Int): Seq[Long] = {
+    require(k >= 1, s"k must be >= 1: $k")
+    (1 to k).map(r =>
+      math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  }
+
+  /** RANKING metrics of a retrieval run against binary relevance
+    * judgments — the evaluation pass every retrieval/RAG deployment runs
+    * (and the per-query diagnostic that finds the queries a tuned index
+    * fails on): per query, hits@k, recall@k, reciprocal rank of the
+    * first relevant result, and nDCG@k over the [[ndcgWeights]] integer
+    * discount table.
+    *
+    * Exactness: ranks and hit counts are integers; rr / recall / ndcg
+    * are ×10⁶-scaled integral divisions; the log₂ discounts enter as
+    * the frozen integer table. Any engine reproduces every row.
+    *
+    * Scale shape: the run (Q·k rows) left-joins judgments on
+    * (qid, doc) — a fixed-width equi-join — then one partial agg per
+    * query; n_rel attaches by a second equi-join on qid. IDCG is a
+    * prefix-sum lookup over the ≤ k-entry weight table (a tiny literal
+    * array, never a shuffle). No corpus-sized work: inputs are already
+    * top-k runs.
+    *
+    * @param runs (qIdCol, docIdCol, rankCol) — ranks 1-based, ≤ 1 row
+    *             per (query, doc)
+    * @param rels (rQidCol, rDocCol) — the relevant (query, doc) pairs
+    * @return one row per query IN THE RUN: (qid, n_rel, n_ret, hits,
+    *         rr_micro, recall_micro, ndcg_micro); rr 0 when nothing
+    *         relevant was retrieved, recall/ndcg NULL when the query
+    *         has no judged-relevant docs at all (undefined, not 0). */
+  def rankingMetrics(runs: DataFrame, qIdCol: String, docIdCol: String,
+      rankCol: String, rels: DataFrame, rQidCol: String, rDocCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000,
+      s"k must be in [1, 1000] (keeps dcg·10⁶ inside Long): $k")
+    val w = ndcgWeights(k)
+    // idcg(n) = Σ w(1..min(n,k)) — prefix sums as a literal lookup array
+    val idcgPrefix = w.scanLeft(0L)(_ + _).tail
+    val wCol = array(w.map(lit): _*)
+    val run = runs.select(col(qIdCol).cast("long").as("qid"),
+      col(docIdCol).cast("long").as("did"),
+      col(rankCol).cast("long").as("rnk"))
+      .filter(col("rnk") <= k)
+    val rel = rels.select(col(rQidCol).cast("long").as("qid"),
+      col(rDocCol).cast("long").as("did"))
+      .dropDuplicates("qid", "did") // defensive: a dup judgment must not
+      .withColumn("is_rel", lit(1L)) // double-count a hit or inflate n_rel
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val perQ = run.join(rel, Seq("qid", "did"), "left")
+      .select(col("qid"), col("rnk"), coalesce(col("is_rel"), lit(0L)).as("r"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_ret"),
+        sum(col("r")).as("hits"),
+        min(when(col("r") === 1L, col("rnk"))).as("first_rel"),
+        sum(when(col("r") === 1L,
+          element_at(wCol, col("rnk").cast("int"))).otherwise(0L))
+          .as("dcg"))
+    perQ.join(nRel, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_ret"), col("hits"), col("first_rel"), col("dcg"))
+      // dcg ≤ Σw ≈ k·10⁹ and ×10⁶ stays far under Long.MaxValue for any
+      // sane k, so the scaled division runs in pure LONG `div` —
+      // truncation toward zero, DuckDB `//`-exact (never a decimal `/`,
+      // whose scale rounding could round up across an integer boundary)
+      .withColumn("rr_micro",
+        coalesce(expr("1000000L div first_rel"), lit(0L)))
+      .withColumn("recall_micro",
+        expr("hits * 1000000L div nullif(n_rel, 0L)"))
+      // idcg = prefix(min(n_rel, k)); n_rel = 0 keeps NULL (element_at
+      // at index 0 would raise under ANSI; the metric is undefined)
+      .withColumn("ndcg_micro",
+        when(col("n_rel") >= 1L,
+          expr(s"""dcg * 1000000L div element_at(
+                    ${idcgPrefix.map(_ + "L").mkString("array(", ",", ")")},
+                    cast(least(n_rel, ${k}L) as int))""")))
+      .select("qid", "n_rel", "n_ret", "hits", "rr_micro", "recall_micro",
+        "ndcg_micro")
+  }
 }

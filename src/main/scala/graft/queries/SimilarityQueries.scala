@@ -903,7 +903,94 @@ object SimilarityQueries {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY label, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s19
+  /** RANKING-metric evaluation ([[graft.operators.EvalMetrics
+    * .rankingMetrics]]) of an exact retrieval run — the per-query
+    * quality report every retrieval/RAG deployment computes: 5 probes
+    * (vec_id < 5) retrieve their cosine top-10 over the corpus
+    * EXCLUDING themselves (the s04 broadcast-probe shape with a
+    * self-exclusion predicate), relevance = same `label`, and the
+    * metrics are hits@10, recall@10, reciprocal rank of the first
+    * same-label hit, and nDCG@10.
+    *
+    * Exactness: the only transcendental (log₂ discounts) is frozen into
+    * the [[graft.operators.EvalMetrics.ndcgWeights]] integer table,
+    * generated ONCE on the driver and embedded as the same literals in
+    * both engines' queries; every division is a ×10⁶ integral
+    * truncation. The run itself is the fully-mirrorable s04 cosine. */
+  def s19RankingMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.join(broadcast(probes), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine(col("embedding"),
+          col("qv")), 6).as("cos"))
+    val run = scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= 10)
+    val rels = e.join(broadcast(probes.select(col("qid"), col("qlabel"))),
+        col("label") === col("qlabel") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"))
+    graft.operators.EvalMetrics.rankingMetrics(run, "qid", "vec_id", "rank",
+      rels, "qid", "vec_id", k = 10).orderBy("qid")
+  }
+
+  /** Mirror: same cosine fold, same rank window, and the SAME integer
+    * discount/prefix literals (generated by the one driver-side
+    * [[graft.operators.EvalMetrics.ndcgWeights]] call both sides
+    * share). */
+  val s19Sql: String = {
+    val w = graft.operators.EvalMetrics.ndcgWeights(10)
+    val prefix = w.scanLeft(0L)(_ + _).tail
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+       |           FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ROUND(
+       |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+       |      / SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |      / SQRT(LIST_SUM(LIST_TRANSFORM(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+       |      6) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |run AS (
+       |  SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |                       ORDER BY cos DESC, vec_id ASC) AS rank
+       |  FROM scored QUALIFY rank <= 10),
+       |rels AS (
+       |  SELECT q.qid, e.vec_id FROM embeddings e
+       |  JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid),
+       |nrel AS (SELECT qid, COUNT(*) AS n_rel FROM rels GROUP BY qid),
+       |perq AS (
+       |  SELECT r.qid,
+       |    COUNT(*) AS n_ret,
+       |    SUM(CASE WHEN j.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+       |    MIN(CASE WHEN j.vec_id IS NOT NULL THEN r.rank END) AS first_rel,
+       |    SUM(CASE WHEN j.vec_id IS NOT NULL THEN
+       |      [${w.mkString(",")}][CAST(r.rank AS INT)] ELSE 0 END) AS dcg
+       |  FROM run r LEFT JOIN rels j
+       |    ON j.qid = r.qid AND j.vec_id = r.vec_id
+       |  GROUP BY r.qid)
+       |SELECT p.qid, COALESCE(n.n_rel, 0)::BIGINT AS n_rel,
+       |  p.n_ret::BIGINT AS n_ret, p.hits::BIGINT AS hits,
+       |  COALESCE(1000000 // p.first_rel, 0)::BIGINT AS rr_micro,
+       |  (p.hits * 1000000 // NULLIF(n.n_rel, 0))::BIGINT AS recall_micro,
+       |  CASE WHEN COALESCE(n.n_rel, 0) >= 1 THEN
+       |    (p.dcg * 1000000 //
+       |     [${prefix.mkString(",")}][CAST(LEAST(n.n_rel, 10) AS INT)])::BIGINT
+       |  END AS ndcg_micro
+       |FROM perq p LEFT JOIN nrel n ON n.qid = p.qid
+       |ORDER BY p.qid""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s19_ranking_metrics" -> (s19RankingMetrics _, s19Sql),
     "s18_filtered_ann" -> (s18FilteredAnn _, s18Sql),
     "s17_lsh_config_sweep" -> (s17LshConfigSweep _, s17Sql),
     "s16_incremental_index" -> (s16IncrementalIndex _, s16Sql),

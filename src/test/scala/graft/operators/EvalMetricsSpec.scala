@@ -66,4 +66,42 @@ class EvalMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("s"), col("l")).collect().head.toSeq
     assert(a1 == a2)
   }
+
+  test("rankingMetrics: hand-computed MRR / recall / nDCG, integer-exact") {
+    import spark.implicits._
+    val w = EvalMetrics.ndcgWeights(3)
+    // w(1)=10⁹, w(2)=⌊10⁹/log2(3)⌋, w(3)=⌊10⁹/2⌋
+    assert(w(0) == 1000000000L && w(2) == 500000000L)
+    assert(w(1) == 630929753L) // 1e9 / 1.584962500721156
+    // run: q1 ranks docs 10,11,12; q2 ranks 20,21,22; q3 ranks 30,31,32
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      (3L, 30L, 1L), (3L, 31L, 2L), (3L, 32L, 3L))
+      .toDF("qid", "did", "rank")
+    // q1: rel = {11, 99} → hit at rank 2 only; n_rel = 2
+    // q2: rel = {20, 21, 22, 23} → hits at 1,2,3; n_rel = 4
+    // q3: no judged docs at all
+    val rels = Seq((1L, 11L), (1L, 99L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L))
+      .toDF("qid", "did")
+    val out = EvalMetrics.rankingMetrics(run, "qid", "did", "rank",
+      rels, "qid", "did", k = 3)
+      .orderBy("qid").collect()
+    // q1: rr = 1e6 div 2; recall = 1·1e6 div 2; dcg = w(2),
+    //     idcg = w(1)+w(2) (n_rel=2) → ndcg = w2·1e6 div (w1+w2)
+    val q1 = out(0)
+    assert(q1.getLong(1) == 2L && q1.getLong(2) == 3L && q1.getLong(3) == 1L)
+    assert(q1.getLong(4) == 500000L && q1.getLong(5) == 500000L)
+    assert(q1.getLong(6) == w(1) * 1000000L / (w(0) + w(1)))
+    // q2: all 3 retrieved relevant; n_rel=4 → recall = 750000;
+    //     dcg = w1+w2+w3, idcg = prefix(min(4,3)) = w1+w2+w3 → ndcg = 1e6
+    val q2 = out(1)
+    assert(q2.getLong(3) == 3L && q2.getLong(4) == 1000000L)
+    assert(q2.getLong(5) == 750000L && q2.getLong(6) == 1000000L)
+    // q3: unjudged query → rr 0, recall/ndcg NULL (undefined, not 0)
+    val q3 = out(2)
+    assert(q3.getLong(1) == 0L && q3.getLong(3) == 0L && q3.getLong(4) == 0L)
+    assert(q3.isNullAt(5) && q3.isNullAt(6))
+  }
 }
