@@ -146,4 +146,52 @@ object EvalMetrics {
       .select("qid", "n_rel", "n_ret", "hits", "rr_micro", "recall_micro",
         "ndcg_micro")
   }
+
+  /** RELIABILITY (calibration) table of an integer classifier score
+    * against a boolean label: `bins` equal-WIDTH bins over the observed
+    * score range, each reporting how often the label is actually
+    * positive — the standard reliability-diagram input that decides
+    * whether a quality filter's threshold means what its score implies,
+    * plus per-bin `lift_micro` (positive rate minus the corpus base
+    * rate, the quantity a reviewer actually reads off the diagram).
+    *
+    * Equal-width on purpose: a rank-decile (global ntile) would funnel
+    * the whole corpus through ONE window partition — the classic
+    * unpartitioned-Window scale trap. Width binning is two passes:
+    * one scalar (min, max, base-rate) agg broadcast back, then a
+    * map-side bin assignment + per-bin partial agg. All arithmetic is
+    * integer (DECIMAL(38,0) products against overflow at corpus scale;
+    * ×10⁶ truncating divisions), so every row mirrors exactly.
+    *
+    * Empty bins are legitimately absent (no row landed there — the
+    * reliability diagram's gaps). Degenerate all-one-score input lands
+    * everything in bin 0.
+    *
+    * @return one row per non-empty bin: (bin, n, n_pos, lo_score,
+    *         hi_score, pos_rate_micro, lift_micro), bin ∈ [0, bins). */
+  def reliabilityBins(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000]: $bins")
+    val base = df.select(score.cast("long").as("s"),
+      when(label, 1L).otherwise(0L).as("y"))
+    val rng = base.agg(min(col("s")).as("glo"), max(col("s")).as("ghi"),
+      sum(col("y")).as("tot_pos"), count(lit(1)).as("tot"))
+    base.crossJoin(broadcast(rng))
+      .select(
+        expr(s"""cast(cast(s - glo as decimal(38,0)) * $bins
+                  div (cast(ghi as decimal(38,0)) - glo + 1) as bigint)""")
+          .as("bin"),
+        col("s"), col("y"), col("tot_pos"), col("tot"))
+      .groupBy("bin", "tot_pos", "tot") // constants ride the key: 1 group/bin
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        min(col("s")).as("lo_score"), max(col("s")).as("hi_score"))
+      .select(col("bin"), col("n"), col("n_pos"), col("lo_score"),
+        col("hi_score"),
+        expr("cast(cast(n_pos as decimal(38,0)) * 1000000 div n as bigint)")
+          .as("pos_rate_micro"),
+        expr("""cast(cast(n_pos as decimal(38,0)) * 1000000 div n
+                 - cast(tot_pos as decimal(38,0)) * 1000000 div tot
+                 as bigint)""").as("lift_micro"))
+      .orderBy("bin")
+  }
 }

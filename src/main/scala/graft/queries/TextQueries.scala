@@ -982,7 +982,78 @@ object TextQueries {
       |     // NULLIF(SUM(pos)::HUGEINT * SUM(neg), 0))::BIGINT AS auc_micro
       |FROM cum""".stripMargin
 
+  // ---------------------------------------------------------------- t31
+  /** Classifier RELIABILITY table ([[graft.operators.EvalMetrics
+    * .reliabilityBins]]): the t13 hashed-feature logits, binned into 10
+    * equal-width score bins over the observed range, each reporting its
+    * observed positive rate (t24's `n_chars >= 300` label) and lift vs
+    * the corpus base rate — the calibration diagram every deployed
+    * quality filter needs before its threshold means anything. The
+    * binning is deliberately equal-WIDTH (two broadcast-scalar passes,
+    * no global ntile window — see the operator doc for the scale trap).
+    * Logits, bin edges, counts, and ×10⁶ rates are all integers, so
+    * the oracle replays the t13/t24 logit mirror plus the same integer
+    * binning. */
+  def t31Reliability(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scores = graft.operators.QualityClassifier
+      .score(d, "doc_id", "text", dim = 4096)
+      .select(col("doc_id"), col("logit"))
+    val labeled = scores.join(
+      d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
+    graft.operators.EvalMetrics.reliabilityBins(labeled, col("logit"),
+      col("label"), bins = 10)
+  }
+
+  /** t13's logit mirror + the same integer equal-width binning. */
+  val t31Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT doc_id, UNNEST(
+      |    CASE WHEN LEN(t) >= 2 THEN
+      |      t || LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE t END) AS g
+      |  FROM toks),
+      |feats AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(g, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) % 4096 AS BIGINT)
+      |      AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM grams GROUP BY 1, 2),
+      |w AS (
+      |  SELECT bucket, bucket * 2654435761 % 4294967296 % 17 - 8 AS weight
+      |  FROM (SELECT UNNEST(RANGE(0, 4096)) AS bucket)),
+      |scored AS (
+      |  SELECT f.doc_id, CAST(SUM(cnt * weight) AS BIGINT) AS s
+      |  FROM feats f JOIN w USING (bucket) GROUP BY 1),
+      |lab AS (
+      |  SELECT sc.s, CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y
+      |  FROM scored sc JOIN documents d USING (doc_id)),
+      |rng AS (
+      |  SELECT MIN(s) AS glo, MAX(s) AS ghi,
+      |    SUM(y) AS tot_pos, COUNT(*) AS tot FROM lab),
+      |agg AS (
+      |  SELECT CAST((s - glo)::HUGEINT * 10
+      |              // ((ghi::HUGEINT - glo) + 1) AS BIGINT) AS bin,
+      |    tot_pos, tot,
+      |    COUNT(*) AS n, SUM(y) AS n_pos,
+      |    MIN(s) AS lo_score, MAX(s) AS hi_score
+      |  FROM lab, rng GROUP BY 1, 2, 3)
+      |SELECT bin, n::BIGINT AS n, n_pos::BIGINT AS n_pos,
+      |  lo_score::BIGINT AS lo_score, hi_score::BIGINT AS hi_score,
+      |  (n_pos::HUGEINT * 1000000 // n)::BIGINT AS pos_rate_micro,
+      |  (n_pos::HUGEINT * 1000000 // n
+      |   - tot_pos::HUGEINT * 1000000 // tot)::BIGINT AS lift_micro
+      |FROM agg ORDER BY bin""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t31_reliability" -> (t31Reliability _, t31Sql),
     "t24_classifier_auc" -> (t24ClassifierAuc _, t24Sql),
     "t25_bpe_merges" -> (t25BpeMerges _, t25Sql),
     "t23_bpe_pairs" -> (t23BpePairs _, t23Sql),

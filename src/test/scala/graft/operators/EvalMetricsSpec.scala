@@ -67,6 +67,29 @@ class EvalMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a1 == a2)
   }
 
+  test("reliabilityBins: hand-computed bins, rates, and lift") {
+    import spark.implicits._
+    // scores 0..9 (range 10, 5 bins → width 2), label = score >= 6
+    val rows = (0L to 9L).map(s => (s, s >= 6L))
+    val out = EvalMetrics.reliabilityBins(rows.toDF("s", "l"),
+      col("s"), col("l"), bins = 5).collect()
+    assert(out.length == 5)
+    // bin 3 = scores {6,7}: both positive; base rate 4/10
+    val b3 = out(3)
+    assert((b3.getLong(0), b3.getLong(1), b3.getLong(2)) == ((3L, 2L, 2L)))
+    assert((b3.getLong(3), b3.getLong(4)) == ((6L, 7L)))
+    assert(b3.getLong(5) == 1000000L)
+    assert(b3.getLong(6) == 1000000L - 400000L)
+    // bin 0 = scores {0,1}: none positive → rate 0, lift -400000
+    assert(out(0).getLong(5) == 0L && out(0).getLong(6) == -400000L)
+    // degenerate all-one-score input → a single bin 0 holding everything
+    val one = EvalMetrics.reliabilityBins(
+      Seq((7L, true), (7L, false)).toDF("s", "l"), col("s"), col("l"))
+      .collect()
+    assert(one.length == 1 && one.head.getLong(0) == 0L &&
+      one.head.getLong(1) == 2L && one.head.getLong(5) == 500000L)
+  }
+
   test("rankingMetrics: hand-computed MRR / recall / nDCG, integer-exact") {
     import spark.implicits._
     val w = EvalMetrics.ndcgWeights(3)
