@@ -33,7 +33,7 @@ import org.apache.spark.util.SerializableConfiguration
 class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
     opts: ExcelOptions, checkpointLocation: String,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    limit: Int = -1)
+    limit: Int = -1, sample: Option[ExcelSample] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def conf = SparkSession.active.sessionState.newHadoopConf()
@@ -165,8 +165,12 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // offset is batch-only (cross-batch row order is meaningless), but a
+    // pushed sample must keep sampling here too — if the host engine ever
+    // pushes TABLESAMPLE into a streaming scan, dropping it silently
+    // would return unsampled rows with the Sample node already removed
     ExcelPartitionReaderFactory(fullSchema, schema, opts, limit,
-      new SerializableConfiguration(conf), filters)
+      new SerializableConfiguration(conf), filters, sample = sample)
 
   override def commit(end: Offset): Unit = () // offsets are self-contained
 

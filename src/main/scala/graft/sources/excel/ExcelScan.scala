@@ -21,11 +21,13 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     with SupportsPushDownFilters
     with SupportsPushDownLimit
     with SupportsPushDownOffset
+    with SupportsPushDownTableSample
     with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var limit: Int = -1
   private var offset: Int = 0
+  private var sample: Option[ExcelSample] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pushedAggs: Seq[PushedExcelAgg] = Nil
 
@@ -77,6 +79,24 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     if (singleFile) { this.offset = offset; true } else false
   }
 
+  /** TABLESAMPLE pushdown (complete): each partition keeps a row iff a
+    * uniform draw lands in [lower, upper) — exactly the Bernoulli
+    * semantics of Spark's own `Sample` operator, evaluated BEFORE cell
+    * conversion so dropped rows never build InternalRows. The draw
+    * sequence is seeded per (seed, file, startRow), so task retries and
+    * repeated actions over the same scan reproduce the same sample.
+    * Declines replacement sampling (Poisson multiplicities don't fit a
+    * keep/drop reader loop) and the columnar path. Sampling composes
+    * per-partition, so multi-file directories and row-range splits all
+    * qualify — unlike OFFSET, no cross-partition order is involved. */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || opts.enableArrow || pushedAggs.nonEmpty)
+      return false
+    sample = Some(ExcelSample(lowerBound, upperBound, seed))
+    true
+  }
+
   /** Unfiltered, ungrouped COUNT(*)/MIN/MAX are answered in-scan — a pure
     * count by an XML tag scan (zero cell decode), MIN/MAX (optionally
     * beside COUNT) by a single pass that decodes ONLY the referenced
@@ -96,7 +116,7 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     // back to the row reader (`_sheet` may be referenced; per-sheet scans
     // would need the same probe anyway).
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0 ||
-      offset > 0 || opts.allSheets) return false
+      offset > 0 || sample.nonEmpty || opts.allSheets) return false
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -118,11 +138,16 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
 
   override def build(): Scan = pushedAggs match {
     case Nil =>
-      new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed, offset)
+      new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed, offset,
+        sample)
     case Seq(PushedCountStar) => new ExcelCountScan(opts) // tag-scan fast path
     case aggs => new ExcelAggScan(fullSchema, opts, aggs)
   }
 }
+
+/** A pushed Bernoulli TABLESAMPLE: keep a row iff a uniform draw lands
+  * in [lower, upper). */
+case class ExcelSample(lower: Double, upper: Double, seed: Long)
 
 /** An aggregate the excel scan can answer itself. */
 sealed trait PushedExcelAgg
@@ -291,7 +316,7 @@ case class ExcelAggReaderFactory(fullSchema: StructType, readFields: StructType,
 class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     opts: ExcelOptions, limit: Int,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    offset: Int = 0)
+    offset: Int = 0, sample: Option[ExcelSample] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -384,6 +409,8 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
       s"columns=[${requiredSchema.fieldNames.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
       (if (offset > 0) s" PushedOffset=$offset" else "") +
+      sample.fold("")(s =>
+        s" PushedSample=[${s.lower},${s.upper},seed=${s.seed}]") +
       (if (filters.nonEmpty) s" PushedFilters=[${filters.mkString(", ")}]" else "")
 
   override def toBatch: Batch = this
@@ -391,7 +418,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ExcelMicroBatchStream(fullSchema, requiredSchema, opts,
-      checkpointLocation, filters, limit)
+      checkpointLocation, filters, limit, sample)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -417,7 +444,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     ExcelPartitionReaderFactory(fullSchema, requiredSchema, opts, limit, conf,
-      filters, offset)
+      filters, offset, sample)
   }
 }
 
@@ -595,14 +622,14 @@ case class ExcelPartitionReaderFactory(fullSchema: StructType,
     requiredSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: SerializableConfiguration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    offset: Int = 0)
+    offset: Int = 0, sample: Option[ExcelSample] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExcelInputPartition]
     new ExcelPartitionReader(p.filePath,
       fullSchema, requiredSchema, opts, limit, conf.value, filters,
-      p.startRow, p.endRowExcl, p.sheet, offset)
+      p.startRow, p.endRowExcl, p.sheet, offset, sample)
   }
 
   // columnar fast path — the reference's enableArrow branch, in-JVM
@@ -628,8 +655,19 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: org.apache.hadoop.conf.Configuration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     startRow: Int = -1, endRowExcl: Int = -1, sheetOverride: String = null,
-    offset: Int = 0)
+    offset: Int = 0, sample: Option[ExcelSample] = None)
     extends PartitionReader[InternalRow] {
+
+  // pushed TABLESAMPLE: one deterministic draw sequence per (seed, file,
+  // startRow) — task retries and repeated actions over the same scan
+  // reproduce the same sample
+  private val sampleRng: java.util.Random = sample.map(s =>
+    new java.util.Random(s.seed
+      ^ graft.functions.GraftHash.fnv1a64(
+        filePath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ^ (startRow.toLong * 0x9e3779b97f4a7c15L))).orNull
+  private val sampleLower = sample.fold(0.0)(_.lower)
+  private val sampleUpper = sample.fold(1.0)(_.upper)
 
   private val ranged = startRow > 0
   // multi-sheet mode: sheets legitimately differ in columns → absent
@@ -726,11 +764,13 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
     // rows before any conversion or emission. Skipping precedes the
     // limit cap — the pushed limit counts post-offset rows.
     val offsetIter = if (offset > 0) dataIter.drop(offset) else dataIter
-    // raw-iterator take(limit) is only sound with no pushed filters; with
-    // filters, the limit must count KEPT rows (see `kept` in next()) or
-    // qualifying rows beyond the first `limit` raw rows would be dropped
+    // raw-iterator take(limit) is only sound with no pushed filters AND
+    // no pushed sample; with either, the limit must count KEPT rows (see
+    // `kept` in next()) or qualifying rows beyond the first `limit` raw
+    // rows would be dropped
     (colIndex,
-      if (limit >= 0 && structFilters.isEmpty) offsetIter.take(limit)
+      if (limit >= 0 && structFilters.isEmpty && sample.isEmpty)
+        offsetIter.take(limit)
       else offsetIter)
   }
   private var current: InternalRow = _
@@ -740,40 +780,53 @@ class ExcelPartitionReader(filePath: String, fullSchema: StructType,
     if (limit >= 0 && kept >= limit) return false
     while (rowIter.hasNext) {
       val raw = rowIter.next()
-      val values = new Array[Any](requiredSchema.length)
-      var i = 0
-      while (i < indices.length) {
-        val src = indices(i)
-        if (src == SheetIdx) {
-          values(i) = sheetNameValue
-        } else if (src == FilePathIdx) {
-          values(i) = filePathValue
-        } else {
-          val cell = if (src >= 0 && src < raw.length) raw(src) else null
-          values(i) = ExcelSchema.convert(cell, requiredSchema.fields(i).dataType)
-        }
-        i += 1
-      }
-      val row = new GenericInternalRow(values)
-      val keep = structFilters match {
-        case None => true
-        case Some(sf) =>
-          sf.reset()
-          var i = 0
-          var skip = false
-          while (i < requiredSchema.length && !skip) {
-            if (sf.skipRow(row, i)) skip = true
-            i += 1
-          }
-          !skip
-      }
-      if (keep) {
-        current = row
-        kept += 1
-        return true
-      }
+      // pushed TABLESAMPLE decides BEFORE any cell conversion: a dropped
+      // row never builds an InternalRow. The draw is consumed exactly
+      // once per raw row, keeping the sequence aligned across reads.
+      if (sampleRng != null) {
+        val x = sampleRng.nextDouble()
+        if (x >= sampleLower && x < sampleUpper && convertAndFilter(raw))
+          return true
+      } else if (convertAndFilter(raw)) return true
     }
     false
+  }
+
+  /** Convert `raw` to an InternalRow, evaluate pushed filters; on keep,
+    * set `current`, count it against the limit, and return true. */
+  private def convertAndFilter(raw: Array[Any]): Boolean = {
+    val values = new Array[Any](requiredSchema.length)
+    var i = 0
+    while (i < indices.length) {
+      val src = indices(i)
+      if (src == SheetIdx) {
+        values(i) = sheetNameValue
+      } else if (src == FilePathIdx) {
+        values(i) = filePathValue
+      } else {
+        val cell = if (src >= 0 && src < raw.length) raw(src) else null
+        values(i) = ExcelSchema.convert(cell, requiredSchema.fields(i).dataType)
+      }
+      i += 1
+    }
+    val row = new GenericInternalRow(values)
+    val keep = structFilters match {
+      case None => true
+      case Some(sf) =>
+        sf.reset()
+        var j = 0
+        var skip = false
+        while (j < requiredSchema.length && !skip) {
+          if (sf.skipRow(row, j)) skip = true
+          j += 1
+        }
+        !skip
+    }
+    if (keep) {
+      current = row
+      kept += 1
+    }
+    keep
   }
 
   override def get(): InternalRow = current

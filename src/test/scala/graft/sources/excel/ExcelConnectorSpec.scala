@@ -125,6 +125,32 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p2.collect().map(_.getInt(0)).toSeq == (4 to 6))
   }
 
+  test("TABLESAMPLE pushes down: Bernoulli in-reader, deterministic, no Sample node") {
+    val dir = tmpDir()
+    sampleFile(dir, "s1.xlsx", (1 to 400).map(i => i -> s"n$i"))
+    sampleFile(dir, "s2.xlsx", (401 to 800).map(i => i -> s"n$i"))
+    val df = spark.read.format("excel").schema(idName)
+      .option("header", "true").option("inferSchema", "false")
+      .option("path", dir.getAbsolutePath).load()
+    val s = df.sample(withReplacement = false, fraction = 0.25, seed = 7L)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedSample=[0.0,0.25,seed=7]"),
+      s"sample should reach the scan:\n$plan")
+    assert(!plan.contains("Sample "), // complete pushdown removes the node
+      s"Sample operator should have been removed:\n$plan")
+    val ids = s.collect().map(_.getInt(0)).toSeq
+    // Bernoulli(0.25) over 800 rows: mean 200, sd ≈ 12 → a ±6σ window
+    assert(ids.length > 120 && ids.length < 280, s"got ${ids.length}")
+    assert(ids == ids.sorted && ids.distinct == ids) // per-file order, no dups
+    // deterministic: the same scan re-collected reproduces the sample
+    assert(s.collect().map(_.getInt(0)).toSeq == ids)
+    // composes with aggregation ABOVE the scan (agg pushdown declines)
+    assert(s.count() == ids.length)
+    // with-replacement declines: the Sample node must survive
+    val wr = df.sample(withReplacement = true, fraction = 0.25, seed = 7L)
+    assert(!wr.queryExecution.executedPlan.toString.contains("PushedSample"))
+  }
+
   test("OFFSET declines on multi-file scans (order undefined), still correct") {
     val dir = tmpDir()
     sampleFile(dir, "a.xlsx", Seq(1 -> "x", 2 -> "y"))
