@@ -26,6 +26,69 @@ object ConnectorQueries {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** OFFSET-pushdown pagination (r14, SURVEY §2.1 scan surface): supplier
+    * written key-sorted into ONE workbook, then page 2 read back with
+    * `.offset(5).limit(10)` — the single-file single-sheet shape where
+    * the scan accepts complete OFFSET pushdown and skips the first 5
+    * data rows before any cell conversion (`ExcelConnectorSpec` pins the
+    * plan; this gate pins the VALUES against LIMIT/OFFSET in DuckDB).
+    * Were the pushdown ever declined, Spark applies the same offset
+    * above the scan — the gate is robust, the spec is the plan pin. */
+  def excelOffsetPage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+    val out = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_offset_${math.abs(dir.hashCode)}.xlsx").getAbsolutePath
+    supplier.coalesce(1).write.format("excel").mode("overwrite").save(out)
+    spark.read.format("excel").schema(supplier.schema).load(out)
+      .offset(5).limit(10)
+  }
+
+  val excelOffsetPageSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier
+      |ORDER BY s_suppkey
+      |LIMIT 10 OFFSET 5""".stripMargin
+
+  /** Strict-parity listing (r14): nation written as a `.xlsx` next to a
+    * DECOY workbook named `.xlsm` carrying shifted keys; reading the
+    * directory with `xlsxOnly=true` must list ONLY the `.xlsx` — the
+    * reference's B6 case-insensitive `.xlsx` filter restored as an
+    * option (default reads admit the `.xlsm` superset; the spec pins
+    * both directions, this gate pins the strict values). */
+  def excelXlsxOnlyListing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_xlsxonly_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    base.mkdirs()
+    nation.coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(base, "real.xlsx").getAbsolutePath)
+    nation.select((col("n_nationkey") + 1000).as("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(base, "decoy.xlsm").getAbsolutePath)
+    spark.read.format("excel").schema(nation.schema)
+      .option("xlsxOnly", "true")
+      .load(base.getAbsolutePath)
+      .orderBy(col("n_nationkey"))
+  }
+
+  val excelXlsxOnlyListingSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   /** Scale-out connector path: customer pushed through a SHARDED directory
     * write (4 parallel part files, rename-only commit) and read back with
     * row-range splits (maxRowsPerPartition) — write and read parallelism
@@ -762,6 +825,9 @@ object ConnectorQueries {
     "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
     "excel_stream_stream_join" -> (excelStreamStreamJoin _, excelStreamStreamJoinSql),
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),
+    "excel_offset_page" -> (excelOffsetPage _, excelOffsetPageSql),
+    "excel_xlsxonly_listing" ->
+      (excelXlsxOnlyListing _, excelXlsxOnlyListingSql),
     "excel_sharded_roundtrip" -> (excelShardedRoundtrip _, excelShardedRoundtripSql),
     "excel_arrow_roundtrip" -> (excelArrowRoundtrip _, excelArrowRoundtripSql),
     "excel_stream_roundtrip" -> (excelStreamRoundtrip _, excelStreamRoundtripSql),
