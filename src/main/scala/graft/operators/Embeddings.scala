@@ -135,12 +135,14 @@ object Embeddings {
       quant(col(vecCol)).as("qv"))
     val cs = centroids.select(col(cidCol).cast("long").as("cid"),
       quant(col(cvecCol)).as("cq"))
-    // b² (best OTHER centroid) inner-joins against a²: with K=1 there is
-    // no other centroid and every vector would silently vanish — the
-    // silhouette is undefined for a single cluster, so fail loudly
-    require(cs.limit(2).count() >= 2,
-      "clusterSilhouette needs >= 2 centroids (silhouette is undefined " +
-        "for a single cluster)")
+    // b² (best OTHER centroid) inner-joins against a²: with K=1 (one
+    // DISTINCT cid — duplicate centroid rows don't count) there is no
+    // other centroid and every vector would silently vanish — the
+    // silhouette is undefined for a single cluster, so fail loudly. The
+    // probe is one tiny job over the centroid frame (K rows by contract).
+    require(cs.select("cid").distinct().limit(2).count() >= 2,
+      "clusterSilhouette needs >= 2 distinct centroid ids (silhouette " +
+        "is undefined for a single cluster)")
     val d = v.crossJoin(broadcast(cs))
       .select(col("vid"), col("cid"),
         aggregate(zip_with(col("qv"), col("cq"),

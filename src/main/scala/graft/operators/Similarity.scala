@@ -72,10 +72,13 @@ object Similarity {
   // sign-LSH in [[lshTopK]] with a fully checkable result set ([[lshTopK]]
   // remains an opt-in resolution mode for continuous projections).
 
-  private val QlshScale = 128d
-  private val QlshMul = 2654435761L // Knuth multiplicative-hash constant
-  private val QlshInc = 40503L
-  private val QlshMod = 8191L // 2^13 - 1; coefficients in [-4095, 4095]
+  // single source of truth: the kernel constants in VectorFunctions —
+  // aliased here so the declarative executable spec below can never
+  // drift from the production kernels by a one-sided edit
+  private val QlshScale = VectorFunctions.QlshScale
+  private val QlshMul = VectorFunctions.QlshMul
+  private val QlshInc = VectorFunctions.QlshInc
+  private val QlshMod = VectorFunctions.QlshMod
 
   /** Driver-side bucket replica for the query vector (and for tests):
     * the same kernel ([[VectorFunctions.qlshBucketsOf]]) the column

@@ -775,13 +775,12 @@ object TextAnalysis {
       textCol: String, merges: org.apache.spark.sql.DataFrame,
       nMerges: Int): org.apache.spark.sql.DataFrame = {
     // bpeTrain can exhaust mergeable pairs on a tiny corpus and emit
-    // fewer than nMerges rows; a missing round's empty cross join would
-    // then silently EMPTY the whole encode result — fail loudly instead
-    val have = merges.filter(col("merge_idx") < nMerges).count()
-    require(have == nMerges,
-      s"bpeEncodeCounts: merge list has $have of the $nMerges rounds " +
-        "requested (bpeTrain exhausted pairs?) — encode with nMerges = " +
-        s"$have or retrain on a larger corpus")
+    // fewer than nMerges rows; a missing round must degrade to a NO-OP
+    // round (left join, original string kept), never the silent
+    // empty-everything a plain cross join with an empty 1-row frame
+    // produces — and the check stays LAZY: no driver-side count() that
+    // would re-execute the (iterative, expensive) bpeTrain lineage once
+    // per encode call on top of the joins below
     var state = df.filter(trim(col(textCol)) =!= "")
       .select(col(idCol), explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
@@ -795,8 +794,9 @@ object TextAnalysis {
             .as("__from"),
           concat(lit(" "), expr("replace(pair, ' ', '')"), lit(" "))
             .as("__to"))
-      state = state.crossJoin(broadcast(m))
-        .withColumn("st", expr("replace(st, __from, __to)"))
+      state = state.join(broadcast(m), lit(true), "left")
+        .withColumn("st", when(col("__from").isNotNull,
+          expr("replace(st, __from, __to)")).otherwise(col("st")))
         .drop("__from", "__to")
     }
     state

@@ -66,7 +66,11 @@ object ExcelFiles {
     }
     val status = fs.getFileStatus(path)
     if (status.isDirectory) listDirEntries(fs, path, recursive, xlsxOnly)
-    else Seq(entry(status))
+    // a DIRECT file path keeps the caller's own spelling (`path.toString`,
+    // not the FileStatus's qualified file:/ URI): `_file_path` values and
+    // streaming-offset seen-sets must stay byte-identical to what pre-r14
+    // listings produced, or old checkpoints would re-read the file
+    else Seq(Entry(path.toString, status.getModificationTime, status.getLen))
   }
 
   /** path → sorted list of xlsx file URIs (see [[listEntries]]). */

@@ -97,11 +97,15 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
       fresh: Seq[ExcelFiles.Entry]): Seq[ExcelFiles.Entry] = limit match {
     case m: ReadMaxFiles => fresh.take(m.maxFiles())
     case b: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      // admit while within budget; the FIRST file always enters (an
+      // oversized workbook must not wedge the stream) — keyed on position,
+      // not running total, so zero-byte predecessors can't sneak an
+      // over-budget file into the batch
       var cum = 0L
-      fresh.takeWhile { e =>
+      fresh.zipWithIndex.takeWhile { case (e, i) =>
         cum += e.sizeBytes
-        cum - e.sizeBytes == 0L || cum <= b.maxBytes()
-      }
+        i == 0 || cum <= b.maxBytes()
+      }.map(_._1)
     case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
       c.getReadLimits.foldLeft(fresh)((acc, l) => admitUnder(l, acc))
     case _ => fresh

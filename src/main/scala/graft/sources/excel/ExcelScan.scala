@@ -27,6 +27,12 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
   private var requiredSchema: StructType = fullSchema
   private var limit: Int = -1
   private var offset: Int = 0
+  // the single file the accepted OFFSET was planned against — frozen at
+  // pushdown time so a file landing in the directory between optimization
+  // and execution can't fan the scan out to N partitions that would each
+  // drop `offset` rows (plan-time listing snapshot, the same semantics
+  // Spark's own file sources give their file index)
+  private var offsetFile: Option[String] = None
   private var sample: Option[ExcelSample] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pushedAggs: Seq[PushedExcelAgg] = Nil
@@ -68,15 +74,26 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     * partition row order is not defined, exactly why generic file
     * sources don't push OFFSET at all. */
   override def pushOffset(offset: Int): Boolean = {
+    // sample.isEmpty: Spark pushes TABLESAMPLE before OFFSET, and the
+    // reader applies the offset to raw PRE-sample rows — accepting both
+    // would skip `offset` raw rows where SQL semantics demand `offset`
+    // SAMPLED rows. One of the two must stay an operator; sample won.
     if (opts.allSheets || opts.maxRowsPerPartition.nonEmpty ||
-      opts.enableArrow || pushed.nonEmpty || pushedAggs.nonEmpty) return false
-    val singleFile =
+      opts.enableArrow || pushed.nonEmpty || pushedAggs.nonEmpty ||
+      sample.nonEmpty) return false
+    val single =
       try {
         val conf = SparkSession.active.sessionState.newHadoopConf()
         ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup,
-          opts.xlsxOnly).lengthCompare(1) == 0
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (singleFile) { this.offset = offset; true } else false
+          opts.xlsxOnly) match {
+          case Seq(only) => Some(only)
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    single match {
+      case Some(f) => this.offset = offset; this.offsetFile = Some(f); true
+      case None => false
+    }
   }
 
   /** TABLESAMPLE pushdown (complete): each partition keeps a row iff a
@@ -91,8 +108,9 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     * qualify — unlike OFFSET, no cross-partition order is involved. */
   override def pushTableSample(lowerBound: Double, upperBound: Double,
       withReplacement: Boolean, seed: Long): Boolean = {
-    if (withReplacement || opts.enableArrow || pushedAggs.nonEmpty)
-      return false
+    // offset == 0 is defensive (Spark pushes sample first; see pushOffset)
+    if (withReplacement || opts.enableArrow || pushedAggs.nonEmpty ||
+      offset > 0) return false
     sample = Some(ExcelSample(lowerBound, upperBound, seed))
     true
   }
@@ -139,7 +157,7 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
   override def build(): Scan = pushedAggs match {
     case Nil =>
       new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed, offset,
-        sample)
+        sample, offsetFile)
     case Seq(PushedCountStar) => new ExcelCountScan(opts) // tag-scan fast path
     case aggs => new ExcelAggScan(fullSchema, opts, aggs)
   }
@@ -316,7 +334,8 @@ case class ExcelAggReaderFactory(fullSchema: StructType, readFields: StructType,
 class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     opts: ExcelOptions, limit: Int,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    offset: Int = 0, sample: Option[ExcelSample] = None)
+    offset: Int = 0, sample: Option[ExcelSample] = None,
+    offsetFile: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -394,11 +413,16 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     val colFrac =
       if (fullSchema.isEmpty) 1.0
       else math.max(1, requiredSchema.length).toDouble / fullSchema.length
+    // a pushed TABLESAMPLE shrinks the relation's output by its keep
+    // fraction — without this a sample(0.01) of a big directory reports
+    // 100x its real size and Catalyst declines broadcasts the sampled
+    // output easily qualifies for
+    val sampleFrac = sample.fold(1.0)(s => math.max(0.0, s.upper - s.lower))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         if (bytes < 0) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(
-          math.max(1L, (bytes * opts.statsSizeFactor * colFrac).toLong))
+        else java.util.OptionalLong.of(math.max(1L,
+          (bytes * opts.statsSizeFactor * colFrac * sampleFrac).toLong))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
     }
@@ -421,6 +445,14 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
       checkpointLocation, filters, limit, sample)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // accepted OFFSET: the scan is frozen to the single file the builder
+    // listed at pushdown time — a file landing in the directory between
+    // optimization and execution must not fan this scan out to N
+    // partitions that would EACH drop `offset` rows (the Offset operator
+    // is already gone from the plan)
+    offsetFile.foreach { f =>
+      return Array(ExcelInputPartition(f))
+    }
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val listed = ExcelFiles.list(opts.path, conf, opts.recursiveFileLookup,
       opts.xlsxOnly)

@@ -114,4 +114,19 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
       merges, 1).collect().head
     assert(one.getLong(3) == 4L, one.toString)
   }
+
+  test("encode degrades gracefully when the merge list is shorter than " +
+    "nMerges (exhausted trainer)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 2)
+    // asking for 5 rounds with a 2-round list: rounds 2-4 are no-ops —
+    // the result equals the 2-round encode (pre-fix, the empty rounds'
+    // cross joins silently EMPTIED the whole result)
+    val want = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text",
+      merges, 2).collect().map(_.toSeq).toSeq
+    val got = TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text",
+      merges, 5).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want, s"got $got want $want")
+  }
 }

@@ -151,6 +151,25 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!wr.queryExecution.executedPlan.toString.contains("PushedSample"))
   }
 
+  test("sample + offset never both push (offset over raw rows would be wrong)") {
+    val dir = tmpDir()
+    val f = sampleFile(dir, "so.xlsx", (1 to 200).map(i => i -> s"n$i"))
+    val df = spark.read.format("excel").schema(idName)
+      .option("header", "true").option("inferSchema", "false")
+      .load(f.getAbsolutePath)
+    val q = df.sample(withReplacement = false, fraction = 0.5, seed = 3L)
+      .offset(4)
+    val plan = q.queryExecution.executedPlan.toString
+    // the sample may push; the OFFSET must then stay an engine operator —
+    // SQL semantics skip 4 SAMPLED rows, not 4 raw rows
+    assert(!(plan.contains("PushedSample") && plan.contains("PushedOffset")),
+      s"sample and offset both pushed — offset applies pre-sample:\n$plan")
+    // values: engine result == sampled rows minus the first 4
+    val sampled = df.sample(withReplacement = false, fraction = 0.5, seed = 3L)
+      .collect().map(_.getInt(0)).toSeq
+    assert(q.collect().map(_.getInt(0)).toSeq == sampled.drop(4))
+  }
+
   test("OFFSET declines on multi-file scans (order undefined), still correct") {
     val dir = tmpDir()
     sampleFile(dir, "a.xlsx", Seq(1 -> "x", 2 -> "y"))
