@@ -211,6 +211,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"MIPS candidate scan must not shuffle the corpus:\n$p")
   }
 
+  test("s19: ranking metrics join broadcasts the probe side; run x rels is an equi-join") {
+    val p = plan("s19_ranking_metrics")
+    // the retrieval run broadcasts 5 probes over the corpus (s04 shape);
+    // the metrics layer joins run x judgments on (qid, did) — fixed-width
+    // equi-joins and partial aggs only, never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"s19 degenerated:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-query metrics must partial-aggregate:\n$p")
+  }
+
+  test("t31: reliability binning is two passes — scalar broadcast, then partial agg") {
+    val p = plan("t31_reliability")
+    // the score range/base-rate scalar rides back as a broadcast one-row
+    // frame; bin assignment is map-side and the per-bin rollup partial-
+    // aggregates — no global sort, no window over the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"range scalar should broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-bin rollup must partial-aggregate:\n$p")
+    assert(!p.contains("Window"), s"no corpus-wide window (the ntile trap):\n$p")
+  }
+
   test("s04: exact knn join broadcasts the probe side, corpus unshuffled") {
     val p = plan("s04_knn_join")
     // the probe batch rides a broadcast join (corpus never shuffles for
