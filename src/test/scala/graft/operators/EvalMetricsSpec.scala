@@ -90,6 +90,45 @@ class EvalMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
       one.head.getLong(1) == 2L && one.head.getLong(5) == 500000L)
   }
 
+  test("reliabilityBins invariants: bins partition rows, ranges ordered, " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    val rows = (0 until 4000).map(i =>
+      (((i * 2654435761L) % 977L) - 488L, i % 7 < 3))
+    val df = rows.toDF("s", "l")
+    val out = EvalMetrics.reliabilityBins(df, col("s"), col("l"), bins = 10)
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 4000L) // Σn = total
+    assert(out.map(_.getLong(2)).sum == rows.count(_._2).toLong) // Σn_pos
+    // equal-width bins are ordered, disjoint score ranges
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(0) < b.getLong(0))
+      assert(a.getLong(4) < b.getLong(3),
+        s"bin ${a.getLong(0)} hi ${a.getLong(4)} overlaps " +
+          s"bin ${b.getLong(0)} lo ${b.getLong(3)}")
+    case _ => ()
+    }
+    val again = EvalMetrics.reliabilityBins(df.repartition(7), col("s"),
+      col("l"), bins = 10).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("rankingMetrics is partitioning-invariant") {
+    import spark.implicits._
+    val run = (1L to 20L).flatMap(q =>
+      (1L to 10L).map(r => (q, q * 100 + (r * 7 % 11), r)))
+      .toDF("qid", "did", "rank")
+    val rels = (1L to 20L).flatMap(q =>
+      (0L to 30L).filter(_ % 3 == 0).map(d => (q, q * 100 + d)))
+      .toDF("qid", "did")
+    val a = EvalMetrics.rankingMetrics(run, "qid", "did", "rank",
+      rels, "qid", "did", k = 10).orderBy("qid").collect().map(_.toSeq).toSeq
+    val b = EvalMetrics.rankingMetrics(run.repartition(9), "qid", "did",
+      "rank", rels.repartition(5), "qid", "did", k = 10)
+      .orderBy("qid").collect().map(_.toSeq).toSeq
+    assert(a == b && a.length == 20)
+  }
+
   test("rankingMetrics: hand-computed MRR / recall / nDCG, integer-exact") {
     import spark.implicits._
     val w = EvalMetrics.ndcgWeights(3)
