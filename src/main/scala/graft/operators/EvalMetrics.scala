@@ -147,6 +147,60 @@ object EvalMetrics {
         "ndcg_micro")
   }
 
+  /** PRECISION / RECALL / F1 across a fixed grid of `cuts` integer
+    * thresholds spanning the observed score range — the threshold-
+    * selection table that turns a scored corpus into a deployed filter
+    * ("keep everything above t"): for each candidate cutoff, how much
+    * survives (pred_pos), how much of it is actually good (precision),
+    * and how much good material the cutoff forfeits (recall).
+    *
+    * Thresholds are derived from the same broadcast (min, max) scalar
+    * pass as [[reliabilityBins]]: t_k = glo + k·(ghi − glo + 1) div cuts
+    * for k = 0..cuts−1 — pure integers, so both engines build the
+    * identical grid. The corpus then pays ONE map-side pass: each row
+    * contributes to every threshold ≤ its score via a `cuts`-row
+    * broadcast cross join + partial agg over `cuts` groups (never a
+    * per-distinct-score window at corpus scale; the grid is fixed).
+    *
+    * `f1_micro` is computed from the ×10⁶ precision/recall micro values
+    * (2·p·r div (p+r)) — at most 1 micro-unit off the unrounded harmonic
+    * mean, deterministic and engine-exact, which is the repo's trade.
+    *
+    * @return one row per threshold: (cut, threshold, n_pred_pos, tp,
+    *         precision_micro [NULL when nothing predicted positive],
+    *         recall_micro [NULL when the corpus has no positives],
+    *         f1_micro [NULL when either side is NULL or both are 0]). */
+  def prThresholds(df: DataFrame, score: Column, label: Column,
+      cuts: Int = 16): DataFrame = {
+    require(cuts >= 1 && cuts <= 10000, s"cuts must be in [1, 10000]: $cuts")
+    val base = df.select(score.cast("long").as("s"),
+      when(label, 1L).otherwise(0L).as("y"))
+    val rng = base.agg(min(col("s")).as("glo"), max(col("s")).as("ghi"),
+      sum(col("y")).as("tot_pos"))
+    val grid = base.sparkSession.range(cuts).toDF("cut")
+      .crossJoin(broadcast(rng))
+      .select(col("cut"),
+        expr(s"""glo + cast(cut * (cast(ghi as decimal(38,0)) - glo + 1)
+                  div $cuts as bigint)""").as("threshold"),
+        col("tot_pos"))
+    base.crossJoin(broadcast(grid))
+      .filter(col("s") >= col("threshold"))
+      .groupBy("cut", "threshold", "tot_pos")
+      .agg(count(lit(1)).as("n_pred_pos"), sum(col("y")).as("tp"))
+      .select(col("cut"), col("threshold"), col("n_pred_pos"), col("tp"),
+        expr("""cast(cast(tp as decimal(38,0)) * 1000000
+                 div nullif(n_pred_pos, 0L) as bigint)""")
+          .as("precision_micro"),
+        expr("""cast(cast(tp as decimal(38,0)) * 1000000
+                 div nullif(tot_pos, 0L) as bigint)""").as("recall_micro"))
+      .withColumn("f1_micro",
+        expr("""cast(2 * cast(precision_micro as decimal(38,0))
+                 * recall_micro
+                 div nullif(precision_micro + recall_micro, 0L)
+                 as bigint)"""))
+      .orderBy("cut")
+  }
+
   /** RELIABILITY (calibration) table of an integer classifier score
     * against a boolean label: `bins` equal-WIDTH bins over the observed
     * score range, each reporting how often the label is actually

@@ -1052,7 +1052,86 @@ object TextQueries {
       |   - tot_pos::HUGEINT * 1000000 // tot)::BIGINT AS lift_micro
       |FROM agg ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- t32
+  /** Threshold-selection table ([[graft.operators.EvalMetrics
+    * .prThresholds]]): precision / recall / F1 of the t13 quality
+    * classifier across 16 integer thresholds spanning its logit range —
+    * the sweep that picks a deployed filter's cutoff (t24 says HOW WELL
+    * the scores rank overall; this says WHERE to cut and what each cut
+    * costs). One broadcast (min, max, total-positives) scalar pass, then
+    * one map-side pass with a 16-row broadcast grid — never a
+    * per-distinct-score window at corpus scale. All integer: thresholds
+    * from integral divisions of the range, rates as ×10⁶ truncations,
+    * F1 as the micro-space harmonic mean. */
+  def t32PrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scores = graft.operators.QualityClassifier
+      .score(d, "doc_id", "text", dim = 4096)
+      .select(col("doc_id"), col("logit"))
+    val labeled = scores.join(
+      d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
+    graft.operators.EvalMetrics.prThresholds(labeled, col("logit"),
+      col("label"), cuts = 16)
+  }
+
+  /** t13's logit mirror + the identical integer threshold grid. */
+  val t32Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT doc_id, UNNEST(
+      |    CASE WHEN LEN(t) >= 2 THEN
+      |      t || LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE t END) AS g
+      |  FROM toks),
+      |feats AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(g, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) % 4096 AS BIGINT)
+      |      AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM grams GROUP BY 1, 2),
+      |w AS (
+      |  SELECT bucket, bucket * 2654435761 % 4294967296 % 17 - 8 AS weight
+      |  FROM (SELECT UNNEST(RANGE(0, 4096)) AS bucket)),
+      |scored AS (
+      |  SELECT f.doc_id, CAST(SUM(cnt * weight) AS BIGINT) AS s
+      |  FROM feats f JOIN w USING (bucket) GROUP BY 1),
+      |lab AS (
+      |  SELECT sc.s, CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y
+      |  FROM scored sc JOIN documents d USING (doc_id)),
+      |rng AS (
+      |  SELECT MIN(s) AS glo, MAX(s) AS ghi, SUM(y) AS tot_pos FROM lab),
+      |grid AS (
+      |  SELECT cut,
+      |    glo + CAST(cut * (ghi::HUGEINT - glo + 1) // 16 AS BIGINT)
+      |      AS threshold,
+      |    tot_pos
+      |  FROM (SELECT UNNEST(RANGE(0, 16)) AS cut), rng),
+      |agg AS (
+      |  SELECT g.cut, g.threshold, g.tot_pos,
+      |    COUNT(*) AS n_pred_pos, SUM(l.y) AS tp
+      |  FROM lab l JOIN grid g ON l.s >= g.threshold
+      |  GROUP BY 1, 2, 3),
+      |rates AS (
+      |  SELECT cut, threshold, n_pred_pos::BIGINT AS n_pred_pos,
+      |    tp::BIGINT AS tp,
+      |    (tp::HUGEINT * 1000000 // NULLIF(n_pred_pos, 0))::BIGINT
+      |      AS precision_micro,
+      |    (tp::HUGEINT * 1000000 // NULLIF(tot_pos, 0))::BIGINT
+      |      AS recall_micro
+      |  FROM agg)
+      |SELECT cut, threshold, n_pred_pos, tp, precision_micro, recall_micro,
+      |  (2 * precision_micro::HUGEINT * recall_micro
+      |   // NULLIF(precision_micro + recall_micro, 0))::BIGINT AS f1_micro
+      |FROM rates ORDER BY cut""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t32_pr_curve" -> (t32PrCurve _, t32Sql),
     "t31_reliability" -> (t31Reliability _, t31Sql),
     "t24_classifier_auc" -> (t24ClassifierAuc _, t24Sql),
     "t25_bpe_merges" -> (t25BpeMerges _, t25Sql),

@@ -113,6 +113,38 @@ class EvalMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("prThresholds: hand-computed grid, precision/recall/F1") {
+    import spark.implicits._
+    // scores 0..7 (range 8), label = score >= 4 → 4 positives.
+    // cuts=4 → thresholds 0, 2, 4, 6.
+    val rows = (0L to 7L).map(s => (s, s >= 4L))
+    val out = EvalMetrics.prThresholds(rows.toDF("s", "l"),
+      col("s"), col("l"), cuts = 4).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L, 6L))
+    // t=0: all 8 kept, 4 tp → p=500000, r=1e6, f1 = 2pr/(p+r)
+    val t0 = out(0)
+    assert((t0.getLong(2), t0.getLong(3)) == ((8L, 4L)))
+    assert(t0.getLong(4) == 500000L && t0.getLong(5) == 1000000L)
+    assert(t0.getLong(6) ==
+      2L * 500000L * 1000000L / (500000L + 1000000L))
+    // t=4: exactly the positives → perfect filter
+    val t4 = out(2)
+    assert((t4.getLong(2), t4.getLong(3)) == ((4L, 4L)))
+    assert(t4.getLong(4) == 1000000L && t4.getLong(5) == 1000000L &&
+      t4.getLong(6) == 1000000L)
+    // t=6: keeps {6,7}, both positive → p=1e6, r=500000
+    val t6 = out(3)
+    assert((t6.getLong(2), t6.getLong(3)) == ((2L, 2L)))
+    assert(t6.getLong(4) == 1000000L && t6.getLong(5) == 500000L)
+    // no positives anywhere → recall/f1 NULL, precision defined
+    val neg = EvalMetrics.prThresholds(
+      Seq((1L, false), (2L, false)).toDF("s", "l"), col("s"), col("l"),
+      cuts = 2).collect()
+    assert(neg.forall(r => r.isNullAt(5) && r.isNullAt(6)))
+    assert(neg.forall(_.getLong(4) == 0L))
+  }
+
   test("rankingMetrics is partitioning-invariant") {
     import spark.implicits._
     val run = (1L to 20L).flatMap(q =>
