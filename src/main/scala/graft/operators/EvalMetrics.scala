@@ -201,6 +201,56 @@ object EvalMetrics {
       .orderBy("cut")
   }
 
+  /** COHEN'S KAPPA agreement between two boolean raters — the
+    * chance-corrected agreement statistic for comparing a cheap
+    * classifier against a trusted one (or two annotators) before
+    * swapping it into a pipeline: raw agreement po is inflated whenever
+    * both raters lean the same way by base rate alone; kappa subtracts
+    * the chance agreement pe.
+    *
+    * Integer-exact: with the 2×2 contingency counts (n00..n11) and the
+    * marginals, kappa = (po − pe)/(1 − pe) becomes one ×10⁶ integral
+    * division of integer products,
+    * 10⁶·(n·(n00+n11) − (a1·b1 + a0·b0)) div (n² − (a1·b1 + a0·b0)),
+    * run in DECIMAL(38,0) so n² can't wrap at corpus scale; negative
+    * kappa (worse than chance) truncates toward zero in both engines.
+    * Degenerate marginals (pe = 1: both raters constant) → NULL.
+    *
+    * Scale shape: ONE partial-aggregated pass over the corpus to the
+    * four cell counts; everything after is arithmetic on one row.
+    *
+    * @return one row: (n, n00, n01, n10, n11, po_micro, pe_micro,
+    *         kappa_micro). */
+  def agreementKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(when(a, 1L).otherwise(0L).as("ra"),
+        when(b, 1L).otherwise(0L).as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") === 0L && col("rb") === 0L, 1L).otherwise(0L))
+          .as("n00"),
+        sum(when(col("ra") === 0L && col("rb") === 1L, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("ra") === 1L && col("rb") === 0L, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("ra") === 1L && col("rb") === 1L, 1L).otherwise(0L))
+          .as("n11"))
+    cells.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+      expr("""cast(cast(n00 + n11 as decimal(38,0)) * 1000000
+               div nullif(n, 0L) as bigint)""").as("po_micro"),
+      expr("""cast((cast(n10 + n11 as decimal(38,0)) * (n01 + n11)
+                + cast(n00 + n01 as decimal(38,0)) * (n00 + n10))
+               * 1000000
+               div nullif(cast(n as decimal(38,0)) * n, 0L) as bigint)""")
+        .as("pe_micro"),
+      expr("""cast((cast(n as decimal(38,0)) * (n00 + n11)
+                - (cast(n10 + n11 as decimal(38,0)) * (n01 + n11)
+                   + cast(n00 + n01 as decimal(38,0)) * (n00 + n10)))
+               * 1000000
+               div nullif(cast(n as decimal(38,0)) * n
+                - (cast(n10 + n11 as decimal(38,0)) * (n01 + n11)
+                   + cast(n00 + n01 as decimal(38,0)) * (n00 + n10)), 0L)
+               as bigint)""").as("kappa_micro"))
+  }
+
   /** RELIABILITY (calibration) table of an integer classifier score
     * against a boolean label: `bins` equal-WIDTH bins over the observed
     * score range, each reporting how often the label is actually

@@ -1130,7 +1130,81 @@ object TextQueries {
       |   // NULLIF(precision_micro + recall_micro, 0))::BIGINT AS f1_micro
       |FROM rates ORDER BY cut""".stripMargin
 
+  // ---------------------------------------------------------------- t33
+  /** Cohen's-kappa AGREEMENT audit ([[graft.operators.EvalMetrics
+    * .agreementKappa]]): the t13 classifier's own keep verdict
+    * (logit > 0) against the t24 length label — the chance-corrected
+    * check run before swapping a cheap filter in for a trusted one
+    * (raw agreement flatters whenever both lean the same way by base
+    * rate; kappa subtracts that). One partial-agg pass to the 2×2
+    * table; every output an exact integer or ×10⁶ integral division. */
+  def t33Kappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scores = graft.operators.QualityClassifier
+      .score(d, "doc_id", "text", dim = 4096)
+      .select(col("doc_id"), col("keep"))
+    val labeled = scores.join(
+      d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
+    graft.operators.EvalMetrics.agreementKappa(labeled, col("keep"),
+      col("label"))
+  }
+
+  /** t13's logit mirror, keep = logit > 0, then the kappa arithmetic. */
+  val t33Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT doc_id, UNNEST(
+      |    CASE WHEN LEN(t) >= 2 THEN
+      |      t || LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE t END) AS g
+      |  FROM toks),
+      |feats AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(c)::HUGEINT for c in string_split(g, '')]),
+      |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) % 4096 AS BIGINT)
+      |      AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM grams GROUP BY 1, 2),
+      |w AS (
+      |  SELECT bucket, bucket * 2654435761 % 4294967296 % 17 - 8 AS weight
+      |  FROM (SELECT UNNEST(RANGE(0, 4096)) AS bucket)),
+      |scored AS (
+      |  SELECT f.doc_id, CAST(SUM(cnt * weight) AS BIGINT) > 0 AS ra
+      |  FROM feats f JOIN w USING (bucket) GROUP BY f.doc_id),
+      |lab AS (
+      |  SELECT CASE WHEN sc.ra THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS rb
+      |  FROM scored sc JOIN documents d USING (doc_id)),
+      |cells AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS n00,
+      |    SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS n01,
+      |    SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS n10,
+      |    SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS n11
+      |  FROM lab)
+      |SELECT n::BIGINT AS n, n00::BIGINT AS n00, n01::BIGINT AS n01,
+      |  n10::BIGINT AS n10, n11::BIGINT AS n11,
+      |  ((n00 + n11)::HUGEINT * 1000000 // NULLIF(n, 0))::BIGINT
+      |    AS po_micro,
+      |  (((n10 + n11)::HUGEINT * (n01 + n11)
+      |    + (n00 + n01)::HUGEINT * (n00 + n10)) * 1000000
+      |   // NULLIF(n::HUGEINT * n, 0))::BIGINT AS pe_micro,
+      |  ((n::HUGEINT * (n00 + n11)
+      |    - ((n10 + n11)::HUGEINT * (n01 + n11)
+      |       + (n00 + n01)::HUGEINT * (n00 + n10))) * 1000000
+      |   // NULLIF(n::HUGEINT * n
+      |    - ((n10 + n11)::HUGEINT * (n01 + n11)
+      |       + (n00 + n01)::HUGEINT * (n00 + n10)), 0))::BIGINT
+      |    AS kappa_micro
+      |FROM cells""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t33_kappa" -> (t33Kappa _, t33Sql),
     "t32_pr_curve" -> (t32PrCurve _, t32Sql),
     "t31_reliability" -> (t31Reliability _, t31Sql),
     "t24_classifier_auc" -> (t24ClassifierAuc _, t24Sql),

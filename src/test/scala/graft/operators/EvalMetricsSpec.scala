@@ -145,6 +145,29 @@ class EvalMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(neg.forall(_.getLong(4) == 0L))
   }
 
+  test("agreementKappa: hand-computed 2x2 tables, sign, and degenerates") {
+    import spark.implicits._
+    def kap(rows: Seq[(Boolean, Boolean)]) =
+      EvalMetrics.agreementKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().head
+    // classic example: n=100, n11=20, n00=45, n01=15, n10=20
+    // po = 0.65; pe = (40*35 + 60*65)/10000 = 0.53; kappa = 12/47
+    val rows = Seq.fill(45)((false, false)) ++ Seq.fill(15)((false, true)) ++
+      Seq.fill(20)((true, false)) ++ Seq.fill(20)((true, true))
+    val r = kap(rows)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((100L, 45L, 15L, 20L, 20L)))
+    assert(r.getLong(5) == 650000L && r.getLong(6) == 530000L)
+    assert(r.getLong(7) == 12L * 1000000L / 47L) // 255319
+    // perfect agreement → kappa = 1e6
+    assert(kap(Seq((true, true), (false, false))).getLong(7) == 1000000L)
+    // systematic DISagreement → negative kappa, truncated toward zero
+    val neg = kap(Seq.fill(5)((true, false)) ++ Seq.fill(5)((false, true)))
+    assert(neg.getLong(7) == -1000000L, neg.toString)
+    // both raters constant → pe = 1, kappa undefined → NULL
+    assert(kap(Seq.fill(4)((true, true))).isNullAt(7))
+  }
+
   test("rankingMetrics is partitioning-invariant") {
     import spark.implicits._
     val run = (1L to 20L).flatMap(q =>
