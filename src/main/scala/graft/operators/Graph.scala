@@ -263,6 +263,40 @@ object Graph {
     out
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node: lcc = 2·tri / (deg·(deg−1)),
+    * the fraction of a node's neighbor pairs that are themselves linked —
+    * the standard per-node cohesion signal (Watts–Strogatz 1998) that
+    * separates hub-of-strangers nodes from clique members. Reported as an
+    * exact integer micro value (`(2 000 000·tri) div (deg·(deg−1))`, 0
+    * for deg < 2) plus the raw deg/triangle integers, so the g12 oracle
+    * mirrors it bit-exactly on top of the g02 triangle SQL.
+    *
+    * Scale shape: canonicalize + distinct once, then exactly the
+    * [[triangleCounts]] degree-oriented wedge plan (the heavy part —
+    * wedge fan-out is bounded by orientation, never deg²) plus one
+    * node-keyed join of two already-node-partitioned frames. */
+  def localClustering(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(canon, "a", "b")
+    val out = deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          expr("(2000000 * coalesce(triangles, 0)) DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+    canon.unpersist()
+    out
+  }
+
   /** Synchronous LABEL-PROPAGATION community detection (Raghavan et al.
     * 2007) over an undirected edge list, with a FIXED round count — the
     * same determinism contract as [[pageRank]]'s fixed iterations and

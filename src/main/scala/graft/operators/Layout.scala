@@ -97,4 +97,34 @@ object Layout {
       (array_position(scores, array_max(scores)) - 1).cast("long")
         .as("shard"))
   }
+
+  /** Temperature-based source MIXTURE WEIGHTS — the α-temperature
+    * sampling rule multilingual pipelines use to keep head sources from
+    * drowning the tail (mBERT / XLM-R style, here α = 0.5): a source
+    * holding c tokens gets relative weight √c, so a source 100× smaller
+    * is sampled only 10× less often.
+    *
+    * Normalization is to the LARGEST source (its weight is exactly 1.0)
+    * rather than to the sum: the max of integer token counts is exact,
+    * where a float Σ over an unordered shuffle is not associative-stable
+    * — so the whole result is bit-deterministic (integer counts, two
+    * correctly-rounded IEEE sqrts, one division, one exact floor-to-
+    * micro — never a double ROUND, which half-ulp-flips across engines)
+    * and the p27 gate mirrors it in SQL.
+    *
+    * Scale shape: ONE partial-agg shuffle collapsing the corpus to
+    * ≤ |sources| rows; the unpartitioned window after it only ever sees
+    * that tiny per-source frame, never corpus-sized data. */
+  def temperatureMixture(df: DataFrame, srcCol: String,
+      tokCol: Column): DataFrame = {
+    val per = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokCol).cast("long").as("tok_count"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    per.select(col("source"), col("n_docs"), col("tok_count"),
+      floor(sqrt(col("tok_count").cast("double")) /
+        sqrt(max(col("tok_count")).over(all).cast("double")) * 1000000.0)
+        .cast("long").as("rel_weight_micro"))
+  }
 }

@@ -60,6 +60,31 @@ object TextAnalysis {
         size(array_distinct(w)).cast("double"))
   }
 
+  /** Per-document TYPE-TOKEN RATIO (lexical diversity) histogrammed into
+    * integer deciles: decile = min(9, ⌊10·distinct/total⌋) over the
+    * whitespace word stream. TTR is the classic lexical-richness signal
+    * (boilerplate and template spam sit in the low deciles; natural prose
+    * in the high ones), and the decile histogram is the corpus-level
+    * report a filtering pipeline thresholds on. All-integer (counts and
+    * one integer division) so the t34 gate mirrors bit-exactly in SQL.
+    *
+    * Scale shape: one row-local map (split + array_distinct, codegen) and
+    * ONE fixed-width partial agg into ≤ 10 buckets — map-side combine
+    * collapses every partition to ≤ 10 rows before the shuffle, so the
+    * exchange is O(partitions), not O(corpus). */
+  def ttrDeciles(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(words(col(textCol)).as("w"))
+      .select(size(array_distinct(col("w"))).cast("bigint").as("n_dist"),
+        size(col("w")).cast("bigint").as("n_tot"))
+      .select(least(lit(9L), expr("(10 * n_dist) DIV n_tot")).as("ttr_decile"),
+        col("n_dist"), col("n_tot"))
+      .groupBy("ttr_decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_dist").as("sum_distinct"),
+        sum("n_tot").as("sum_tokens"))
+
   /** Mean whitespace-token length in characters. Tokens are the non-
     * whitespace runs, so their total length is exactly the text with all
     * whitespace removed — plain arithmetic instead of a lambda fold (the

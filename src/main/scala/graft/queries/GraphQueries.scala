@@ -96,7 +96,11 @@ object GraphQueries {
       .orderBy("node")
   }
 
-  val g02Sql: String =
+  /** Shared CTE chain for the triangle-based gates (g02, g12): near-dup
+    * pairs → canonical undirected edges → degrees → degree-oriented
+    * wedge closure → per-node triangle counts. Kept as one string so the
+    * two oracles cannot drift apart. */
+  private def triangleCtes: String =
     s"""WITH pairs AS MATERIALIZED (
       |${DedupQueries.all("d04_ngram_jaccard")._2}
       |),
@@ -124,7 +128,10 @@ object GraphQueries {
       |  SELECT node, COUNT(*) AS triangles FROM (
       |    SELECT u AS node FROM tri
       |    UNION ALL SELECT v FROM tri
-      |    UNION ALL SELECT w FROM tri) GROUP BY 1)
+      |    UNION ALL SELECT w FROM tri) GROUP BY 1)""".stripMargin
+
+  val g02Sql: String =
+    s"""$triangleCtes
       |SELECT deg.node, COALESCE(per.triangles, 0)::BIGINT AS triangles
       |FROM deg LEFT JOIN per ON per.node = deg.node
       |ORDER BY deg.node""".stripMargin
@@ -562,7 +569,33 @@ object GraphQueries {
       |    AS assort_micro
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------- g12
+  /** Per-node local clustering coefficient over the near-dup similarity
+    * graph (same edges as g02): 2·tri/(deg·(deg−1)) as an exact integer
+    * micro value — separates clique-member docs (template families,
+    * mirrored sites) from hub docs that merely touch many unrelated
+    * near-dup pairs. Reuses the g02 degree-oriented triangle plan plus
+    * one node-keyed join; the oracle extends the shared triangle CTEs. */
+  def g12LocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    Graph.localClustering(edges, "id_a", "id_b")
+      .orderBy("node")
+  }
+
+  val g12Sql: String =
+    s"""$triangleCtes
+      |SELECT deg.node, deg.d::BIGINT AS deg,
+      |  COALESCE(per.triangles, 0)::BIGINT AS triangles,
+      |  CASE WHEN deg.d >= 2 THEN
+      |    (2000000 * COALESCE(per.triangles, 0)) // (deg.d * (deg.d - 1))
+      |  ELSE 0 END::BIGINT AS lcc_micro
+      |FROM deg LEFT JOIN per ON per.node = deg.node
+      |ORDER BY deg.node""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g12_local_clustering" -> (g12LocalClustering _, g12Sql),
     "g11_assortativity" -> (g11Assortativity _, g11Sql),
     "g10_degree_audit" -> (g10DegreeAudit _, g10Sql),
     "g09_bfs_distances" -> (g09BfsDistances _, g09Sql),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{SkewJoin, TextAnalysis}
+import graft.operators.{Layout, SkewJoin, TextAnalysis}
 
 /** Composite pipeline queries: the operators working together the way a
   * training-data pipeline composes them. */
@@ -1607,7 +1607,38 @@ object PipelineQueries {
       |FROM s CROSS JOIN mad
       |GROUP BY mad.num""".stripMargin
 
+  // ---------------------------------------------------------------- p27
+  /** Temperature (α = 0.5) mixture weights per source — the sampling
+    * table a multilingual/multi-source training run is driven by: token
+    * counts stay integers, each source's relative weight is
+    * ⌊10⁶·√tokens / √max-tokens⌋ (exactly 1 000 000 for the largest
+    * source), so the head is damped and the tail upsampled. Max-
+    * normalization (not
+    * Σ-normalization) keeps the result bit-deterministic under shuffle
+    * reordering; see [[graft.operators.Layout.temperatureMixture]]. */
+  def p27MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Layout.temperatureMixture(
+      spark.read.parquet(s"$dir/documents.parquet"), "source",
+      TextAnalysis.tokenCount($"text"))
+      .orderBy("source")
+  }
+
+  val p27Sql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |    SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |        ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))
+      |        END)::BIGINT AS tok_count
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, tok_count,
+      |  FLOOR(SQRT(tok_count::DOUBLE)
+      |        / SQRT((MAX(tok_count) OVER ())::DOUBLE)
+      |        * 1000000)::BIGINT AS rel_weight_micro
+      |FROM s ORDER BY source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p27_mixture_weights" -> (p27MixtureWeights _, p27Sql),
     "p26_source_concentration" -> (p26SourceConcentration _, p26Sql),
     "p25_leakage_safe_split" -> (p25LeakageSafeSplit _, p25Sql),
     "p24_shard_rebalance" -> (p24ShardRebalance _, p24Sql),

@@ -1203,7 +1203,32 @@ object TextQueries {
       |    AS kappa_micro
       |FROM cells""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+  /** Lexical-diversity report: per-doc type-token ratio folded into an
+    * integer decile histogram (min(9, ⌊10·distinct/total⌋)). Low deciles
+    * flag template/boilerplate spam, high deciles natural prose — the
+    * standard corpus-composition report a filtering pipeline thresholds
+    * on. Row-local tokenize + ONE ≤10-bucket partial agg; every count and
+    * the division are integers, so the oracle mirrors bit-exactly. */
+  def t34TtrDeciles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.ttrDeciles(docs(spark, dir), "text")
+      .orderBy("ttr_decile")
+
+  val t34Sql: String =
+    """WITH tok AS (
+      |  SELECT
+      |    LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')))
+      |      AS n_dist,
+      |    LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS n_tot
+      |  FROM documents WHERE LENGTH(TRIM(text)) > 0)
+      |SELECT LEAST(9, (10 * n_dist) // n_tot)::BIGINT AS ttr_decile,
+      |  COUNT(*)::BIGINT AS n_docs,
+      |  SUM(n_dist)::BIGINT AS sum_distinct,
+      |  SUM(n_tot)::BIGINT AS sum_tokens
+      |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t34_ttr_deciles" -> (t34TtrDeciles _, t34Sql),
     "t33_kappa" -> (t33Kappa _, t33Sql),
     "t32_pr_curve" -> (t32PrCurve _, t32Sql),
     "t31_reliability" -> (t31Reliability _, t31Sql),

@@ -379,4 +379,22 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi == Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
       7L -> 0L, 6L -> 1L, 5L -> 2L, 999L -> 0L), multi.toString)
   }
+
+  test("localClustering: triangle + pendant matches hand values") {
+    import spark.implicits._
+    // triangle {1,2,3} with a pendant 4 off node 3; duplicate and
+    // reversed edges must collapse in canonicalization
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 4L))
+      .toDF("s", "d")
+    val out = Graph.localClustering(edges, "s", "d")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 1000000L)), // 2*1/(2*1) = 1
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)),  // 2*1/(3*2) = 1/3, floor micro
+      4L -> ((1L, 0L, 0L))),      // deg < 2 -> defined as 0
+      out.toString)
+  }
 }

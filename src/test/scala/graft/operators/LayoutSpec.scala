@@ -104,4 +104,19 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist.size == 8 && hist.values.forall(n => n > 50 && n < 300),
       hist.toMap.toString)
   }
+
+  test("temperatureMixture: sqrt damping, max source pinned to 1.0") {
+    import spark.implicits._
+    val df = Seq(("a", 60L), ("a", 40L), ("b", 25L), ("c", 0L))
+      .toDF("source", "toks")
+    val out = Layout.temperatureMixture(df, "source", col("toks"))
+      .orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: 100 tokens -> weight 1.0; b: 25 -> sqrt(25)/sqrt(100) = 0.5
+    // (100x fewer tokens would mean only 10x less sampling); c: 0 -> 0.0
+    assert(out.toSeq == Seq(
+      ("a", 2L, 100L, 1000000L), ("b", 1L, 25L, 500000L),
+      ("c", 1L, 0L, 0L)))
+  }
 }

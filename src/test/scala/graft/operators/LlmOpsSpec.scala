@@ -1397,4 +1397,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (cos = 1), and its bucket always matches its own query
     assert(out.head._2 == 1L, s"recall@1 must be 1: ${out.head}")
   }
+
+  test("ttrDeciles: integer decile math, cap at 9, empties excluded") {
+    import spark.implicits._
+    val df = Seq(
+      "a a a a",      // 1 distinct / 4 tokens -> (10*1) div 4 = 2
+      "a b a b",      // 2/4 -> 5
+      "a b c d",      // 4/4 -> 10, capped to 9
+      "A b a B",      // lowercased: 2/4 -> 5
+      "", "   "       // empty after trim -> excluded entirely
+    ).toDF("text")
+    val out = TextAnalysis.ttrDeciles(df, "text")
+      .orderBy("ttr_decile")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (2L, 1L, 1L, 4L), (5L, 2L, 4L, 8L), (9L, 1L, 4L, 4L)),
+      out.mkString(","))
+  }
 }
