@@ -201,6 +201,58 @@ object EvalMetrics {
       .orderBy("cut")
   }
 
+  /** Shared 2×2 contingency pass for the boolean-vs-boolean eval
+    * metrics ([[agreementKappa]], [[balancedAccuracy]]): ONE
+    * partial-aggregated corpus pass to the one-row cell counts
+    * (n, n00, n01, n10, n11); cell `nXY` counts rows with a=X, b=Y. */
+  private def contingency2x2(df: DataFrame, a: Column,
+      b: Column): DataFrame =
+    df.select(when(a, 1L).otherwise(0L).as("ra"),
+        when(b, 1L).otherwise(0L).as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ra") === 0L && col("rb") === 0L, 1L).otherwise(0L))
+          .as("n00"),
+        sum(when(col("ra") === 0L && col("rb") === 1L, 1L).otherwise(0L))
+          .as("n01"),
+        sum(when(col("ra") === 1L && col("rb") === 0L, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("ra") === 1L && col("rb") === 1L, 1L).otherwise(0L))
+          .as("n11"))
+
+  /** BALANCED ACCURACY + YOUDEN'S J of a boolean prediction against a
+    * boolean label — the class-imbalance-proof accuracy pair: raw
+    * accuracy rewards always-predict-majority on a skewed corpus (the
+    * normal case for quality filters), while bacc = (TPR + TNR)/2
+    * weighs both classes equally and J = TPR + TNR − 1 is the
+    * over-chance margin (0 = coin flip, 1 = perfect).
+    *
+    * With `pred` as rater a and `label` as rater b: TP = n11, FN = n01,
+    * TN = n00, FP = n10, so TPR = n11/(n11+n01) and TNR = n00/(n00+n10).
+    * Everything is ×10⁶ truncating integral division; bacc and J are
+    * derived from the ALREADY-truncated micro rates (documented
+    * two-stage truncation, mirrored verbatim by the t35 oracle) so no
+    * float ever appears. An absent class (no positives / no negatives)
+    * → NULL rate, NULL bacc/J — loud, never a silently-perfect score.
+    *
+    * Scale shape: identical to [[agreementKappa]] — one partial-agg
+    * corpus pass, then one-row arithmetic.
+    *
+    * @return one row: (n, n00, n01, n10, n11, tpr_micro, tnr_micro,
+    *         bacc_micro, youden_micro). */
+  def balancedAccuracy(df: DataFrame, pred: Column,
+      label: Column): DataFrame =
+    contingency2x2(df, pred, label)
+      .select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+        expr("""cast(cast(n11 as decimal(38,0)) * 1000000
+                 div nullif(n11 + n01, 0L) as bigint)""").as("tpr_micro"),
+        expr("""cast(cast(n00 as decimal(38,0)) * 1000000
+                 div nullif(n00 + n10, 0L) as bigint)""").as("tnr_micro"))
+      .select(col("*"),
+        expr("cast((tpr_micro + tnr_micro) div 2 as bigint)")
+          .as("bacc_micro"),
+        expr("cast(tpr_micro + tnr_micro - 1000000 as bigint)")
+          .as("youden_micro"))
+
   /** COHEN'S KAPPA agreement between two boolean raters — the
     * chance-corrected agreement statistic for comparing a cheap
     * classifier against a trusted one (or two annotators) before
@@ -222,17 +274,7 @@ object EvalMetrics {
     * @return one row: (n, n00, n01, n10, n11, po_micro, pe_micro,
     *         kappa_micro). */
   def agreementKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val cells = df.select(when(a, 1L).otherwise(0L).as("ra"),
-        when(b, 1L).otherwise(0L).as("rb"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("ra") === 0L && col("rb") === 0L, 1L).otherwise(0L))
-          .as("n00"),
-        sum(when(col("ra") === 0L && col("rb") === 1L, 1L).otherwise(0L))
-          .as("n01"),
-        sum(when(col("ra") === 1L && col("rb") === 0L, 1L).otherwise(0L))
-          .as("n10"),
-        sum(when(col("ra") === 1L && col("rb") === 1L, 1L).otherwise(0L))
-          .as("n11"))
+    val cells = contingency2x2(df, a, b)
     cells.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
       expr("""cast(cast(n00 + n11 as decimal(38,0)) * 1000000
                div nullif(n, 0L) as bigint)""").as("po_micro"),

@@ -1157,7 +1157,36 @@ object RelationalQueries {
       |FROM sl GROUP BY 1, 2
       |ORDER BY event_type, win_start_us""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** PIVOT (cross-tab): order counts by priority × status through
+    * Spark's `RelationalGroupedDataset.pivot` with an EXPLICIT value
+    * list — the explicit list is the 100-TB-safe form (implicit pivot
+    * first runs a distinct-values collect back to the driver; the
+    * explicit one compiles straight to conditional aggregation, one
+    * partial-agg shuffle, no extra job). Absent cells are 0, not NULL,
+    * matching the conditional-aggregation SQL spelling. */
+  def q61Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q61Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT AS n_f,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)::BIGINT AS n_o,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)::BIGINT AS n_p
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q61_pivot" -> (q61Pivot _, q61Sql),
     "q55_rolling_distinct" -> (q55RollingDistinct _, q55Sql),
     "q57_hopping_windows" -> (q57HoppingWindows _, q57Sql),
     "q56_max_concurrency" -> (q56MaxConcurrency _, q56Sql),

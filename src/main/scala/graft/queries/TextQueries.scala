@@ -1149,8 +1149,11 @@ object TextQueries {
       col("label"))
   }
 
-  /** t13's logit mirror, keep = logit > 0, then the kappa arithmetic. */
-  val t33Sql: String =
+  /** Shared oracle CTE chain for the 2×2 classifier-vs-label gates
+    * (t33 kappa, t35 balanced accuracy): t13's logit mirror, keep =
+    * logit > 0, label = n_chars ≥ 300, folded to the one-row
+    * contingency cells. One string so the two oracles cannot drift. */
+  private def classifierCellsSql: String =
     """WITH toks AS (
       |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
       |  FROM documents WHERE TRIM(text) <> ''),
@@ -1186,7 +1189,11 @@ object TextQueries {
       |    SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS n01,
       |    SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS n10,
       |    SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS n11
-      |  FROM lab)
+      |  FROM lab)""".stripMargin
+
+  /** The kappa arithmetic over [[classifierCellsSql]]. */
+  val t33Sql: String =
+    s"""$classifierCellsSql
       |SELECT n::BIGINT AS n, n00::BIGINT AS n00, n01::BIGINT AS n01,
       |  n10::BIGINT AS n10, n11::BIGINT AS n11,
       |  ((n00 + n11)::HUGEINT * 1000000 // NULLIF(n, 0))::BIGINT
@@ -1202,6 +1209,41 @@ object TextQueries {
       |       + (n00 + n01)::HUGEINT * (n00 + n10)), 0))::BIGINT
       |    AS kappa_micro
       |FROM cells""".stripMargin
+
+  // ---------------------------------------------------------------- t35
+  /** Balanced accuracy + Youden's J of the hashed-feature quality filter
+    * against the length label — the class-imbalance-proof companion to
+    * t33's kappa, from the same one-pass 2×2 cells: raw accuracy would
+    * reward always-keep on a skewed corpus; bacc/J weigh both classes
+    * equally. Same corpus pass, same oracle CTE chain as t33. */
+  def t35BalancedAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val scores = graft.operators.QualityClassifier
+      .score(d, "doc_id", "text", dim = 4096)
+      .select(col("doc_id"), col("keep"))
+    val labeled = scores.join(
+      d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
+    graft.operators.EvalMetrics.balancedAccuracy(labeled, col("keep"),
+      col("label"))
+  }
+
+  /** The TPR/TNR arithmetic over [[classifierCellsSql]]; bacc and J are
+    * two-stage truncations of the already-truncated micro rates,
+    * mirroring the operator verbatim. */
+  val t35Sql: String =
+    s"""$classifierCellsSql,
+      |rates AS (
+      |  SELECT n, n00, n01, n10, n11,
+      |    CAST(n11::HUGEINT * 1000000 // NULLIF(n11 + n01, 0) AS BIGINT)
+      |      AS tpr_micro,
+      |    CAST(n00::HUGEINT * 1000000 // NULLIF(n00 + n10, 0) AS BIGINT)
+      |      AS tnr_micro
+      |  FROM cells)
+      |SELECT n::BIGINT AS n, n00::BIGINT AS n00, n01::BIGINT AS n01,
+      |  n10::BIGINT AS n10, n11::BIGINT AS n11, tpr_micro, tnr_micro,
+      |  CAST((tpr_micro + tnr_micro) // 2 AS BIGINT) AS bacc_micro,
+      |  CAST(tpr_micro + tnr_micro - 1000000 AS BIGINT) AS youden_micro
+      |FROM rates""".stripMargin
 
   // ---------------------------------------------------------------- t34
   /** Lexical-diversity report: per-doc type-token ratio folded into an
@@ -1228,6 +1270,7 @@ object TextQueries {
       |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin
 
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t35_balanced_accuracy" -> (t35BalancedAccuracy _, t35Sql),
     "t34_ttr_deciles" -> (t34TtrDeciles _, t34Sql),
     "t33_kappa" -> (t33Kappa _, t33Sql),
     "t32_pr_curve" -> (t32PrCurve _, t32Sql),

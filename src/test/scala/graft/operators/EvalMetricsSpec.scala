@@ -168,6 +168,30 @@ class EvalMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kap(Seq.fill(4)((true, true))).isNullAt(7))
   }
 
+  test("balancedAccuracy: hand-computed rates, skew-proof, degenerates") {
+    import spark.implicits._
+    def bacc(rows: Seq[(Boolean, Boolean)]) =
+      EvalMetrics.balancedAccuracy(rows.toDF("p", "l"), col("p"), col("l"))
+        .collect().head
+    // pred ⊥ skew: 90 TN, 5 FP, 4 FN, 1 TP — raw accuracy .91 looks
+    // great; TPR = 1/5, TNR = 90/95 → bacc exposes the dead filter
+    val r = bacc(Seq.fill(90)((false, false)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(4)((false, true)) ++ Seq.fill(1)((true, true)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((100L, 90L, 4L, 5L, 1L)))
+    assert(r.getLong(5) == 200000L) // TPR = 1/5
+    assert(r.getLong(6) == 1000000L * 90L / 95L) // 947368
+    assert(r.getLong(7) == (200000L + 947368L) / 2L)
+    assert(r.getLong(8) == 200000L + 947368L - 1000000L)
+    // perfect filter → all three at ceiling
+    val p = bacc(Seq((true, true), (false, false)))
+    assert(p.getLong(7) == 1000000L && p.getLong(8) == 1000000L)
+    // absent positive class → TPR, bacc, J all NULL, TNR defined
+    val n = bacc(Seq.fill(3)((false, false)))
+    assert(n.isNullAt(5) && n.isNullAt(7) && n.isNullAt(8) &&
+      n.getLong(6) == 1000000L)
+  }
+
   test("rankingMetrics is partitioning-invariant") {
     import spark.implicits._
     val run = (1L to 20L).flatMap(q =>

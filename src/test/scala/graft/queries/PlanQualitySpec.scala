@@ -575,4 +575,35 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"pairs collapse must partial-aggregate:\n$p")
   }
+
+  test("t34: TTR histogram reads only text, partial-aggs, no window/sort " +
+    "before the 10-bucket agg") {
+    val p = plan("t34_ttr_deciles")
+    // column pruning: the scan must not drag the other document columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("source") &&
+      !read.contains("lang"), s"over-read: $read")
+    assert(p.contains("partial"), s"decile agg must map-side combine:\n$p")
+    assert(!p.contains("Window"), s"no window may appear:\n$p")
+  }
+
+  test("p27: mixture weights are one corpus shuffle; the window runs on " +
+    "the per-source summary only") {
+    val p = plan("p27_mixture_weights")
+    // exactly one Exchange may carry corpus-derived rows (the per-source
+    // partial agg); the unpartitioned window's SinglePartition exchange
+    // moves only the ≤|sources|-row summary
+    assert(p.contains("partial"), s"source agg must map-side combine:\n$p")
+    assert(p.contains("Window"), s"max-normalization window expected:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4, s"too many exchanges ($exchanges):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("g12: local clustering stays equi-join, never cartesian, " +
+    "with partial aggs") {
+    val p = plan("g12_local_clustering")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("HashAggregate"), s"deg/tri partial aggs expected:\n$p")
+  }
 }
