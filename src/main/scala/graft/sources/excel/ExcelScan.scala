@@ -20,6 +20,7 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownOffset
     with SupportsPushDownTableSample
     with SupportsPushDownAggregates {
@@ -34,6 +35,7 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
   // Spark's own file sources give their file index)
   private var offsetFile: Option[String] = None
   private var sample: Option[ExcelSample] = None
+  private var topN: Option[ExcelTopN] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pushedAggs: Seq[PushedExcelAgg] = Nil
 
@@ -62,6 +64,44 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     false // partial: each partition still caps rows, Spark re-applies the limit
   }
 
+  /** TOP-N pushdown, PARTIAL: each partition keeps only its own `limit`
+    * best rows under the pushed ordering in a bounded heap (state is n
+    * rows, independent of partition size), and Spark retains the global
+    * TakeOrderedAndProject — so correctness never depends on cross-
+    * partition order, while emit/convert work drops from partition-size
+    * to n. This is the order-by analogue of the partial `pushLimit`
+    * above: an `ORDER BY col LIMIT n` over a TB of sheets decodes
+    * everything (filter/sample still see every row) but ships only
+    * n·partitions rows into the sort. Declines non-column sort keys,
+    * unorderable types, the columnar path, and scans already claimed by
+    * aggregates or an accepted OFFSET (the reader's offset skip is
+    * defined on raw sheet order, not sorted order). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference,
+      NullOrdering, SortDirection}
+    if (limit <= 0 || opts.enableArrow || pushedAggs.nonEmpty || offset > 0)
+      return false
+    val keys = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val name = nr.fieldNames()(0)
+          fullSchema.fields.find(_.name == name)
+            .filter(f => ExcelTopN.orderable(f.dataType))
+            .map(_ => ExcelSortKey(name,
+              so.direction() == SortDirection.DESCENDING,
+              so.nullOrdering() == NullOrdering.NULLS_LAST))
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) return false
+    topN = Some(ExcelTopN(keys.map(_.get), limit))
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   /** OFFSET pushdown is COMPLETE when accepted (Spark removes the Offset
     * operator), so accept ONLY when this scan provably plans exactly one
     * partition whose output order is the sheet's dense row order: a
@@ -80,7 +120,7 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
     // SAMPLED rows. One of the two must stay an operator; sample won.
     if (opts.allSheets || opts.maxRowsPerPartition.nonEmpty ||
       opts.enableArrow || pushed.nonEmpty || pushedAggs.nonEmpty ||
-      sample.nonEmpty) return false
+      sample.nonEmpty || topN.nonEmpty) return false
     val single =
       try {
         val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -157,7 +197,7 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
   override def build(): Scan = pushedAggs match {
     case Nil =>
       new ExcelScan(fullSchema, requiredSchema, opts, limit, pushed, offset,
-        sample, offsetFile)
+        sample, offsetFile, topN)
     case Seq(PushedCountStar) => new ExcelCountScan(opts) // tag-scan fast path
     case aggs => new ExcelAggScan(fullSchema, opts, aggs)
   }
@@ -166,6 +206,103 @@ class ExcelScanBuilder(fullSchema: StructType, opts: ExcelOptions)
 /** A pushed Bernoulli TABLESAMPLE: keep a row iff a uniform draw lands
   * in [lower, upper). */
 case class ExcelSample(lower: Double, upper: Double, seed: Long)
+
+/** One pushed sort key: column name + Spark SortOrder semantics. */
+case class ExcelSortKey(name: String, descending: Boolean, nullsLast: Boolean)
+
+/** A pushed PARTIAL top-N: each partition emits only its `n` best rows
+  * under `keys`; Spark keeps the global sort+limit. */
+case class ExcelTopN(keys: Seq[ExcelSortKey], n: Int)
+
+object ExcelTopN {
+  import org.apache.spark.sql.types._
+
+  /** Types the per-partition heap can order — exactly the set the excel
+    * schema inference produces. */
+  def orderable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | BooleanType | StringType |
+      DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Total order on output rows matching Spark's SortOrder semantics for
+    * the pushed keys. Ties compare equal — partial pushdown permits any
+    * n-subset of tied boundary rows, since Spark re-sorts globally. */
+  def rowOrdering(schema: StructType,
+      keys: Seq[ExcelSortKey]): Ordering[InternalRow] = {
+    val cmps: Array[(InternalRow, InternalRow) => Int] = keys.toArray.map {
+      k =>
+        val i = schema.fieldIndex(k.name)
+        val dt = schema(i).dataType
+        (a: InternalRow, b: InternalRow) => {
+          val an = a.isNullAt(i)
+          val bn = b.isNullAt(i)
+          if (an && bn) 0
+          else if (an) { if (k.nullsLast) 1 else -1 }
+          else if (bn) { if (k.nullsLast) -1 else 1 }
+          else {
+            val c = dt match {
+              case IntegerType | DateType =>
+                java.lang.Integer.compare(a.getInt(i), b.getInt(i))
+              case LongType | TimestampType =>
+                java.lang.Long.compare(a.getLong(i), b.getLong(i))
+              case DoubleType =>
+                java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+              case BooleanType =>
+                java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+              case StringType =>
+                a.getUTF8String(i).compareTo(b.getUTF8String(i))
+              case other => throw new IllegalStateException(
+                s"unorderable pushed top-N key type: $other") // guarded at push
+            }
+            if (k.descending) -c else c
+          }
+        }
+    }
+    (a: InternalRow, b: InternalRow) => {
+      var r = 0
+      var i = 0
+      while (r == 0 && i < cmps.length) { r = cmps(i)(a, b); i += 1 }
+      r
+    }
+  }
+}
+
+/** Bounds a partition's output to its own top-n rows under the pushed
+  * ordering: a size-n max-heap absorbs the underlying reader's stream
+  * (rows must be copied — the inner reader may reuse buffers), then
+  * replays in heap order. Emitted order is deliberately arbitrary:
+  * Spark's retained TakeOrderedAndProject imposes the final order, this
+  * wrapper only caps what reaches it. Heap state is n rows regardless of
+  * partition size. */
+class TopNPartitionReader(under: PartitionReader[InternalRow],
+    schema: StructType, topN: ExcelTopN)
+    extends PartitionReader[InternalRow] {
+  private var it: Iterator[InternalRow] = null
+  private var current: InternalRow = _
+
+  private def drain(): Iterator[InternalRow] = {
+    val ord = ExcelTopN.rowOrdering(schema, topN.keys)
+    // PriorityQueue dequeues the MAX per `ord`: head is the worst kept
+    // row, replaced whenever a strictly better one arrives
+    val heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
+    while (under.next()) {
+      val r = under.get().copy()
+      if (heap.size < topN.n) heap.enqueue(r)
+      else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+    }
+    heap.iterator
+  }
+
+  override def next(): Boolean = {
+    if (it == null) it = drain()
+    if (it.hasNext) { current = it.next(); true } else false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = under.close()
+}
 
 /** An aggregate the excel scan can answer itself. */
 sealed trait PushedExcelAgg
@@ -335,7 +472,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     opts: ExcelOptions, limit: Int,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     offset: Int = 0, sample: Option[ExcelSample] = None,
-    offsetFile: Option[String] = None)
+    offsetFile: Option[String] = None, topN: Option[ExcelTopN] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -432,6 +569,10 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     s"ExcelScan path=${opts.pathOpt.getOrElse("?")} sheet=${opts.sheetName} " +
       s"columns=[${requiredSchema.fieldNames.mkString(",")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
+      topN.fold("")(t => s" PushedTopN=[${t.keys.map(k =>
+        k.name + (if (k.descending) " DESC" else " ASC") +
+          (if (k.nullsLast) " NULLS LAST" else " NULLS FIRST"))
+        .mkString(",")} n=${t.n}]") +
       (if (offset > 0) s" PushedOffset=$offset" else "") +
       sample.fold("")(s =>
         s" PushedSample=[${s.lower},${s.upper},seed=${s.seed}]") +
@@ -476,7 +617,7 @@ class ExcelScan(fullSchema: StructType, requiredSchema: StructType,
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     ExcelPartitionReaderFactory(fullSchema, requiredSchema, opts, limit, conf,
-      filters, offset, sample)
+      filters, offset, sample, topN)
   }
 }
 
@@ -654,14 +795,24 @@ case class ExcelPartitionReaderFactory(fullSchema: StructType,
     requiredSchema: StructType,
     opts: ExcelOptions, limit: Int, conf: SerializableConfiguration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    offset: Int = 0, sample: Option[ExcelSample] = None)
+    offset: Int = 0, sample: Option[ExcelSample] = None,
+    topN: Option[ExcelTopN] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExcelInputPartition]
-    new ExcelPartitionReader(p.filePath,
+    val base = new ExcelPartitionReader(p.filePath,
       fullSchema, requiredSchema, opts, limit, conf.value, filters,
       p.startRow, p.endRowExcl, p.sheet, offset, sample)
+    topN match {
+      // defensive: every key must be readable in the pruned schema (it
+      // always is — the retained Sort references the keys, so pruning
+      // keeps them)
+      case Some(t) if t.keys.forall(k =>
+          requiredSchema.fieldNames.contains(k.name)) =>
+        new TopNPartitionReader(base, requiredSchema, t)
+      case _ => base
+    }
   }
 
   // columnar fast path — the reference's enableArrow branch, in-JVM
