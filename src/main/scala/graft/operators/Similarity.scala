@@ -436,12 +436,19 @@ object Similarity {
     *
     * Scale shape: M is ONE partial-agg scalar (the only driver value);
     * banding/bucketing then behaves exactly like the cosine ANN path —
-    * fixed-width candidate shuffles, no all-pairs anywhere. */
+    * fixed-width candidate shuffles, no all-pairs anywhere.
+    *
+    * Repeated queries over the SAME corpus should not re-pay the M²
+    * pre-pass: compute it once with [[corpusMaxNorm2]] and pass it as
+    * `maxNorm2` — the augmentation bound only has to be ≥ every corpus
+    * ‖v‖², so a cached value stays valid until rows are ADDED with larger
+    * norms (deletes/filters never invalidate it). With `maxNorm2` given
+    * this builds a pure lazy plan: zero jobs, zero corpus scans until the
+    * result is consumed. */
   def mipsTopKQuantized(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, bandBits: Int = 4,
-      bandCount: Int = 8): DataFrame = {
-    val m2 = df.agg(max(VectorFunctions.dot(col(vecCol), col(vecCol))))
-      .collect()(0).getDouble(0)
+      bandCount: Int = 8, maxNorm2: Option[Double] = None): DataFrame = {
+    val m2 = maxNorm2.getOrElse(corpusMaxNorm2(df, vecCol))
     // the augmented tail coordinate sqrt(M² − ‖v‖²) is computed ONCE per
     // row (codegen'd dot) and appended inside the single-pass any-match
     // kernel — r13's form rebuilt the augmented array and re-ran the
@@ -455,6 +462,14 @@ object Similarity {
       .orderBy(col("dot").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** The MIPS augmentation bound M² = max corpus ‖v‖², as one partial-agg
+    * scan. Callers serving many queries against one corpus compute this
+    * once and thread it through [[mipsTopKQuantized]]'s `maxNorm2` so the
+    * stats pre-pass is paid once, not per query. */
+  def corpusMaxNorm2(df: DataFrame, vecCol: String): Double =
+    df.agg(max(VectorFunctions.dot(col(vecCol), col(vecCol))))
+      .collect()(0).getDouble(0)
 
   def withRecallContract(exact: DataFrame, approx: DataFrame,
       keyCols: Seq[String], minHits: Int, flagCol: String): DataFrame = {

@@ -54,6 +54,39 @@ object ConnectorQueries {
       |ORDER BY s_suppkey
       |LIMIT 10 OFFSET 5""".stripMargin
 
+  /** Partial TOP-N pushdown (r16, SURVEY §2.1 scan surface): supplier
+    * written UNSORTED into a sharded 4-file workbook directory so no
+    * single partition holds the answer, then the 12 best rows read back
+    * via `ORDER BY s_acctbal DESC, s_suppkey LIMIT 12`. The scan caps
+    * every partition at its own 12 best rows in a bounded heap
+    * (`ExcelTopN`, `PushedTopN=` in the plan) while Spark keeps the
+    * global TakeOrderedAndProject — partial pushdown, so the gate stays
+    * exact even if the pushdown is ever declined. The tiebreak on the
+    * unique s_suppkey makes the oracle deterministic. `ExcelTopNSpec`
+    * pins the plan shape + null ordering; this gate pins the VALUES
+    * against DuckDB's ORDER BY ... LIMIT. */
+  def excelTopN(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    val out = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_topn_${math.abs(dir.hashCode)}").getAbsolutePath
+    supplier.repartition(4).write.format("excel")
+      .option("shardedOutput", "true")
+      .mode("overwrite").save(out)
+    spark.read.format("excel").schema(supplier.schema).load(out)
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      .limit(12)
+  }
+
+  val excelTopNSql: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier
+      |ORDER BY s_acctbal DESC, s_suppkey
+      |LIMIT 12""".stripMargin
+
   /** Strict-parity listing (r14): nation written as a `.xlsx` next to a
     * DECOY workbook named `.xlsm` carrying shifted keys; reading the
     * directory with `xlsxOnly=true` must list ONLY the `.xlsx` — the
@@ -826,6 +859,7 @@ object ConnectorQueries {
     "excel_stream_stream_join" -> (excelStreamStreamJoin _, excelStreamStreamJoinSql),
     "excel_roundtrip" -> (excelRoundtrip _, excelRoundtripSql),
     "excel_offset_page" -> (excelOffsetPage _, excelOffsetPageSql),
+    "excel_topn" -> (excelTopN _, excelTopNSql),
     "excel_xlsxonly_listing" ->
       (excelXlsxOnlyListing _, excelXlsxOnlyListingSql),
     "excel_sharded_roundtrip" -> (excelShardedRoundtrip _, excelShardedRoundtripSql),

@@ -380,6 +380,35 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       df, "vec_id", "embedding", query, 20).collect().map(_.getLong(0)).toSet
     val recall = (brute & approx).size.toDouble / brute.size
     assert(recall >= 0.4, s"augmented-LSH MIPS recall was $recall")
+
+    // repeated-query contract (r14 item 6): the M² stats pre-pass is paid
+    // ONCE via corpusMaxNorm2, after which building further MIPS queries
+    // over the same corpus launches zero jobs (pure lazy plans) and the
+    // results are identical to the self-computing form
+    val m2 = Similarity.corpusMaxNorm2(df, "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val query2 = pts(1)._2.map(_.toDouble)
+      val q1 = Similarity.mipsTopKQuantized(
+        df, "vec_id", "embedding", query, 20, maxNorm2 = Some(m2))
+      val q2 = Similarity.mipsTopKQuantized(
+        df, "vec_id", "embedding", query2, 20, maxNorm2 = Some(m2))
+      // neither build ran a corpus stats scan (listener events post
+      // asynchronously; a job launched during build would land well
+      // within this drain window)
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"building MIPS queries with a cached M2 ran ${jobs.get()} job(s)")
+      assert(q1.collect().map(_.getLong(0)).toSet == approx,
+        "cached-M2 MIPS must match the self-computing form exactly")
+      assert(q2.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("ANN: brute-force exact; LSH recall ≥ 0.8 on clustered data") {

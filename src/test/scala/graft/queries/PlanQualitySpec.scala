@@ -489,6 +489,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("columns=[n_name]"), p)
   }
 
+  test("excel_topn: gate plans the pushed heap AND keeps the global " +
+    "TakeOrderedAndProject (partial-pushdown contract)") {
+    val p = plan("excel_topn")
+    // the per-partition bounded heap is active in the scan...
+    assert(p.contains("PushedTopN=[s_acctbal DESC"), p)
+    // ...and Spark still owns the global merge, so correctness never
+    // depends on cross-partition order
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("excel scan reports statistics: small side broadcasts, large does not") {
     import org.apache.spark.sql.functions._
     val tmp = System.getProperty("java.io.tmpdir")

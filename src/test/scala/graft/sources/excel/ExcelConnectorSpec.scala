@@ -164,6 +164,16 @@ class ExcelConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // SQL semantics skip 4 SAMPLED rows, not 4 raw rows
     assert(!(plan.contains("PushedSample") && plan.contains("PushedOffset")),
       s"sample and offset both pushed — offset applies pre-sample:\n$plan")
+    // pin the DIRECTION of the guard, not just mutual exclusion: Spark
+    // offers pushSample before pushOffset, so on this single-file scan
+    // the sample must have pushed and pushOffset must have DECLINED
+    // (sample.nonEmpty guard in ExcelScan.pushOffset). If Spark ever
+    // reorders its pushdown sequence this assert fails loudly instead of
+    // the scan silently skipping 4 raw rows.
+    assert(plan.contains("PushedSample=[0.0,0.5,seed=3]"),
+      s"sample should have pushed on a single-file scan:\n$plan")
+    assert(!plan.contains("PushedOffset"),
+      s"offset must decline when the sample is pushed:\n$plan")
     // values: engine result == sampled rows minus the first 4
     val sampled = df.sample(withReplacement = false, fraction = 0.5, seed = 3L)
       .collect().map(_.getInt(0)).toSeq

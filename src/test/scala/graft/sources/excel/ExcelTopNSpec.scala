@@ -70,14 +70,18 @@ class ExcelTopNSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("null ordering is honored on both directions") {
     val dir = tmpDir()
     writeFiles(dir, withNulls = true)
-    // asc: NULLS FIRST by default — nulls are the best rows
-    val asc = read(dir).orderBy(col("id")).limit(4).collect()
-    assert(asc.take(3).forall(_.isNullAt(0)), asc.mkString(","))
-    assert(asc(3).getInt(0) == 1)
-    // desc: NULLS LAST by default — nulls must never enter the top
+    // The fixture plants 8 nulls: ids 0,17,34,51,68,85,102,119.
+    // asc: NULLS FIRST by default — the 8 nulls are the best rows, then
+    // the smallest surviving non-null ids (1, 2).
+    val asc = read(dir).orderBy(col("id")).limit(10).collect()
+    assert(asc.take(8).forall(_.isNullAt(0)), asc.mkString(","))
+    assert(asc(8).getInt(0) == 1, asc.mkString(","))
+    assert(asc(9).getInt(0) == 2, asc.mkString(","))
+    // desc: NULLS LAST by default — nulls must never enter the top; 119
+    // is one of the planted nulls, so the best non-null row is 118.
     val desc = read(dir).orderBy(col("id").desc).limit(4).collect()
-    assert(desc.forall(!_.isNullAt(0)))
-    assert(desc.map(_.getInt(0)).toSeq == Seq(119, 118, 117, 116))
+    assert(desc.forall(!_.isNullAt(0)), desc.mkString(","))
+    assert(desc.map(_.getInt(0)).toSeq == Seq(118, 117, 116, 115))
     // explicit desc_nulls_first flips the boundary
     val nf = read(dir).orderBy(col("id").desc_nulls_first).limit(3).collect()
     assert(nf.forall(_.isNullAt(0)), nf.mkString(","))
