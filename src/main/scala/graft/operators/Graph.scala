@@ -217,12 +217,20 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // localCheckpoint, NOT persist: this function runs no action before
+    // returning, so a persist+unpersist pair is a no-op by the time the
+    // caller executes the (lazy) result — and `oriented` feeds the final
+    // plan THREE times, so without real materialization the entire
+    // upstream edge-producing subtree (e.g. the g02 near-dup pair join)
+    // re-executes per use. Eager localCheckpoint materializes the
+    // canonical edge list once, here, and truncates lineage — the
+    // project-wide discipline of the iterative graph ops.
     val canon = edges
       .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -237,7 +245,7 @@ object Graph {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("v"))
-      .persist()
+      .localCheckpoint()
     // wedges u -> (v, w) with v before w in orientation order; closing
     // edge must be v -> w (orientation order is total, so exactly one
     // direction can exist)
@@ -254,13 +262,10 @@ object Graph {
       .union(vw.select(col("v").as("node")))
       .union(vw.select(col("w").as("node")))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-    val out = degKeyed.select(col("node"))
+    degKeyed.select(col("node"))
       .join(perNode, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
-    canon.unpersist()
-    oriented.unpersist()
-    out
   }
 
   /** LOCAL CLUSTERING COEFFICIENT per node: lcc = 2·tri / (deg·(deg−1)),
@@ -277,24 +282,26 @@ object Graph {
     * node-keyed join of two already-node-partitioned frames. */
   def localClustering(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // eager localCheckpoint (not a persist/unpersist pair, which is a
+    // no-op without an action): canon feeds BOTH the degree agg and the
+    // triangle pass, so the upstream edge-producing subtree must
+    // materialize exactly once
     val canon = edges
       .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val tri = triangleCounts(canon, "a", "b")
-    val out = deg.join(tri, Seq("node"), "left")
+    deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("deg") >= 2,
           expr("(2000000 * coalesce(triangles, 0)) DIV (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("lcc_micro"))
-    canon.unpersist()
-    out
   }
 
   /** Synchronous LABEL-PROPAGATION community detection (Raghavan et al.
@@ -383,16 +390,21 @@ object Graph {
   def commonNeighborPairs(edges: DataFrame, srcCol: String, dstCol: String,
       pivotDegCap: Long = 10000L): DataFrame = {
     require(pivotDegCap >= 1, "pivotDegCap must be positive")
+    // eager localCheckpoint (not persist/unpersist, a no-op without an
+    // action here): canon feeds the symmetrized wedge side, the anti-join
+    // and (via deg) both degree probes of the final plan, so without real
+    // materialization the upstream pair-producing subtree re-executes per
+    // use. deg is node-count sized and probed twice — checkpoint it too.
     val canon = edges
       .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val sym = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .persist()
+      .localCheckpoint()
     val pivotEdges = sym
       .join(deg.filter(col("deg") <= pivotDegCap)
         .select(col("node").as("a")), Seq("a"), "left_semi")
@@ -409,8 +421,6 @@ object Graph {
       .select(col("v").as("id_a"), col("w").as("id_b"), col("common"),
         (col("dv") + col("dw") - col("common")).as("union_deg"),
         expr("(1000 * common) div (dv + dw - common)").as("jaccard_milli"))
-    canon.unpersist()
-    deg.unpersist()
     predicted
   }
 
