@@ -431,11 +431,17 @@ object TextAnalysis {
     * self-entropy — the baseline its divergences are read against). */
   def domainDivergence(df: org.apache.spark.sql.DataFrame,
       sourceCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // localCheckpoint, not persist: counts feeds totals AND both sides of
+    // the divergence join, so it must materialize once — but a persist
+    // with no unpersist leaks a CacheManager entry per call (CacheManager
+    // holds a strong reference; a long bench/driver session accumulates
+    // orphaned cache blocks), while a checkpointed RDD is reclaimed by
+    // the ContextCleaner once the result is consumed and dropped.
     val counts = df.filter(trim(col(textCol)) =!= "")
       .select(col(sourceCol).as("src"), explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("src", "word").agg(count(lit(1)).as("cnt"))
-      .persist()
+      .localCheckpoint()
     val totals = counts.groupBy("src")
       .agg(sum(col("cnt")).as("n_total"))
       .withColumn("maxbits", expr("length(bin(n_total)) - 1").cast("long"))

@@ -946,15 +946,21 @@ object DedupQueries {
     val corpusGrams = grams(d, withId = true)
     val blockGrams = grams(blockTexts, withId = false)
     val filter = Bloom.build(blockGrams, "gram")
+    // ONE pass over the bloom candidates: a left join against the
+    // (distinct) block grams tags each surviving gram as an exact hit or
+    // a bloom false-positive, so bloom-count and exact-count fall out of
+    // a single aggregation. The previous shape aggregated cand twice
+    // behind a persist that (never unpersisted) leaked a CacheManager
+    // entry per call — CacheManager holds strong references, so a long
+    // bench/driver session accumulated orphaned cache blocks.
     val cand = Bloom.candidates(corpusGrams, "doc_id", "gram", filter)
-      .persist()
-    val nBloom = cand.groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
-    val nExact = cand.join(blockGrams, "gram")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    val counts = cand
+      .join(blockGrams.withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bloom"), count(col("__hit")).as("n_exact"))
     val base = corpusGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     base
-      .join(nBloom, Seq("doc_id"), "left")
-      .join(nExact, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
