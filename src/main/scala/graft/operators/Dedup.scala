@@ -403,6 +403,56 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
 
+  /** SOURCE-level n-gram overlap matrix: exact Jaccard between every
+    * pair of corpus sources over their DISTINCT word-k-shingle sets —
+    * the cross-crawl redundancy census run before mixing sources into a
+    * training corpus (two crawls with jaccard ≈ 1 are the same crawl;
+    * budgeting them as independent double-counts their mass).
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    * postings in one partial-agg shuffle — everything after is bounded
+    * by |vocabulary|·|sources|, never corpus rows. Pairs generate via
+    * the [[ngramJaccardPairs]] posting-list discipline (per-shingle
+    * sorted source list + positional slice, each unordered pair exactly
+    * once — no self-join), and a shingle's fan-out is capped at
+    * |sources|² by construction, so no df-cap is needed. Scores are
+    * ⌊10⁶·common/union⌋ integers.
+    *
+    * @return (source_a, source_b, grams_a, grams_b, common,
+    *         jaccard_micro) with source_a < source_b; pairs sharing NO
+    *         gram are absent (their overlap is 0 by definition, and
+    *         emitting the empty cells would make the operator's output
+    *         |sources|² even when nothing overlaps) */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    // distinct posting feeds both the per-source sizes and the pair
+    // counts; materialize it once (vocabulary-bounded, fixed-width)
+    val posting = df.select(col(srcCol).as("source"),
+        TextExpressions.shingleExplode(col(textCol), k))
+      .select("source", "shingle")
+      .distinct()
+      .localCheckpoint()
+    val sizes = posting.groupBy("source").agg(count(lit(1)).as("sz"))
+    val pairs = posting
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("source"))).as("ss"))
+      .select(posexplode(col("ss")).as(Seq("i", "a")), col("ss"))
+      .select(col("a"),
+        explode(slice(col("ss"), col("i") + lit(2), size(col("ss")))).as("b"))
+      .groupBy(col("a").as("source_a"), col("b").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("sz").as("grams_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("sz").as("grams_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("grams_a"),
+        col("grams_b"), col("common"),
+        expr("""cast((common * cast(1000000 as bigint))
+                 div (grams_a + grams_b - common) as bigint)""")
+          .as("jaccard_micro"))
+  }
+
   /** Shared inverted-index pair counting for the exact n-gram scorers:
     * (id_a, id_b, size_a, size_b, common) with id_a < id_b, `common` the
     * count of shared distinct shingles and size_* each side's distinct

@@ -611,6 +611,62 @@ object Graph {
     dist
   }
 
+  /** Sampled HARMONIC CENTRALITY (Boldi & Vigna 2014's centrality of
+    * choice for web-scale graphs — defined for disconnected graphs,
+    * unlike closeness): H(v) = Σ_s 1/d(s,v) over a fixed landmark seed
+    * set, distances from a per-source multi-BFS truncated at `rounds`
+    * hops. Exact harmonic centrality needs all-pairs distances — never
+    * computed at 100 TB; the landmark-sampled estimator (the
+    * HyperBall/ANF lineage) is the production form, and a deterministic
+    * seed set keeps it oracle-mirrorable.
+    *
+    * State is (node, src, dist) — frontier size multiplies by at most
+    * |seeds|, so the seed set bounds memory exactly like the probe batch
+    * bounds [[graft.operators.Similarity.knnJoin]]. Each round is one
+    * co-partitioned equi-join plus a min partial agg over (node, src),
+    * localCheckpoint-ed; min-union relaxation is idempotent (no visited
+    * set). The final score is integer micro-units ⌊10⁶/d⌋ summed per
+    * node — BIGINT arithmetic both engines reproduce bit-for-bit.
+    *
+    * @return (node, reached, harmonic_micro): landmarks reached within
+    *         `rounds` hops (d ≥ 1) and Σ⌊10⁶/d⌋ over them; seeds score
+    *         their OWN row too (d(s,s)=0 contributes nothing, matching
+    *         the definition's s≠v sum). Nodes reaching no landmark are
+    *         absent. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "harmonicCentrality needs at least one round")
+    require(seeds.nonEmpty, "harmonicCentrality needs at least one seed")
+    val half = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val sym = half.union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("a"))
+      .persist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = seeds.toDF("node")
+      .select(col("node").cast("long").as("node"),
+        col("node").cast("long").as("src"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val prop = sym
+        .join(dist.select(col("node").as("a"), col("src"), col("dist")), "a")
+        .select(col("b").as("node"), col("src"),
+          (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(prop)
+        .groupBy("node", "src").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    dist.filter(col("dist") > 0L)
+      .groupBy("node")
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("cast(1000000 as bigint) div dist")).as("harmonic_micro"))
+  }
+
   /** Newman MODULARITY of a community assignment over an undirected
     * graph (Newman & Girvan 2004): per community c,
     * Q_c = e_c/m − (d_c/2m)², where e_c counts intra-community edges,

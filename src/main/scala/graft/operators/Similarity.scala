@@ -545,11 +545,24 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, m: Int = 8,
       ksub: Int = 16): DataFrame = {
+    val cb = pqCodebook(df, idCol, vecCol, m, ksub)
+    pqRank(df, idCol, vecCol, cb, query, k)
+  }
+
+  /** PQ encode + ADC ranking against a PREBUILT codebook — the shared
+    * kernel behind [[pqTopK]] (codebook trained on the ranked frame
+    * itself) and [[ivfPqTopK]] (codebook trained on the FULL corpus at
+    * index-build time, ranking only the probed cells' rows, so codes
+    * are identical no matter which cells a given query probes). */
+  private def pqRank(df: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Long]]], query: Array[Double],
+      k: Int): DataFrame = {
+    val m = cb.length
+    val ksub = cb(0).length
     require(ksub <= 16, "code packs 4 bits per subspace")
     require(query.length % m == 0,
       s"query dim ${query.length} must be divisible by m=$m subspaces " +
         "(trailing dimensions would silently drop from every distance)")
-    val cb = pqCodebook(df, idCol, vecCol, m, ksub)
     val dsub = query.length / m
     val qq = query.map(x => math.floor(x * QlshScale).toLong)
     // ADC lookup table: distance from the query's sub-vector to every
@@ -589,6 +602,61 @@ object Similarity {
         round(VectorFunctions.cosine(col("__vec"), vecLit(query)), 6))
       .select(col("vec_id"), col("code"), col("approx_dist"), col("cos"))
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ ANN top-k — the two-level layout an actual 100 TB vector
+    * store runs (FAISS `IVFx,PQy` with by-residual off): a coarse
+    * quantizer ([[ivfCentroids]] — deterministic seeds + Lloyd
+    * refinement) partitions the corpus into `nlist` cells, and every
+    * vector compresses to m 4-bit PQ codes against ONE corpus-trained
+    * codebook ([[pqCodebook]]). A query probes only the `nprobe` cells
+    * whose centroids are nearest (driver-side: nlist is tiny) and ranks
+    * the survivors by the integer ADC table — so at scale the store is
+    * (cell, code) pairs partitioned by cell, a probe is partition
+    * pruning + a map-only code scan, and the raw floats are never
+    * re-read after index build. The PQ codebook is trained on the full
+    * corpus, NOT per cell, so codes are a build-time artifact identical
+    * across queries.
+    *
+    * The code ranking is followed by a REFINE pass (FAISS's
+    * `IndexRefineFlat` discipline): the `refine`·k best rows by ADC
+    * re-rank by exact cosine and only the top k survive. A 16-entry
+    * sub-codebook is deliberately coarse — its job is cheap candidate
+    * pruning, not final ordering — and at scale the refine step touches
+    * exactly refine·k raw vectors per query, so the raw floats stay a
+    * point-lookup store, never a scan.
+    *
+    * Both levels are integer-exact (fixed-point Lloyd means, integer
+    * sub-distances), so results are bit-deterministic; recall against
+    * exact brute force is probabilistic like every IVF scheme — gate it
+    * with [[withRecallContract]].
+    *
+    * @return (vec_id, code, approx_dist, cos) ordered by
+    *         (cos DESC, vec_id ASC), at most k rows */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, refine: Int = 4, lloydIters: Int = 2,
+      trainFactor: Int = 64): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nlist, lloydIters,
+      trainFactor)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    val probeCells = centroids.sortBy { case (_, c) => -cos(query, c) }
+      .take(nprobe).map(_._1).toSet
+    val cb = pqCodebook(df, idCol, vecCol, m, ksub)
+    val probed = df
+      .withColumn("__cell",
+        VectorFunctions.nearestCentroid(col(vecCol), centroids.map(_._2)))
+      .filter(col("__cell").isin(probeCells.toSeq: _*))
+      .drop("__cell")
+    pqRank(probed, idCol, vecCol, cb, query, k * refine)
+      .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
 

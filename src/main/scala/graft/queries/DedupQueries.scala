@@ -1483,7 +1483,48 @@ object DedupQueries {
        |ORDER BY bands""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d24
+  /** Source-pair n-gram overlap matrix ([[Dedup.sourceOverlap]]): exact
+    * Jaccard between every source pair over distinct 3-shingle sets —
+    * the cross-crawl redundancy census behind mixture budgeting (p17/
+    * p27 weigh sources as if independent; this gate measures how true
+    * that is). Posting-list pair generation, sizes broadcast back,
+    * ⌊10⁶·common/union⌋ integer scores. */
+  def d24SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.sourceOverlap(docs(spark, dir), "source", "text")
+      .orderBy("source_a", "source_b")
+
+  val d24Sql: String =
+    """WITH toks AS (
+      |  SELECT source, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
+      |posting AS (
+      |  SELECT DISTINCT source, UNNEST(s) AS shingle FROM sh),
+      |sizes AS (SELECT source, COUNT(*)::BIGINT AS sz FROM posting GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         COUNT(*)::BIGINT AS common
+      |  FROM posting a JOIN posting b USING (shingle)
+      |  WHERE a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b,
+      |  sa.sz AS grams_a, sb.sz AS grams_b, p.common,
+      |  CAST((p.common * 1000000) // (sa.sz + sb.sz - p.common) AS BIGINT)
+      |    AS jaccard_micro
+      |FROM pairs p
+      |JOIN sizes sa ON sa.source = p.source_a
+      |JOIN sizes sb ON sb.source = p.source_b
+      |ORDER BY p.source_a, p.source_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d24_source_overlap" -> (d24SourceOverlap _, d24Sql),
     "d23_lsh_tuning" -> (d23LshTuning _, d23Sql),
     "d22_winnowing" -> (d22WinnowingPairs _, d22Sql),
     "d21_soft_dedup_weights" -> (d21SoftDedupWeights _, d21Sql),

@@ -594,7 +594,57 @@ object GraphQueries {
       |FROM deg LEFT JOIN per ON per.node = deg.node
       |ORDER BY deg.node""".stripMargin
 
+  // ---------------------------------------------------------------- g13
+  /** Sampled harmonic centrality ([[Graph.harmonicCentrality]]) of the
+    * trade graph from four deterministic landmarks (customers 1–2 →
+    * nodes 2,4; suppliers 1–2 → nodes 3,5), 3 BFS rounds: the
+    * disconnected-safe closeness variant a web-corpus pipeline computes
+    * to rank hub pages, landmark-sampled exactly as it would be at
+    * 100 TB (all-pairs distances are never computed; the seed set
+    * bounds per-round state). Scores are Σ⌊10⁶/d⌋ integers, so the
+    * oracle unrolls the same three (node, src)-keyed min-union rounds
+    * in BIGINT and reproduces every score bit-for-bit. */
+  def g13Harmonic(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    Graph.harmonicCentrality(pairs, "c", "s",
+      seeds = Seq(2L, 3L, 4L, 5L), rounds = 3)
+      .orderBy("node")
+  }
+
+  val g13Sql: String = {
+    val round = (r: Int) =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, src, MIN(dist)::BIGINT AS dist FROM (
+         |    SELECT node, src, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.b, l.src, l.dist + 1
+         |    FROM e0 e JOIN d${r - 1} l ON l.node = e.a)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT c AS a, s AS b FROM pairs
+       |  UNION ALL
+       |  SELECT s AS a, c AS b FROM pairs),
+       |d0 AS (
+       |  SELECT CAST(UNNEST([2, 3, 4, 5]) AS BIGINT) AS node,
+       |         CAST(UNNEST([2, 3, 4, 5]) AS BIGINT) AS src,
+       |         CAST(0 AS BIGINT) AS dist),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node, COUNT(*)::BIGINT AS reached,
+       |  SUM(1000000 // dist)::BIGINT AS harmonic_micro
+       |FROM d3 WHERE dist > 0
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g13_harmonic" -> (g13Harmonic _, g13Sql),
     "g12_local_clustering" -> (g12LocalClustering _, g12Sql),
     "g11_assortativity" -> (g11Assortativity _, g11Sql),
     "g10_degree_audit" -> (g10DegreeAudit _, g10Sql),

@@ -1637,7 +1637,41 @@ object PipelineQueries {
       |        * 1000000)::BIGINT AS rel_weight_micro
       |FROM s ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- p28
+  /** Join-key SKEW AUDIT ([[graft.operators.SkewJoin.skewAudit]]) of
+    * `events.user_id` — the pre-flight run before every large join to
+    * decide plain shuffle vs AQE skew split vs [[SkewJoin.saltedInnerJoin]]
+    * (p02): exact key census, discrete-median-relative skew factor in
+    * micro-units, the count of 10×-median heavy keys, and the integer
+    * ⌈max·n_keys/total⌉ salt factor that would split the hottest key
+    * into average-sized shuffle units. One partial-agg shuffle over the
+    * key column only (pruned scan), then metadata-scale arithmetic. */
+  def p28SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    SkewJoin.skewAudit(
+      spark.read.parquet(s"$dir/events.parquet").select("user_id"),
+      "user_id")
+  }
+
+  val p28Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY 1),
+      |med AS (
+      |  SELECT quantile_disc(cnt, 0.5)::BIGINT AS median_rows FROM c)
+      |SELECT COUNT(*)::BIGINT AS n_keys,
+      |  SUM(cnt)::BIGINT AS total_rows,
+      |  MAX(cnt)::BIGINT AS max_rows,
+      |  MAX(median_rows)::BIGINT AS median_rows,
+      |  CAST((MAX(cnt)::BIGINT * 1000000) // MAX(median_rows) AS BIGINT)
+      |    AS skew_micro,
+      |  SUM(CASE WHEN cnt > median_rows * 10 THEN 1 ELSE 0 END)::BIGINT
+      |    AS heavy_keys,
+      |  CAST((MAX(cnt)::BIGINT * COUNT(*) + SUM(cnt) - 1) // SUM(cnt)
+      |    AS BIGINT) AS salt_factor
+      |FROM c CROSS JOIN med""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p28_skew_audit" -> (p28SkewAudit _, p28Sql),
     "p27_mixture_weights" -> (p27MixtureWeights _, p27Sql),
     "p26_source_concentration" -> (p26SourceConcentration _, p26Sql),
     "p25_leakage_safe_split" -> (p25LeakageSafeSplit _, p25Sql),

@@ -989,7 +989,51 @@ object SimilarityQueries {
        |ORDER BY p.qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s20
+  /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]) under the s02/s03 accuracy-
+    * contract shape: the row surface is the exact brute-force top-10
+    * (fully mirrored by the s01 double-fold SQL) and the composed
+    * two-level index — coarse IVF cells for partition pruning, one
+    * corpus-trained PQ codebook for the in-cell ranking — runs in-engine
+    * to produce `ivfpq_recall_ok`, pinned TRUE by the oracle. This is
+    * the layout that actually ships at 100 TB (s03 stores raw floats
+    * per cell; s09 scans every code): (cell, code) pairs partitioned by
+    * cell, a query touching nprobe/nlist of the data through an integer
+    * lookup table. Bound ≥ 3 of 10: the composition inherits BOTH
+    * approximation losses (cell miss × code collision — measured 3–7/10
+    * across SFs on this near-uniform corpus; chance is k²/n ≈ 0.2, so 3
+    * is ~15× above chance). The high-recall regime on clustered data is
+    * pinned separately in LlmOpsSpec. */
+  def s20IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    val e = emb(spark, dir)
+    Similarity.withRecallContract(
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10),
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", q, 10,
+        nlist = 16, nprobe = 4),
+      Seq("vec_id"), minHits = 3, flagCol = "ivfpq_recall_ok")
+      .orderBy(org.apache.spark.sql.functions.col("cos").desc,
+        org.apache.spark.sql.functions.col("vec_id").asc)
+  }
+
+  val s20Sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |gt AS (
+      |  SELECT vec_id,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+      |        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |      / SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |      6) AS cos
+      |  FROM embeddings, q
+      |  ORDER BY cos DESC, vec_id ASC
+      |  LIMIT 10)
+      |SELECT vec_id, cos, TRUE AS ivfpq_recall_ok FROM gt
+      |ORDER BY cos DESC, vec_id ASC""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s20_ann_ivfpq" -> (s20IvfPqTopK _, s20Sql),
     "s19_ranking_metrics" -> (s19RankingMetrics _, s19Sql),
     "s18_filtered_ann" -> (s18FilteredAnn _, s18Sql),
     "s17_lsh_config_sweep" -> (s17LshConfigSweep _, s17Sql),

@@ -380,6 +380,30 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       7L -> 0L, 6L -> 1L, 5L -> 2L, 999L -> 0L), multi.toString)
   }
 
+  test("harmonicCentrality: path graph matches hand-summed 1/d scores") {
+    import spark.implicits._
+    // path 1-2-3-4-5; landmarks {1, 5}, 4 rounds reach everything
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val out = Graph.harmonicCentrality(edges, "s", "d",
+      seeds = Seq(1L, 5L), rounds = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      // node -> (reached, Σ⌊10⁶/d⌋); a seed's own d=0 contributes nothing
+      1L -> ((1L, 250000L)),           // from 5: d=4
+      2L -> ((2L, 1333333L)),          // d=1 and d=3
+      3L -> ((2L, 1000000L)),          // d=2 twice
+      4L -> ((2L, 1333333L)),          // d=3 and d=1
+      5L -> ((1L, 250000L))),          // from 1: d=4
+      out.toString)
+    // round truncation: with 2 rounds node 4 only sees landmark 5,
+    // and a node outside every landmark's radius is absent
+    val trunc = Graph.harmonicCentrality(edges, "s", "d",
+      seeds = Seq(1L), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(trunc == Map(2L -> 1000000L, 3L -> 500000L), trunc.toString)
+  }
+
   test("localClustering: triangle + pendant matches hand values") {
     import spark.implicits._
     // triangle {1,2,3} with a pendant 4 off node 3; duplicate and

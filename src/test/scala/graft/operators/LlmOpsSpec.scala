@@ -295,6 +295,22 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("sourceOverlap: hand-checked matrix, zero-overlap pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "X", "a b c d"), // shingles {a b c, b c d}
+      (2L, "X", "a b c d"), // in-source duplicate adds no new grams
+      (3L, "Y", "a b c e"), // {a b c, b c e}
+      (4L, "Z", "p q r")    // {p q r} — overlaps nothing
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // X↔Y share {a b c}: 1 of union 3 → ⌊10⁶/3⌋; Z pairs are absent
+    assert(out == Map(
+      ("X", "Y") -> ((2L, 2L, 1L, 333333L))), out.toString)
+  }
+
   test("ngram jaccard: exact pair at 1.0, near pair high, df-cap guard works") {
     val out = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
       threshold = 0.5, dfCap = 100)
@@ -475,6 +491,45 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(top.getLong(0) == 137L, s"$name top-1 was ${top.getLong(0)}")
       assert(top.getDouble(1) == 1.0, s"$name self-cos ${top.getDouble(1)}")
     }
+  }
+
+  test("IVF-PQ: clustered recall, probe-independent codes, determinism") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(20)(Array.fill(32)(rnd.nextGaussian()))
+    val pts = for (c <- centers.indices; j <- 0 until 50) yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.15).toFloat)
+      ((c * 50 + j).toLong, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val query = centers(0).map(_ + 0.01)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val ivfpq = Similarity.ivfPqTopK(df, "vec_id", "embedding", query, 20,
+      nlist = 16, nprobe = 6).collect()
+    // the coarse level loses what IVF loses (cell misses); the ADC+refine
+    // ranking inside the probed cells must NOT lose much more — raw ADC
+    // alone measured 0.4 here, refine recovers the planted neighborhood
+    val recall =
+      (brute & ivfpq.map(_.getLong(0)).toSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF-PQ recall was $recall")
+
+    // PQ codes are an index-build artifact of the FULL corpus, not of
+    // the probed subset: each returned row's code must equal the code
+    // the flat-PQ ranking (same corpus-trained codebook) assigns it
+    val flatCodes = Similarity.pqTopK(df, "vec_id", "embedding", query,
+      k = pts.size).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivfpq.foreach { r =>
+      assert(flatCodes(r.getLong(0)) == r.getLong(1),
+        s"probe-dependent code for vec ${r.getLong(0)}")
+    }
+
+    // bit-determinism under repartition (fixed-point Lloyd + integer ADC)
+    val again = Similarity.ivfPqTopK(df.repartition(7), "vec_id",
+      "embedding", query, 20, nlist = 16, nprobe = 6).collect()
+    assert(
+      ivfpq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+        again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
   test("int8 quantization: range, error bound, zero-vector safety, codegen") {

@@ -616,4 +616,53 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("HashAggregate"), s"deg/tri partial aggs expected:\n$p")
   }
+
+  test("p28: skew audit census prunes to the key column, map-side " +
+    "combines, and the median rides back broadcast") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the operator materializes the census eagerly (localCheckpoint), so
+    // its scan is absent from the FINAL plan string — pin the census
+    // subtree as the operator builds it (key projection before groupBy)
+    val census = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val cp = census.queryExecution.executedPlan.toString
+    val read = cp.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("user_id") && !read.contains("props") &&
+      !read.contains("event_type"), s"over-read: $read")
+    assert(cp.contains("partial_count"),
+      s"per-key census must map-side combine:\n$cp")
+    // the median then rides back as a broadcast one-row frame; the
+    // summary agg never hash-shuffles the census a second time
+    val p = plan("p28_skew_audit")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"median must broadcast:\n$p")
+  }
+
+  test("s20: IVF-PQ probe is a map-only code ranking — the corpus is " +
+    "never hash-exchanged") {
+    // pin the raw OPERATOR like s05/s12 (the gate wraps it in the
+    // accuracy-contract broadcast): cell filter evaluates row-local over
+    // the scan, ADC candidate selection is TakeOrderedAndProject, and no
+    // corpus-row exchange exists anywhere
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = graft.operators.Similarity.vectorOf(spark, dir, 0L)
+    val p = graft.operators.Similarity.ivfPqTopK(
+      e, "vec_id", "embedding", q, 10, nlist = 16, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"IVF-PQ probe must not shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("g13: harmonic centrality rounds are equi-joins over the " +
+    "co-partitioned edge list, never cartesian") {
+    val p = plan("g13_harmonic")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no cartesian:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      s"min-union relaxation must map-side combine:\n$p")
+  }
 }
