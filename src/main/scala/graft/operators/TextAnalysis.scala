@@ -891,4 +891,95 @@ object TextAnalysis {
         expr("""cast((cast(cum_at as decimal(38,0)) * 1000000)
                  div total_tokens as bigint)""").as("mass_micro"))
   }
+
+  /** Heaps-law vocabulary-growth curve (Heaps 1978): cumulative distinct
+    * vocabulary vs cumulative token count over corpus prefixes — the
+    * diagnostic a tokenizer-budget decision reads (is vocab still growing
+    * at the corpus edge, i.e. V ≈ K·Tᵝ with β>0, or has it saturated?).
+    *
+    * Prefixes are `buckets` equal `idCol` ranges (ids are assumed dense,
+    * as produced by any id-assignment pass; ragged ids only make buckets
+    * uneven, never wrong). Scale shape: tokens carry their bucket through
+    * ONE word-keyed partial agg (`min(bucket)` per word = the bucket where
+    * the word first enters the vocabulary — ≤|vocab| rows), token and doc
+    * totals are two more fixed-width partial aggs, and the cumulative
+    * window runs over ≤`buckets` rows. The corpus is never globally
+    * sorted and never shuffles on anything wider than a word; at 100 TB
+    * the only state that crosses the wire is the vocabulary itself.
+    *
+    * @return one row per bucket: docs, new_words, cum_tokens, cum_vocab,
+    *         ordered by bucket. */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int = 10,
+      ngram: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    // id range via one broadcast 1-row agg — never a driver collect
+    val bounds = df.agg(min(col(idCol)).as("lo"), max(col(idCol)).as("hi"))
+    // integral `div` keeps the bucket exact at any id magnitude (a double
+    // divide would round near 2^53)
+    val withB = df.crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(buckets - 1L),
+        expr(s"(($idCol - lo) * ${buckets}L) div (hi - lo + 1)"))
+        .cast("bigint"))
+    val toks = withB.filter(trim(col(textCol)) =!= "")
+      .select(col("bucket"),
+        explode(tokenUnits(col(textCol), ngram)).as("word"))
+      .filter(col("word") =!= "")
+    val tokCounts = toks.groupBy("bucket").agg(count(lit(1)).as("toks"))
+    val firstSeen = toks.groupBy("word").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_words"))
+    val docsPer = withB.groupBy("bucket").agg(count(lit(1)).as("docs"))
+    // cumulative over ≤`buckets` rows — bounded by construction, not by
+    // the corpus (same contract as `vocabulary`'s id window)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docsPer.join(tokCounts, Seq("bucket"), "left")
+      .join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("toks", "new_words"))
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .withColumn("cum_vocab", sum(col("new_words")).over(w))
+      .select(col("bucket"), col("docs"), col("new_words"),
+        col("cum_tokens"), col("cum_vocab"))
+      .orderBy("bucket")
+  }
+
+  /** Zipf rank-frequency probe: term frequency at power-of-two ranks
+    * (1, 2, 4, …, `maxRank`) plus the per-octave decay ratio — the
+    * corpus-composition diagnostic behind every "is this corpus natural
+    * language or template spam" check. Under Zipf (cnt ∝ r^-s) the
+    * octave ratio cnt(2r)/cnt(r) is a constant 2^-s, so a flat
+    * decay_micro column IS the fit, with zero floating-point logs —
+    * every value stays integral and the oracle mirrors bit-exactly.
+    *
+    * Scale shape: ONE word-keyed partial agg, then a distributed
+    * top-`maxRank` (TakeOrderedAndProject — never a global sort); the
+    * rank window and octave lag run over ≤`maxRank` and ≤log₂(maxRank)+1
+    * rows respectively. Nothing corpus-sized crosses the wire after the
+    * word counts.
+    *
+    * @return rank, word, cnt, decay_micro = ⌊10⁶·cnt(r)/cnt(r/2)⌋
+    *         (NULL at rank 1), ordered by rank. */
+  def zipfProbe(df: org.apache.spark.sql.DataFrame, textCol: String,
+      maxRank: Int = 512, ngram: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(maxRank >= 2 && (maxRank & (maxRank - 1)) == 0,
+      s"maxRank must be a power of two >= 2: $maxRank")
+    val counts = df.filter(trim(col(textCol)) =!= "")
+      .select(explode(tokenUnits(col(textCol), ngram)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(maxRank)
+    val byRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
+    counts
+      .withColumn("rank", row_number().over(byRank).cast("bigint"))
+      .filter(expr("(rank & (rank - 1)) = 0"))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("rank"))))
+      .select(col("rank"), col("word"), col("cnt"),
+        expr("cast(cnt * 1000000L div prev_cnt as bigint)")
+          .as("decay_micro"))
+      .orderBy("rank")
+  }
 }

@@ -907,7 +907,77 @@ object StatQueries {
       |FROM est e JOIN exact USING (day)
       |ORDER BY e.day""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Robust per-group outlier audit via MAD (median absolute deviation):
+    * med = percentile_disc(0.5) of integral l_quantity, MAD = the same
+    * discrete median of |x − med|, outliers = rows with |x − med| >
+    * 3·MAD — the skew-proof filter a data-quality pipeline uses where
+    * mean/σ would be dragged by the very rows it hunts.
+    *
+    * Scale shape: the corpus pays ONE map-side-combined partial agg into
+    * a (group, value) histogram — bounded by the value domain (|qty| ≤
+    * 50 here), not the row count — and every order statistic (both
+    * medians, the outlier mass) is then exact integer arithmetic over
+    * that tiny table: cumulative windows per group, the SQL-standard
+    * discrete-percentile rule (smallest v with 2·cum ≥ n), a broadcast
+    * join back. A naive percentile_disc chain would shuffle the corpus
+    * three times; this shuffles it zero times beyond the histogram. */
+  def q62MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("bigint").as("qty"))
+      .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("w"))
+    def discMedian(h: DataFrame, valueCol: String,
+        outCol: String): DataFrame = {
+      val cum = Window.partitionBy("l_returnflag").orderBy(valueCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("l_returnflag")
+      h.withColumn("cum", sum(col("w")).over(cum))
+        .withColumn("n", sum(col("w")).over(tot))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy("l_returnflag")
+        .agg(min(col(valueCol)).as(outCol), max(col("n")).as("n"))
+    }
+    val med = discMedian(hist, "qty", "med_qty")
+    val devHist = hist.join(broadcast(med), "l_returnflag")
+      .withColumn("adev", abs(col("qty") - col("med_qty")))
+      .groupBy("l_returnflag", "med_qty", "adev")
+      .agg(sum(col("w")).as("w"))
+    val mad = discMedian(devHist, "adev", "mad_qty")
+      .select(col("l_returnflag"), col("mad_qty"), col("n"))
+    devHist.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("med_qty"), col("mad_qty"),
+        col("n"))
+      .agg(sum(when(col("adev") > lit(3) * col("mad_qty"), col("w"))
+        .otherwise(lit(0L))).as("n_outliers"))
+      .select(col("l_returnflag"), col("med_qty"), col("mad_qty"),
+        col("n"), col("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
+  val q62Sql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+      |  FROM lineitem),
+      |med AS (
+      |  SELECT l_returnflag, quantile_disc(qty, 0.5) AS med_qty
+      |  FROM q GROUP BY 1),
+      |dev AS (
+      |  SELECT q.l_returnflag, med_qty, ABS(qty - med_qty) AS adev
+      |  FROM q JOIN med USING (l_returnflag)),
+      |mad AS (
+      |  SELECT l_returnflag, MAX(med_qty) AS med_qty,
+      |    quantile_disc(adev, 0.5) AS mad_qty, COUNT(*) AS n
+      |  FROM dev GROUP BY 1)
+      |SELECT m.l_returnflag, m.med_qty, m.mad_qty, m.n::BIGINT AS n,
+      |  SUM(CASE WHEN d.adev > 3 * m.mad_qty THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_outliers
+      |FROM dev d JOIN mad m USING (l_returnflag)
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q62_mad_outliers" -> (q62MadOutliers _, q62Sql),
     "q60_rolling_hll" -> (q60RollingHll _, q60Sql),
     "q58_weighted_percentile" -> (q58WeightedPercentile _, q58Sql),
     "q54_kmv_theta" -> (q54KmvTheta _, q54Sql),

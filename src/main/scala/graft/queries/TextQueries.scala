@@ -1269,7 +1269,74 @@ object TextQueries {
       |  SUM(n_tot)::BIGINT AS sum_tokens
       |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- t36
+  /** Heaps-law vocabulary-growth curve over word BIGRAMS (same regime
+    * choice as t14: the corpus has only 31 distinct unigrams, so bigrams
+    * — ~916 types — are where growth is actually visible): 10 doc_id-range
+    * prefixes, cumulative tokens and cumulative distinct vocabulary per
+    * prefix. The report a tokenizer-budget decision reads: cum_vocab
+    * still climbing in bucket 9 means the corpus has not saturated its
+    * type inventory. All counts integral → bit-exact oracle. */
+  def t36VocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(docs(spark, dir), "doc_id", "text",
+      buckets = 10, ngram = 2)
+
+  val t36Sql: String =
+    """WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+      |           FROM documents),
+      |d AS (
+      |  SELECT text, LEAST(9, ((doc_id - lo) * 10) // (hi - lo + 1))
+      |    AS bucket
+      |  FROM documents, b),
+      |toks AS (
+      |  SELECT bucket, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM d WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT bucket, UNNEST(
+      |    CASE WHEN LEN(t) >= 2 THEN
+      |      LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END) AS word
+      |  FROM toks),
+      |tc AS (SELECT bucket, COUNT(*) AS toks FROM grams GROUP BY 1),
+      |fw AS (SELECT MIN(bucket) AS bucket FROM grams GROUP BY word),
+      |nw AS (SELECT bucket, COUNT(*) AS new_words FROM fw GROUP BY 1),
+      |dc AS (SELECT bucket, COUNT(*) AS docs FROM d GROUP BY 1)
+      |SELECT dc.bucket::BIGINT AS bucket, docs::BIGINT AS docs,
+      |  COALESCE(new_words, 0)::BIGINT AS new_words,
+      |  CAST(SUM(COALESCE(toks, 0)) OVER (ORDER BY dc.bucket) AS BIGINT)
+      |    AS cum_tokens,
+      |  CAST(SUM(COALESCE(new_words, 0)) OVER (ORDER BY dc.bucket)
+      |    AS BIGINT) AS cum_vocab
+      |FROM dc LEFT JOIN tc USING (bucket) LEFT JOIN nw USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- t37
+  /** Zipf rank-frequency probe over word BIGRAMS (t14's regime choice —
+    * the 916-type bigram inventory gives 10 populated octaves where the
+    * 31 unigrams would give 5): frequency at ranks 1,2,4,…,512 and the
+    * per-octave decay ratio. A flat decay_micro column is a power-law
+    * corpus; spikes flag template/boilerplate mass. All-integer, so the
+    * DuckDB mirror is bit-exact. */
+  def t37ZipfProbe(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfProbe(docs(spark, dir), "text",
+      maxRank = 512, ngram = 2)
+
+  val t37Sql: String =
+    s"""WITH $bigramCountsSql,
+      |probes AS (
+      |  SELECT token_id AS rank, word, cnt FROM (
+      |    SELECT word, cnt,
+      |      ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS token_id
+      |    FROM (SELECT word, COUNT(*) AS cnt FROM grams GROUP BY 1))
+      |  WHERE token_id <= 512 AND (token_id & (token_id - 1)) = 0)
+      |SELECT rank::BIGINT AS rank, word, cnt::BIGINT AS cnt,
+      |  CAST(cnt * 1000000 // LAG(cnt) OVER (ORDER BY rank) AS BIGINT)
+      |    AS decay_micro
+      |FROM probes ORDER BY rank""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t37_zipf_probe" -> (t37ZipfProbe _, t37Sql),
+    "t36_vocab_growth" -> (t36VocabGrowth _, t36Sql),
     "t35_balanced_accuracy" -> (t35BalancedAccuracy _, t35Sql),
     "t34_ttr_deciles" -> (t34TtrDeciles _, t34Sql),
     "t33_kappa" -> (t33Kappa _, t33Sql),

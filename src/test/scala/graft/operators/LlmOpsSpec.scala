@@ -1499,4 +1499,50 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 1L, 1L, 4L), (5L, 2L, 4L, 8L), (9L, 1L, 4L, 4L)),
       out.mkString(","))
   }
+
+  test("vocabGrowth: first-seen buckets, cumulative sums, empty buckets") {
+    import spark.implicits._
+    // 4 docs over 2 buckets (ids 0-3, buckets = 2 -> {0,1} | {2,3});
+    // doc 3 is empty so bucket 1 has 2 docs but tokens from doc 2 only
+    val df = Seq(
+      (0L, "a b c"),   // unigrams a,b,c (3 tokens) — all first seen in b0
+      (1L, "a a b"),   // 3 more tokens, no new words
+      (2L, "c d"),     // d is new in bucket 1; c already seen
+      (3L, "  ")       // empty after trim: counted as a doc, zero tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(df, "doc_id", "text",
+        buckets = 2, ngram = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 3L, 6L, 3L),   // 2 docs, {a,b,c} new, 6 cum tokens
+      (1L, 2L, 1L, 8L, 4L)),  // {d} new, 8 cum tokens, 4 cum vocab
+      out.mkString(","))
+    // a bucket with docs but no tokens still emits a row with zero deltas
+    val sparse = Seq((0L, "x y"), (1L, ""), (2L, ""), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowth(sparse, "doc_id", "text",
+        buckets = 4, ngram = 1).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(4)).toSeq == Seq(2L, 2L, 2L, 2L),
+      "cum_vocab must carry through empty buckets")
+  }
+
+  test("zipfProbe: power-of-two ranks, octave decay, tie order by word") {
+    import spark.implicits._
+    // frequencies: a=8, b=4, c=4, d=1 -> ranks 1..4; probes at 1,2,4
+    val df = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(4)("c") ++
+      Seq("d")
+    val out = TextAnalysis.zipfProbe(df.map(w => w).toDF("text"),
+        "text", maxRank = 4, ngram = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 8L, -1L),          // rank 1: no previous octave
+      (2L, "b", 4L, 500000L),      // 4/8 — tie (b,c) broken word-asc
+      (4L, "d", 1L, 250000L)),     // 1/4
+      out.mkString(","))
+  }
 }

@@ -665,4 +665,36 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_min") || p.contains("partial"),
       s"min-union relaxation must map-side combine:\n$p")
   }
+
+  test("q62: MAD audit reads two columns, histogram map-side combines, " +
+    "medians ride back broadcast") {
+    val p = plan("q62_mad_outliers")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity") &&
+      !read.contains("l_extendedprice"), s"over-read: $read")
+    assert(p.contains("partial_count"),
+      s"value histogram must map-side combine:\n$p")
+    // both medians and the outlier threshold join back as broadcasts of
+    // ≤|groups|-row frames; lineitem itself shuffles once (the histogram)
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+      s"median frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("t36: vocab growth broadcasts the id bounds, word aggs map-side " +
+    "combine, and the corpus is never globally sorted") {
+    val p = plan("t36_vocab_growth")
+    // the 1-row bounds frame rides to every doc as a broadcast, never a
+    // shuffled join key
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"bounds must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"bucket/word aggs must map-side combine:\n$p")
+    // the cumulative window may single-partition ONLY the ≤buckets-row
+    // summary; a corpus-wide global sort would surface as a range
+    // exchange before the word agg
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"corpus must not globally sort:\n$p")
+  }
 }
