@@ -1670,7 +1670,68 @@ object PipelineQueries {
       |    AS BIGINT) AS salt_factor
       |FROM c CROSS JOIN med""".stripMargin
 
+  // ---------------------------------------------------------------- p29
+  /** Dedup token-YIELD by source — the curation-budget report that says
+    * which crawls actually contribute unique data once near-dup clusters
+    * (d12's 3-gram Jaccard graph) collapse to their anchor: per source,
+    * docs/tokens before vs after anchor-keep dedup and the integral
+    * yield ratio. A source whose tokens vanish here is redundant with
+    * the rest of the corpus (cross-source clusters keep ONE anchor, so
+    * the loss lands on the non-anchor sources — the actionable signal
+    * d24's pairwise overlap matrix only hints at).
+    *
+    * Scale shape: the cluster labels come from the banded pair join +
+    * O(log d) hash-min CC (never all-pairs); the yield accounting is a
+    * label join plus ONE source-keyed partial agg. Survivor POLICY is
+    * deliberately anchor-keep (p25's rule) so splits and yield audits
+    * agree; quality-ranked survivor choice is d13's concern. */
+  def p29DedupYield(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val edges = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    val labels = graft.operators.DedupClusters
+      .connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    d.select($"doc_id", $"source",
+        TextAnalysis.tokenCount($"text").as("toks"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("kept", col("doc_id") ===
+        coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum($"toks").as("tokens_total"),
+        sum(when($"kept", $"toks").otherwise(0L)).as("tokens_kept"))
+      .select($"source", $"n_docs", $"n_kept", $"tokens_total",
+        $"tokens_kept",
+        expr("""cast((cast(tokens_kept as decimal(38,0)) * 1000000)
+                 div tokens_total as bigint)""").as("yield_micro"))
+      .orderBy($"source")
+  }
+
+  val p29Sql: String =
+    s"""WITH labels AS (
+       |${DedupQueries.all("d12_dedup_clusters")._2.linesIterator
+            .map("  " + _).mkString("\n")}
+       |),
+       |j AS (
+       |  SELECT d.source,
+       |    CASE WHEN d.text IS NULL OR LENGTH(TRIM(d.text)) = 0 THEN 0
+       |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(d.text), '\\s+')) END
+       |      AS toks,
+       |    d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS kept
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+       |SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  SUM(toks)::BIGINT AS tokens_total,
+       |  SUM(CASE WHEN kept THEN toks ELSE 0 END)::BIGINT AS tokens_kept,
+       |  CAST(SUM(CASE WHEN kept THEN toks ELSE 0 END)::HUGEINT * 1000000
+       |    // SUM(toks) AS BIGINT) AS yield_micro
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p29_dedup_yield" -> (p29DedupYield _, p29Sql),
     "p28_skew_audit" -> (p28SkewAudit _, p28Sql),
     "p27_mixture_weights" -> (p27MixtureWeights _, p27Sql),
     "p26_source_concentration" -> (p26SourceConcentration _, p26Sql),

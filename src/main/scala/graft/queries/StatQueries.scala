@@ -976,7 +976,56 @@ object StatQueries {
       |FROM dev d JOIN mad m USING (l_returnflag)
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** TIME-WEIGHTED average per user — the correct mean for irregularly
+    * sampled event values (a metric sampled every 5 s for an hour then
+    * once a day must not weight all rows equally): each value holds
+    * until the next event, so it is weighted by its interval in µs.
+    *
+    * Determinism discipline: values go through DECIMAL(18,2) (cents) so
+    * the weighted sum is exact integer arithmetic, the interval ordering
+    * tie-breaks on event_id, and the final average is a scaled integral
+    * division — no double accumulation anywhere. Scale shape: one
+    * (user, ts) window + one user-keyed partial agg; both shuffle on
+    * user_id only. */
+  def q63TimeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = EventTime.load(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("v_cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        sum(col("v_cents") * col("dt_us")).as("wsum"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        expr("""cast((cast(wsum as decimal(38,0)) * 1000000)
+                 div span_us as bigint)""").as("twa_cents_micro"))
+      .orderBy("user_id")
+  }
+
+  val q63Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, v_cents,
+      |    LEAD(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) - ts_us AS dt_us
+      |  FROM e)
+      |SELECT user_id, COUNT(*)::BIGINT AS n_intervals,
+      |  SUM(dt_us)::BIGINT AS span_us,
+      |  CAST(SUM(v_cents::HUGEINT * dt_us) * 1000000 // SUM(dt_us)
+      |    AS BIGINT) AS twa_cents_micro
+      |FROM d WHERE dt_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q63_time_weighted" -> (q63TimeWeighted _, q63Sql),
     "q62_mad_outliers" -> (q62MadOutliers _, q62Sql),
     "q60_rolling_hll" -> (q60RollingHll _, q60Sql),
     "q58_weighted_percentile" -> (q58WeightedPercentile _, q58Sql),

@@ -666,6 +666,29 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"min-union relaxation must map-side combine:\n$p")
   }
 
+  test("q63: time-weighted average shuffles events on user_id exactly " +
+    "once; window partitioning feeds the agg") {
+    val p = plan("q63_time_weighted")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("props") && !read.contains("event_type"),
+      s"over-read: $read")
+    // the (user, ts) window and the user-keyed agg must share ONE
+    // hash exchange — the agg reuses the window's partitioning
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 user_id exchange, got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("p29: dedup yield never goes all-pairs and the source agg " +
+    "map-side combines") {
+    val p = plan("p29_dedup_yield")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("partial"), s"source agg must map-side combine:\n$p")
+  }
+
   test("q62: MAD audit reads two columns, histogram map-side combines, " +
     "medians ride back broadcast") {
     val p = plan("q62_mad_outliers")
