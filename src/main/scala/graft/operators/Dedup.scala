@@ -541,6 +541,40 @@ object Dedup {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Continuous contamination RATE — the GPT-3-appendix "dirtiness"
+    * measure that [[contaminationFlags]]' per-block threshold rounds to a
+    * boolean: per corpus document, the fraction of its distinct
+    * word-k-shingles that appear ANYWHERE in the blocklist (union over
+    * all blocklist entries, not per-entry containment). Sub-threshold
+    * partial overlaps — invisible to the flag pass — surface here, which
+    * is what a contamination-budget report actually tracks.
+    *
+    * Plan: blocklist shingles collapse to a DISTINCT set (bounded by
+    * blocklist vocabulary, tiny vs the corpus), the corpus semi-joins on
+    * the shingle key (both sides hash-partitioned by shingle — the
+    * inverted-index shape again, nothing pairwise), and one doc-keyed
+    * partial agg emits integral micro rates. Docs with zero dirty
+    * shingles are absent (the report reads "what IS contaminated").
+    *
+    * @return (doc_id, n_shingles, n_dirty, dirty_micro =
+    *         ⌊10⁶·n_dirty/n_shingles⌋), one row per dirty doc. */
+  def contaminationRate(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, blocklist: DataFrame,
+      blockTextCol: String, k: Int = 3): DataFrame = {
+    val cp = corpus.select(col(corpusIdCol).as("doc_id"),
+      TextExpressions.shingleExplode(col(corpusTextCol), k))
+    val bset = blocklist
+      .select(TextExpressions.shingleExplode(col(blockTextCol), k))
+      .select("shingle").distinct()
+    cp.join(bset, Seq("shingle"), "left_semi")
+      .groupBy("doc_id")
+      .agg(max(col("sh_size")).cast("bigint").as("n_shingles"),
+        count(lit(1)).as("n_dirty"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dirty"),
+        expr("""cast((cast(n_dirty as decimal(38,0)) * 1000000)
+                 div n_shingles as bigint)""").as("dirty_micro"))
+  }
+
   /** Exact duplicated-substring SPAN detection — the word-level analogue of
     * suffix-array substring dedup ("Deduplicating Training Data Makes
     * Language Models Better", Lee et al. 2022), re-expressed as a linear

@@ -725,4 +725,44 @@ object Graph {
                  div (cast(m2 as decimal(38,0)) * m2) as bigint)""")
           .as("q_micro"))
   }
+
+  /** AVERAGE-NEIGHBOR-DEGREE curve knn(k) (Pastor-Satorras, Vázquez &
+    * Vespignani 2001): for each degree class k, the mean degree of all
+    * neighbors of degree-k nodes — the full degree-correlation CURVE
+    * behind [[assortativity]]'s single scalar (rising = assortative
+    * hubs-with-hubs, falling = disassortative hub-and-spoke, the usual
+    * web/crawl-graph shape).
+    *
+    * Exact integral form: Σ neighbor degrees over a degree class divided
+    * by the class's neighbor-slot count (k · n_nodes), micro-scaled.
+    * Scale shape: canonical edge list is materialized once
+    * (localCheckpoint — it feeds the symmetrization twice), then two
+    * co-partitioned node-keyed joins + partial aggs; the final curve agg
+    * runs over ≤|distinct degrees| rows. Nothing is ever all-pairs.
+    *
+    * @return one row per degree class: deg, n_nodes, knn_micro. */
+  def neighborDegreeCurve(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val sym = canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // feeds the neighbor probe AND the class agg
+    val nbr = sym
+      .join(deg.select(col("node").as("b"), col("deg").as("nbr_deg")), "b")
+      .groupBy(col("a").as("node"))
+      .agg(sum(col("nbr_deg")).as("snd"))
+    deg.join(nbr, "node")
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("snd")).as("snd"))
+      .select(col("deg"), col("n_nodes"),
+        expr("""cast((cast(snd as decimal(38,0)) * 1000000)
+                 div (deg * n_nodes) as bigint)""").as("knn_micro"))
+      .orderBy("deg")
+  }
 }

@@ -1523,7 +1523,62 @@ object DedupQueries {
       |JOIN sizes sb ON sb.source = p.source_b
       |ORDER BY p.source_a, p.source_b""".stripMargin
 
+  // ---------------------------------------------------------------- d25
+  /** Continuous contamination rate against d09's blocklist (doc_id % 25
+    * prefixes): per doc, the fraction of its distinct 3-gram shingles
+    * present anywhere in the blocklist — the GPT-3-style "dirtiness"
+    * number whose sub-threshold mass d09's flag pass cannot see. */
+  def d25ContaminationRate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val t = split(trim(col("text")), "\\s+")
+    val blocklist = d
+      .filter(pmod(col("doc_id"), lit(25)) === 0 && size(t) >= 6)
+      .select(concat_ws(" ",
+        slice(t, lit(1), (size(t) / 2).cast("int"))).as("text"))
+    Dedup.contaminationRate(d, "doc_id", "text", blocklist, "text", k = 3)
+      .orderBy("doc_id")
+  }
+
+  val d25Sql: String =
+    """WITH corpus_toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |csh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM corpus_toks WHERE LEN(t) >= 1),
+      |bsrc AS (
+      |  SELECT ARRAY_TO_STRING(t[1:CAST(LEN(t) // 2 AS BIGINT)], ' ')
+      |    AS text
+      |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+      |        FROM documents)
+      |  WHERE doc_id % 25 = 0 AND LEN(t) >= 6),
+      |btoks AS (
+      |  SELECT STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM bsrc),
+      |bsh AS (
+      |  SELECT CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM btoks WHERE LEN(t) >= 1),
+      |bset AS (SELECT DISTINCT UNNEST(s) AS shingle FROM bsh),
+      |cpost AS (SELECT doc_id, LEN(s) AS sz, UNNEST(s) AS shingle
+      |          FROM csh),
+      |hits AS (
+      |  SELECT doc_id, MAX(sz)::BIGINT AS n_shingles,
+      |    COUNT(*)::BIGINT AS n_dirty
+      |  FROM cpost JOIN bset USING (shingle) GROUP BY doc_id)
+      |SELECT doc_id, n_shingles, n_dirty,
+      |  CAST(n_dirty::HUGEINT * 1000000 // n_shingles AS BIGINT)
+      |    AS dirty_micro
+      |FROM hits ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d25_contamination_rate" -> (d25ContaminationRate _, d25Sql),
     "d24_source_overlap" -> (d24SourceOverlap _, d24Sql),
     "d23_lsh_tuning" -> (d23LshTuning _, d23Sql),
     "d22_winnowing" -> (d22WinnowingPairs _, d22Sql),

@@ -643,7 +643,44 @@ object GraphQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g14
+  /** Average-neighbor-degree curve knn(k) over the customer–supplier
+    * bipartite graph (g11's edge set) — the full degree-correlation
+    * curve behind g11's single assortativity scalar. Exact integral
+    * class means, micro-scaled. */
+  def g14NeighborDegree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    Graph.neighborDegreeCurve(pairs, "c", "s")
+  }
+
+  val g14Sql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e0 AS (
+      |  SELECT c AS a, s AS b FROM pairs
+      |  UNION ALL
+      |  SELECT s AS a, c AS b FROM pairs),
+      |deg AS (SELECT a AS node, COUNT(*)::BIGINT AS deg FROM e0
+      |        GROUP BY 1),
+      |nbr AS (
+      |  SELECT e.a AS node, SUM(d.deg)::BIGINT AS snd
+      |  FROM e0 e JOIN deg d ON d.node = e.b GROUP BY 1),
+      |cls AS (
+      |  SELECT deg, COUNT(*)::BIGINT AS n_nodes, SUM(snd) AS snd
+      |  FROM deg JOIN nbr USING (node) GROUP BY 1)
+      |SELECT deg, n_nodes,
+      |  CAST(snd::HUGEINT * 1000000 // (deg * n_nodes) AS BIGINT)
+      |    AS knn_micro
+      |FROM cls ORDER BY deg""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g14_neighbor_degree" -> (g14NeighborDegree _, g14Sql),
     "g13_harmonic" -> (g13Harmonic _, g13Sql),
     "g12_local_clustering" -> (g12LocalClustering _, g12Sql),
     "g11_assortativity" -> (g11Assortativity _, g11Sql),

@@ -421,4 +421,19 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> ((1L, 0L, 0L))),      // deg < 2 -> defined as 0
       out.toString)
   }
+
+  test("neighborDegreeCurve: star graph hand values, duplicate edges " +
+    "collapse") {
+    import spark.implicits._
+    // star: center 0 — leaves 1,2,3 (one edge duplicated + reversed)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L))
+      .toDF("s", "d")
+    val out = Graph.neighborDegreeCurve(edges, "s", "d")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3000000L),  // leaves: their one neighbor has degree 3
+      (3L, 1L, 1000000L)), // center: neighbors all degree 1
+      out.mkString(","))
+  }
 }

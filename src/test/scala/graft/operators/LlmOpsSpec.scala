@@ -781,6 +781,29 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == (0.5, 1L), got(3L).toString)
   }
 
+  test("contaminationRate: union-of-blocklist dirtiness, integral micro") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated content about spark execution plans here"),
+      (3L, "the quick brown fox jumps over something else entirely today")
+    ).toDF("doc_id", "text")
+    // two blocklist entries: their shingle UNION is what counts, and a
+    // shingle shared by both must not double-count (distinct set)
+    val block = Seq("the quick brown fox jumps over",
+      "fox jumps over the lazy dog").toDF("text")
+    val got = Dedup.contaminationRate(corpus, "doc_id", "text",
+        block, "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 has 11 distinct shingles; the entries' shingle union is 7
+    // distinct ("fox jumps over" shared), all present in doc 1 → 7/11;
+    // doc 3 shares only the 4 leading shingles of entry 1
+    assert(got.keySet == Set(1L, 3L), got.toString)
+    assert(got(1L) == ((11L, 7L, 636363L)), got(1L).toString)
+    assert(got(3L) == ((8L, 4L, 500000L)), got(3L).toString)
+  }
+
   test("container header parsers read real PNG/JPEG/WAV metadata") {
     // PNG: signature + IHDR, 640x480 truecolor+alpha
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
