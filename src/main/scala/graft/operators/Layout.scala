@@ -127,4 +127,81 @@ object Layout {
         sqrt(max(col("tok_count")).over(all).cast("double")) * 1000000.0)
         .cast("long").as("rel_weight_micro"))
   }
+
+  /** TOKEN-BUDGET data selection — "take the best documents until the
+    * budget is spent", the core data-selection primitive of every
+    * quality-curated pre-training run: documents ranked (quality DESC,
+    * id ASC), selected while the running token total stays ≤ `budget`.
+    *
+    * The semantics are a global ordered prefix sum, but the PLAN must
+    * never globally sort the corpus. Recursive radix selection instead:
+    *
+    *  1. quality-CLASS histogram (one map-side-combined partial agg,
+    *     ≤ |distinct scores| rows) + cumulative window over that tiny
+    *     frame → classes fully inside the budget, the boundary class,
+    *     and the budget remainder entering it;
+    *  2. the SAME move one level down: id-range BUCKET histogram over
+    *     only the boundary class (`idCol div bucketWidth`) → buckets
+    *     fully inside the remainder, the boundary bucket, remainder 2;
+    *  3. an exact per-row window over ONLY the boundary bucket
+    *     (≤ bucketWidth ids).
+    *
+    * Every window runs on histogram-sized or bucket-sized frames; the
+    * corpus pays one partial agg and three co-partitioned/broadcast
+    * probe joins of tiny threshold frames. The same recursion nests
+    * deeper if a single (class, bucket) still overflows memory — each
+    * level divides the candidate set by the bucket fan-out.
+    *
+    * @return the selected rows of `df` (original columns). */
+  def budgetSelect(df: DataFrame, idCol: String, qualityCol: Column,
+      tokCol: Column, budget: Column, bucketWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("_q", qualityCol)
+      .withColumn("_toks", tokCol.cast("long"))
+      .localCheckpoint() // feeds the histogram + three probes once
+    val bud = base.agg(budget.cast("long").as("_budget"))
+    // phase 1: quality-class cumulative (≤ |distinct scores| rows)
+    val wq = Window.orderBy(col("_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cls = base.groupBy(col("_q")).agg(sum(col("_toks")).as("_ctoks"))
+      .withColumn("_cum", sum(col("_ctoks")).over(wq))
+      .crossJoin(broadcast(bud))
+    val fullClasses = cls.filter(col("_cum") <= col("_budget"))
+      .select(col("_q"))
+    // boundary class = highest q whose cumulative overflows the budget
+    val boundary = cls.filter(col("_cum") > col("_budget"))
+      .orderBy(col("_q").desc).limit(1)
+      .select(col("_q").as("_qb"),
+        (col("_budget") - (col("_cum") - col("_ctoks"))).as("_rem"))
+    // phase 2: id-range buckets inside the boundary class only
+    val bdocs = base.crossJoin(broadcast(boundary))
+      .filter(col("_q") === col("_qb"))
+    val wb = Window.orderBy(col("_bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bkts = bdocs
+      .groupBy(expr(s"`$idCol` div $bucketWidth").as("_bkt"), col("_rem"))
+      .agg(sum(col("_toks")).as("_btoks"))
+      .withColumn("_bcum", sum(col("_btoks")).over(wb))
+    val fullBuckets = bkts.filter(col("_bcum") <= col("_rem"))
+      .select(col("_bkt"))
+    val bBucket = bkts.filter(col("_bcum") > col("_rem"))
+      .orderBy(col("_bkt").asc).limit(1)
+      .select(col("_bkt").as("_bb"),
+        (col("_rem") - (col("_bcum") - col("_btoks"))).as("_rem2"))
+    // phase 3: exact row window over the single boundary bucket
+    val wr = Window.orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBoundaryBucket = bdocs.crossJoin(broadcast(bBucket))
+      .filter(expr(s"`$idCol` div $bucketWidth") === col("_bb"))
+      .withColumn("_rcum", sum(col("_toks")).over(wr))
+      .filter(col("_rcum") <= col("_rem2"))
+    val keep = df.columns.map(col)
+    base.join(broadcast(fullClasses), Seq("_q"), "left_semi")
+      .select(keep: _*)
+      .unionByName(bdocs
+        .join(broadcast(fullBuckets),
+          expr(s"`$idCol` div $bucketWidth") === col("_bkt"), "left_semi")
+        .select(keep: _*))
+      .unionByName(inBoundaryBucket.select(keep: _*))
+  }
 }

@@ -1730,7 +1730,67 @@ object PipelineQueries {
        |    // SUM(toks) AS BIGINT) AS yield_micro
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- p30
+  /** Token-budget selection report: pick the highest-quality documents
+    * (t03's score, ties doc_id-ascending) until ¼ of the corpus's tokens
+    * are spent, report docs/tokens selected per source. The engine runs
+    * [[Layout.budgetSelect]]'s recursive radix selection (histogram
+    * thresholds, never a corpus global sort); the oracle states the same
+    * semantics as the naive global ordered prefix sum — the gate IS the
+    * equivalence proof. */
+  def p30BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+    val withQ = d.select($"doc_id", $"source",
+      TextAnalysis.tokenCount($"text").as("toks"),
+      TextAnalysis.qualityScore($"text").as("q"))
+    val sel = Layout.budgetSelect(withQ, "doc_id", $"q", $"toks",
+      expr("sum(toks) div 4"), bucketWidth = 64L)
+    sel.groupBy($"source")
+      .agg(count(lit(1)).as("n_sel"), sum($"toks").as("toks_sel"))
+      .orderBy($"source")
+  }
+
+  val p30Sql: String =
+    """WITH qbase AS (
+      |  SELECT doc_id, source, text,
+      |    STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w,
+      |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+      |         ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) END
+      |      AS n_tok
+      |  FROM documents),
+      |qd AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |         ELSE (LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+      |                '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE
+      |              / LENGTH(text)::DOUBLE END AS pr,
+      |    CASE WHEN LEN(w) = 0 THEN 0.0
+      |         ELSE LENGTH(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', '',
+      |                'g'))::DOUBLE / LEN(w)::DOUBLE END AS mtl
+      |  FROM qbase),
+      |d AS (
+      |  SELECT doc_id, source, n_tok::BIGINT AS toks,
+      |    ROUND(
+      |      (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0
+      |            ELSE 0.0 END) * 0.4
+      |      + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3
+      |      + (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0
+      |             ELSE 0.0 END) * 0.3, 4) AS q
+      |  FROM qd),
+      |b AS (SELECT SUM(toks)::BIGINT // 4 AS budget FROM d),
+      |r AS (
+      |  SELECT doc_id, source, toks, q,
+      |    SUM(toks) OVER (ORDER BY q DESC, doc_id ASC) AS cum
+      |  FROM d)
+      |SELECT source, COUNT(*)::BIGINT AS n_sel,
+      |  SUM(toks)::BIGINT AS toks_sel
+      |FROM r, b WHERE cum <= budget
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p30_budget_select" -> (p30BudgetSelect _, p30Sql),
     "p29_dedup_yield" -> (p29DedupYield _, p29Sql),
     "p28_skew_audit" -> (p28SkewAudit _, p28Sql),
     "p27_mixture_weights" -> (p27MixtureWeights _, p27Sql),

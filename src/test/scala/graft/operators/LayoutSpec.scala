@@ -119,4 +119,28 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("a", 2L, 100L, 1000000L), ("b", 1L, 25L, 500000L),
       ("c", 1L, 0L, 0L)))
   }
+
+  test("budgetSelect matches the naive global prefix-sum rule, " +
+    "including boundary-bucket splits and zero-token rows") {
+    import spark.implicits._
+    // quality classes {0.9, 0.5, 0.1}; ids interleaved so class 0.5
+    // spans several width-2 buckets and the cut lands mid-bucket
+    val rows = Seq(
+      (0L, 0.9, 10L), (1L, 0.5, 4L), (2L, 0.5, 4L), (3L, 0.5, 0L),
+      (4L, 0.5, 4L), (5L, 0.5, 4L), (6L, 0.1, 50L), (7L, 0.9, 10L))
+    val df = rows.toDF("id", "q", "toks")
+    def naive(budget: Long): Set[Long] = {
+      var cum = 0L
+      rows.sortBy { case (id, q, _) => (-q, id) }.flatMap {
+        case (id, _, t) =>
+          cum += t; if (cum <= budget) Some(id) else None
+      }.toSet
+    }
+    for (budget <- Seq(0L, 10L, 24L, 29L, 33L, 86L, 1000L)) {
+      val got = Layout.budgetSelect(df, "id", col("q"), col("toks"),
+          lit(budget), bucketWidth = 2L)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(budget), s"budget=$budget: $got vs ${naive(budget)}")
+    }
+  }
 }

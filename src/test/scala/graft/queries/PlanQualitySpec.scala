@@ -666,6 +666,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"min-union relaxation must map-side combine:\n$p")
   }
 
+  test("p30: budget selection never globally sorts the corpus; " +
+    "thresholds ride broadcast") {
+    val p = plan("p30_budget_select")
+    // the only permissible range exchange is the final ≤|sources|-row
+    // report ordering; the corpus-sized frames move through histograms
+    // (partial aggs) + broadcast threshold probes
+    val rangeEx = p.linesIterator
+      .count(_.contains("Exchange rangepartitioning"))
+    assert(rangeEx <= 1, s"corpus must not global-sort ($rangeEx):\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3,
+      s"threshold frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial"), s"histograms must map-side combine:\n$p")
+  }
+
   test("q63: time-weighted average shuffles events on user_id exactly " +
     "once; window partitioning feeds the agg") {
     val p = plan("q63_time_weighted")
