@@ -579,6 +579,123 @@ object ConnectorQueries {
       |FROM latest WHERE op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  // -------------------------------------------------- excel_stream_hll
+  /** STREAMING HLL distinct over two excel micro-batches — the third
+    * mergeable-sketch streaming gate beside heavyhitters and quantile:
+    * the register table (bucket → max ρ) is a plain streaming MAX
+    * aggregation, because max-merge is exactly what makes HLL mergeable
+    * — Spark's state store IS the sketch, no custom state code at all.
+    * The final register state after any sequence of micro-batches equals
+    * the batch registers over the union (max is commutative, associative,
+    * idempotent), so the gate carries q51's full estimator oracle over a
+    * batch replay. Documents (doc_id % 2 = 0) split into two xlsx
+    * batches by doc_id % 4; output is the per-source estimate beside the
+    * exact distinct count. */
+  def excelStreamHll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_hll_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    d.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    d.filter(pmod(col("doc_id"), lit(4)) === 2)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"excel_stream_hll_${math.abs(dir.hashCode)}"
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = graft.operators.Sketches.hllRegisters(
+      ss.readStream.format("excel").schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in.getAbsolutePath),
+      "source", "text")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val est = graft.operators.Sketches.hllFromRegisters(
+      ss.table(qname), "source")
+    val exact = d.groupBy("source")
+      .agg(countDistinct(col("text")).as("exact_distinct"))
+    est.join(exact, "source")
+      .select(col("source").as("scope"), col("n_present"),
+        expr("s_scaled div 1000000000000000000").as("s_hi"),
+        expr("CAST(s_scaled % 1000000000000000000 AS BIGINT)").as("s_lo"),
+        col("est_micro"), col("small_range"), col("exact_distinct"))
+      .orderBy("scope")
+  }
+
+  /** q51's estimator mirror over a batch replay of the same rows —
+    * exact because streaming max-merge registers equal batch registers
+    * regardless of arrival order. */
+  val excelStreamHllSql: String =
+    """WITH vals AS (
+      |  SELECT source AS scope, text AS v FROM documents
+      |  WHERE doc_id % 2 = 0),
+      |f AS (
+      |  SELECT scope,
+      |    CASE WHEN v = '' THEN 14695981039346656037::HUGEINT
+      |         ELSE list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(v, '')]),
+      |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) END AS z
+      |  FROM vals),
+      |m1 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS z FROM f),
+      |m2 AS (SELECT scope,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT scope,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS h FROM m4),
+      |reg AS (
+      |  SELECT scope, h // 18014398509481984::HUGEINT AS bucket,
+      |    MAX(55 - CASE WHEN h % 18014398509481984::HUGEINT = 0 THEN 0
+      |        ELSE LENGTH(BIN(CAST(h % 18014398509481984::HUGEINT
+      |                             AS BIGINT))) END) AS mrho
+      |  FROM m5 GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT scope, COUNT(*) AS n_present,
+      |    SUM((1::BIGINT << (63 - mrho))::HUGEINT)
+      |      + (1024 - COUNT(*))::HUGEINT * 9223372036854775808::HUGEINT AS s
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT scope, n_present,
+      |    (s // 1000000000000000000::HUGEINT)::BIGINT AS s_hi,
+      |    (s % 1000000000000000000::HUGEINT)::BIGINT AS s_lo,
+      |    CAST(7143409202692358338277906422169600000::HUGEINT
+      |         // (1025079::HUGEINT * s) AS BIGINT) AS est_micro
+      |  FROM agg),
+      |ex AS (SELECT scope, COUNT(DISTINCT v) AS exact_distinct
+      |       FROM vals GROUP BY 1)
+      |SELECT scope, n_present, s_hi, s_lo, est_micro,
+      |  CASE WHEN est_micro <= 2560000000 AND n_present < 1024
+      |       THEN 1 ELSE 0 END AS small_range,
+      |  exact_distinct
+      |FROM est JOIN ex USING (scope)
+      |ORDER BY scope""".stripMargin
+
   // --------------------------------------------- excel_stream_quantile
   /** STREAMING quantile sketch over two excel micro-batches
     * ([[graft.streaming.StreamingSketch.quantileSketch]]) — the
@@ -854,6 +971,7 @@ object ConnectorQueries {
     "excel_stream_heavyhitters" ->
       (excelStreamHeavyHitters _, excelStreamHeavyHittersSql),
     "excel_stream_quantile" -> (excelStreamQuantile _, excelStreamQuantileSql),
+    "excel_stream_hll" -> (excelStreamHll _, excelStreamHllSql),
     "excel_stream_cdc" -> (excelStreamCdc _, excelStreamCdcSql),
     "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
     "excel_stream_stream_join" -> (excelStreamStreamJoin _, excelStreamStreamJoinSql),
