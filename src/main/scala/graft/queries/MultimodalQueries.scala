@@ -1107,7 +1107,58 @@ object MultimodalQueries {
       |FROM documents WHERE doc_id % 3 = 2
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m19
+  /** Image RESOLUTION-POLICY audit — the LAION-style vision-data gate:
+    * drop images whose short side is under 64 px ("too_small", checked
+    * first) or whose aspect ratio exceeds 3:1 ("extreme_aspect",
+    * integer test 3·min < max — no float ratios), keep the rest. The
+    * verdict comes from the DECODED header dimensions (m01's parser),
+    * never trusted metadata; the report is one ≤3-row partial agg over
+    * the image rows with per-reason dimension envelopes. */
+  def m19ResolutionPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Multimodal.withDecodedMeta(
+      Multimodal.fakeMediaFrame(docs), "doc_id", "payload", "modality")
+      .toDF()
+      .filter(col("modality") === "image")
+      .select(col("doc_id"),
+        col("width").cast("bigint").as("w"),
+        col("height").cast("bigint").as("h"))
+      .withColumn("verdict",
+        when(least(col("w"), col("h")) < 64, "too_small")
+          .when(lit(3) * least(col("w"), col("h")) <
+            greatest(col("w"), col("h")), "extreme_aspect")
+          .otherwise("ok"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_images"),
+        min(col("w")).as("min_w"), max(col("w")).as("max_w"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      .orderBy("verdict")
+  }
+
+  /** m01's planted-header arithmetic (width = 16 + doc_id % 624, height
+    * = 16 + doc_id % 464 for image rows) folded through the same
+    * integer policy. */
+  val m19Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    (16 + doc_id % 624)::BIGINT AS w,
+      |    (16 + doc_id % 464)::BIGINT AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |v AS (
+      |  SELECT doc_id, w, h,
+      |    CASE WHEN LEAST(w, h) < 64 THEN 'too_small'
+      |         WHEN 3 * LEAST(w, h) < GREATEST(w, h)
+      |           THEN 'extreme_aspect'
+      |         ELSE 'ok' END AS verdict
+      |  FROM img)
+      |SELECT verdict, COUNT(*)::BIGINT AS n_images,
+      |  MIN(w) AS min_w, MAX(w) AS max_w,
+      |  MIN(h) AS min_h, MAX(h) AS max_h
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m19_resolution_policy" -> (m19ResolutionPolicy _, m19Sql),
     "m18_audio_scrub" -> (m18AudioScrub _, m18Sql),
     "m17_metadata_scrub" -> (m17MetadataScrub _, m17Sql),
     "m16_tile_crop_neardup" -> (m16TileCropNeardup _, m16Sql),

@@ -1032,7 +1032,50 @@ object SimilarityQueries {
       |SELECT vec_id, cos, TRUE AS ivfpq_recall_ok FROM gt
       |ORDER BY cos DESC, vec_id ASC""".stripMargin
 
+  // ---------------------------------------------------------------- s21
+  /** IVF nprobe TUNING sweep (the knob every IVF deployment dials):
+    * recall@10 of s03's IVF index at nprobe ∈ {1, 2, 4, 16} over
+    * nlist = 16 cells, reported as the two invariants a correct IVF
+    * must satisfy — (a) recall is MONOTONE non-decreasing in nprobe
+    * (probing more cells only grows the candidate set, and a candidate
+    * displacing a true-top-k hit from the approx top-k has higher
+    * cosine, hence is itself a true-top-k hit) and (b) the full probe
+    * nprobe = nlist scans every cell, so its top-k equals exact brute
+    * force. Both hold deterministically, so the oracle pins the
+    * contract constants — the s03/s20 accuracy-contract pattern. */
+  def s21IvfNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val q = Similarity.vectorOf(spark, dir, 0L)
+    val e = emb(spark, dir)
+    val sweeps = Seq(1, 2, 4, 16).map { np =>
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10,
+          nlist = 16, nprobe = np)
+        .select(col("vec_id")).withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"))
+    val hits = sweeps.join(broadcast(exact), "vec_id")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    val w = Window.orderBy("nprobe")
+    Seq(1L, 2L, 4L, 16L).toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left").na.fill(0L, Seq("hits"))
+      .withColumn("prev", lag(col("hits"), 1).over(w))
+      .select(col("nprobe"),
+        (col("prev").isNull || col("hits") >= col("prev"))
+          .as("monotone_ok"),
+        (col("nprobe") < 16 || col("hits") === 10).as("full_exact_ok"))
+      .orderBy("nprobe")
+  }
+
+  val s21Sql: String =
+    """SELECT UNNEST([1, 2, 4, 16])::BIGINT AS nprobe,
+      |  TRUE AS monotone_ok, TRUE AS full_exact_ok
+      |ORDER BY nprobe""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s21_ivf_nprobe_sweep" -> (s21IvfNprobeSweep _, s21Sql),
     "s20_ann_ivfpq" -> (s20IvfPqTopK _, s20Sql),
     "s19_ranking_metrics" -> (s19RankingMetrics _, s19Sql),
     "s18_filtered_ann" -> (s18FilteredAnn _, s18Sql),
