@@ -1577,7 +1577,57 @@ object DedupQueries {
       |    AS dirty_micro
       |FROM hits ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d26
+  /** Duplicate-cluster SIZE distribution — the dedup report card: how
+    * many near-dup clusters of each size exist (d12's graph), with the
+    * unclustered remainder as the size-1 row. A corpus whose mass sits
+    * in large clusters wastes its crawl budget; the histogram is what a
+    * curation dashboard actually plots. Labels from the banded pair
+    * join + hash-min CC; the histogram is two fixed-width partial aggs
+    * over the label table plus one corpus COUNT for the singleton row. */
+  def d26ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val edges = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    val labels = graft.operators.DedupClusters
+      .connectedComponents(edges, "id_a", "id_b")
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val totals = d.agg(count(lit(1)).as("n_total"))
+      .crossJoin(broadcast(
+        labels.agg(count(lit(1)).as("n_clustered"))))
+    val singleton = totals.select(lit(1L).as("cluster_size"),
+      (col("n_total") - col("n_clustered")).as("n_clusters"))
+    sizes.unionByName(singleton)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  val d26Sql: String = {
+    s"""WITH labels AS (
+       |${d12Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size
+       |  FROM labels GROUP BY 1),
+       |hist AS (
+       |  SELECT cluster_size, COUNT(*) AS n_clusters
+       |  FROM sizes GROUP BY 1
+       |  UNION ALL
+       |  SELECT 1 AS cluster_size,
+       |    (SELECT COUNT(*) FROM documents)
+       |      - (SELECT COUNT(*) FROM labels) AS n_clusters)
+       |SELECT cluster_size::BIGINT AS cluster_size,
+       |  n_clusters::BIGINT AS n_clusters,
+       |  (cluster_size * n_clusters)::BIGINT AS n_docs
+       |FROM hist ORDER BY cluster_size""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d26_cluster_sizes" -> (d26ClusterSizes _, d26Sql),
     "d25_contamination_rate" -> (d25ContaminationRate _, d25Sql),
     "d24_source_overlap" -> (d24SourceOverlap _, d24Sql),
     "d23_lsh_tuning" -> (d23LshTuning _, d23Sql),

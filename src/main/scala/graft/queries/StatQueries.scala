@@ -1024,7 +1024,43 @@ object StatQueries {
       |FROM d WHERE dt_us IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Period-over-period report: hourly event volume with the delta and
+    * integral percent change vs the previous PRESENT hour — the
+    * dashboard query behind every traffic-anomaly review. The corpus
+    * pays one hour-keyed partial agg (integer µs-epoch hour ids — no
+    * timezone arithmetic in the hot path); the lag window runs over the
+    * ≤|distinct hours| summary, bounded by the time span, not the row
+    * count. */
+  def q64PeriodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = EventTime.load(spark, dir)
+      .select(expr("ts_us div 3600000000").as("hour_id"))
+      .groupBy("hour_id").agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("hour_id")
+    hourly
+      .withColumn("prev", lag(col("n_events"), 1).over(w))
+      .select(col("hour_id"), col("n_events"),
+        (col("n_events") - col("prev")).as("delta"),
+        expr("""cast(((n_events - prev) * 1000000) div prev
+                 as bigint)""").as("pct_micro"))
+      .orderBy("hour_id")
+  }
+
+  val q64Sql: String =
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+      |    COUNT(*)::BIGINT AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT hour_id, n_events,
+      |  n_events - LAG(n_events) OVER (ORDER BY hour_id) AS delta,
+      |  CAST((n_events - LAG(n_events) OVER (ORDER BY hour_id))
+      |       * 1000000 // LAG(n_events) OVER (ORDER BY hour_id)
+      |    AS BIGINT) AS pct_micro
+      |FROM hourly ORDER BY hour_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q64_period_over_period" -> (q64PeriodOverPeriod _, q64Sql),
     "q63_time_weighted" -> (q63TimeWeighted _, q63Sql),
     "q62_mad_outliers" -> (q62MadOutliers _, q62Sql),
     "q60_rolling_hll" -> (q60RollingHll _, q60Sql),
