@@ -1626,7 +1626,119 @@ object DedupQueries {
        |FROM hist ORDER BY cluster_size""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d27
+  /** MinHash ESTIMATOR-ERROR audit — the measurement that justifies
+    * d23's banding math: for every exact-Jaccard pair ≥ 0.5, the
+    * 16-hash signature agreement (matches/16, the unbiased MinHash
+    * estimate whose per-hash agreement probability IS the Jaccard) next
+    * to the exact value, with the signed integral error. Signatures are
+    * the row-local codegen kernel; the audit join probes the signature
+    * table with the (tiny) pair list. The oracle replays the ENTIRE
+    * signature pipeline in SQL — FNV-1a64 shingle bases, the
+    * golden-ratio seed schedule, murmur3 fmix64 via 32-bit limb
+    * multiplies, SIGNED min per hash slot — so agreement counts mirror
+    * bit-for-bit, not statistically. */
+  def d27MinhashError(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, threshold = 0.5, dfCap = 1000000)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text",
+      numHashes = 16, k = 3)
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")),
+        "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("cast(round(jaccard * 1000000) as bigint)")
+          .as("jaccard_micro"),
+        expr("""aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)),
+                 0, (acc, v) -> acc + v) * 62500L""").as("est_micro"))
+      .withColumn("err_micro", col("est_micro") - col("jaccard_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val d27Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
+      |posting AS (SELECT doc_id, LEN(s) AS sz, UNNEST(s) AS shingle
+      |            FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza,
+      |         b.sz AS szb, COUNT(*) AS common
+      |  FROM posting a JOIN posting b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |    ROUND(common::DOUBLE / (sza + szb - common)::DOUBLE, 6)
+      |      AS jaccard
+      |  FROM pairs
+      |  WHERE common::DOUBLE / (sza + szb - common)::DOUBLE >= 0.5),
+      |ids AS (SELECT DISTINCT doc_id FROM (
+      |  SELECT id_a AS doc_id FROM jp
+      |  UNION ALL SELECT id_b FROM jp)),
+      |bases AS (
+      |  SELECT p.doc_id, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(p.shingle, '')]),
+      |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) AS b
+      |  FROM posting p JOIN ids USING (doc_id)),
+      |seeded AS (
+      |  SELECT doc_id, j, xor(b,
+      |    (j::HUGEINT * 11400714819323198485::HUGEINT)
+      |      % 18446744073709551616::HUGEINT) AS z
+      |  FROM bases CROSS JOIN (SELECT UNNEST(RANGE(1, 17)) AS j)),
+      |x1 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z
+      |       FROM seeded),
+      |x2 AS (SELECT doc_id, j,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM x1),
+      |x3 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS z
+      |       FROM x2),
+      |x4 AS (SELECT doc_id, j,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM x3),
+      |x5 AS (SELECT doc_id, j, xor(z, z // 8589934592::HUGEINT) AS h
+      |       FROM x4),
+      |sig AS (
+      |  SELECT doc_id, j,
+      |    MIN(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |             THEN h - 18446744073709551616::HUGEINT
+      |             ELSE h END AS BIGINT)) AS s
+      |  FROM x5 GROUP BY 1, 2),
+      |agree AS (
+      |  SELECT jp.id_a, jp.id_b,
+      |    SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS matches
+      |  FROM jp
+      |  JOIN sig sa ON sa.doc_id = jp.id_a
+      |  JOIN sig sb ON sb.doc_id = jp.id_b AND sb.j = sa.j
+      |  GROUP BY 1, 2)
+      |SELECT jp.id_a, jp.id_b,
+      |  CAST(ROUND(jaccard * 1000000) AS BIGINT) AS jaccard_micro,
+      |  (matches * 62500)::BIGINT AS est_micro,
+      |  (matches * 62500 - CAST(ROUND(jaccard * 1000000) AS BIGINT))
+      |    ::BIGINT AS err_micro
+      |FROM jp JOIN agree USING (id_a, id_b)
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d27_minhash_error" -> (d27MinhashError _, d27Sql),
     "d26_cluster_sizes" -> (d26ClusterSizes _, d26Sql),
     "d25_contamination_rate" -> (d25ContaminationRate _, d25Sql),
     "d24_source_overlap" -> (d24SourceOverlap _, d24Sql),
