@@ -633,10 +633,15 @@ object Graph {
     *         their OWN row too (d(s,s)=0 contributes nothing, matching
     *         the definition's s≠v sum). Nodes reaching no landmark are
     *         absent. */
-  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: Seq[Long], rounds: Int = 4): DataFrame = {
-    require(rounds >= 1, "harmonicCentrality needs at least one round")
-    require(seeds.nonEmpty, "harmonicCentrality needs at least one seed")
+  /** Min-union landmark BFS shared by [[harmonicCentrality]] and
+    * [[ballGrowth]]: (node, src, dist) with dist = min distance from
+    * landmark `src` found within `rounds` hops. Co-partitioned edge
+    * joins + (node, src) partial-min aggs per round, lineage truncated
+    * with localCheckpoint each round. */
+  private[operators] def minUnionBfs(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[Long], rounds: Int): DataFrame = {
+    require(rounds >= 1, "minUnionBfs needs at least one round")
+    require(seeds.nonEmpty, "minUnionBfs needs at least one seed")
     val half = edges
       .select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
@@ -661,10 +666,44 @@ object Graph {
         .localCheckpoint()
     }
     sym.unpersist()
-    dist.filter(col("dist") > 0L)
+    dist
+  }
+
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], rounds: Int = 4): DataFrame =
+    minUnionBfs(edges, srcCol, dstCol, seeds, rounds)
+      .filter(col("dist") > 0L)
       .groupBy("node")
       .agg(count(lit(1)).as("reached"),
         sum(expr("cast(1000000 as bigint) div dist")).as("harmonic_micro"))
+
+  /** BALL-GROWTH curve / effective-diameter probe (the ANF / HyperANF
+    * question, Palmer et al. 2002, answered exactly for a landmark
+    * sample): for each hop count d ≤ `rounds`, how many (landmark,
+    * node) pairs lie within distance d, cumulatively, plus the
+    * coverage fraction of all pairs reached at the horizon. The d where
+    * coverage_micro crosses 900000 is the sampled effective diameter —
+    * the number that says whether a crawl graph is a tight web or a
+    * string of chains. Runs on [[minUnionBfs]]'s final state: a BFS
+    * pair's distance is final the round it is found (min-stable), so
+    * the curve needs no per-round snapshots — one ≤(rounds+1)-row
+    * histogram + cumulative window over it. */
+  def ballGrowth(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], rounds: Int = 4): DataFrame = {
+    val dist = minUnionBfs(edges, srcCol, dstCol, seeds, rounds)
+    val hist = dist.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("dist")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val total = dist.agg(count(lit(1)).as("n_total"))
+    hist.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("dist"), col("n_pairs"), col("cum_pairs"),
+        expr("""cast((cast(cum_pairs as decimal(38,0)) * 1000000)
+                 div n_total as bigint)""").as("coverage_micro"))
+      .orderBy("dist")
   }
 
   /** Newman MODULARITY of a community assignment over an undirected

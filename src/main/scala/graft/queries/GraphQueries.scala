@@ -643,6 +643,54 @@ object GraphQueries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- g15
+  /** Ball-growth / effective-diameter curve from g13's landmark BFS
+    * (seeds 2..5, 3 rounds) over the trade graph: cumulative (landmark,
+    * node) pairs per hop with the coverage fraction at the horizon.
+    * Exact for the landmark sample — the ANF question answered without
+    * all-pairs distances. */
+  def g15BallGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    Graph.ballGrowth(pairs, "c", "s", seeds = Seq(2L, 3L, 4L, 5L),
+      rounds = 3)
+  }
+
+  val g15Sql: String = {
+    val round = (r: Int) =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, src, MIN(dist)::BIGINT AS dist FROM (
+         |    SELECT node, src, dist FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.b, l.src, l.dist + 1
+         |    FROM e0 e JOIN d${r - 1} l ON l.node = e.a)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT c AS a, s AS b FROM pairs
+       |  UNION ALL
+       |  SELECT s AS a, c AS b FROM pairs),
+       |d0 AS (
+       |  SELECT CAST(UNNEST([2, 3, 4, 5]) AS BIGINT) AS node,
+       |         CAST(UNNEST([2, 3, 4, 5]) AS BIGINT) AS src,
+       |         CAST(0 AS BIGINT) AS dist),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |hist AS (
+       |  SELECT dist, COUNT(*)::BIGINT AS n_pairs FROM d3 GROUP BY 1),
+       |tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM d3)
+       |SELECT dist, n_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY dist)::HUGEINT * 1000000
+       |    // n_total AS BIGINT) AS coverage_micro
+       |FROM hist, tot ORDER BY dist""".stripMargin
+  }
+
   // ---------------------------------------------------------------- g14
   /** Average-neighbor-degree curve knn(k) over the customer–supplier
     * bipartite graph (g11's edge set) — the full degree-correlation
@@ -680,6 +728,7 @@ object GraphQueries {
       |FROM cls ORDER BY deg""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g15_ball_growth" -> (g15BallGrowth _, g15Sql),
     "g14_neighbor_degree" -> (g14NeighborDegree _, g14Sql),
     "g13_harmonic" -> (g13Harmonic _, g13Sql),
     "g12_local_clustering" -> (g12LocalClustering _, g12Sql),

@@ -1059,7 +1059,53 @@ object StatQueries {
       |    AS BIGINT) AS pct_micro
       |FROM hourly ORDER BY hour_id""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Per-day traffic TREND slope — exact integer OLS of hourly event
+    * counts against the hour-of-day index: slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²), every moment an integer sum, so the micro-scaled
+    * slope is bit-exact cross-engine (the q29 discipline applied to
+    * regression instead of variance). A positive slope flags a day
+    * ramping up, negative a decaying one — the anomaly-triage companion
+    * to q64's deltas. One (day, hour) partial agg then one day-keyed
+    * partial agg; single-hour days get a NULL slope via NULLIF. */
+  def q65TrendSlope(spark: SparkSession, dir: String): DataFrame =
+    EventTime.load(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day_id"),
+        expr("(ts_us div 3600000000) % 24").as("hx"))
+      .groupBy("day_id", "hx").agg(count(lit(1)).as("y"))
+      .groupBy("day_id")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("y")).as("day_events"),
+        sum(col("hx")).as("sx"),
+        sum(col("hx") * col("y")).as("sxy"),
+        sum(col("hx") * col("hx")).as("sxx"))
+      .select(col("day_id"), col("n_hours"), col("day_events"),
+        expr("""cast((cast(n_hours * sxy - sx * day_events
+                      as decimal(38,0)) * 1000000)
+                 div nullif(n_hours * sxx - sx * sx, 0)
+                 as bigint)""").as("slope_micro"))
+      .orderBy("day_id")
+
+  val q65Sql: String =
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_id,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hx,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT day_id, COUNT(*)::BIGINT AS n_hours,
+      |    SUM(y)::BIGINT AS day_events, SUM(hx)::BIGINT AS sx,
+      |    SUM(hx * y)::BIGINT AS sxy, SUM(hx * hx)::BIGINT AS sxx
+      |  FROM hourly GROUP BY 1)
+      |SELECT day_id, n_hours, day_events,
+      |  CAST((n_hours::HUGEINT * sxy - sx::HUGEINT * day_events)
+      |       * 1000000
+      |       // NULLIF(n_hours * sxx - sx * sx, 0) AS BIGINT)
+      |    AS slope_micro
+      |FROM m ORDER BY day_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q65_trend_slope" -> (q65TrendSlope _, q65Sql),
     "q64_period_over_period" -> (q64PeriodOverPeriod _, q64Sql),
     "q63_time_weighted" -> (q63TimeWeighted _, q63Sql),
     "q62_mad_outliers" -> (q62MadOutliers _, q62Sql),
