@@ -945,6 +945,31 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Gini–Simpson lexical diversity per group: D = 1 − Σ(c/N)² =
+    * (N² − Σc²)/N² over token units — the entropy-style composition
+    * number that is EXACTLY computable in integers (Shannon needs
+    * logs; Simpson doesn't). Low D = template/boilerplate, high D =
+    * diverse prose. One (group, unit) partial agg collapses the corpus,
+    * one group-keyed agg computes the moments; Σc² runs in
+    * DECIMAL(38,0) so a head unit can't wrap at corpus scale. */
+  def simpsonDiversity(df: org.apache.spark.sql.DataFrame, grpCol: String,
+      textCol: String, ngram: Int = 1): org.apache.spark.sql.DataFrame =
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(grpCol),
+        explode(tokenUnits(col(textCol), ngram)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(grpCol), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("sum_c2"))
+      .select(col(grpCol), col("n_types"), col("n_tokens"),
+        expr("""cast(((cast(n_tokens as decimal(38,0)) * n_tokens
+                       - sum_c2) * 1000000)
+                 div (cast(n_tokens as decimal(38,0)) * n_tokens)
+                 as bigint)""").as("simpson_micro"))
+
   /** Zipf rank-frequency probe: term frequency at power-of-two ranks
     * (1, 2, 4, …, `maxRank`) plus the per-octave decay ratio — the
     * corpus-composition diagnostic behind every "is this corpus natural

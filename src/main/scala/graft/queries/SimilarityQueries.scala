@@ -1074,7 +1074,60 @@ object SimilarityQueries {
       |  TRUE AS monotone_ok, TRUE AS full_exact_ok
       |ORDER BY nprobe""".stripMargin
 
+  // ---------------------------------------------------------------- s22
+  /** Embedding-space ANISOTROPY probe — the "is this embedding space
+    * collapsed?" health check (Ethayarajh 2019): the cosine distribution
+    * over a deterministic unrelated-pair sample (vector i paired with
+    * vector i + ⌊N/2⌋ — a fixed derangement-style shift, no RNG). A
+    * healthy space piles mass near 0; mass near 1 means the encoder
+    * collapsed. Reported as a 10-bucket histogram of s01's
+    * ROUND(cos, 6) doubles with per-bucket envelopes. The pair join is
+    * a shifted equi-join on vec_id (co-partitioned, exactly ⌊N/2⌋
+    * pairs), never a sampled cross join. */
+  def s22Anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb(spark, dir)
+    val n = e.agg(count(lit(1)).as("n"))
+    val a = e.crossJoin(broadcast(n))
+      .select((col("vec_id") + expr("n div 2")).as("pid"),
+        col("embedding").as("emb_a"))
+    val pairs = a.join(
+      e.select(col("vec_id").as("pid"), col("embedding").as("emb_b")),
+      "pid")
+    pairs
+      .select(round(graft.functions.VectorFunctions.cosine(
+        col("emb_a"), col("emb_b")), 6).as("cos"))
+      .withColumn("bucket",
+        least(lit(9L), floor((col("cos") + 1.0d) * 5.0d).cast("bigint")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+      .orderBy("bucket")
+  }
+
+  val s22Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |pairs AS (
+      |  SELECT a.embedding AS ea, b.embedding AS eb
+      |  FROM embeddings a, n
+      |  JOIN embeddings b ON b.vec_id = a.vec_id + n.n // 2),
+      |c AS (
+      |  SELECT ROUND(
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(ea) + 1),
+      |      i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      |    / SQRT(LIST_SUM(LIST_TRANSFORM(ea,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    / SQRT(LIST_SUM(LIST_TRANSFORM(eb,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS cos
+      |  FROM pairs)
+      |SELECT LEAST(9, CAST(FLOOR((cos + 1.0) * 5.0) AS BIGINT))
+      |    AS bucket,
+      |  COUNT(*)::BIGINT AS n_pairs,
+      |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s22_anisotropy" -> (s22Anisotropy _, s22Sql),
     "s21_ivf_nprobe_sweep" -> (s21IvfNprobeSweep _, s21Sql),
     "s20_ann_ivfpq" -> (s20IvfPqTopK _, s20Sql),
     "s19_ranking_metrics" -> (s19RankingMetrics _, s19Sql),

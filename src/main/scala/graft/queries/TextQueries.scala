@@ -1334,7 +1334,45 @@ object TextQueries {
       |    AS decay_micro
       |FROM probes ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- t38
+  /** Per-source lexical DIVERSITY via the Gini–Simpson index over word
+    * bigrams: D = 1 − Σ(c/N)² = (N² − Σc²)/N² — the entropy-style
+    * corpus-composition number that is EXACTLY computable in integers
+    * (Shannon entropy needs logs; Simpson doesn't), so the oracle is
+    * bit-for-bit. Low D = template/boilerplate source, high D = diverse
+    * prose. One (source, bigram) partial agg collapses the corpus, one
+    * source-keyed agg computes the moments; Σc² runs in DECIMAL(38,0)
+    * so a head bigram can't wrap at corpus scale. */
+  def t38SimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.simpsonDiversity(docs(spark, dir), "source", "text",
+      ngram = 2)
+      .orderBy("source")
+
+  val t38Sql: String =
+    """WITH toks AS (
+      |  SELECT source, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |grams AS (
+      |  SELECT source, UNNEST(
+      |    CASE WHEN LEN(t) >= 2 THEN
+      |      LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END) AS word
+      |  FROM toks),
+      |cnt AS (
+      |  SELECT source, word, COUNT(*)::BIGINT AS c
+      |  FROM grams GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_types,
+      |    SUM(c)::BIGINT AS n_tokens,
+      |    SUM(c::HUGEINT * c) AS sum_c2
+      |  FROM cnt GROUP BY 1)
+      |SELECT source, n_types, n_tokens,
+      |  CAST((n_tokens::HUGEINT * n_tokens - sum_c2) * 1000000
+      |    // (n_tokens::HUGEINT * n_tokens) AS BIGINT) AS simpson_micro
+      |FROM m ORDER BY source""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t38_simpson_diversity" -> (t38SimpsonDiversity _, t38Sql),
     "t37_zipf_probe" -> (t37ZipfProbe _, t37Sql),
     "t36_vocab_growth" -> (t36VocabGrowth _, t36Sql),
     "t35_balanced_accuracy" -> (t35BalancedAccuracy _, t35Sql),
