@@ -1737,7 +1737,82 @@ object DedupQueries {
       |FROM jp JOIN agree USING (id_a, id_b)
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- d28
+  /** Dedup THRESHOLD-SENSITIVITY curve — the sweep a curation team
+    * reads before fixing the Jaccard cutoff: at each threshold in
+    * {0.5 … 0.9}, how many near-dup pairs survive and how many distinct
+    * documents they touch. A cliff between two thresholds means the
+    * corpus has a distinct duplication mode there. ONE banded pair pass
+    * at the 0.5 floor produces the pair list; the sweep itself is a
+    * broadcast 5-row threshold join over that (tiny) list — the corpus
+    * is never rescanned per threshold. */
+  def d28ThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id",
+        "text", k = 3, threshold = 0.5, dfCap = 1000000)
+      .withColumn("j_micro",
+        expr("cast(round(jaccard * 1000000) as bigint)"))
+      .localCheckpoint() // feeds the pair count AND the doc explode
+    val thr = Seq(500000L, 600000L, 700000L, 800000L, 900000L)
+      .toDF("thr_micro")
+    val np = pairs.crossJoin(broadcast(thr))
+      .filter(col("j_micro") >= col("thr_micro"))
+      .groupBy("thr_micro").agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs.crossJoin(broadcast(thr))
+      .filter(col("j_micro") >= col("thr_micro"))
+      .select(col("thr_micro"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .groupBy("thr_micro")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    thr.join(np, Seq("thr_micro"), "left")
+      .join(nd, Seq("thr_micro"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+      .orderBy("thr_micro")
+  }
+
+  val d28Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN LEN(t) >= 3 THEN
+      |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 2 + 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    ELSE [ARRAY_TO_STRING(t, ' ')] END AS s
+      |  FROM toks WHERE LEN(t) >= 1),
+      |posting AS (SELECT doc_id, LEN(s) AS sz, UNNEST(s) AS shingle
+      |            FROM sh),
+      |prs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sza,
+      |         b.sz AS szb, COUNT(*) AS common
+      |  FROM posting a JOIN posting b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |jp AS (
+      |  SELECT id_a, id_b, CAST(ROUND(
+      |    ROUND(common::DOUBLE / (sza + szb - common)::DOUBLE, 6)
+      |    * 1000000) AS BIGINT) AS j_micro
+      |  FROM prs
+      |  WHERE common::DOUBLE / (sza + szb - common)::DOUBLE >= 0.5),
+      |thr AS (SELECT UNNEST([500000, 600000, 700000, 800000, 900000])
+      |          ::BIGINT AS thr_micro),
+      |np AS (
+      |  SELECT thr_micro, COUNT(*)::BIGINT AS n_pairs
+      |  FROM thr JOIN jp ON j_micro >= thr_micro GROUP BY 1),
+      |nd AS (
+      |  SELECT thr_micro, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+      |  FROM (SELECT thr_micro, UNNEST([id_a, id_b]) AS doc_id
+      |        FROM thr JOIN jp ON j_micro >= thr_micro)
+      |  GROUP BY 1)
+      |SELECT t.thr_micro, COALESCE(np.n_pairs, 0)::BIGINT AS n_pairs,
+      |  COALESCE(nd.n_docs, 0)::BIGINT AS n_docs
+      |FROM thr t LEFT JOIN np USING (thr_micro)
+      |LEFT JOIN nd USING (thr_micro)
+      |ORDER BY t.thr_micro""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d28_threshold_curve" -> (d28ThresholdCurve _, d28Sql),
     "d27_minhash_error" -> (d27MinhashError _, d27Sql),
     "d26_cluster_sizes" -> (d26ClusterSizes _, d26Sql),
     "d25_contamination_rate" -> (d25ContaminationRate _, d25Sql),
