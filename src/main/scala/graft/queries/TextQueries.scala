@@ -1371,7 +1371,57 @@ object TextQueries {
       |    // (n_tokens::HUGEINT * n_tokens) AS BIGINT) AS simpson_micro
       |FROM m ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t39
+  /** Per-source READABILITY profile — the Flesch-style feature pair
+    * (words/sentence, syllables/word) every quality classifier consumes,
+    * kept integral: sentences = terminal-punctuation runs (min 1 for
+    * non-empty text), syllables ≈ vowel GROUPS (the standard cheap
+    * estimator), both plain regexp_count projections inside codegen, and
+    * the two ratios emitted as micro-scaled integral divisions. One
+    * row-local pass + one source-keyed partial agg. */
+  def t39Readability(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(trim(col("text")) =!= "")
+    val words = TextAnalysis.tokenCount(col("text"))
+    val sents = greatest(lit(1L),
+      expr("regexp_count(text, '[.!?]+')").cast("bigint"))
+    val vgroups = expr("regexp_count(lower(text), '[aeiouy]+')")
+      .cast("bigint")
+    d.select(col("source"), words.as("w"), sents.as("s"),
+        vgroups.as("v"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("v")).as("vowel_groups"))
+      .select(col("source"), col("n_docs"), col("words"),
+        col("sentences"), col("vowel_groups"),
+        expr("""cast((cast(words as decimal(38,0)) * 1000000)
+                 div sentences as bigint)""").as("wps_micro"),
+        expr("""cast((cast(vowel_groups as decimal(38,0)) * 1000000)
+                 div words as bigint)""").as("spw_micro"))
+      .orderBy("source")
+  }
+
+  val t39Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))::BIGINT AS w,
+      |    GREATEST(1, LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')))::BIGINT
+      |      AS s,
+      |    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+'))::BIGINT AS v
+      |  FROM documents WHERE TRIM(text) <> ''),
+      |m AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |    SUM(w)::BIGINT AS words, SUM(s)::BIGINT AS sentences,
+      |    SUM(v)::BIGINT AS vowel_groups
+      |  FROM d GROUP BY 1)
+      |SELECT source, n_docs, words, sentences, vowel_groups,
+      |  CAST(words::HUGEINT * 1000000 // sentences AS BIGINT)
+      |    AS wps_micro,
+      |  CAST(vowel_groups::HUGEINT * 1000000 // words AS BIGINT)
+      |    AS spw_micro
+      |FROM m ORDER BY source""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t39_readability" -> (t39Readability _, t39Sql),
     "t38_simpson_diversity" -> (t38SimpsonDiversity _, t38Sql),
     "t37_zipf_probe" -> (t37ZipfProbe _, t37Sql),
     "t36_vocab_growth" -> (t36VocabGrowth _, t36Sql),
