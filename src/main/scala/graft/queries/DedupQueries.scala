@@ -1811,7 +1811,74 @@ object DedupQueries {
       |LEFT JOIN nd USING (thr_micro)
       |ORDER BY t.thr_micro""".stripMargin
 
+  // ---------------------------------------------------------------- d29
+  /** SimHash DETECTOR EVALUATION against exact-Jaccard truth — the
+    * method-selection measurement: treating exact 3-gram Jaccard ≥ 0.7
+    * pairs as ground truth, score the SimHash (Hamming ≤ 3) pair set
+    * with tp/fp/fn and integral precision/recall/F1. A bit-sketch
+    * detector and a set-overlap detector disagree on REAL corpora; this
+    * gate measures by how much, on the same banded candidate machinery
+    * both production paths use. Both pair sets are tiny; the eval is a
+    * full outer join + one 1-row agg. */
+  def d29SimhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val truth = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        k = 3, threshold = 0.7, dfCap = 1000000)
+      .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+    val pred = Dedup.simhashPairs(d, "doc_id", "text",
+        k = 3, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), lit(1L).as("p"))
+    truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(when(col("t").isNotNull && col("p").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("t").isNull && col("p").isNotNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("t").isNotNull && col("p").isNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("cast(tp * 1000000 div nullif(tp + fp, 0) as bigint)")
+          .as("precision_micro"),
+        expr("cast(tp * 1000000 div nullif(tp + fn, 0) as bigint)")
+          .as("recall_micro"),
+        expr("""cast(2 * tp * 1000000 div nullif(2 * tp + fp + fn, 0)
+                 as bigint)""").as("f1_micro"))
+  }
+
+  val d29Sql: String = {
+    // d03Sql directly (not via `all`, which would recurse at object init)
+    val simhash = d03Sql
+    s"""WITH truth AS (
+       |${jaccardPairsSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |pred AS (
+       |${simhash.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |j AS (
+       |  SELECT COALESCE(t.id_a, p.id_a) AS id_a,
+       |    t.id_a IS NOT NULL AS has_t, p.id_a IS NOT NULL AS has_p
+       |  FROM truth t FULL OUTER JOIN pred p
+       |    ON t.id_a = p.id_a AND t.id_b = p.id_b),
+       |m AS (
+       |  SELECT
+       |    SUM(CASE WHEN has_t AND has_p THEN 1 ELSE 0 END)::BIGINT
+       |      AS tp,
+       |    SUM(CASE WHEN NOT has_t AND has_p THEN 1 ELSE 0 END)::BIGINT
+       |      AS fp,
+       |    SUM(CASE WHEN has_t AND NOT has_p THEN 1 ELSE 0 END)::BIGINT
+       |      AS fn
+       |  FROM j)
+       |SELECT tp, fp, fn,
+       |  CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT)
+       |    AS precision_micro,
+       |  CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT)
+       |    AS recall_micro,
+       |  CAST(2 * tp * 1000000 // NULLIF(2 * tp + fp + fn, 0) AS BIGINT)
+       |    AS f1_micro
+       |FROM m""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "d29_simhash_eval" -> (d29SimhashEval _, d29Sql),
     "d28_threshold_curve" -> (d28ThresholdCurve _, d28Sql),
     "d27_minhash_error" -> (d27MinhashError _, d27Sql),
     "d26_cluster_sizes" -> (d26ClusterSizes _, d26Sql),

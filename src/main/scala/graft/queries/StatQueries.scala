@@ -1104,7 +1104,118 @@ object StatQueries {
       |    AS slope_micro
       |FROM m ORDER BY day_id""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** HLL distinct-users across the whole CUBE lattice from ONE corpus
+    * scan — the sketch-rollup pattern that makes multi-granularity
+    * distinct counting a metadata operation at 100 TB: registers are
+    * built once at the finest (day, type) grain, and every coarser
+    * level ((day), (type), ()) is a register MAX-merge of that tiny
+    * state table, never a rescan. The oracle recomputes each level's
+    * registers DIRECTLY from the raw rows, so equality proves the
+    * rollup is lossless (max is associative/commutative/idempotent).
+    * Exact distinct per cell rides beside the estimate via one CUBE
+    * aggregation. */
+  def q66CubeHll(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventTime.load(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day_id"),
+        col("event_type"), col("user_id"))
+    val fine = graft.operators.Sketches.hllRegisters(
+      e.withColumn("cell", struct(col("day_id"), col("event_type"))),
+      "cell", "user_id").localCheckpoint()
+    def label(d: Column, t: Column): Column =
+      concat(lit("d="), d, lit("|t="), t)
+    val l0 = fine.select(
+      label(col("cell.day_id").cast("string"), col("cell.event_type"))
+        .as("scope"), col("bucket"), col("mrho"))
+    val l1 = fine
+      .groupBy(col("cell.day_id").as("d"), col("bucket"))
+      .agg(max(col("mrho")).as("mrho"))
+      .select(label(col("d").cast("string"), lit("ALL")).as("scope"),
+        col("bucket"), col("mrho"))
+    val l2 = fine
+      .groupBy(col("cell.event_type").as("t"), col("bucket"))
+      .agg(max(col("mrho")).as("mrho"))
+      .select(label(lit("ALL"), col("t")).as("scope"),
+        col("bucket"), col("mrho"))
+    val l3 = fine.groupBy(col("bucket")).agg(max(col("mrho")).as("mrho"))
+      .select(label(lit("ALL"), lit("ALL")).as("scope"),
+        col("bucket"), col("mrho"))
+    val est = graft.operators.Sketches.hllFromRegisters(
+      l0.unionByName(l1).unionByName(l2).unionByName(l3), "scope")
+    val exact = e.cube(col("day_id"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .select(label(coalesce(col("day_id").cast("string"), lit("ALL")),
+        coalesce(col("event_type"), lit("ALL"))).as("scope"),
+        col("exact_distinct"))
+    est.join(exact, "scope")
+      .select(col("scope"), col("n_present"), col("est_micro"),
+        col("small_range"), col("exact_distinct"))
+      .orderBy("scope")
+  }
+
+  val q66Sql: String =
+    """WITH base AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
+      |    CAST(user_id AS VARCHAR) AS v
+      |  FROM events),
+      |vals AS (
+      |  SELECT 'd=' || day_id || '|t=' || event_type AS scope, v
+      |  FROM base
+      |  UNION ALL SELECT 'd=' || day_id || '|t=ALL', v FROM base
+      |  UNION ALL SELECT 'd=ALL|t=' || event_type, v FROM base
+      |  UNION ALL SELECT 'd=ALL|t=ALL', v FROM base),
+      |f AS (
+      |  SELECT scope,
+      |    CASE WHEN v = '' THEN 14695981039346656037::HUGEINT
+      |         ELSE list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT for c in string_split(v, '')]),
+      |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) END AS z
+      |  FROM vals),
+      |m1 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS z FROM f),
+      |m2 AS (SELECT scope,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS z FROM m2),
+      |m4 AS (SELECT scope,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT scope, xor(z, z // 8589934592::HUGEINT) AS h FROM m4),
+      |reg AS (
+      |  SELECT scope, h // 18014398509481984::HUGEINT AS bucket,
+      |    MAX(55 - CASE WHEN h % 18014398509481984::HUGEINT = 0 THEN 0
+      |        ELSE LENGTH(BIN(CAST(h % 18014398509481984::HUGEINT
+      |                             AS BIGINT))) END) AS mrho
+      |  FROM m5 GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT scope, COUNT(*) AS n_present,
+      |    SUM((1::BIGINT << (63 - mrho))::HUGEINT)
+      |      + (1024 - COUNT(*))::HUGEINT * 9223372036854775808::HUGEINT
+      |      AS s
+      |  FROM reg GROUP BY 1),
+      |est AS (
+      |  SELECT scope, n_present,
+      |    CAST(7143409202692358338277906422169600000::HUGEINT
+      |         // (1025079::HUGEINT * s) AS BIGINT) AS est_micro
+      |  FROM agg),
+      |ex AS (SELECT scope, COUNT(DISTINCT v) AS exact_distinct
+      |       FROM vals GROUP BY 1)
+      |SELECT scope, n_present, est_micro,
+      |  CASE WHEN est_micro <= 2560000000 AND n_present < 1024
+      |       THEN 1 ELSE 0 END AS small_range,
+      |  exact_distinct
+      |FROM est JOIN ex USING (scope)
+      |ORDER BY scope""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q66_cube_hll" -> (q66CubeHll _, q66Sql),
     "q65_trend_slope" -> (q65TrendSlope _, q65Sql),
     "q64_period_over_period" -> (q64PeriodOverPeriod _, q64Sql),
     "q63_time_weighted" -> (q63TimeWeighted _, q63Sql),
