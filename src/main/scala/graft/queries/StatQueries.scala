@@ -1214,7 +1214,133 @@ object StatQueries {
       |FROM est JOIN ex USING (scope)
       |ORDER BY scope""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** KMV theta-sketch SET OPERATIONS — the capability HLL cannot offer
+    * (q54's scaladoc promise, demonstrated): distinct-user INTERSECTION
+    * between the 'click' and 'view' audiences by inclusion–exclusion
+    * over three KMV estimates (A, B, A∪B — the union sketch is the
+    * k-smallest of the merged kept sets, an exact merge). At 100 TB
+    * audience-overlap questions are answered from three bounded
+    * sketches, never a user-level join. Deterministic hashing makes
+    * every estimate replayable; the gate pins the estimates AND a 25%
+    * error contract against the exact overlap. */
+  def q67KmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val two = EventTime.load(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("user_id"))
+    val sk = graft.operators.Sketches.kmvBottomK(
+      two, "event_type", "user_id", k)
+    val merged = sk.select(explode(col("bottom_k")).as("h"))
+      .dropDuplicates("h")
+      .agg(slice(sort_array(collect_list(col("h"))), 1, k)
+        .as("bottom_k"))
+    val uex = two.select(
+      graft.functions.TextExpressions.mix64(graft.functions.TextExpressions
+        .fnv1a64(col("user_id").cast("string"))).as("h"))
+      .agg(countDistinct(col("h")).as("union_exact"))
+    val urow = merged.crossJoin(uex).select(
+      graft.operators.Sketches.kmvEstimate(
+        col("union_exact"), col("bottom_k"), k).as("union_est"))
+    val a = sk.filter(col("event_type") === "click")
+      .select(col("kmv_est").as("est_a"))
+    val b = sk.filter(col("event_type") === "view")
+      .select(col("kmv_est").as("est_b"))
+    val interExact = two.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("nt"))
+      .filter(col("nt") === 2)
+      .agg(count(lit(1)).as("inter_exact"))
+    a.crossJoin(b).crossJoin(urow).crossJoin(broadcast(interExact))
+      .select(col("est_a"), col("est_b"), col("union_est"),
+        (col("est_a") + col("est_b") - col("union_est")).as("inter_est"),
+        col("inter_exact"),
+        (abs((col("est_a") + col("est_b") - col("union_est")) /
+          col("inter_exact").cast("double") - lit(1.0d)) <= lit(0.25d))
+          .as("inter_err_ok"))
+  }
+
+  val q67Sql: String =
+    """WITH src AS (
+      |  SELECT event_type, user_id FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |f AS (
+      |  SELECT event_type, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      [unicode(c)::HUGEINT
+      |       for c in string_split(user_id::VARCHAR, '')]),
+      |    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+      |                % 18446744073709551616::HUGEINT) AS z
+      |  FROM src),
+      |m1 AS (SELECT event_type, xor(z, z // 8589934592::HUGEINT) AS z
+      |       FROM f),
+      |m2 AS (SELECT event_type,
+      |  ((z % 4294967296::HUGEINT) * 3981806797::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 4283543511::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 3981806797::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m1),
+      |m3 AS (SELECT event_type, xor(z, z // 8589934592::HUGEINT) AS z
+      |       FROM m2),
+      |m4 AS (SELECT event_type,
+      |  ((z % 4294967296::HUGEINT) * 444984403::HUGEINT
+      |   + (((z % 4294967296::HUGEINT) * 3301882366::HUGEINT
+      |       + (z // 4294967296::HUGEINT) * 444984403::HUGEINT)
+      |      % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+      |  % 18446744073709551616::HUGEINT AS z FROM m3),
+      |m5 AS (SELECT event_type, xor(z, z // 8589934592::HUGEINT) AS hu
+      |       FROM m4),
+      |per AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END
+      |      AS BIGINT) AS h
+      |  FROM m5),
+      |n AS (SELECT event_type, COUNT(*) AS n_exact FROM per GROUP BY 1),
+      |r AS (SELECT event_type, h,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+      |          AS rn
+      |      FROM per),
+      |kth AS (SELECT event_type, MAX(CASE WHEN rn = 256 THEN h END)
+      |          AS kth
+      |        FROM r GROUP BY 1),
+      |g AS (
+      |  SELECT n.event_type,
+      |    CASE WHEN n.n_exact <= 256 THEN ROUND(n.n_exact::DOUBLE, 4)
+      |         ELSE ROUND(255.0 / ((CAST(kth.kth AS DOUBLE)
+      |                + 9.223372036854775808e18)
+      |               / 1.8446744073709551616e19), 4)
+      |    END AS kmv_est
+      |  FROM n JOIN kth USING (event_type)),
+      |u AS (SELECT DISTINCT h FROM per),
+      |un AS (SELECT COUNT(*) AS union_exact FROM u),
+      |ur AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM u),
+      |ukth AS (SELECT MAX(CASE WHEN rn = 256 THEN h END) AS kth
+      |         FROM ur),
+      |uu AS (
+      |  SELECT CASE WHEN un.union_exact <= 256
+      |              THEN ROUND(un.union_exact::DOUBLE, 4)
+      |         ELSE ROUND(255.0 / ((CAST(ukth.kth AS DOUBLE)
+      |                + 9.223372036854775808e18)
+      |               / 1.8446744073709551616e19), 4)
+      |    END AS union_est
+      |  FROM un CROSS JOIN ukth),
+      |ab AS (
+      |  SELECT
+      |    MAX(CASE WHEN event_type = 'click' THEN kmv_est END) AS est_a,
+      |    MAX(CASE WHEN event_type = 'view' THEN kmv_est END) AS est_b
+      |  FROM g),
+      |ie AS (
+      |  SELECT COUNT(*)::BIGINT AS inter_exact FROM (
+      |    SELECT user_id FROM src GROUP BY user_id
+      |    HAVING COUNT(DISTINCT event_type) = 2))
+      |SELECT est_a, est_b, union_est,
+      |  est_a + est_b - union_est AS inter_est, inter_exact,
+      |  (ABS((est_a + est_b - union_est) / inter_exact::DOUBLE - 1.0)
+      |    <= 0.25) AS inter_err_ok
+      |FROM ab CROSS JOIN uu CROSS JOIN ie""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q67_kmv_intersect" -> (q67KmvIntersect _, q67Sql),
     "q66_cube_hll" -> (q66CubeHll _, q66Sql),
     "q65_trend_slope" -> (q65TrendSlope _, q65Sql),
     "q64_period_over_period" -> (q64PeriodOverPeriod _, q64Sql),
