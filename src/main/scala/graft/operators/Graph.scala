@@ -677,6 +677,52 @@ object Graph {
       .agg(count(lit(1)).as("reached"),
         sum(expr("cast(1000000 as bigint) div dist")).as("harmonic_micro"))
 
+  /** RICH-CLUB coefficient curve φ(k) (Colizza et al. 2006): among the
+    * nodes of degree > k, the fraction of possible edges actually
+    * present — rising φ(k) means hubs preferentially interconnect (a
+    * "rich club"), the structural property behind crawl-graph cores.
+    * Exact integral form: φ(k)·10⁶ = ⌊2·e_k·10⁶ / (n_k·(n_k−1))⌋.
+    *
+    * Scale shape: degrees are one partial agg; edges annotate both
+    * endpoint degrees via two co-partitioned joins; then the whole
+    * sweep is a broadcast |thresholds|-row join — the edge list is
+    * scanned once for ALL thresholds, never per k. n_k < 2 → NULL.
+    *
+    * @return one row per threshold: k, n_nodes, n_edges, phi_micro. */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "richClub needs thresholds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds degrees AND the annotated edge sweep
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // probed by the edge annotate AND the node sweep
+    val annotated = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val thr = thresholds.toDF("k")
+    val ek = annotated.crossJoin(broadcast(thr))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    val nk = deg.crossJoin(broadcast(thr))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    thr.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .na.fill(0L, Seq("n_nodes", "n_edges"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        expr("""cast((cast(n_edges as decimal(38,0)) * 2000000)
+                 div nullif(n_nodes * (n_nodes - 1), 0) as bigint)""")
+          .as("phi_micro"))
+      .orderBy("k")
+  }
+
   /** BALL-GROWTH curve / effective-diameter probe (the ANF / HyperANF
     * question, Palmer et al. 2002, answered exactly for a landmark
     * sample): for each hop count d ≤ `rounds`, how many (landmark,

@@ -727,7 +727,54 @@ object GraphQueries {
       |    AS knn_micro
       |FROM cls ORDER BY deg""".stripMargin
 
+  // ---------------------------------------------------------------- g16
+  /** Rich-club coefficient φ(k) at power-of-two degree thresholds over
+    * the trade graph — do the high-degree customers/suppliers
+    * preferentially interconnect? The edge list is scanned once for the
+    * whole sweep (broadcast threshold join), never per k. */
+  def g16RichClub(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    Graph.richClub(pairs, "c", "s", Seq(1L, 2L, 4L, 8L, 16L, 32L))
+  }
+
+  val g16Sql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e0 AS (
+      |  SELECT c AS a, s AS b FROM pairs
+      |  UNION ALL
+      |  SELECT s AS a, c AS b FROM pairs),
+      |deg AS (SELECT a AS node, COUNT(*)::BIGINT AS deg FROM e0
+      |        GROUP BY 1),
+      |ann AS (
+      |  SELECT p.c AS a, p.s AS b, da.deg AS da, db.deg AS db
+      |  FROM pairs p
+      |  JOIN deg da ON da.node = p.c
+      |  JOIN deg db ON db.node = p.s),
+      |thr AS (SELECT UNNEST([1, 2, 4, 8, 16, 32])::BIGINT AS k),
+      |ek AS (
+      |  SELECT k, COUNT(*)::BIGINT AS n_edges
+      |  FROM thr JOIN ann ON da > k AND db > k GROUP BY 1),
+      |nk AS (
+      |  SELECT k, COUNT(*)::BIGINT AS n_nodes
+      |  FROM thr JOIN deg ON deg > k GROUP BY 1)
+      |SELECT t.k, COALESCE(nk.n_nodes, 0)::BIGINT AS n_nodes,
+      |  COALESCE(ek.n_edges, 0)::BIGINT AS n_edges,
+      |  CAST(COALESCE(ek.n_edges, 0)::HUGEINT * 2000000
+      |    // NULLIF(COALESCE(nk.n_nodes, 0)
+      |             * (COALESCE(nk.n_nodes, 0) - 1), 0) AS BIGINT)
+      |    AS phi_micro
+      |FROM thr t LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+      |ORDER BY t.k""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "g16_rich_club" -> (g16RichClub _, g16Sql),
     "g15_ball_growth" -> (g15BallGrowth _, g15Sql),
     "g14_neighbor_degree" -> (g14NeighborDegree _, g14Sql),
     "g13_harmonic" -> (g13Harmonic _, g13Sql),

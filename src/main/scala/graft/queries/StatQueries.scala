@@ -1339,7 +1339,49 @@ object StatQueries {
       |    <= 0.25) AS inter_err_ok
       |FROM ab CROSS JOIN uu CROSS JOIN ie""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Event TRANSITION MATRIX — the Markov-chain census behind funnel
+    * and journey mining: per (event_type → next event_type within the
+    * same user's timeline), occurrence count and the integral row-
+    * normalized transition probability. One (user, ts) window (the
+    * corpus's only shuffle) + one fixed-width pair agg; the 5×5 matrix
+    * and its row normalization are metadata-sized. Ordering tie-breaks
+    * on event_id so simultaneous events transition deterministically. */
+  def q68TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = EventTime.load(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("from_type")
+    trans
+      .withColumn("row_total", sum(col("n")).over(tot))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("cast((cast(n as decimal(38,0)) * 1000000) div row_total as bigint)")
+          .as("p_micro"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q68Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n::HUGEINT * 1000000
+      |       // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS p_micro
+      |FROM trans ORDER BY from_type, to_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q68_transition_matrix" -> (q68TransitionMatrix _, q68Sql),
     "q67_kmv_intersect" -> (q67KmvIntersect _, q67Sql),
     "q66_cube_hll" -> (q66CubeHll _, q66Sql),
     "q65_trend_slope" -> (q65TrendSlope _, q65Sql),
