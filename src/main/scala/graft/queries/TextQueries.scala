@@ -1420,7 +1420,44 @@ object TextQueries {
       |    AS spw_micro
       |FROM m ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t40
+  /** BOILERPLATE-PREFIX census — template headers are the dedup mode
+    * near-dup pairs miss (the body differs, only the opening is
+    * stamped): group documents by their first-8-token prefix and report
+    * every prefix shared by ≥ 2 docs with its doc count, token mass,
+    * and source spread. One row-local prefix projection + one
+    * prefix-keyed partial agg; the report is bounded by the number of
+    * repeated templates, not the corpus. */
+  def t40BoilerplatePrefixes(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(trim(col("text")) =!= "")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    d.select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("toks"),
+        concat_ws(" ", slice(toks, 1, 8)).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("token_mass"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix")
+  }
+
+  val t40Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))::BIGINT AS toks,
+      |    ARRAY_TO_STRING(
+      |      STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')[1:8], ' ')
+      |      AS prefix
+      |  FROM documents WHERE TRIM(text) <> '')
+      |SELECT prefix, COUNT(*)::BIGINT AS n_docs,
+      |  SUM(toks)::BIGINT AS token_mass,
+      |  COUNT(DISTINCT source)::BIGINT AS n_sources
+      |FROM d GROUP BY 1 HAVING COUNT(*) >= 2
+      |ORDER BY prefix""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t40_boilerplate_prefixes" -> (t40BoilerplatePrefixes _, t40Sql),
     "t39_readability" -> (t39Readability _, t39Sql),
     "t38_simpson_diversity" -> (t38SimpsonDiversity _, t38Sql),
     "t37_zipf_probe" -> (t37ZipfProbe _, t37Sql),
