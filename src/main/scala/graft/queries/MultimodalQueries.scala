@@ -1157,7 +1157,73 @@ object MultimodalQueries {
       |  MIN(h) AS min_h, MAX(h) AS max_h
       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m20
+  /** Per-modality STORAGE-BUDGET report — the capacity-planning row a
+    * multimodal corpus owner reads: item count, total payload bytes,
+    * and the discrete median KiB bucket, computed with q62's
+    * histogram-median trick ((modality, KiB) partial agg bounded by the
+    * size domain, SQL-standard smallest-bucket-with-2·cum ≥ n rule over
+    * the tiny table) — never a per-modality sort of the corpus. */
+  def m20StorageBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val meta = Multimodal.withDecodedMeta(
+      Multimodal.fakeMediaFrame(docs), "doc_id", "payload", "modality")
+      .toDF()
+      .select(col("modality"), col("n_bytes").cast("bigint").as("nb"))
+    val hist = meta
+      .groupBy(col("modality"), expr("nb div 1024").as("kb"))
+      .agg(count(lit(1)).as("w"), sum(col("nb")).as("bytes"))
+    val cum = Window.partitionBy("modality").orderBy("kb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("modality")
+    hist
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("n", sum(col("w")).over(tot))
+      .withColumn("total_bytes", sum(col("bytes")).over(tot))
+      .filter(col("cumw") * 2 >= col("n"))
+      .groupBy(col("modality"))
+      .agg(min(col("kb")).as("p50_kb"), max(col("n")).as("n_items"),
+        max(col("total_bytes")).as("total_bytes"))
+      .select(col("modality"), col("n_items"), col("total_bytes"),
+        col("p50_kb"))
+      .orderBy("modality")
+  }
+
+  /** m01's planted-size arithmetic through the same histogram median. */
+  val m20Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, COALESCE(STRLEN(text), 0) AS n,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS modality,
+      |    doc_id % 6 = 2 AS mp4
+      |  FROM documents),
+      |sz AS (
+      |  SELECT modality,
+      |    (CASE modality WHEN 'image' THEN n + 33 WHEN 'audio'
+      |          THEN n + 36
+      |          ELSE n + CASE WHEN mp4 THEN 300 + 4 * (1 + doc_id % 29)
+      |                        ELSE 0 END
+      |     END)::BIGINT AS nb
+      |  FROM base),
+      |hist AS (
+      |  SELECT modality, nb // 1024 AS kb, COUNT(*)::BIGINT AS w,
+      |    SUM(nb)::BIGINT AS bytes
+      |  FROM sz GROUP BY 1, 2),
+      |c AS (
+      |  SELECT modality, kb, w, bytes,
+      |    SUM(w) OVER (PARTITION BY modality ORDER BY kb) AS cumw,
+      |    SUM(w) OVER (PARTITION BY modality) AS n,
+      |    SUM(bytes) OVER (PARTITION BY modality) AS total_bytes
+      |  FROM hist)
+      |SELECT modality, MAX(n)::BIGINT AS n_items,
+      |  MAX(total_bytes)::BIGINT AS total_bytes,
+      |  MIN(kb)::BIGINT AS p50_kb
+      |FROM c WHERE cumw * 2 >= n
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m20_storage_budget" -> (m20StorageBudget _, m20Sql),
     "m19_resolution_policy" -> (m19ResolutionPolicy _, m19Sql),
     "m18_audio_scrub" -> (m18AudioScrub _, m18Sql),
     "m17_metadata_scrub" -> (m17MetadataScrub _, m17Sql),

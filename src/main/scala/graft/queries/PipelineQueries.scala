@@ -1789,7 +1789,56 @@ object PipelineQueries {
       |FROM r, b WHERE cum <= budget
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- p31
+  /** DELETION-PROPAGATION audit (the right-to-be-forgotten pass every
+    * production corpus owes its users): for a deletion list (user_id %
+    * 97 = 0 — the stand-in for an erasure-request table), report per
+    * event_type how many events reference deleted users, the row and
+    * value mass removed, and the surviving residue — the audit row a
+    * compliance reviewer signs. The deletion list collapses to a
+    * distinct-key frame and BROADCASTS; the corpus pays one scan with a
+    * broadcast semi-split, never a shuffle on the deletion key. */
+  def p31DeletionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventTime.load(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("bigint")
+          .as("cents"))
+    val del = e.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(97)) === 0)
+    e.join(broadcast(del.withColumn("del", lit(1L))), Seq("user_id"),
+        "left")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("del").isNotNull, 1L).otherwise(0L))
+          .as("n_deleted"),
+        sum(when(col("del").isNotNull, col("cents")).otherwise(0L))
+          .as("cents_deleted"),
+        countDistinct(when(col("del").isNotNull, col("user_id")))
+          .as("users_deleted"))
+      .select(col("event_type"), col("n_events"), col("n_deleted"),
+        (col("n_events") - col("n_deleted")).as("n_surviving"),
+        col("cents_deleted"), col("users_deleted"))
+      .orderBy("event_type")
+  }
+
+  val p31Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    user_id % 97 = 0 AS del
+      |  FROM events)
+      |SELECT event_type, COUNT(*)::BIGINT AS n_events,
+      |  SUM(CASE WHEN del THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+      |  (COUNT(*) - SUM(CASE WHEN del THEN 1 ELSE 0 END))::BIGINT
+      |    AS n_surviving,
+      |  SUM(CASE WHEN del THEN cents ELSE 0 END)::BIGINT
+      |    AS cents_deleted,
+      |  COUNT(DISTINCT CASE WHEN del THEN user_id END)::BIGINT
+      |    AS users_deleted
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p31_deletion_audit" -> (p31DeletionAudit _, p31Sql),
     "p30_budget_select" -> (p30BudgetSelect _, p30Sql),
     "p29_dedup_yield" -> (p29DedupYield _, p29Sql),
     "p28_skew_audit" -> (p28SkewAudit _, p28Sql),
