@@ -422,6 +422,36 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.toString)
   }
 
+  test("richClub: path graph hand values, thresholds with empty clubs") {
+    import spark.implicits._
+    // path 1-2-3-4: deg(1)=deg(4)=1, deg(2)=deg(3)=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val out = Graph.richClub(edges, "s", "d", Seq(0L, 1L, 2L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 3L, 500000L),  // all 4 nodes, 3 of 6 possible edges
+      (1L, 2L, 1L, 1000000L), // {2,3} connected: phi = 1
+      (2L, 0L, 0L, -1L)),     // empty club -> NULL phi
+      out.mkString(","))
+  }
+
+  test("ballGrowth: path graph coverage curve from two landmarks") {
+    import spark.implicits._
+    // path 1-2-3-4, seeds {1,4}, 2 rounds: dist-0 pairs = 2 (seeds),
+    // dist-1 = 2 (1->2, 4->3), dist-2 = 2 (1->3, 4->2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val out = Graph.ballGrowth(edges, "s", "d", Seq(1L, 4L), rounds = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 333333L),
+      (1L, 2L, 4L, 666666L),
+      (2L, 2L, 6L, 1000000L)),
+      out.mkString(","))
+  }
+
   test("neighborDegreeCurve: star graph hand values, duplicate edges " +
     "collapse") {
     import spark.implicits._

@@ -1552,6 +1552,25 @@ class LlmOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cum_vocab must carry through empty buckets")
   }
 
+  test("simpsonDiversity: exact integral index, uniform vs collapsed") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", "a b c d"),   // uniform: 4 types x 1 -> D = (16-4)/16 = 0.75
+      ("c", "a a a a"),   // collapsed: D = (16-16)/16 = 0
+      ("m", "a a b b"),   // D = (16-8)/16 = 0.5
+      ("m", "")           // empties excluded
+    ).toDF("g", "text")
+    val out = TextAnalysis.simpsonDiversity(df, "g", "text", ngram = 1)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "u" -> ((4L, 4L, 750000L)),
+      "c" -> ((1L, 4L, 0L)),
+      "m" -> ((2L, 4L, 500000L))),
+      out.toString)
+  }
+
   test("zipfProbe: power-of-two ranks, octave decay, tie order by word") {
     import spark.implicits._
     // frequencies: a=8, b=4, c=4, d=1 -> ranks 1..4; probes at 1,2,4

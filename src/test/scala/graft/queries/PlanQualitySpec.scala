@@ -666,6 +666,52 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"min-union relaxation must map-side combine:\n$p")
   }
 
+  test("q66: cube HLL builds registers once; rollups aggregate the " +
+    "register table, never rescan events") {
+    val p = plan("q66_cube_hll")
+    // the fine register table is localCheckpointed, so the FINAL plan
+    // may scan events only for the exact-distinct CUBE side — at most
+    // one events scan may survive
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events"))
+    assert(scans <= 1, s"rollups must not rescan events ($scans):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q68: transition matrix shuffles events once (the user window); " +
+    "normalization windows the 5x5 matrix") {
+    val p = plan("q68_transition_matrix")
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    // one user_id exchange for the window + one pair-keyed agg exchange
+    // + one from_type window exchange — all matrix-sized after the first
+    assert(hashEx <= 3, s"too many exchanges ($hashEx):\n$p")
+    assert(p.contains("partial_count"),
+      s"pair agg must map-side combine:\n$p")
+  }
+
+  test("g16: rich club scans the annotated edge list once for the " +
+    "whole threshold sweep") {
+    val p = plan("g16_rich_club")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // thresholds ride as a broadcast; no per-k recomputation plans a
+    // cartesian or repeated shuffles beyond the two degree joins
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"threshold frame must broadcast:\n$p")
+  }
+
+  test("d28: the threshold sweep reuses ONE materialized pair pass") {
+    val p = plan("d28_threshold_curve")
+    // pairs are localCheckpointed: documents must be absent from the
+    // final plan entirely (the sweep runs over the checkpointed list)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans == 0,
+      s"sweep must not rescan documents ($scans):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("p30: budget selection never globally sorts the corpus; " +
     "thresholds ride broadcast") {
     val p = plan("p30_budget_select")
