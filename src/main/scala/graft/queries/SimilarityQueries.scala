@@ -1126,7 +1126,42 @@ object SimilarityQueries {
       |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s23
+  /** Embedding NORM census — the scale-collapse companion to s22's
+    * angular probe: the distribution of squared L2 norms (norm², the
+    * same in-order double fold both engines replay; no sqrt needed for
+    * a census). A spike at 0 is a dead encoder; a long right tail is an
+    * un-normalized one — both break cosine ANN assumptions and must be
+    * caught before index build. Row-local fold + one ≤buckets partial
+    * agg. */
+  def s23NormCensus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    emb(spark, dir)
+      .select(round(expr(
+        """aggregate(embedding, cast(0.0 as double),
+          |  (acc, x) -> acc + cast(x as double) * cast(x as double))"""
+          .stripMargin), 6).as("norm2"))
+      .withColumn("bucket",
+        least(lit(19L), floor(col("norm2") * 10.0d).cast("bigint")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"))
+      .orderBy("bucket")
+  }
+
+  val s23Sql: String =
+    """WITH n AS (
+      |  SELECT ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2
+      |  FROM embeddings)
+      |SELECT LEAST(19, CAST(FLOOR(norm2 * 10.0) AS BIGINT)) AS bucket,
+      |  COUNT(*)::BIGINT AS n_vecs,
+      |  MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s23_norm_census" -> (s23NormCensus _, s23Sql),
     "s22_anisotropy" -> (s22Anisotropy _, s22Sql),
     "s21_ivf_nprobe_sweep" -> (s21IvfNprobeSweep _, s21Sql),
     "s20_ann_ivfpq" -> (s20IvfPqTopK _, s20Sql),

@@ -1380,7 +1380,64 @@ object StatQueries {
       |    AS p_micro
       |FROM trans ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** FUNNEL LATENCY quantiles — time-to-convert from each user's first
+    * 'view' to their first 'purchase' after it, with the discrete
+    * median computed by q62's histogram trick: latencies collapse to a
+    * per-minute histogram (bounded by the time span), the median is
+    * the smallest bucket with 2·cum ≥ n over that tiny table, and the
+    * corpus pays two user-keyed partial aggs — never a global latency
+    * sort. The metric every conversion dashboard quotes, exact. */
+  def q69FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = EventTime.load(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_view"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_us") >= col("t_view"))
+      .groupBy("user_id")
+      .agg(min(col("ts_us") - col("t_view")).as("lat_us"))
+    val hist = conv
+      .groupBy(expr("lat_us div 60000000").as("lat_min"))
+      .agg(count(lit(1)).as("w"))
+    val cum = Window.orderBy("lat_min")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("n", sum(col("w")).over(tot))
+      .filter(col("cumw") * 2 >= col("n"))
+      .agg(max(col("n")).as("n_converted"),
+        min(col("lat_min")).as("p50_latency_min"))
+  }
+
+  val q69Sql: String =
+    """WITH fv AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id,
+      |    MIN(epoch_us(e.ts) - fv.t_view) AS lat_us
+      |  FROM events e JOIN fv USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.t_view
+      |  GROUP BY 1),
+      |hist AS (
+      |  SELECT lat_us // 60000000 AS lat_min, COUNT(*)::BIGINT AS w
+      |  FROM conv GROUP BY 1),
+      |c AS (
+      |  SELECT lat_min, w,
+      |    SUM(w) OVER (ORDER BY lat_min) AS cumw,
+      |    SUM(w) OVER () AS n
+      |  FROM hist)
+      |SELECT MAX(n)::BIGINT AS n_converted,
+      |  MIN(lat_min)::BIGINT AS p50_latency_min
+      |FROM c WHERE cumw * 2 >= n""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q69_funnel_latency" -> (q69FunnelLatency _, q69Sql),
     "q68_transition_matrix" -> (q68TransitionMatrix _, q68Sql),
     "q67_kmv_intersect" -> (q67KmvIntersect _, q67Sql),
     "q66_cube_hll" -> (q66CubeHll _, q66Sql),
