@@ -1436,7 +1436,64 @@ object StatQueries {
       |  MIN(lat_min)::BIGINT AS p50_latency_min
       |FROM c WHERE cumw * 2 >= n""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Event-type AFFINITY (market-basket lift) — for every unordered
+    * type pair, the users doing both, and the exact integral lift
+    * ⌊10⁶·N·n_ab/(n_a·n_b)⌋ (>10⁶ = the behaviors attract, <10⁶ =
+    * repel): the association-mining primitive behind recommendations.
+    * The corpus collapses to DISTINCT (user, type) first — the
+    * per-user self-join then runs over ≤|types| rows per user
+    * (co-partitioned, never corpus×corpus), and supports are one more
+    * fixed-width agg. */
+  def q70TypeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val ut = EventTime.load(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint() // feeds supports AND both pair sides
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val support = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("ta"))
+      .join(ut.select(col("user_id"), col("event_type").as("tb")),
+        "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(support.select(col("event_type").as("ta"),
+        col("n").as("n_a"))), "ta")
+      .join(broadcast(support.select(col("event_type").as("tb"),
+        col("n").as("n_b"))), "tb")
+      .crossJoin(broadcast(nUsers))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("""cast((cast(n_users as decimal(38,0)) * n_ab * 1000000)
+                 div (cast(n_a as decimal(38,0)) * n_b) as bigint)""")
+          .as("lift_micro"))
+      .orderBy("ta", "tb")
+  }
+
+  val q70Sql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events),
+      |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+      |sup AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM ut
+      |        GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    COUNT(*)::BIGINT AS n_ab
+      |  FROM ut a JOIN ut b USING (user_id)
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, n_ab, sa.n AS n_a, sb.n AS n_b,
+      |  CAST((nu.n_users::HUGEINT * n_ab * 1000000)
+      |    // (sa.n::HUGEINT * sb.n) AS BIGINT) AS lift_micro
+      |FROM p
+      |JOIN sup sa ON sa.event_type = p.ta
+      |JOIN sup sb ON sb.event_type = p.tb
+      |CROSS JOIN nu
+      |ORDER BY ta, tb""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q70_type_affinity" -> (q70TypeAffinity _, q70Sql),
     "q69_funnel_latency" -> (q69FunnelLatency _, q69Sql),
     "q68_transition_matrix" -> (q68TransitionMatrix _, q68Sql),
     "q67_kmv_intersect" -> (q67KmvIntersect _, q67Sql),
