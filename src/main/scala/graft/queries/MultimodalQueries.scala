@@ -1222,7 +1222,75 @@ object MultimodalQueries {
       |FROM c WHERE cumw * 2 >= n
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m21
+  /** AUDIO CLIPPING CENSUS, real decode: each audio doc becomes a genuine
+    * playable WAV whose samples are doc_id-derived — most bounded at
+    * |x| ≤ 30000 (safely under the clip threshold), but every position
+    * where (doc_id·31 + i·17) mod 11 = 0 is planted at FULL SCALE
+    * (alternating +32767 / −32768). The operator decodes the REAL sample
+    * stream back via javax.sound ([[Multimodal.decodeAudioSamples]]) and
+    * counts samples at ≥ 99% full scale (|x| ≥ 32440) — the standard
+    * hot-mastered / damaged-capture detector — then collapses to a
+    * per-sample-rate census (≤5 rows; partial agg). The oracle replays
+    * the planting arithmetic in list form: any decode drift (byte order,
+    * header skew, truncation) moves a planted clip and breaks the hash. */
+  def m21AudioClipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+    val perDoc = ids.mapPartitions(_.map { id =>
+      val n = (50 + id % 30).toInt
+      val rate = (8000L * (1 + id % 5)).toInt
+      val samples = Array.tabulate(n) { i =>
+        val k = id * 31 + i.toLong * 17
+        if (k % 11 == 0) (if (i % 2 == 0) 32767 else -32768).toShort
+        else ((k % 60000) - 30000).toShort
+      }
+      val decoded = Multimodal.decodeAudioSamples(
+        Multimodal.pcmWav(rate, samples)).get
+      var clipped = 0L
+      var i = 0
+      while (i < decoded.length) {
+        if (math.abs(decoded(i).toLong) >= 32440L) clipped += 1
+        i += 1
+      }
+      (rate.toLong, decoded.length.toLong, clipped)
+    }).toDF("sample_rate", "n_samples", "clipped")
+    perDoc.groupBy("sample_rate")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("clipped")).as("n_clipped"),
+        sum((col("clipped") > 0).cast("bigint")).as("clipped_docs"))
+      .select(col("sample_rate"), col("n_docs"), col("n_samples"),
+        col("n_clipped"), col("clipped_docs"),
+        expr("cast((n_clipped * 1000000L) div n_samples as bigint)")
+          .as("clip_micro"))
+      .orderBy("sample_rate")
+  }
+
+  val m21Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 50 + doc_id % 30 AS n, 8000 * (1 + doc_id % 5) AS rate
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT doc_id, rate, n,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(0, n),
+      |      i -> CASE WHEN (doc_id * 31 + i * 17) % 11 = 0
+      |                THEN 1 ELSE 0 END)) AS clipped
+      |  FROM a)
+      |SELECT rate::BIGINT AS sample_rate,
+      |  COUNT(*)::BIGINT AS n_docs,
+      |  SUM(n)::BIGINT AS n_samples,
+      |  COALESCE(SUM(clipped), 0)::BIGINT AS n_clipped,
+      |  SUM(CASE WHEN clipped > 0 THEN 1 ELSE 0 END)::BIGINT AS clipped_docs,
+      |  CAST(COALESCE(SUM(clipped), 0)::HUGEINT * 1000000
+      |       // SUM(n) AS BIGINT) AS clip_micro
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m21_audio_clipping" -> (m21AudioClipping _, m21Sql),
     "m20_storage_budget" -> (m20StorageBudget _, m20Sql),
     "m19_resolution_policy" -> (m19ResolutionPolicy _, m19Sql),
     "m18_audio_scrub" -> (m18AudioScrub _, m18Sql),

@@ -1837,7 +1837,43 @@ object PipelineQueries {
       |    AS users_deleted
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- p32
+  /** INGESTION FRESHNESS / LAG AUDIT — per event type: last-seen
+    * timestamp, lag behind the freshest type in whole minutes, and a
+    * stale flag at the 60-minute SLA. The ops tripwire for a dead
+    * upstream producer: one type's lag growing while the corpus max
+    * advances means its pipeline stopped, a condition no row-level
+    * quality check can see. One corpus pass collapses to ≤|types| rows
+    * via map-side partial agg; the corpus max rides back as a broadcast
+    * 1-row frame; everything stays in integral epoch-µs. */
+  def p32FreshnessLag(spark: SparkSession, dir: String): DataFrame = {
+    val per = EventTime.load(spark, dir)
+      .select(col("event_type"), col("ts_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("max_ts_us"))
+    val corpusMax = per.agg(max(col("max_ts_us")).as("corpus_max_us"))
+    per.crossJoin(broadcast(corpusMax))
+      .select(col("event_type"), col("n_events"), col("max_ts_us"),
+        expr("(corpus_max_us - max_ts_us) div 60000000")
+          .as("lag_minutes"),
+        (expr("(corpus_max_us - max_ts_us) div 60000000") > 60)
+          .cast("int").as("is_stale"))
+      .orderBy("event_type")
+  }
+
+  val p32Sql: String =
+    """WITH per AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n_events,
+      |    MAX(epoch_us(ts))::BIGINT AS max_ts_us
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT MAX(max_ts_us) AS corpus_max_us FROM per)
+      |SELECT event_type, n_events, max_ts_us,
+      |  ((corpus_max_us - max_ts_us) // 60000000)::BIGINT AS lag_minutes,
+      |  ((corpus_max_us - max_ts_us) // 60000000 > 60)::INT AS is_stale
+      |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p32_freshness_lag" -> (p32FreshnessLag _, p32Sql),
     "p31_deletion_audit" -> (p31DeletionAudit _, p31Sql),
     "p30_budget_select" -> (p30BudgetSelect _, p30Sql),
     "p29_dedup_yield" -> (p29DedupYield _, p29Sql),

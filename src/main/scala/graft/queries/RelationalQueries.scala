@@ -1185,7 +1185,47 @@ object RelationalQueries {
       |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END)::BIGINT AS n_p
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** TPC-H Q9-flavored STAR JOIN down the supplier/part path (q05 covers
+    * the customer path): promo-part revenue by (supplier nation, order
+    * year). The dim filter (`p_type = 'PROMO'`) is pushed into the part
+    * scan, so only ~1/6 of part reaches the join; nation (fixed 25 rows)
+    * is the only forced broadcast — part and supplier GROW with the
+    * corpus, so their join strategy is deliberately left to
+    * Catalyst/AQE, which at 100 TB correctly picks shuffle joins on the
+    * key while at small SF it broadcasts. Revenue follows the q05
+    * exact-DECIMAL discipline. */
+  def q73StarProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(spark, dir, "part").filter($"p_type" === "PROMO"),
+        $"l_partkey" === $"p_partkey")
+      .join(t(spark, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t(spark, dir, "nation")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("bigint").as("o_year"))
+      .agg(
+        asDouble(sum(dec($"l_extendedprice") * dec(lit(1) - $"l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"n_name", $"o_year")
+  }
+
+  val q73Sql: String =
+    """SELECT n_name, YEAR(o_orderdate)::BIGINT AS o_year,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | COUNT(*)::BIGINT AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q73_star_profit" -> (q73StarProfit _, q73Sql),
     "q61_pivot" -> (q61Pivot _, q61Sql),
     "q55_rolling_distinct" -> (q55RollingDistinct _, q55Sql),
     "q57_hopping_windows" -> (q57HoppingWindows _, q57Sql),

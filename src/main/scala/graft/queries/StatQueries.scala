@@ -1492,7 +1492,120 @@ object StatQueries {
       |CROSS JOIN nu
       |ORDER BY ta, tb""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** BENFORD leading-digit audit over the two money columns — the
+    * classic synthetic-data / fraud / unit-mixup detector: a natural
+    * multiplicative amount column tracks log10(1+1/d); a uniform
+    * generator (this corpus) or a capped fee schedule does not, and the
+    * delta column says so quantitatively. One scan per column (pruned
+    * to that single column), a 9-row census each, shares and the
+    * hard-coded Benford expectation in micro units. The audit table is
+    * 18 rows regardless of corpus size. */
+  private val benfordCase: String =
+    """CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+      |  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+      |  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END""".stripMargin
+
+  def q71Benford(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def census(df: DataFrame, valueCol: String, label: String) =
+      df.select(
+          expr(s"cast(substring(cast(floor($valueCol) as string), 1, 1) as bigint)")
+            .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(lit(label).as("col_name"), col("digit"), col("n"))
+    val rows = census(t(spark, dir, "lineitem"), "l_extendedprice",
+        "l_extendedprice")
+      .unionByName(census(t(spark, dir, "orders"), "o_totalprice",
+        "o_totalprice"))
+    rows
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy("col_name")))
+      .select(col("col_name"), col("digit"), col("n"),
+        expr("cast((n * 1000000L) div total as bigint)").as("share_micro"),
+        expr(benfordCase).cast("bigint").as("benford_micro"))
+      .withColumn("delta_micro", col("share_micro") - col("benford_micro"))
+      .orderBy("col_name", "digit")
+  }
+
+  val q71Sql: String =
+    s"""WITH src AS (
+       |  SELECT 'l_extendedprice' AS col_name,
+       |    CAST(SUBSTR(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+       |                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'o_totalprice' AS col_name,
+       |    CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+       |                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders),
+       |cm AS (
+       |  SELECT col_name, digit, COUNT(*)::BIGINT AS n
+       |  FROM src GROUP BY 1, 2)
+       |SELECT col_name, digit, n,
+       |  CAST(n::HUGEINT * 1000000
+       |       // SUM(n) OVER (PARTITION BY col_name) AS BIGINT)
+       |    AS share_micro,
+       |  CAST($benfordCase AS BIGINT) AS benford_micro,
+       |  CAST(n::HUGEINT * 1000000
+       |       // SUM(n) OVER (PARTITION BY col_name) AS BIGINT)
+       |    - CAST($benfordCase AS BIGINT) AS delta_micro
+       |FROM cm ORDER BY col_name, digit""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** CUSUM drift chart over daily event volume — the classic
+    * change-point visual for pipeline monitoring: S_d = Σ_{i≤d}
+    * (x_i·D − N) (deviation from the run mean, scaled by the day count
+    * D so everything stays integral). A regime change shows as a kink;
+    * the argmax |S_d| row (flagged) is the least-squares single
+    * change-point candidate. One corpus pass collapses to ≤ D daily
+    * rows; every window below runs over that tiny table. */
+  def q72CusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = EventTime.load(spark, dir)
+      .select(expr("ts_us div 86400000000").as("day_id"))
+      .groupBy("day_id").agg(count(lit(1)).as("events"))
+    val bounds = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("events")).as("total"))
+    val wAll = Window.orderBy("day_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.crossJoin(broadcast(bounds))
+      .withColumn("dev_scaled",
+        col("events") * col("n_days") - col("total"))
+      .withColumn("cusum_scaled", sum(col("dev_scaled")).over(wAll))
+    scored
+      .withColumn("peak_abs",
+        max(abs(col("cusum_scaled")))
+          .over(Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col("day_id"), col("events"), col("dev_scaled"),
+        col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("peak_abs")).cast("int")
+          .as("is_peak"))
+      .orderBy("day_id")
+  }
+
+  val q72Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day_id,
+      |    COUNT(*)::BIGINT AS events
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT COUNT(*)::BIGINT AS n_days, SUM(events)::BIGINT AS total
+      |      FROM daily),
+      |s AS (
+      |  SELECT day_id, events,
+      |    (events * n_days - total)::BIGINT AS dev_scaled,
+      |    CAST(SUM(events * n_days - total)
+      |         OVER (ORDER BY day_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS cusum_scaled
+      |  FROM daily CROSS JOIN b)
+      |SELECT day_id, events, dev_scaled, cusum_scaled,
+      |  (ABS(cusum_scaled) = MAX(ABS(cusum_scaled)) OVER ())::INT AS is_peak
+      |FROM s ORDER BY day_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q72_cusum_drift" -> (q72CusumDrift _, q72Sql),
+    "q71_benford" -> (q71Benford _, q71Sql),
     "q70_type_affinity" -> (q70TypeAffinity _, q70Sql),
     "q69_funnel_latency" -> (q69FunnelLatency _, q69Sql),
     "q68_transition_matrix" -> (q68TransitionMatrix _, q68Sql),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
@@ -34,10 +34,13 @@ object TextQueries {
       TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
-  /** DuckDB mirror of [[TextAnalysis.langId]]: per-language distinct-
-    * stopword hit counts; CASE evaluates languages alphabetically so ties
-    * resolve to the lexicographically-first language like the Spark side. */
-  val t02Sql: String = {
+  /** Shared DuckDB mirror of [[TextAnalysis.langId]]: per-language
+    * distinct-stopword hit counts; CASE evaluates languages alphabetically
+    * so ties resolve to the lexicographically-first language like the
+    * Spark side. Ends in a relation `pred(doc_id, lang_label, lang_pred)`
+    * so both the per-doc gate (t02) and the confusion-matrix eval (t41)
+    * replay the identical heuristic. */
+  private def langIdPredCte: String = {
     def listLit(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     val scores = TextAnalysis.stopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
       s"LEN(LIST_INTERSECT(w, ${listLit(ws)})) AS s_$l"
@@ -45,20 +48,26 @@ object TextQueries {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
     val greatest = langs.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
     val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString("\n      ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, lang,
        |    LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS w
        |  FROM documents),
        |scored AS (
        |  SELECT doc_id, lang, $scores
        |  FROM toks),
-       |m AS (SELECT *, $greatest AS m FROM scored)
-       |SELECT doc_id, lang AS lang_label,
-       |  CASE WHEN m = 0 THEN 'und'
-       |      $cases
-       |  END AS lang_pred
-       |FROM m ORDER BY doc_id""".stripMargin
+       |m AS (SELECT *, $greatest AS m FROM scored),
+       |pred AS (
+       |  SELECT doc_id, lang AS lang_label,
+       |    CASE WHEN m = 0 THEN 'und'
+       |        $cases
+       |    END AS lang_pred
+       |  FROM m)""".stripMargin
   }
+
+  val t02Sql: String =
+    s"""WITH $langIdPredCte
+       |SELECT doc_id, lang_label, lang_pred FROM pred
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t03
   def t03Quality(spark: SparkSession, dir: String): DataFrame =
@@ -125,11 +134,16 @@ object TextQueries {
       TextAnalysis.subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
 
-  val t05Sql: String =
-    """WITH base AS (SELECT doc_id, TRIM(text) AS s FROM documents),
-      |ch AS (SELECT doc_id, s, STRING_SPLIT(s, '') AS c, LENGTH(s) AS n
-      |       FROM base)
-      |SELECT doc_id,
+  /** Shared DuckDB mirror of the per-doc token/subword arithmetic: ends
+    * in a relation `tok(doc_id, lang, n_chars, n_tokens, n_subwords)` so
+    * both the per-doc gate (t05) and the per-language fertility rollup
+    * (t43) replay the IDENTICAL lookaround-free char-pair mirror. */
+  private val subwordTokCte: String =
+    """base AS (SELECT doc_id, lang, text, TRIM(text) AS s FROM documents),
+      |ch AS (SELECT doc_id, lang, text, s, STRING_SPLIT(s, '') AS c,
+      |              LENGTH(s) AS n
+      |       FROM base),
+      |tok AS (SELECT doc_id, lang, LENGTH(text)::BIGINT AS n_chars,
       |  CASE WHEN LENGTH(s) = 0 THEN 0
       |       ELSE LEN(STRING_SPLIT_REGEX(s, '\s+')) END::BIGINT AS n_tokens,
       |  CASE WHEN s IS NULL THEN NULL
@@ -150,7 +164,12 @@ object TextQueries {
       |                 AND ((c[i] BETWEEN 'a' AND 'z')
       |                      OR (c[i] BETWEEN 'A' AND 'Z')))])
       |       END::BIGINT AS n_subwords
-      |FROM ch ORDER BY doc_id""".stripMargin
+      |  FROM ch)""".stripMargin
+
+  val t05Sql: String =
+    s"""WITH $subwordTokCte
+       |SELECT doc_id, n_tokens, n_subwords
+       |FROM tok ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t06
   /** Rolling-hash (FNV-1a64, codegen Catalyst expression) fingerprint.
@@ -1456,7 +1475,155 @@ object TextQueries {
       |FROM d GROUP BY 1 HAVING COUNT(*) >= 2
       |ORDER BY prefix""".stripMargin
 
+  // ---------------------------------------------------------------- t41
+  /** LANG-ID EVALUATION — the confusion matrix of the stopword
+    * heuristic (t02) against the corpus's own `lang` labels, the
+    * measurement that decides whether the cheap labeler is good enough
+    * to route documents at ingest. Each cell carries its label-row
+    * share (recall on the diagonal) and prediction-column share
+    * (precision on the diagonal) in micro units. One corpus pass
+    * collapses to ≤ (|langs|+1)² cells; the share windows run over that
+    * tiny table, never the corpus. */
+  def t41LangIdEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cm = docs(spark, dir)
+      .select(col("lang").as("lang_label"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_label", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    cm.withColumn("label_total",
+        sum(col("n")).over(Window.partitionBy("lang_label")))
+      .withColumn("pred_total",
+        sum(col("n")).over(Window.partitionBy("lang_pred")))
+      .select(col("lang_label"), col("lang_pred"), col("n"),
+        expr("cast((n * 1000000L) div label_total as bigint)")
+          .as("label_share_micro"),
+        expr("cast((n * 1000000L) div pred_total as bigint)")
+          .as("pred_share_micro"))
+      .orderBy("lang_label", "lang_pred")
+  }
+
+  val t41Sql: String =
+    s"""WITH $langIdPredCte,
+       |cm AS (
+       |  SELECT lang_label, lang_pred, COUNT(*)::BIGINT AS n
+       |  FROM pred GROUP BY 1, 2)
+       |SELECT lang_label, lang_pred, n,
+       |  CAST(n::HUGEINT * 1000000
+       |       // SUM(n) OVER (PARTITION BY lang_label) AS BIGINT)
+       |    AS label_share_micro,
+       |  CAST(n::HUGEINT * 1000000
+       |       // SUM(n) OVER (PARTITION BY lang_pred) AS BIGINT)
+       |    AS pred_share_micro
+       |FROM cm ORDER BY lang_label, lang_pred""".stripMargin
+
+  // ---------------------------------------------------------------- t42
+  /** SCRIPT / CHARACTER-CLASS census per source — the corpus
+    * composition profile (ASCII letters vs digits vs whitespace vs
+    * everything else, which at web scale means markup, symbols, and
+    * non-Latin scripts) that catches an ingest regression — a crawler
+    * suddenly shipping markup or mojibake shifts these shares before
+    * any quality score moves. Counts come from length deltas of
+    * class-stripped text (row-local, codegen'd); one source-keyed
+    * partial agg collapses the corpus; shares are integral micro with
+    * DECIMAL(38,0) headroom so a 100-TB source can't overflow. */
+  def t42ScriptCensus(spark: SparkSession, dir: String): DataFrame = {
+    def stripped(re: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), re, "")))
+        .cast("bigint")
+    docs(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("bigint").as("chars"),
+        stripped("[A-Za-z]").as("letters"),
+        stripped("[0-9]").as("digits"),
+        stripped("\\s").as("ws"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("chars"),
+        sum(col("letters")).as("letters"),
+        sum(col("digits")).as("digits"),
+        sum(col("ws")).as("ws"))
+      .select(col("source"), col("n_docs"), col("chars"), col("letters"),
+        col("digits"), col("ws"),
+        (col("chars") - col("letters") - col("digits") - col("ws"))
+          .as("other"),
+        micro("letters"), micro("digits"), micro("ws"),
+        expr("""cast((cast(chars - letters - digits - ws as decimal(38,0))
+                      * 1000000) div chars as bigint)""").as("other_micro"))
+      .orderBy("source")
+  }
+
+  private def micro(c: String): Column =
+    expr(s"cast((cast($c as decimal(38,0)) * 1000000) div chars as bigint)")
+      .as(s"${c}_micro")
+
+  val t42Sql: String =
+    """WITH d AS (
+      |  SELECT source, LENGTH(text)::BIGINT AS chars,
+      |    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')))::BIGINT AS letters,
+      |    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))::BIGINT AS digits,
+      |    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')))::BIGINT AS ws
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |    SUM(chars)::BIGINT AS chars, SUM(letters)::BIGINT AS letters,
+      |    SUM(digits)::BIGINT AS digits, SUM(ws)::BIGINT AS ws
+      |  FROM d GROUP BY 1)
+      |SELECT source, n_docs, chars, letters, digits, ws,
+      |  (chars - letters - digits - ws)::BIGINT AS other,
+      |  CAST(letters::HUGEINT * 1000000 // chars AS BIGINT) AS letters_micro,
+      |  CAST(digits::HUGEINT * 1000000 // chars AS BIGINT) AS digits_micro,
+      |  CAST(ws::HUGEINT * 1000000 // chars AS BIGINT) AS ws_micro,
+      |  CAST((chars - letters - digits - ws)::HUGEINT * 1000000 // chars
+      |       AS BIGINT) AS other_micro
+      |FROM m ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- t43
+  /** TOKENIZER FERTILITY by language — subwords per whitespace word and
+    * chars per subword, the pair every multilingual-tokenizer evaluation
+    * reports (a language whose fertility spikes is being shredded into
+    * per-character pieces and will train badly at a fixed context
+    * length). Per-doc counts are the SAME codegen'd expressions t05
+    * gates per-doc (the oracle shares the t05 CTE verbatim); one
+    * lang-keyed map-side partial agg collapses the corpus, micro ratios
+    * are integral divisions over the ≤|langs| summary. */
+  def t43Fertility(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("lang"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_subwords"), col("n_chars"),
+        expr("cast((n_subwords * 1000000L) div nullif(n_tokens, 0) as bigint)")
+          .as("subwords_per_token_micro"),
+        expr("cast((n_chars * 1000000L) div nullif(n_subwords, 0) as bigint)")
+          .as("chars_per_subword_micro"))
+      .orderBy("lang")
+
+  val t43Sql: String =
+    s"""WITH $subwordTokCte,
+       |agg AS (
+       |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       |    SUM(n_tokens)::BIGINT AS n_tokens,
+       |    SUM(n_subwords)::BIGINT AS n_subwords,
+       |    SUM(n_chars)::BIGINT AS n_chars
+       |  FROM tok GROUP BY 1)
+       |SELECT lang, n_docs, n_tokens, n_subwords, n_chars,
+       |  CAST(n_subwords::HUGEINT * 1000000
+       |       // NULLIF(n_tokens, 0) AS BIGINT) AS subwords_per_token_micro,
+       |  CAST(n_chars::HUGEINT * 1000000
+       |       // NULLIF(n_subwords, 0) AS BIGINT) AS chars_per_subword_micro
+       |FROM agg ORDER BY lang""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "t43_fertility" -> (t43Fertility _, t43Sql),
+    "t42_script_census" -> (t42ScriptCensus _, t42Sql),
+    "t41_langid_eval" -> (t41LangIdEval _, t41Sql),
     "t40_boilerplate_prefixes" -> (t40BoilerplatePrefixes _, t40Sql),
     "t39_readability" -> (t39Readability _, t39Sql),
     "t38_simpson_diversity" -> (t38SimpsonDiversity _, t38Sql),

@@ -781,4 +781,82 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange rangepartitioning"),
       s"corpus must not globally sort:\n$p")
   }
+
+  test("q71: each money-column scan prunes to exactly that column and the " +
+    "digit census map-side combines") {
+    val p = plan("q71_benford")
+    val liRead = p.linesIterator.find(l =>
+      l.contains("lineitem.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(liRead.contains("l_extendedprice") && !liRead.contains("l_quantity")
+      && !liRead.contains("l_orderkey"), s"lineitem over-read: $liRead")
+    val oRead = p.linesIterator.find(l =>
+      l.contains("orders.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(oRead.contains("o_totalprice") && !oRead.contains("o_orderkey"),
+      s"orders over-read: $oRead")
+    assert(p.contains("partial_count"),
+      s"digit census must map-side combine:\n$p")
+    // the share windows run over the 18-row census, after the aggs
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no cartesian:\n$p")
+  }
+
+  test("t42: script census prunes the docs scan to (source, text) and the " +
+    "source agg map-side combines") {
+    val p = plan("t42_script_census")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("source") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("n_chars"),
+      s"docs over-read: $read")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"census must map-side combine:\n$p")
+  }
+
+  test("q72: daily CUSUM aggregates before any window; only the ≤D-row " +
+    "daily frame is single-partition sorted") {
+    val p = plan("q72_cusum_drift")
+    assert(p.contains("partial_count"),
+      s"daily census must map-side combine:\n$p")
+    // the bounds frame joins back as a broadcast, never a shuffle key
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"bounds must broadcast:\n$p")
+  }
+
+  test("q73: the promo dim filter reaches the part scan; lineitem is " +
+    "never over-read; revenue map-side combines") {
+    val p = plan("q73_star_profit")
+    val partRead = p.linesIterator.find(l =>
+      l.contains("part.parquet") && l.contains("PushedFilters")).getOrElse("")
+    assert(partRead.contains("p_type"),
+      s"p_type filter must push into the part scan: $partRead")
+    val liRead = p.linesIterator.find(l =>
+      l.contains("lineitem.parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(liRead.contains("l_extendedprice") && !liRead.contains("l_tax")
+      && !liRead.contains("l_returnflag"), s"lineitem over-read: $liRead")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"revenue agg must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no cartesian in the star join:\n$p")
+  }
+
+  test("t43: fertility prunes the docs scan to (lang, text) and the lang " +
+    "agg map-side combines; ratios run over the ≤|langs| summary") {
+    val p = plan("t43_fertility")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("lang") && read.contains("text") &&
+      !read.contains("source") && !read.contains("n_chars"),
+      s"docs over-read: $read")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"fertility agg must map-side combine:\n$p")
+  }
+
+  test("p32: freshness audit is one map-side-combined pass; the corpus " +
+    "max rides back broadcast, never a second events scan") {
+    val p = plan("p32_freshness_lag")
+    assert(p.contains("partial_max"),
+      s"per-type agg must map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"corpus max must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("events.parquet")) <= 2,
+      s"events must not be rescanned for the global max:\n$p")
+  }
 }
