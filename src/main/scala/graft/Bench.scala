@@ -105,6 +105,30 @@ object Bench {
     // achievable time than any single sample.
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt)
+    // Inter-query hygiene, OUTSIDE the timed section: several gates
+    // localCheckpoint intermediates (the correct 100-TB lineage
+    // discipline), and those blocks are only reclaimed when the
+    // ContextCleaner notices the RDD is garbage — which in a 250-query
+    // single-JVM session means block-manager pressure accumulates until
+    // a full-GC/cleaner avalanche lands on whatever query happens to be
+    // running (r16: q26 read 11.07 s in-session vs 1.41 s isolated, with
+    // byte-identical code). Dropping leaked persisted RDDs and cached
+    // plans after each query — no cross-query state is ever reused by
+    // design, `SparkEntryContractSpec` runs every gate independently —
+    // plus an amortized explicit GC makes each timing attributable to
+    // ITS query instead of to the session's history. Real deployments
+    // run one job per session; the leak is a bench-harness artifact.
+    var sinceGc = 0
+    def drainLeaks(): Unit = {
+      // blocking: async removals would bleed into the NEXT repeat's
+      // timed window — the exact attribution noise this drain exists
+      // to eliminate
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.sharedState.cacheManager.clearCache()
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -114,7 +138,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        drainLeaks()
+        dt
       }.min
       name -> best
     }

@@ -611,28 +611,6 @@ object Graph {
     dist
   }
 
-  /** Sampled HARMONIC CENTRALITY (Boldi & Vigna 2014's centrality of
-    * choice for web-scale graphs — defined for disconnected graphs,
-    * unlike closeness): H(v) = Σ_s 1/d(s,v) over a fixed landmark seed
-    * set, distances from a per-source multi-BFS truncated at `rounds`
-    * hops. Exact harmonic centrality needs all-pairs distances — never
-    * computed at 100 TB; the landmark-sampled estimator (the
-    * HyperBall/ANF lineage) is the production form, and a deterministic
-    * seed set keeps it oracle-mirrorable.
-    *
-    * State is (node, src, dist) — frontier size multiplies by at most
-    * |seeds|, so the seed set bounds memory exactly like the probe batch
-    * bounds [[graft.operators.Similarity.knnJoin]]. Each round is one
-    * co-partitioned equi-join plus a min partial agg over (node, src),
-    * localCheckpoint-ed; min-union relaxation is idempotent (no visited
-    * set). The final score is integer micro-units ⌊10⁶/d⌋ summed per
-    * node — BIGINT arithmetic both engines reproduce bit-for-bit.
-    *
-    * @return (node, reached, harmonic_micro): landmarks reached within
-    *         `rounds` hops (d ≥ 1) and Σ⌊10⁶/d⌋ over them; seeds score
-    *         their OWN row too (d(s,s)=0 contributes nothing, matching
-    *         the definition's s≠v sum). Nodes reaching no landmark are
-    *         absent. */
   /** Min-union landmark BFS shared by [[harmonicCentrality]] and
     * [[ballGrowth]]: (node, src, dist) with dist = min distance from
     * landmark `src` found within `rounds` hops. Co-partitioned edge
@@ -669,6 +647,28 @@ object Graph {
     dist
   }
 
+  /** Sampled HARMONIC CENTRALITY (Boldi & Vigna 2014's centrality of
+    * choice for web-scale graphs — defined for disconnected graphs,
+    * unlike closeness): H(v) = Σ_s 1/d(s,v) over a fixed landmark seed
+    * set, distances from a per-source multi-BFS truncated at `rounds`
+    * hops. Exact harmonic centrality needs all-pairs distances — never
+    * computed at 100 TB; the landmark-sampled estimator (the
+    * HyperBall/ANF lineage) is the production form, and a deterministic
+    * seed set keeps it oracle-mirrorable.
+    *
+    * State is (node, src, dist) — frontier size multiplies by at most
+    * |seeds|, so the seed set bounds memory exactly like the probe batch
+    * bounds [[graft.operators.Similarity.knnJoin]]. Each round is one
+    * co-partitioned equi-join plus a min partial agg over (node, src),
+    * localCheckpoint-ed; min-union relaxation is idempotent (no visited
+    * set). The final score is integer micro-units ⌊10⁶/d⌋ summed per
+    * node — BIGINT arithmetic both engines reproduce bit-for-bit.
+    *
+    * @return (node, reached, harmonic_micro): landmarks reached within
+    *         `rounds` hops (d ≥ 1) and Σ⌊10⁶/d⌋ over them; seeds score
+    *         their OWN row too (d(s,s)=0 contributes nothing, matching
+    *         the definition's s≠v sum). Nodes reaching no landmark are
+    *         absent. */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: Seq[Long], rounds: Int = 4): DataFrame =
     minUnionBfs(edges, srcCol, dstCol, seeds, rounds)

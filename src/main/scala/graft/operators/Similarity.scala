@@ -147,18 +147,20 @@ object Similarity {
     * is bounded: nlist seed rows, then nlist·dims aggregate rows. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
-      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nlist, lloydIters,
-      trainFactor)
+      lloydIters: Int = 2, trainFactor: Int = 64): DataFrame =
+    ivfTopKWith(df, idCol, vecCol,
+      ivfCentroids(df, idCol, vecCol, nlist, lloydIters, trainFactor),
+      query, k, nprobe)
 
-    // nprobe cells nearest to the query (driver-side: nlist tiny)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na) / math.sqrt(nb)
-    }
-    val probeCells = centroids.sortBy { case (_, c) => -cos(query, c) }
-      .take(nprobe).map(_._1).toSet
+  /** [[ivfTopK]] against PREBUILT centroids — the index-reuse entry
+    * point: a parameter sweep (s21) or a repeated-query workload trains
+    * the coarse quantizer ONCE and probes many times, instead of paying
+    * the seed-collect + Lloyd corpus scans per call (the same
+    * train-once contract as [[mipsTopKQuantized]]'s `maxNorm2`). */
+  def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])], query: Array[Double],
+      k: Int, nprobe: Int): DataFrame = {
+    val probed = probeCells(centroids, query, nprobe)
 
     // assignment: argmax cosine over the centroid matrix — a single native
     // expression carrying the matrix as state (same argmax/tie semantics as
@@ -168,12 +170,30 @@ object Similarity {
     val assigned = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
       .withColumn("cell", VectorFunctions.nearestCentroid(col("vec"), centroidMatrix))
 
-    assigned.filter(col("cell").isin(probeCells.toSeq: _*))
+    assigned.filter(col("cell").isin(probed.toSeq: _*))
       .select(col("vec_id"),
         round(VectorFunctions.cosine(col("vec"), vecLit(query)), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Driver-side cosine over two small dense vectors (centroid probing). */
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  /** The `nprobe` cell ids whose centroids are nearest the query —
+    * driver-side over the tiny centroid table, SHARED by every IVF
+    * variant (flat and PQ) so the probe metric and tie-break can never
+    * drift between the two paths. */
+  private[graft] def probeCells(centroids: Array[(Int, Array[Double])],
+      query: Array[Double], nprobe: Int): Set[Int] =
+    centroids.sortBy { case (_, c) => -cosArr(query, c) }
+      .take(nprobe).map(_._1).toSet
 
   /** The IVF coarse quantizer: deterministic seed sample + Lloyd
     * refinement (see [[ivfTopK]]). Exposed for the cell-balance spec and
@@ -640,20 +660,12 @@ object Similarity {
       trainFactor: Int = 64): DataFrame = {
     val centroids = ivfCentroids(df, idCol, vecCol, nlist, lloydIters,
       trainFactor)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / math.sqrt(na) / math.sqrt(nb)
-    }
-    val probeCells = centroids.sortBy { case (_, c) => -cos(query, c) }
-      .take(nprobe).map(_._1).toSet
+    val cells = probeCells(centroids, query, nprobe)
     val cb = pqCodebook(df, idCol, vecCol, m, ksub)
     val probed = df
       .withColumn("__cell",
         VectorFunctions.nearestCentroid(col(vecCol), centroids.map(_._2)))
-      .filter(col("__cell").isin(probeCells.toSeq: _*))
+      .filter(col("__cell").isin(cells.toSeq: _*))
       .drop("__cell")
     pqRank(probed, idCol, vecCol, cb, query, k * refine)
       .orderBy(col("cos").desc, col("vec_id").asc)

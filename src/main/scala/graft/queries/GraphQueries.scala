@@ -20,6 +20,19 @@ object GraphQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The customer↔supplier trade graph every g-gate builds on: one
+    * DISTINCT (customer, supplier) pair per order-line relationship,
+    * customers at even node ids (2·custkey), suppliers at odd
+    * (2·suppkey+1) — disjoint id spaces in one BIGINT column. Extracted
+    * once so the node-encoding scheme lives in exactly one place. */
+  private def tradePairs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+
   // ---------------------------------------------------------------- g01
   /** PageRank over the customer↔supplier trade graph: an edge per
     * DISTINCT (customer, supplier) pair that shares at least one order
@@ -29,12 +42,7 @@ object GraphQueries {
     * fixed-point rounds at scale 1e6, damping 85/100; top 100 nodes by
     * (rank, node) with deterministic tiebreak. */
   def g01PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     Graph.pageRank(edges, "src", "dst", iterations = 5)
@@ -144,12 +152,7 @@ object GraphQueries {
     * five seeded rounds exactly; nodes unreachable from a seed hold rank
     * 0 and are filtered. */
   def g03PersonalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     val seeds = t(spark, dir, "supplier")
@@ -460,12 +463,7 @@ object GraphQueries {
     * informative (even hops = same side as a seed), and the oracle
     * unrolls the same four min-union relaxations. */
   def g09BfsDistances(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     Graph.multiSourceBfs(pairs, "c", "s", seeds = Seq(0L, 1L), rounds = 4)
       .orderBy("node")
   }
@@ -502,12 +500,7 @@ object GraphQueries {
     * is visible here — the evidence for g02's degree-ordered
     * orientation and the operator-level caps. */
   def g10DegreeAudit(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     Graph.degreeAudit(pairs, "c", "s").orderBy("bucket")
   }
 
@@ -538,12 +531,7 @@ object GraphQueries {
     * check, not just an arithmetic one. Every moment is an integer and
     * the oracle replays the same scaled division. */
   def g11Assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     Graph.assortativity(pairs, "c", "s")
   }
 
@@ -605,12 +593,7 @@ object GraphQueries {
     * oracle unrolls the same three (node, src)-keyed min-union rounds
     * in BIGINT and reproduces every score bit-for-bit. */
   def g13Harmonic(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     Graph.harmonicCentrality(pairs, "c", "s",
       seeds = Seq(2L, 3L, 4L, 5L), rounds = 3)
       .orderBy("node")
@@ -650,12 +633,7 @@ object GraphQueries {
     * Exact for the landmark sample — the ANF question answered without
     * all-pairs distances. */
   def g15BallGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     Graph.ballGrowth(pairs, "c", "s", seeds = Seq(2L, 3L, 4L, 5L),
       rounds = 3)
   }
@@ -697,12 +675,7 @@ object GraphQueries {
     * curve behind g11's single assortativity scalar. Exact integral
     * class means, micro-scaled. */
   def g14NeighborDegree(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     Graph.neighborDegreeCurve(pairs, "c", "s")
   }
 
@@ -733,12 +706,7 @@ object GraphQueries {
     * preferentially interconnect? The edge list is scanned once for the
     * whole sweep (broadcast threshold join), never per k. */
   def g16RichClub(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, dir)
     Graph.richClub(pairs, "c", "s", Seq(1L, 2L, 4L, 8L, 16L, 32L))
   }
 

@@ -1049,9 +1049,14 @@ object SimilarityQueries {
     import org.apache.spark.sql.functions._
     val q = Similarity.vectorOf(spark, dir, 0L)
     val e = emb(spark, dir)
+    // train the coarse quantizer ONCE; the sweep only varies the probe
+    // width (four ivfTopK calls would re-run the seed collect + Lloyd
+    // corpus scans for bit-identical centroids)
+    val centroids = Similarity.ivfCentroids(e, "vec_id", "embedding",
+      nlist = 16)
     val sweeps = Seq(1, 2, 4, 16).map { np =>
-      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10,
-          nlist = 16, nprobe = np)
+      Similarity.ivfTopKWith(e, "vec_id", "embedding", centroids, q, 10,
+          nprobe = np)
         .select(col("vec_id")).withColumn("nprobe", lit(np.toLong))
     }.reduce(_ unionByName _)
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)

@@ -1000,7 +1000,12 @@ object StatQueries {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dt_us")).as("span_us"),
-        sum(col("v_cents") * col("dt_us")).as("wsum"))
+        // the PER-ROW product must already be wide: cents ~1e6 × a
+        // multi-week gap in µs (~2.6e12) passes 2^63 — the oracle
+        // accumulates HUGEINT, so a BIGINT product here would wrap (or
+        // throw under ANSI) and break the exact-arithmetic contract
+        sum(col("v_cents").cast("decimal(38,0)") * col("dt_us"))
+          .as("wsum"))
       .select(col("user_id"), col("n_intervals"), col("span_us"),
         expr("""cast((cast(wsum as decimal(38,0)) * 1000000)
                  div span_us as bigint)""").as("twa_cents_micro"))
