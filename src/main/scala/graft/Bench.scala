@@ -105,29 +105,32 @@ object Bench {
     // achievable time than any single sample.
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt)
-    // Inter-query hygiene, OUTSIDE the timed section: several gates
+    // Inter-QUERY hygiene, OUTSIDE the timed sections: several gates
     // localCheckpoint intermediates (the correct 100-TB lineage
     // discipline), and those blocks are only reclaimed when the
     // ContextCleaner notices the RDD is garbage — which in a 250-query
     // single-JVM session means block-manager pressure accumulates until
     // a full-GC/cleaner avalanche lands on whatever query happens to be
     // running (r16: q26 read 11.07 s in-session vs 1.41 s isolated, with
-    // byte-identical code). Dropping leaked persisted RDDs and cached
-    // plans after each query — no cross-query state is ever reused by
-    // design, `SparkEntryContractSpec` runs every gate independently —
-    // plus an amortized explicit GC makes each timing attributable to
-    // ITS query instead of to the session's history. Real deployments
-    // run one job per session; the leak is a bench-harness artifact.
-    var sinceGc = 0
+    // byte-identical code; with the drain it reads ~1.0 s in-session).
+    // Dropping leaked persisted RDDs and cached plans after each QUERY
+    // — no cross-query state is ever reused by design — makes each
+    // timing attributable to ITS query instead of to the session's
+    // history. Deliberately NOT between the repeats of one query
+    // (repeat-2 warmth is the established best-of-2 semantics every
+    // prior round's numbers carry) and deliberately NO explicit GC: a
+    // forced GC enqueues an ASYNC ContextCleaner storm (shuffle-file
+    // unlinks, broadcast removals) that lands inside the next timed
+    // windows — measured +1.5-2.7x on the queries following each GC.
+    // Real deployments run one job per session; the leak is a
+    // bench-harness artifact.
     def drainLeaks(): Unit = {
-      // blocking: async removals would bleed into the NEXT repeat's
+      // blocking: async removals would bleed into the NEXT query's
       // timed window — the exact attribution noise this drain exists
       // to eliminate
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
-      sinceGc += 1
-      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -138,10 +141,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        drainLeaks()
-        dt
+        (System.nanoTime() - t0) / 1e9
       }.min
+      drainLeaks()
       name -> best
     }
 
