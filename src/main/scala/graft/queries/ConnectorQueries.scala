@@ -696,6 +696,81 @@ object ConnectorQueries {
       |FROM est JOIN ex USING (scope)
       |ORDER BY scope""".stripMargin
 
+  // -------------------------------------- excel_stream_freshness
+  /** STREAMING ingestion-freshness monitor — p32's stateful twin: per
+    * event type, a streaming (count, max ts) aggregation in complete
+    * mode, so Spark's state store IS the monitor (one fixed-width row
+    * per type, no custom state code). Two excel micro-batches land
+    * out of time order; because count and max are commutative/
+    * associative/idempotent-under-merge, the streaming state equals the
+    * batch aggregate over the union EXACTLY, so the gate carries a full
+    * batch-replay oracle (the excel_stream_hll discipline). The readout
+    * computes each type's lag behind the freshest type in whole minutes
+    * plus the 60-minute-SLA flag, all in integral epoch-µs shipped as
+    * BIGINT through the xlsx codec (no timestamp round-trip ambiguity).
+    * At scale this is the always-on ops stream beside the p32 batch
+    * audit: state size is |types|, per-trigger cost is one partial agg
+    * of the new rows. */
+  def excelStreamFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = EventTime.load(spark, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_id"), col("event_type"), col("ts_us"))
+    val base = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_excel_fresh_${math.abs(dir.hashCode)}")
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val in = new File(base, "in")
+    val ckpt = new File(base, "ckpt")
+    e.filter(pmod(col("event_id"), lit(4)) === 0)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "a.xlsx").getAbsolutePath)
+    e.filter(pmod(col("event_id"), lit(4)) === 2)
+      .coalesce(1).write.format("excel").mode("overwrite")
+      .save(new File(in, "b.xlsx").getAbsolutePath)
+    val qname = s"excel_stream_fresh_${math.abs(dir.hashCode)}"
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream.format("excel").schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .load(in.getAbsolutePath)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("max_ts_us"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val per = ss.table(qname)
+    val corpusMax = per.agg(max(col("max_ts_us")).as("corpus_max_us"))
+    per.crossJoin(broadcast(corpusMax))
+      .select(col("event_type"), col("n_events"), col("max_ts_us"),
+        expr("(corpus_max_us - max_ts_us) div 60000000")
+          .as("lag_minutes"),
+        (expr("(corpus_max_us - max_ts_us) div 60000000") > 60)
+          .cast("int").as("is_stale"))
+      .orderBy("event_type")
+  }
+
+  /** Batch replay of the SAME rows: streaming (count, max) state equals
+    * the batch aggregate over the union exactly, so the full p32-shape
+    * readout is mirrored, not just row counts. */
+  val excelStreamFreshnessSql: String =
+    """WITH per AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n_events,
+      |    MAX(epoch_us(ts))::BIGINT AS max_ts_us
+      |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+      |g AS (SELECT MAX(max_ts_us) AS corpus_max_us FROM per)
+      |SELECT event_type, n_events, max_ts_us,
+      |  ((corpus_max_us - max_ts_us) // 60000000)::BIGINT AS lag_minutes,
+      |  ((corpus_max_us - max_ts_us) // 60000000 > 60)::INT AS is_stale
+      |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin
+
   // --------------------------------------------- excel_stream_quantile
   /** STREAMING quantile sketch over two excel micro-batches
     * ([[graft.streaming.StreamingSketch.quantileSketch]]) — the
@@ -972,6 +1047,8 @@ object ConnectorQueries {
       (excelStreamHeavyHitters _, excelStreamHeavyHittersSql),
     "excel_stream_quantile" -> (excelStreamQuantile _, excelStreamQuantileSql),
     "excel_stream_hll" -> (excelStreamHll _, excelStreamHllSql),
+    "excel_stream_freshness" ->
+      (excelStreamFreshness _, excelStreamFreshnessSql),
     "excel_stream_cdc" -> (excelStreamCdc _, excelStreamCdcSql),
     "excel_stream_join" -> (excelStreamJoin _, excelStreamJoinSql),
     "excel_stream_stream_join" -> (excelStreamStreamJoin _, excelStreamStreamJoinSql),
