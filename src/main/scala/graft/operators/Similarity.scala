@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -595,13 +595,7 @@ object Similarity {
       s
     }
     val perSub = (0 until m).map { mi =>
-      val sub = slice(col("__qv"), mi * dsub + 1, dsub)
-      val dists = array((0 until ksub).map { c =>
-        aggregate(
-          zip_with(sub, typedLit(cb(mi)(c).toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-      }: _*)
+      val dists = subspaceDists(cb, mi, dsub)
       val code = (array_position(dists, array_min(dists)) - 1L).as(s"__c$mi")
       code
     }
@@ -623,6 +617,55 @@ object Similarity {
       .select(col("vec_id"), col("code"), col("approx_dist"), col("cos"))
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** The fixed-point squared-L2 distances from a row's `__qv` sub-vector
+    * to every centroid of subspace `mi` — the assignment kernel SHARED
+    * by [[pqRank]] (argmin → code) and [[pqDistortion]] (min → error),
+    * so encode and audit can never drift apart. */
+  private def subspaceDists(cb: Array[Array[Array[Long]]], mi: Int,
+      dsub: Int): Column = {
+    val ksub = cb(mi).length
+    val sub = slice(col("__qv"), mi * dsub + 1, dsub)
+    array((0 until ksub).map { c =>
+      aggregate(
+        zip_with(sub, typedLit(cb(mi)(c).toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  /** PQ DISTORTION AUDIT — the quantization-error census that decides
+    * whether a codebook (m, ksub) is good enough before 100 TB of raw
+    * floats are thrown away: per subspace, the count / sum / max /
+    * integral mean of each vector's fixed-point squared-L2 distance to
+    * its ASSIGNED centroid (the same min the encoder takes, via the
+    * shared [[subspaceDists]] kernel). A subspace whose mean distortion
+    * is an outlier is under-coded — the standard signal to re-slice or
+    * raise ksub. Map-only scan + an m-row partial agg; all integer, so
+    * the full audit mirrors in SQL. */
+  def pqDistortion(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cb = pqCodebook(df, idCol, vecCol, m, ksub)
+    val dsub = cb(0)(0).length
+    val perSub = (0 until m).map { mi =>
+      array_min(subspaceDists(cb, mi, dsub)).as(s"__d$mi")
+    }
+    val stacked = (0 until m).map(mi => s"${mi}L, __d$mi").mkString(", ")
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("__vec"))
+      .withColumn("__qv", transform(col("__vec"),
+        x => floor(x.cast("double") * lit(QlshScale)).cast("long")))
+      .select(perSub: _*)
+      .select(expr(s"stack($m, $stacked) as (subspace, dist)"))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dist")).as("sum_dist"),
+        max(col("dist")).as("max_dist"))
+      .select(col("subspace"), col("n_vectors"), col("sum_dist"),
+        col("max_dist"),
+        expr("cast((cast(sum_dist as decimal(38,0)) * 1000000)" +
+          " div n_vectors as bigint)").as("mean_dist_micro"))
+      .orderBy("subspace")
   }
 
   /** IVF-PQ ANN top-k — the two-level layout an actual 100 TB vector

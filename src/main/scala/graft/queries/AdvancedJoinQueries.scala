@@ -122,8 +122,12 @@ object AdvancedJoinQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  val q32Sql: String =
-    """WITH flagged AS (
+  /** Shared DuckDB mirror of the gap-based sessionization — ends in
+    * `sessions(user_id, ts_us, session_id)` so both the per-session gate
+    * (q32) and the daily bounce-rate rollup (q74) replay the identical
+    * 30-minute-silence rule. */
+  private val sessionCte: String =
+    """flagged AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us,
       |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
       |           OR LAG(epoch_us(ts), 1) OVER w IS NULL
@@ -134,12 +138,61 @@ object AdvancedJoinQueries {
       |  SELECT user_id, ts_us,
       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      |  FROM flagged)
+      |  FROM flagged)""".stripMargin
+
+  val q32Sql: String =
+    s"""WITH $sessionCte
       |SELECT user_id, session_id::BIGINT AS session_id,
       |  COUNT(*) AS n_events,
       |  (MAX(ts_us) - MIN(ts_us))::BIGINT AS duration_us
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** DAILY BOUNCE RATE — single-event sessions as a share of all
+    * sessions that STARTED that day, the engagement-health number every
+    * event dashboard leads with. Reuses q32's sessionization verbatim
+    * (one user-partitioned window shuffle); sessions collapse to
+    * (day, 2 counters) via partial agg, the share is an integral micro
+    * division over the ≤|days| summary. Deterministic under ties for
+    * the same reason q32 is: tied events have gap 0. */
+  def q74BounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val runningSum = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    EventTime.load(spark, dir)
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L ||
+          lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(runningSum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"))
+      .select(expr("start_us div 86400000000").as("day_id"),
+        (col("n_events") === 1).cast("bigint").as("bounced"))
+      .groupBy("day_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("bounced")).as("n_bounced"))
+      .select(col("day_id"), col("n_sessions"), col("n_bounced"),
+        expr("cast((n_bounced * 1000000L) div n_sessions as bigint)")
+          .as("bounce_micro"))
+      .orderBy("day_id")
+  }
+
+  val q74Sql: String =
+    s"""WITH $sessionCte,
+      |per AS (
+      |  SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events,
+      |    MIN(ts_us) AS start_us
+      |  FROM sessions GROUP BY 1, 2),
+      |daily AS (
+      |  SELECT start_us // 86400000000 AS day_id,
+      |    COUNT(*)::BIGINT AS n_sessions,
+      |    SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounced
+      |  FROM per GROUP BY 1)
+      |SELECT day_id::BIGINT AS day_id, n_sessions, n_bounced,
+      |  CAST(n_bounced::HUGEINT * 1000000 // n_sessions AS BIGINT)
+      |    AS bounce_micro
+      |FROM daily ORDER BY day_id""".stripMargin
 
   // ---------------------------------------------------------------- q50
   /** Bloom semi-join reduction: revenue of lineitems belonging to URGENT
@@ -237,6 +290,7 @@ object AdvancedJoinQueries {
     "q26_range_join" -> (q26RangeJoin _, q26Sql),
     "q31_range_frame" -> (q31RangeFrame _, q31Sql),
     "q32_sessionize" -> (q32Sessionize _, q32Sql),
+    "q74_bounce_rate" -> (q74BounceRate _, q74Sql),
     "q50_bloom_semijoin" -> (q50BloomSemijoin _, q50Sql),
   )
 }

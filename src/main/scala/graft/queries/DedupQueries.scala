@@ -460,6 +460,29 @@ object DedupQueries {
        |SELECT id AS doc_id, MIN(m) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d30
+  /** Duplicate clusters via ALTERNATING STAR CONTRACTION
+    * ([[graft.operators.DedupClusters.connectedComponentsStar]], Kiveris
+    * et al. SOCC'14) — the O(log d) deep-graph escalation path d12's
+    * scaladoc promises, proven END TO END against the same recursive-CTE
+    * closure oracle as the hash-min gate: identical pair graph, identical
+    * (doc_id, cluster_id) contract, different algorithm. At 100 TB this
+    * is the variant that survives a pathological chain graph where
+    * hash-min's diameter-bound round count explodes. */
+  def d30StarClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
+      k = 3, threshold = 0.7, dfCap = 1000000)
+    graft.operators.DedupClusters
+      .connectedComponentsStar(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Same closure oracle as d12: component labels are algorithm-
+    * independent (the component minimum), so the two gates pin
+    * hash-min ≡ star-contraction on real data. */
+  val d30Sql: String = d12Sql
+
   // ---------------------------------------------------------------- d13
   /** Cluster SURVIVOR selection — the step after d12 that real dedup ends
     * with: each near-dup cluster keeps exactly one member, chosen by
@@ -1900,6 +1923,7 @@ object DedupQueries {
     "d10_substring_spans" -> (d10SubstringSpans _, d10Sql),
     "d11_substring_dedup" -> (d11SubstringDedup _, d11Sql),
     "d12_dedup_clusters" -> (d12DedupClusters _, d12Sql),
+    "d30_star_clusters" -> (d30StarClusters _, d30Sql),
     "d13_cluster_survivors" -> (d13ClusterSurvivors _, d13Sql),
     "d14_fuzzy_join" -> (d14FuzzyJoin _, d14Sql),
     "d15_semantic_dedup" -> (d15SemanticDedup _, d15Sql),

@@ -333,8 +333,14 @@ object SimilarityQueries {
     Similarity.pqTopK(emb(spark, dir), "vec_id", "embedding", q, 10)
   }
 
-  val s09Sql: String =
-    """WITH qv AS (
+  /** Shared DuckDB mirror of the PQ train/encode chain — ends in
+    * `codes(vec_id, m, c, d)` where `c` is the assigned sub-code and
+    * `d` ITS fixed-point squared-L2 distance (= the subspace's
+    * quantization distortion), plus the full `enc` distance table. Both
+    * the ANN gate (s09) and the distortion audit (s24) replay the
+    * identical codebook + assignment. */
+  private val pqCodesCte: String =
+    """qv AS (
       |  SELECT vec_id,
       |    LIST_TRANSFORM(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 128)::BIGINT) AS v
       |  FROM embeddings),
@@ -353,7 +359,10 @@ object SimilarityQueries {
       |codes AS (
       |  SELECT vec_id, m, c, d
       |  FROM enc
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) = 1),
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, c ASC) = 1)""".stripMargin
+
+  val s09Sql: String =
+    s"""WITH $pqCodesCte,
       |qd AS (SELECT m, c, d FROM enc WHERE vec_id = 0),
       |packed AS (
       |  SELECT k.vec_id,
@@ -372,6 +381,24 @@ object SimilarityQueries {
       |FROM packed p JOIN embeddings e USING (vec_id) CROSS JOIN q0
       |ORDER BY approx_dist ASC, vec_id ASC
       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- s24
+  /** PQ distortion audit ([[Similarity.pqDistortion]]): per subspace,
+    * count / sum / max / integral mean of every vector's distance to its
+    * assigned centroid — the decide-before-you-delete-the-floats
+    * quantization-quality census. The oracle replays the FULL codebook
+    * train + assignment through the s09-shared CTE, so encoder and
+    * audit are pinned to the same arithmetic. */
+  def s24PqDistortion(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqDistortion(emb(spark, dir), "vec_id", "embedding")
+
+  val s24Sql: String =
+    s"""WITH $pqCodesCte
+      |SELECT m::BIGINT AS subspace, COUNT(*)::BIGINT AS n_vectors,
+      |  SUM(d)::BIGINT AS sum_dist, MAX(d)::BIGINT AS max_dist,
+      |  CAST(SUM(d)::HUGEINT * 1000000 // COUNT(*) AS BIGINT)
+      |    AS mean_dist_micro
+      |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- s10
   /** Contrastive hard-negative mining ([[Similarity.hardNegatives]]):
@@ -1166,6 +1193,7 @@ object SimilarityQueries {
       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "s24_pq_distortion" -> (s24PqDistortion _, s24Sql),
     "s23_norm_census" -> (s23NormCensus _, s23Sql),
     "s22_anisotropy" -> (s22Anisotropy _, s22Sql),
     "s21_ivf_nprobe_sweep" -> (s21IvfNprobeSweep _, s21Sql),

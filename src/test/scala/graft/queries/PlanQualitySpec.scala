@@ -849,6 +849,40 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fertility agg must map-side combine:\n$p")
   }
 
+  test("s24: PQ distortion audit is a map-only scan + an m-row partial " +
+    "agg — the corpus is never hash-exchanged on a data key") {
+    val p = plan("s24_pq_distortion")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"distortion census must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no join belongs in a map-only audit:\n$p")
+    // the stack generator feeds the partial agg directly — the corpus
+    // rows are consumed map-side, before any exchange (the only sort is
+    // the final orderBy over the 8-row summary)
+    val genIdx = p.indexOf("Generate stack")
+    val aggIdx = p.indexOf("partial_count")
+    assert(genIdx >= 0 && aggIdx >= 0 && aggIdx < genIdx,
+      s"partial agg must sit directly above the stack generator:\n$p")
+  }
+
+  test("q74: bounce rate pays q32's one user-window shuffle; rollups are " +
+    "partial aggs over the session summary") {
+    val p = plan("q74_bounce_rate")
+    assert(p.contains("partial_count"),
+      s"daily rollup must map-side combine:\n$p")
+    assert(p.linesIterator.count(_.contains("events.parquet")) == 1,
+      s"events must scan exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no cartesian:\n$p")
+  }
+
+  test("d30: star-contraction clusters never plan a cartesian; candidate " +
+    "joins stay equi-joins") {
+    val p = plan("d30_star_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"star rounds must be equi-joins:\n$p")
+  }
+
   test("p32: freshness audit is one map-side-combined pass; the corpus " +
     "max rides back broadcast, never a second events scan") {
     val p = plan("p32_freshness_lag")
