@@ -1289,7 +1289,89 @@ object MultimodalQueries {
       |       // SUM(n) AS BIGINT) AS clip_micro
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m22
+  /** AUDIO SILENCE-RUN CENSUS, real decode — the VAD-style audit an
+    * audio-curation pipeline runs before paying for transcription: per
+    * clip, how many samples sit under the silence threshold (|x| < 1000)
+    * and the LONGEST consecutive silent run (a long run means dead air
+    * to trim; scattered quiet samples do not). Samples are doc_id-derived
+    * with silence planted on a deterministic doc-phase-shifted position
+    * pattern (((i+id) div 5) mod 4 = 0 → |x| ≤ 999, else |x| ≥ 2000, so
+    * head/tail blocks truncate differently per doc), round-tripped
+    * through a REAL javax.sound WAV encode/decode; run lengths are
+    * computed in the same per-row pass (row-local, no shuffle). The
+    * oracle rebuilds each clip's flag sequence arithmetically and finds
+    * the longest run with a gaps-and-islands window — any decode drift
+    * breaks a run boundary and the hash. */
+  def m22SilenceRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[Long]
+    ids.mapPartitions(_.map { id =>
+      val n = (50 + id % 30).toInt
+      val rate = (8000L * (1 + id % 5)).toInt
+      val samples = Array.tabulate(n) { i =>
+        val k = id * 31 + i.toLong * 17
+        // silence blocks phase-shift with the doc id, so head/tail
+        // blocks truncate differently per doc and the run lengths vary
+        if (((i + id) / 5) % 4 == 0) ((k % 1999) - 999).toShort
+        else {
+          val mag = 2000 + (k % 28000)
+          (if (i % 2 == 0) mag else -mag).toShort
+        }
+      }
+      val decoded = Multimodal.decodeAudioSamples(
+        Multimodal.pcmWav(rate, samples)).get
+      var quiet = 0L; var run = 0L; var longest = 0L
+      var i = 0
+      while (i < decoded.length) {
+        if (math.abs(decoded(i).toInt) < 1000) {
+          quiet += 1; run += 1
+          if (run > longest) longest = run
+        } else run = 0
+        i += 1
+      }
+      (id, decoded.length.toLong, quiet, longest)
+    }).toDF("doc_id", "n_samples", "n_quiet", "longest_quiet_run")
+      .orderBy("doc_id")
+  }
+
+  val m22Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, 50 + doc_id % 30 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |pos AS (
+      |  SELECT doc_id, n, UNNEST(RANGE(0, n)) AS i
+      |  FROM a),
+      |f AS (
+      |  -- planted values make quietness a pure position function:
+      |  -- ((i+id) div 5) mod 4 = 0 plants |x| <= 999, every other
+      |  -- position plants |x| >= 2000 — strictly across the threshold
+      |  SELECT doc_id, n, i,
+      |    CASE WHEN ((i + doc_id) // 5) % 4 = 0 THEN 1 ELSE 0 END AS quiet
+      |  FROM pos),
+      |isl AS (
+      |  SELECT doc_id, n, i, quiet,
+      |    i - SUM(quiet) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM f),
+      |runs AS (
+      |  SELECT doc_id, n, grp, COUNT(*)::BIGINT AS run_len
+      |  FROM isl WHERE quiet = 1 GROUP BY 1, 2, 3)
+      |SELECT a.doc_id, a.n::BIGINT AS n_samples,
+      |  COALESCE(q.n_quiet, 0)::BIGINT AS n_quiet,
+      |  COALESCE(r.longest, 0)::BIGINT AS longest_quiet_run
+      |FROM a
+      |LEFT JOIN (SELECT doc_id, SUM(quiet)::BIGINT AS n_quiet
+      |           FROM f GROUP BY 1) q USING (doc_id)
+      |LEFT JOIN (SELECT doc_id, MAX(run_len) AS longest
+      |           FROM runs GROUP BY 1) r USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "m22_silence_runs" -> (m22SilenceRuns _, m22Sql),
     "m21_audio_clipping" -> (m21AudioClipping _, m21Sql),
     "m20_storage_budget" -> (m20StorageBudget _, m20Sql),
     "m19_resolution_policy" -> (m19ResolutionPolicy _, m19Sql),

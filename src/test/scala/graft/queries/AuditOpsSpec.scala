@@ -194,6 +194,23 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (40000L, 1L, 54L, 5L, 1L, 92592L)))
   }
 
+  test("m22: silence runs survive the WAV round-trip with exact boundaries") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    // quiet iff ((i + id) div 5) % 4 == 0:
+    // doc 1 (n=51): i in 0-3, 19-23, 39-43    -> 14 quiet, longest 5
+    // doc 4 (n=54): i in {0}, 16-20, 36-40    -> 11 quiet, longest 5
+    // doc 7 (n=57): i in 13-17, 33-37, 53-56  -> 14 quiet, longest 5
+    Seq(1L, 3L, 4L, 7L).toDF("doc_id")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = MultimodalQueries.m22SilenceRuns(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 51L, 14L, 5L),
+      (4L, 54L, 11L, 5L),
+      (7L, 57L, 14L, 5L)))
+  }
+
   test("p32: lag minutes vs the freshest type; 60-minute SLA boundary") {
     import spark.implicits._
     val dir = fixtureDir()
