@@ -1872,7 +1872,63 @@ object PipelineQueries {
       |  ((corpus_max_us - max_ts_us) // 60000000 > 60)::INT AS is_stale
       |FROM per CROSS JOIN g ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- p33
+  /** K-ANONYMITY RISK CENSUS — the privacy audit beside p31's deletion
+    * propagation: group the corpus by a quasi-identifier tuple
+    * ((lang, source, 500-char length band) — the attributes a
+    * re-identification join would key on) and report how much of the
+    * corpus sits in small equivalence classes. A document alone in its
+    * class (k=1) is individually re-identifiable from the quasi-ids
+    * alone; the k-bucket census (1 / 2-4 / 5-9 / 10-49 / 50+) with row
+    * mass and integral shares is the number a release review reads.
+    * One quasi-id-keyed partial agg (bounded by distinct tuples), a
+    * 5-row census, shares via a window over those 5 rows. */
+  def p33KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 500").as("size_band"))
+      .agg(count(lit(1)).as("k"))
+    val census = groups
+      .select(
+        when(col("k") === 1, "k=1")
+          .when(col("k") <= 4, "k=2-4")
+          .when(col("k") <= 9, "k=5-9")
+          .when(col("k") <= 49, "k=10-49")
+          .otherwise("k=50+").as("k_bucket"),
+        col("k"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+    census
+      .withColumn("total", sum(col("n_rows")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("k_bucket"), col("n_groups"), col("n_rows"),
+        expr("cast((n_rows * 1000000L) div total as bigint)")
+          .as("rows_share_micro"))
+      .orderBy("k_bucket")
+  }
+
+  val p33Sql: String =
+    """WITH groups AS (
+      |  SELECT lang, source, n_chars // 500 AS size_band,
+      |    COUNT(*)::BIGINT AS k
+      |  FROM documents GROUP BY 1, 2, 3),
+      |census AS (
+      |  SELECT CASE WHEN k = 1 THEN 'k=1'
+      |              WHEN k <= 4 THEN 'k=2-4'
+      |              WHEN k <= 9 THEN 'k=5-9'
+      |              WHEN k <= 49 THEN 'k=10-49'
+      |              ELSE 'k=50+' END AS k_bucket,
+      |    COUNT(*)::BIGINT AS n_groups, SUM(k)::BIGINT AS n_rows
+      |  FROM groups GROUP BY 1)
+      |SELECT k_bucket, n_groups, n_rows,
+      |  CAST(n_rows::HUGEINT * 1000000 // SUM(n_rows) OVER () AS BIGINT)
+      |    AS rows_share_micro
+      |FROM census ORDER BY k_bucket""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p33_k_anonymity" -> (p33KAnonymity _, p33Sql),
     "p32_freshness_lag" -> (p32FreshnessLag _, p32Sql),
     "p31_deletion_audit" -> (p31DeletionAudit _, p31Sql),
     "p30_budget_select" -> (p30BudgetSelect _, p30Sql),
