@@ -652,7 +652,7 @@ object Similarity {
       array_min(subspaceDists(cb, mi, dsub)).as(s"__d$mi")
     }
     val stacked = (0 until m).map(mi => s"${mi}L, __d$mi").mkString(", ")
-    df.select(col(idCol).as("vec_id"), col(vecCol).as("__vec"))
+    df.select(col(vecCol).as("__vec"))
       .withColumn("__qv", transform(col("__vec"),
         x => floor(x.cast("double") * lit(QlshScale)).cast("long")))
       .select(perSub: _*)

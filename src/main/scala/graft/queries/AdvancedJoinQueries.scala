@@ -106,7 +106,19 @@ object AdvancedJoinQueries {
     * shuffle+sort per user partition). Deterministic under timestamp ties:
     * tied events have gap 0, so tie order can't change session boundaries,
     * counts, or min/max duration. */
-  def q32Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def q32Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Shared Spark-side sessionization — the exact twin of [[sessionCte]]
+    * (both gates AND both oracle mirrors replay one 30-minute-silence
+    * rule; a threshold or tie-handling change lands in exactly two
+    * places, one per engine): events with a per-user `session_id` from
+    * the lag→flag→running-sum composition. */
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts_us"))
     val runningSum = byUser.rowsBetween(
@@ -116,10 +128,6 @@ object AdvancedJoinQueries {
         when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L ||
           lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(runningSum))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** Shared DuckDB mirror of the gap-based sessionization — ends in
@@ -156,16 +164,8 @@ object AdvancedJoinQueries {
     * (day, 2 counters) via partial agg, the share is an integral micro
     * division over the ≤|days| summary. Deterministic under ties for
     * the same reason q32 is: tied events have gap 0. */
-  def q74BounceRate(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts_us"))
-    val runningSum = byUser.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    EventTime.load(spark, dir)
-      .withColumn("new_session",
-        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L ||
-          lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_session")).over(runningSum))
+  def q74BounceRate(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"))
       .select(expr("start_us div 86400000000").as("day_id"),
@@ -173,10 +173,11 @@ object AdvancedJoinQueries {
       .groupBy("day_id")
       .agg(count(lit(1)).as("n_sessions"), sum(col("bounced")).as("n_bounced"))
       .select(col("day_id"), col("n_sessions"), col("n_bounced"),
-        expr("cast((n_bounced * 1000000L) div n_sessions as bigint)")
-          .as("bounce_micro"))
+        // decimal(38,0) product: the oracle accumulates HUGEINT, so a
+        // bigint n*1e6 would wrap first at ~9.2e12 sessions per day
+        expr("""cast((cast(n_bounced as decimal(38,0)) * 1000000)
+                 div n_sessions as bigint)""").as("bounce_micro"))
       .orderBy("day_id")
-  }
 
   val q74Sql: String =
     s"""WITH $sessionCte,

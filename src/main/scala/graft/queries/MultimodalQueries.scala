@@ -1265,8 +1265,8 @@ object MultimodalQueries {
         sum((col("clipped") > 0).cast("bigint")).as("clipped_docs"))
       .select(col("sample_rate"), col("n_docs"), col("n_samples"),
         col("n_clipped"), col("clipped_docs"),
-        expr("cast((n_clipped * 1000000L) div n_samples as bigint)")
-          .as("clip_micro"))
+        expr("""cast((cast(n_clipped as decimal(38,0)) * 1000000)
+                 div n_samples as bigint)""").as("clip_micro"))
       .orderBy("sample_rate")
   }
 

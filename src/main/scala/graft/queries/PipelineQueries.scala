@@ -1904,8 +1904,10 @@ object PipelineQueries {
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .select(col("k_bucket"), col("n_groups"), col("n_rows"),
-        expr("cast((n_rows * 1000000L) div total as bigint)")
-          .as("rows_share_micro"))
+        // decimal(38,0) product: the oracle accumulates HUGEINT, so a
+        // bigint n*1e6 would wrap first at ~9.2e12 rows per bucket
+        expr("""cast((cast(n_rows as decimal(38,0)) * 1000000)
+                 div total as bigint)""").as("rows_share_micro"))
       .orderBy("k_bucket")
   }
 

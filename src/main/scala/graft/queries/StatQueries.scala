@@ -1527,7 +1527,8 @@ object StatQueries {
       .withColumn("total",
         sum(col("n")).over(Window.partitionBy("col_name")))
       .select(col("col_name"), col("digit"), col("n"),
-        expr("cast((n * 1000000L) div total as bigint)").as("share_micro"),
+        expr("""cast((cast(n as decimal(38,0)) * 1000000)
+                 div total as bigint)""").as("share_micro"),
         expr(benfordCase).cast("bigint").as("benford_micro"))
       .withColumn("delta_micro", col("share_micro") - col("benford_micro"))
       .orderBy("col_name", "digit")

@@ -1496,10 +1496,10 @@ object TextQueries {
       .withColumn("pred_total",
         sum(col("n")).over(Window.partitionBy("lang_pred")))
       .select(col("lang_label"), col("lang_pred"), col("n"),
-        expr("cast((n * 1000000L) div label_total as bigint)")
-          .as("label_share_micro"),
-        expr("cast((n * 1000000L) div pred_total as bigint)")
-          .as("pred_share_micro"))
+        expr("""cast((cast(n as decimal(38,0)) * 1000000)
+                 div label_total as bigint)""").as("label_share_micro"),
+        expr("""cast((cast(n as decimal(38,0)) * 1000000)
+                 div pred_total as bigint)""").as("pred_share_micro"))
       .orderBy("lang_label", "lang_pred")
   }
 
@@ -1599,9 +1599,11 @@ object TextQueries {
         sum(col("n_chars")).as("n_chars"))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         col("n_subwords"), col("n_chars"),
-        expr("cast((n_subwords * 1000000L) div nullif(n_tokens, 0) as bigint)")
+        expr("""cast((cast(n_subwords as decimal(38,0)) * 1000000)
+                 div nullif(n_tokens, 0) as bigint)""")
           .as("subwords_per_token_micro"),
-        expr("cast((n_chars * 1000000L) div nullif(n_subwords, 0) as bigint)")
+        expr("""cast((cast(n_chars as decimal(38,0)) * 1000000)
+                 div nullif(n_subwords, 0) as bigint)""")
           .as("chars_per_subword_micro"))
       .orderBy("lang")
 

@@ -52,8 +52,14 @@ object CcProps extends Properties("dedup.cc") {
         org.apache.spark.sql.DataFrame,
       edges: List[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    algo(edges.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = algo(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val m = rows.toMap
+    // toMap must not mask a contradictory labeling (two labels for one
+    // vertex would collapse to whichever row iterates last)
+    require(rows.length == m.size,
+      s"non-functional labeling: ${rows.length} rows, ${m.size} vertices")
+    m
   }
 
   property("hash-min == union-find component minima") =

@@ -876,12 +876,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no cartesian:\n$p")
   }
 
-  test("d30: star-contraction clusters never plan a cartesian; candidate " +
-    "joins stay equi-joins") {
-    val p = plan("d30_star_clusters")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
-      s"star rounds must be equi-joins:\n$p")
-  }
+  // d30 deliberately has NO plan pin: star contraction localCheckpoints
+  // every round, so the gate's final plan is a scan over checkpointed
+  // RDDs — the per-round join shapes are invisible to it (a pin here
+  // would pass vacuously). The algorithm's semantics are pinned by
+  // CcProps (random graphs vs union-find) and the d12-shared closure
+  // oracle instead.
 
   test("p32: freshness audit is one map-side-combined pass; the corpus " +
     "max rides back broadcast, never a second events scan") {
