@@ -92,15 +92,29 @@ object DedupClusters {
     * a direct edge to its component minimum.
     *
     * Same driver discipline as hash-min: fixed-width (u, v) long pairs in
-    * every shuffle, `localCheckpoint` per round, two scalar counts per
-    * round to the driver, loud failure on round-budget exhaustion. */
+    * every shuffle, `localCheckpoint` per round, ONE scalar-signature agg
+    * per round to the driver, loud failure on round-budget exhaustion.
+    *
+    * Termination is detected by comparing a per-round SIGNATURE of the
+    * edge set — (count, bit_xor of two independent xxhash64 spellings,
+    * exact decimal Σv) computed in a single partial-aggregating pass over
+    * the freshly checkpointed set — against the previous round's. This
+    * replaces the two anti-joins + two actions the probe used to cost
+    * (which doubled the per-round join count purely for termination
+    * detection). Equal signatures on UNEQUAL sets would need a 64-bit
+    * double-hash collision at equal cardinality and equal Σv
+    * (≈2⁻¹²⁸-grade per round); a false stop is additionally bounded by
+    * the property tests that pin both CC algorithms to a driver
+    * union-find on random graphs. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int = 30): DataFrame = {
+    val sig = edgeSetSignature _
     var e = edges.select(
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+    var prevSig = sig(e)
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -119,11 +133,10 @@ object DedupClusters {
         .union(withM.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
-      val changed =
-        next.join(e, Seq("u", "v"), "left_anti").count() +
-          e.join(next, Seq("u", "v"), "left_anti").count()
+      val nextSig = sig(next)
       e = next
-      done = changed == 0
+      done = nextSig == prevSig
+      prevSig = nextSig
       i += 1
     }
     if (!done)
@@ -136,5 +149,27 @@ object DedupClusters {
     e.select(col("u").as("id"), col("v").as("label"))
       .union(e.select(col("v").as("id"), col("v").as("label")))
       .distinct()
+  }
+
+  /** The star-contraction fixed-point signature: (count, bit_xor of two
+    * independent xxhash64 spellings, exact decimal Σv) of a `(u, v)` edge
+    * set, computed in ONE partial-aggregating distributed pass and ONE
+    * driver row. Exposed so its per-round cost contract (a single Spark
+    * job over the just-checkpointed set) and its discrimination behavior
+    * are pinned directly in specs. `bit_xor` instead of an integer sum
+    * because ANSI `sum(BIGINT)` overflows on full-range hash values;
+    * XOR is overflow-free and order-independent, and the decimal Σv
+    * (DECIMAL(38,0) headroom) adds an exact structural constraint. */
+  private[graft] def edgeSetSignature(df: DataFrame)
+      : (Long, Long, Long, java.math.BigDecimal) = {
+    val r = df.agg(
+      count(lit(1)),
+      expr("bit_xor(xxhash64(u, v))"),
+      expr("bit_xor(xxhash64(v, u, 7L))"),
+      sum(col("v").cast("decimal(38,0)"))).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2),
+      if (r.isNullAt(3)) java.math.BigDecimal.ZERO else r.getDecimal(3))
   }
 }

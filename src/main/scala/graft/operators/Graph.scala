@@ -59,7 +59,8 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, scale: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
-    prCore(edges, srcCol, dstCol, None, iterations, scale, dampNum, dampDen)
+    prCore(prepareEdges(edges, srcCol, dstCol), None,
+      iterations, scale, dampNum, dampDen)
 
   /** PERSONALIZED PageRank (random walk with restart): the teleport mass
     * lands only on `seeds` instead of uniformly, so ranks measure
@@ -73,37 +74,75 @@ object Graph {
       seeds: DataFrame, seedCol: String, iterations: Int = 5,
       scale: Long = 1000000L, dampNum: Long = 85L,
       dampDen: Long = 100L): DataFrame =
-    prCore(edges, srcCol, dstCol,
+    prCore(prepareEdges(edges, srcCol, dstCol),
       Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
       iterations, scale, dampNum, dampDen)
 
-  private def prCore(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: Option[DataFrame], iterations: Int, scale: Long,
-      dampNum: Long, dampDen: Long): DataFrame = {
-    require(iterations >= 1, "pageRank needs at least one iteration")
+  /** A PageRank-ready edge list, built ONCE and reusable across PR
+    * variants and repeated runs: distinct `(src, dst)` pairs
+    * pre-partitioned on `src` with `outdeg` attached, plus the distinct
+    * node list — both eagerly materialized. g01 and g03 run over the
+    * SAME symmetrized trade graph, and at 100 TB this prep (a distinct
+    * over the raw relationship join plus one degree pass) dwarfs the
+    * fixed five |V|-row iteration rounds, so paying it once per corpus
+    * instead of once per query is the difference that matters. */
+  final case class PreparedEdges(eDeg: DataFrame, nodes: DataFrame)
+
+  /** Build [[PreparedEdges]] from a raw edge list. `materialize` is the
+    * checkpoint spelling — defaults to a plain eager `localCheckpoint`;
+    * pass [[graft.SharedPrep.checkpointShared]] to make the blocks
+    * survive an inter-query drain. The node list derives from the
+    * ALREADY-CHECKPOINTED eDeg so the distinct+repartition is computed
+    * exactly once. */
+  def prepareEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : PreparedEdges = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
-      .persist()
     // out-degree rides along via a window over the src partitioning the
     // edges already have — no extra shuffle, no groupBy+join-back
-    val eDeg = e.withColumn("outdeg",
+    val eDeg = materialize(e.withColumn("outdeg",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src"))))
-      .persist()
-    val allNodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+        .partitionBy(col("src")))))
+    val nodes = materialize(
+      eDeg.select(col("src").as("node"))
+        .union(eDeg.select(col("dst").as("node")))
+        .distinct())
+    PreparedEdges(eDeg, nodes)
+  }
+
+  /** [[pageRank]] over [[PreparedEdges]] — the prep-reuse entry point. */
+  def pageRankPrepared(prepared: PreparedEdges, iterations: Int = 5,
+      scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame =
+    prCore(prepared, None, iterations, scale, dampNum, dampDen)
+
+  /** [[personalizedPageRank]] over [[PreparedEdges]]. */
+  def personalizedPageRankPrepared(prepared: PreparedEdges,
+      seeds: DataFrame, seedCol: String, iterations: Int = 5,
+      scale: Long = 1000000L, dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame =
+    prCore(prepared,
+      Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
+      iterations, scale, dampNum, dampDen)
+
+  private def prCore(prepared: PreparedEdges, seeds: Option[DataFrame],
+      iterations: Int, scale: Long, dampNum: Long,
+      dampDen: Long): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    val eDeg = prepared.eDeg
     // is_seed rides on the node list once; uniform PR seeds everything.
     // localCheckpoint: the node list is re-joined EVERY round — without
-    // it each round would recompute the distinct-union from scratch
+    // it each round would recompute the seed join from scratch (the
+    // underlying node list itself is already checkpointed by prepare)
     val nodes = (seeds match {
-      case Some(s) => allNodes
+      case Some(s) => prepared.nodes
         .join(s.withColumn("is_seed", lit(true)), Seq("node"), "left")
         .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      case None => allNodes.withColumn("is_seed", lit(true))
+      case None => prepared.nodes.withColumn("is_seed", lit(true))
     }).localCheckpoint()
     val base = (scale * (dampDen - dampNum)) / dampDen
     var ranks = nodes
@@ -121,8 +160,6 @@ object Graph {
       ranks = prRound(eDeg, nodes, ranks, base, dampNum, dampDen)
         .localCheckpoint()
     }
-    e.unpersist()
-    eDeg.unpersist()
     ranks.select(col("node"), col("rank"))
   }
 

@@ -160,6 +160,12 @@ object Similarity {
   def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[(Int, Array[Double])], query: Array[Double],
       k: Int, nprobe: Int): DataFrame = {
+    // probeCells returns tuple ids while nearestCentroid assigns by array
+    // POSITION — a reordered/filtered centroid array would silently probe
+    // the wrong cells, so the id==index invariant is enforced, not assumed
+    require(centroids.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "ivfTopKWith requires centroids(i) = (i, vec) — ids must equal array " +
+        "positions, as produced by ivfCentroids; do not reorder or filter")
     val probed = probeCells(centroids, query, nprobe)
 
     // assignment: argmax cosine over the centroid matrix — a single native
@@ -198,7 +204,7 @@ object Similarity {
   /** The IVF coarse quantizer: deterministic seed sample + Lloyd
     * refinement (see [[ivfTopK]]). Exposed for the cell-balance spec and
     * for callers that persist the assignment partitioned by cell. */
-  private[graft] def ivfCentroids(df: DataFrame, idCol: String,
+  def ivfCentroids(df: DataFrame, idCol: String,
       vecCol: String, nlist: Int, lloydIters: Int = 2,
       trainFactor: Int = 64): Array[(Int, Array[Double])] = {
     // deterministic centroid sample (small: nlist rows to the driver);
@@ -529,7 +535,7 @@ object Similarity {
     * into `m` fixed-point sub-vectors each. Returns cb(mi)(c) =
     * sub-vector of centroid c in subspace mi. Driver collect is bounded
     * at `ksub` rows. */
-  private[graft] def pqCodebook(df: DataFrame, idCol: String,
+  def pqCodebook(df: DataFrame, idCol: String,
       vecCol: String, m: Int, ksub: Int): Array[Array[Array[Long]]] = {
     val seeds = df
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
@@ -700,17 +706,36 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 16, refine: Int = 4, lloydIters: Int = 2,
-      trainFactor: Int = 64): DataFrame = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nlist, lloydIters,
-      trainFactor)
+      trainFactor: Int = 64): DataFrame =
+    ivfPqTopKWith(df, idCol, vecCol,
+      ivfCentroids(df, idCol, vecCol, nlist, lloydIters, trainFactor),
+      pqCodebook(df, idCol, vecCol, m, ksub),
+      query, k, nprobe, refine)
+
+  /** [[ivfPqTopK]] against PREBUILT index artifacts — the index-reuse
+    * entry point matching [[ivfTopKWith]]: a repeated-query workload over
+    * a static corpus trains the coarse quantizer and the PQ codebook
+    * ONCE (both are build-time artifacts of the index, identical across
+    * queries by construction) and probes many times, instead of paying
+    * the seed-collect + Lloyd + codebook training scans per call. */
+  def ivfPqTopKWith(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])],
+      codebook: Array[Array[Array[Long]]], query: Array[Double],
+      k: Int, nprobe: Int, refine: Int): DataFrame = {
+    // same invariant as ivfTopKWith: probeCells speaks tuple ids,
+    // nearestCentroid speaks array positions — reordered/filtered
+    // centroids would silently probe the wrong cells
+    require(centroids.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "ivfPqTopKWith requires centroids(i) = (i, vec) — ids must equal " +
+        "array positions, as produced by ivfCentroids; do not reorder " +
+        "or filter")
     val cells = probeCells(centroids, query, nprobe)
-    val cb = pqCodebook(df, idCol, vecCol, m, ksub)
     val probed = df
       .withColumn("__cell",
         VectorFunctions.nearestCentroid(col(vecCol), centroids.map(_._2)))
       .filter(col("__cell").isin(cells.toSeq: _*))
       .drop("__cell")
-    pqRank(probed, idCol, vecCol, cb, query, k * refine)
+    pqRank(probed, idCol, vecCol, codebook, query, k * refine)
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }

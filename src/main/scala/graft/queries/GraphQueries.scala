@@ -24,14 +24,36 @@ object GraphQueries {
     * DISTINCT (customer, supplier) pair per order-line relationship,
     * customers at even node ids (2·custkey), suppliers at odd
     * (2·suppkey+1) — disjoint id spaces in one BIGINT column. Extracted
-    * once so the node-encoding scheme lives in exactly one place. */
+    * once so the node-encoding scheme lives in exactly one place, and
+    * MEMOIZED per (session, dir) as a shared checkpoint: ten g-gates
+    * build on this identical orders⋈lineitem+distinct subtree, so in any
+    * multi-query session (bench, verify, a user's analysis session) the
+    * join is paid once per corpus, not once per gate. */
   private def tradePairs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .join(t(spark, dir, "lineitem"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
+    graft.SharedPrep.cached(spark, s"tradePairs:$dir") {
+      graft.SharedPrep.checkpointShared(
+        t(spark, dir, "orders")
+          .join(t(spark, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("s"))
+          .distinct())
+    }
+
+  /** The PageRank pair's shared prep ([[Graph.PreparedEdges]]): g01 and
+    * g03 iterate over the SAME symmetrized trade graph, so the
+    * distinct+repartition+degree pass — the dominant cost of both gates —
+    * is built once per (session, corpus) and both gates run their five
+    * |V|-row rounds against the shared checkpoint. */
+  private def tradeGraph(spark: SparkSession, dir: String)
+      : Graph.PreparedEdges =
+    graft.SharedPrep.cached(spark, s"tradeGraph:$dir") {
+      val pairs = tradePairs(spark, dir)
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      Graph.prepareEdges(edges, "src", "dst",
+        graft.SharedPrep.checkpointShared)
+    }
 
   // ---------------------------------------------------------------- g01
   /** PageRank over the customer↔supplier trade graph: an edge per
@@ -42,10 +64,7 @@ object GraphQueries {
     * fixed-point rounds at scale 1e6, damping 85/100; top 100 nodes by
     * (rank, node) with deterministic tiebreak. */
   def g01PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = tradePairs(spark, dir)
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-    Graph.pageRank(edges, "src", "dst", iterations = 5)
+    Graph.pageRankPrepared(tradeGraph(spark, dir), iterations = 5)
       .withColumnRenamed("rank", "rank_micro")
       .orderBy(col("rank_micro").desc, col("node"))
       .limit(100)
@@ -152,13 +171,10 @@ object GraphQueries {
     * five seeded rounds exactly; nodes unreachable from a seed hold rank
     * 0 and are filtered. */
   def g03PersonalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = tradePairs(spark, dir)
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     val seeds = t(spark, dir, "supplier")
       .filter(pmod(col("s_suppkey"), lit(10)) === 0)
       .select((col("s_suppkey") * 2 + 1).as("node"))
-    Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+    Graph.personalizedPageRankPrepared(tradeGraph(spark, dir), seeds, "node",
       iterations = 5)
       .filter(col("rank") > 0)
       .withColumnRenamed("rank", "rank_micro")

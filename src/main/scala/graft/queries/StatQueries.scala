@@ -1515,8 +1515,15 @@ object StatQueries {
     import org.apache.spark.sql.expressions.Window
     def census(df: DataFrame, valueCol: String, label: String) =
       df.select(
-          expr(s"cast(substring(cast(floor($valueCol) as string), 1, 1) as bigint)")
+          // try_cast: a negative value's leading '-' is not a digit — it
+          // must become NULL (then be domain-filtered), not an ANSI error
+          expr(s"try_cast(substring(cast(floor($valueCol) as string), 1, 1) as bigint)")
             .as("digit"))
+        // Benford's law is defined for leading digits 1-9 only; values in
+        // [0,1) (digit 0) or negatives (NULL digit) would otherwise fall
+        // through the CASE to digit 9's expectation — exclude them from
+        // the census so shares and deltas are over the law's domain
+        .filter(col("digit").between(1, 9))
         .groupBy("digit").agg(count(lit(1)).as("n"))
         .select(lit(label).as("col_name"), col("digit"), col("n"))
     val rows = census(t(spark, dir, "lineitem"), "l_extendedprice",
@@ -1537,17 +1544,17 @@ object StatQueries {
   val q71Sql: String =
     s"""WITH src AS (
        |  SELECT 'l_extendedprice' AS col_name,
-       |    CAST(SUBSTR(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+       |    TRY_CAST(SUBSTR(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
        |                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
        |  FROM lineitem
        |  UNION ALL
        |  SELECT 'o_totalprice' AS col_name,
-       |    CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+       |    TRY_CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
        |                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
        |  FROM orders),
        |cm AS (
        |  SELECT col_name, digit, COUNT(*)::BIGINT AS n
-       |  FROM src GROUP BY 1, 2)
+       |  FROM src WHERE digit BETWEEN 1 AND 9 GROUP BY 1, 2)
        |SELECT col_name, digit, n,
        |  CAST(n::HUGEINT * 1000000
        |       // SUM(n) OVER (PARTITION BY col_name) AS BIGINT)

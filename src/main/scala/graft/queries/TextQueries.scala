@@ -1536,7 +1536,10 @@ object TextQueries {
         length(col("text")).cast("bigint").as("chars"),
         stripped("[A-Za-z]").as("letters"),
         stripped("[0-9]").as("digits"),
-        stripped("\\s").as("ws"))
+        // explicit class, NOT \s: Java \s and DuckDB's RE2 \s disagree on
+        // U+000B (vertical tab), which would flip a doc's ws/other split
+        // between the two engines and break the gate hash
+        stripped("[\\t\\n\\x0B\\f\\r ]").as("ws"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("chars")).as("chars"),
@@ -1562,7 +1565,7 @@ object TextQueries {
       |  SELECT source, LENGTH(text)::BIGINT AS chars,
       |    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g')))::BIGINT AS letters,
       |    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))::BIGINT AS digits,
-      |    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')))::BIGINT AS ws
+      |    (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[\t\n\x0B\f\r ]', '', 'g')))::BIGINT AS ws
       |  FROM documents),
       |m AS (
       |  SELECT source, COUNT(*)::BIGINT AS n_docs,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the cross-gate shared-prep registry: memoization identity,
+  * drain survival (the property Bench.drainLeaks depends on — dropping a
+  * localCheckpoint's blocks is unrecoverable), and session-scoped keys. */
+class SharedPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("cached memoizes per key: same key same instance, new key new build") {
+    import spark.implicits._
+    var builds = 0
+    def build() = { builds += 1; Seq(1, 2, 3).toDF("x") }
+    val a = SharedPrep.cached(spark, "sps-key1")(build())
+    val b = SharedPrep.cached(spark, "sps-key1")(build())
+    val c = SharedPrep.cached(spark, "sps-key2")(build())
+    assert(a eq b, "same (session, key) must return the cached instance")
+    assert(!(a eq c), "a different key must build fresh")
+    assert(builds == 2, s"expected 2 builds, got $builds")
+  }
+
+  test("checkpointShared survives a Bench-style drain of unkept RDDs") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val shared = SharedPrep.checkpointShared(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // an UNREGISTERED leak, as a gate would leave behind
+    val leak = Seq(9L).toDF("id").localCheckpoint()
+    assert(leak.count() == 1)
+    // the exact drain Bench runs between queries
+    sc.getPersistentRDDs
+      .filterNot { case (id, _) => SharedPrep.isKept(id) }
+      .values.foreach(_.unpersist(blocking = true))
+    // shared blocks survive: the checkpointed data is still readable
+    assert(shared.count() == 2)
+    assert(shared.select("v").orderBy("id").collect().map(_.getString(0))
+      .toSeq == Seq("a", "b"))
+    // and the drain did drop the unregistered leak's blocks
+    assert(sc.getPersistentRDDs.values
+      .forall(r => SharedPrep.isKept(r.id)),
+      "only registered shared RDDs may remain persisted after a drain")
+  }
+}

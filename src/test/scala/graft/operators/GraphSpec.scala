@@ -68,6 +68,24 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pageRank over PreparedEdges equals the one-shot entry points " +
+    "(shared-prep path is bit-identical)") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (4L, 1L),
+      (5L, 4L), (5L, 1L), (2L, 4L), (1L, 2L)) // dup edge: distinct applies
+    val prepared = Graph.prepareEdges(edges.toDF("src", "dst"), "src", "dst")
+    val pr = Graph.pageRankPrepared(prepared, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == naivePageRank(edges, 5))
+    // the SAME prepared instance serves the personalized variant too —
+    // exactly how g01/g03 share the trade graph
+    val ppr = Graph.personalizedPageRankPrepared(prepared,
+        Seq(1L, 4L).toDF("node"), "node", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == naivePpr(edges, Set(1L, 4L), 5))
+  }
+
   test("pageRank: dangling sink keeps receiving but stops re-emitting") {
     // 1 -> 2 only: node 2 has no out-edges; documented no-redistribute
     val got = runPageRank(Seq((1L, 2L)), 5)

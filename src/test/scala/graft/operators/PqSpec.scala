@@ -56,6 +56,43 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exists(_._1 == 0L))
   }
 
+  test("ivfPqTopKWith: two probes over PREBUILT artifacts equal the " +
+    "per-call-trained path and plan zero training jobs") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .localCheckpoint() // isolate job counting from the parquet read
+    val q1 = Similarity.vectorOf(spark, dir, 0L)
+    val q2 = Similarity.vectorOf(spark, dir, 7L)
+    // train ONCE — both artifacts are query-independent by construction
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 2, 64)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", 8, 16)
+    // building the probe plans must launch NO Spark jobs (training was
+    // the only action; the probe itself is a lazy map-only plan)
+    val sc = spark.sparkContext
+    sc.setJobGroup("ivfpq-with", "probe planning", false)
+    val p1 = Similarity.ivfPqTopKWith(emb, "vec_id", "embedding",
+      centroids, cb, q1, 5, 2, 4)
+    val p2 = Similarity.ivfPqTopKWith(emb, "vec_id", "embedding",
+      centroids, cb, q2, 5, 2, 4)
+    sc.clearJobGroup()
+    Thread.sleep(100)
+    assert(sc.statusTracker.getJobIdsForGroup("ivfpq-with").isEmpty,
+      "prebuilt-artifact probes must not retrain (no jobs at plan time)")
+    // and each probe's rows equal the train-per-call entry point's
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(p1) == rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q1, 5, nlist = 8, nprobe = 2, m = 8, ksub = 16, refine = 4,
+      lloydIters = 2, trainFactor = 64)))
+    assert(rows(p2) == rows(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q2, 5, nlist = 8, nprobe = 2, m = 8, ksub = 16, refine = 4,
+      lloydIters = 2, trainFactor = 64)))
+    // reordered centroids violate the id==index invariant loudly
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfPqTopKWith(emb, "vec_id", "embedding",
+        centroids.reverse, cb, q1, 5, 2, 4)
+    }
+  }
+
   test("edge guards: indivisible dims, tiny corpus, empty corpus fail loudly") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -58,11 +58,13 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("t42: per-source character-class counts and micro shares") {
     import spark.implicits._
     val dir = fixtureDir()
-    // "ab1 c": 5 chars = 3 letters + 1 digit + 1 ws + 0 other
-    // "x,y":   3 chars = 2 letters + 0 digit + 0 ws + 1 other
+    // "ab1 c":      5 chars = 3 letters + 1 digit + 1 ws + 0 other
+    // "x,\u000By":  4 chars = 2 letters + 0 digit + 1 ws + 1 other
+    // (U+000B vertical tab IS in the explicit ws class — the class where
+    // Java \s and RE2 \s disagree, hence the explicit class in t42)
     Seq(
       (1L, "ab1 c", "en", "a", 5L),
-      (2L, "x,y", "en", "b", 3L))
+      (2L, "x,\u000By", "en", "b", 4L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val got = TextQueries.t42ScriptCensus(spark, dir).collect()
@@ -71,14 +73,16 @@ class AuditOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getLong(8), r.getLong(9), r.getLong(10)))
     assert(got.toSeq == Seq(
       ("a", 1L, 5L, 3L, 1L, 1L, 0L, 600000L, 200000L, 200000L, 0L),
-      ("b", 1L, 3L, 2L, 0L, 0L, 1L, 666666L, 0L, 0L, 333333L)))
+      ("b", 1L, 4L, 2L, 0L, 1L, 1L, 500000L, 0L, 250000L, 250000L)))
   }
 
   test("q71: leading-digit census, Benford expectation, and deltas") {
     import spark.implicits._
     val dir = fixtureDir()
-    // lineitem digits: 10.5 -> 1, 19.99 -> 1, 25.0 -> 2, 999.0 -> 9
-    Seq(10.5, 19.99, 25.0, 999.0).toDF("l_extendedprice")
+    // lineitem digits: 10.5 -> 1, 19.99 -> 1, 25.0 -> 2, 999.0 -> 9;
+    // 0.5 -> digit 0 and -3.0 -> NULL digit are OUTSIDE Benford's domain
+    // and must be excluded from the census (shares stay over 4 rows)
+    Seq(10.5, 19.99, 25.0, 999.0, 0.5, -3.0).toDF("l_extendedprice")
       .write.parquet(s"$dir/lineitem.parquet")
     Seq(5.0).toDF("o_totalprice")
       .write.parquet(s"$dir/orders.parquet")

@@ -366,6 +366,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("g01_pagerank").contains("TakeOrderedAndProject"))
   }
 
+  test("g01/g03: both PageRank gates run over the SHARED prepared trade " +
+    "graph — neither final plan rescans orders/lineitem") {
+    // force g01 first (it materializes the shared prep), then g03: the
+    // symmetrize+degree subtree must arrive as checkpointed blocks, so
+    // the only parquet scan g03 may plan is its supplier seed list
+    val p1 = plan("g01_pagerank")
+    val p3 = plan("g03_personalized_pagerank")
+    for ((nm, p) <- Seq("g01" -> p1, "g03" -> p3); t <- Seq("orders", "lineitem"))
+      assert(!p.contains(s"$t.parquet"),
+        s"$nm re-reads $t instead of the shared prep:\n$p")
+    assert(!p3.linesIterator.exists(l =>
+      l.contains("Scan parquet") && !l.contains("supplier")),
+      s"g03 may scan only supplier (seeds):\n$p3")
+  }
+
   test("g05: label-propagation round is equi-joins + partial aggs, " +
     "never cartesian") {
     // same localCheckpoint opacity as g01 — pin through the round fn
