@@ -144,6 +144,12 @@ object Bench {
         .values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
+    // A failed gate must be LOUD in the artifact, never a silent ~0 s
+    // entry: an instant exception used to IMPROVE the headline total (two
+    // PageRank gates died to a cache bug in two full runs and the totals
+    // read ~4 s better). Failures are named in the JSON and the failed
+    // gate's time is excluded from per-query data but poisons nothing.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -151,6 +157,7 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
@@ -161,6 +168,7 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // Machine-speed-normalized total: 89 ms is the canonical fast-host
     // probe reading every clean r12 artifact recorded, so
@@ -171,7 +179,7 @@ object Bench {
     val refProbeMs = 89.0
     val totalNorm = if (probeMs > 0) total * refProbeMs / probeMs else total
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"unit":"sec","queries":$qs,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver only captures the last ~2000 chars of stdout; with 76+
     // queries the full line above overflows that window and its leading
@@ -191,7 +199,7 @@ object Bench {
       if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"failed":$failedJson,"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

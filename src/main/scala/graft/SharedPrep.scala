@@ -42,11 +42,25 @@ object SharedPrep {
     * the key so a test that stops its session and starts another over the
     * same fixture dir can never receive a DataFrame bound to a dead
     * session. `build` is responsible for materializing what it returns
-    * (via [[checkpointShared]]) — the cache only deduplicates calls. */
-  def cached[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T =
-    cache.computeIfAbsent(
-      System.identityHashCode(spark) + "#" + key,
-      _ => build).asInstanceOf[T]
+    * (via [[checkpointShared]]) — the cache only deduplicates calls.
+    *
+    * NOT `computeIfAbsent`: builders NEST (tradeGraph builds on
+    * tradePairs), and a nested `computeIfAbsent` on one ConcurrentHashMap
+    * throws `IllegalStateException: Recursive update` whenever the two
+    * keys land in the same bin — which, with the session hash in the key,
+    * is a per-JVM coin flip (it silently killed both PageRank gates in
+    * two full bench runs before being caught). A reentrant
+    * get → synchronized double-check → put is nest-safe. */
+  def cached[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val k = System.identityHashCode(spark) + "#" + key
+    val hit = cache.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else synchronized {
+      val again = cache.get(k)
+      if (again != null) again.asInstanceOf[T]
+      else { val v = build; cache.put(k, v); v }
+    }
+  }
 
   /** Eager `localCheckpoint` whose blocks are REGISTERED as shared so an
     * inter-query drain spares them. The persisted-RDD delta around the

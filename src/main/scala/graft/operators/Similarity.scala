@@ -259,7 +259,15 @@ object Similarity {
     * [[VectorFunctions.nearestCentroid]] kernel queries use; the mean is a
     * per-(cell, dim) long-sum aggregate whose collect is exactly
     * nlist·dims rows. Cells that lose all members keep their previous
-    * centroid (no respawn heuristics — deterministic). */
+    * centroid (no respawn heuristics — deterministic).
+    *
+    * Cost shape: each iteration re-evaluates `nearestCentroid` over the
+    * FULL train sample with the current centroid matrix shipped as
+    * expression state — fine at the default nlist·trainFactor (≤ ~1k
+    * rows per plan), but the per-iteration cost is
+    * O(|train| · nlist · dims); a caller raising `trainFactor` by orders
+    * of magnitude should persist `train` (it is re-scanned `iters`
+    * times) and expect assignment, not aggregation, to dominate. */
   private def lloydRefine(train: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
     var cur = centroids

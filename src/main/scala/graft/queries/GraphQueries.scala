@@ -46,14 +46,17 @@ object GraphQueries {
     * is built once per (session, corpus) and both gates run their five
     * |V|-row rounds against the shared checkpoint. */
   private def tradeGraph(spark: SparkSession, dir: String)
-      : Graph.PreparedEdges =
+      : Graph.PreparedEdges = {
+    // built OUTSIDE the cached block: the pair list is its own shared
+    // entry, and resolving it first keeps the cache calls sequential
+    val pairs = tradePairs(spark, dir)
     graft.SharedPrep.cached(spark, s"tradeGraph:$dir") {
-      val pairs = tradePairs(spark, dir)
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       Graph.prepareEdges(edges, "src", "dst",
         graft.SharedPrep.checkpointShared)
     }
+  }
 
   // ---------------------------------------------------------------- g01
   /** PageRank over the customer↔supplier trade graph: an edge per
@@ -116,9 +119,7 @@ object GraphQueries {
     * what keeps such density tractable) — and the (degree, id) tiebreak
     * keeps it deterministic enough to mirror exactly. */
   def g02Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.operators.Dedup.ngramJaccardPairs(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
     Graph.triangleCounts(edges, "id_a", "id_b")
       .orderBy("node")
   }
@@ -226,9 +227,7 @@ object GraphQueries {
     * result deterministic whether or not peeling has stabilized, so the
     * oracle unrolls the same six rounds. */
   def g04KCore(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.operators.Dedup.ngramJaccardPairs(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
     Graph.kCore(edges, "id_a", "id_b", k = 2, rounds = 6)
       .orderBy("node")
   }
@@ -270,9 +269,7 @@ object GraphQueries {
     * collapse-everything blob. Fixed rounds + deterministic tie-break
     * make every label exactly mirrorable. */
   def g05LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.operators.Dedup.ngramJaccardPairs(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
     Graph.labelPropagation(edges, "id_a", "id_b", rounds = 4)
       .orderBy("node")
   }
@@ -369,9 +366,7 @@ object GraphQueries {
     * (bounded fan-out); the oracle unrolls the same rounds with the
     * naive common-neighbor join, which must agree exactly. */
   def g07KTruss(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.operators.Dedup.ngramJaccardPairs(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
     Graph.kTruss(edges, "id_a", "id_b", k = 3, rounds = 4)
       .orderBy("id_a", "id_b")
   }
@@ -428,9 +423,7 @@ object GraphQueries {
     // rounds and the modularity scoring — without it the d04 join runs
     // twice (labels are checkpointed inside labelPropagation, but the
     // modularity pass would replay edges from scratch)
-    val edges = graft.operators.Dedup.ngramJaccardPairs(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
       .localCheckpoint()
     val labels = Graph.labelPropagation(edges, "id_a", "id_b", rounds = 4)
     Graph.modularity(edges, "id_a", "id_b", labels).orderBy("community")
@@ -581,9 +574,7 @@ object GraphQueries {
     * near-dup pairs. Reuses the g02 degree-oriented triangle plan plus
     * one node-keyed join; the oracle extends the shared triangle CTEs. */
   def g12LocalClustering(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.operators.Dedup.ngramJaccardPairs(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
     Graph.localClustering(edges, "id_a", "id_b")
       .orderBy("node")
   }

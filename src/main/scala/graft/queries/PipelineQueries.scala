@@ -1466,8 +1466,7 @@ object PipelineQueries {
   def p25LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val edges = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000).localCheckpoint()
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
     val labels = graft.operators.DedupClusters
       .connectedComponents(edges, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("label").as("anchor"))
@@ -1688,8 +1687,7 @@ object PipelineQueries {
   def p29DedupYield(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val edges = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
     val labels = graft.operators.DedupClusters
       .connectedComponents(edges, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -1926,8 +1926,7 @@ object TextQueries {
     * agg keyed by source. */
   def t29EffectiveTokens(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val edges = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
+    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
     val labels = graft.operators.DedupClusters
       .connectedComponents(edges, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))

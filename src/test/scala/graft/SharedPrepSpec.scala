@@ -29,6 +29,28 @@ class SharedPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 2, s"expected 2 builds, got $builds")
   }
 
+  test("cached is NEST-safe: a builder may resolve another cached key") {
+    import spark.implicits._
+    // the tradeGraph-on-tradePairs shape; a ConcurrentHashMap
+    // computeIfAbsent spelling threw 'Recursive update' here whenever
+    // the two keys shared a bin (per-JVM coin flip — it silently killed
+    // g01/g03 in two full bench runs)
+    var innerBuilds = 0
+    def inner() = SharedPrep.cached(spark, "sps-nest-inner") {
+      innerBuilds += 1; Seq(1L, 2L).toDF("x")
+    }
+    // many outer keys so at least one collides with the inner's bin
+    val outs = (0 until 64).map { i =>
+      SharedPrep.cached(spark, s"sps-nest-outer-$i") {
+        inner().select(
+          (org.apache.spark.sql.functions.col("x") + i).as("y"))
+      }
+    }
+    assert(innerBuilds == 1, "inner built once, resolved from every nest")
+    assert(outs(63).agg(org.apache.spark.sql.functions.sum("y"))
+      .head().getLong(0) == 129L) // (1+63)+(2+63)
+  }
+
   test("checkpointShared survives a Bench-style drain of unkept RDDs") {
     import spark.implicits._
     val sc = spark.sparkContext
