@@ -62,7 +62,13 @@ object Bench {
         (System.nanoTime() - t0) / 1000000
       }
       run() // JIT warm
-      math.min(run(), run())
+      // median of 5, not min of 2: the probe DIVIDES the tracked
+      // value_normalized, so one turbo-boosted minimum (a 73 ms reading
+      // on a 93-97 ms day was observed) would inflate the headline by
+      // 25%+; the median is stable against both turbo spikes and
+      // scheduler stalls
+      val xs = Array.fill(5)(run()).sorted
+      xs(2)
     }
 
     // JIT/codegen/IO-path warmup so the alphabetically-first query isn't
