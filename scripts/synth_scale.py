@@ -21,10 +21,18 @@ so verified near-dup structure stays per-replica and pair counts scale
 linearly (banding candidates gain a bounded constant per doc). n_chars is
 recomputed to stay consistent with the perturbed text.
 
-Only the tables the heavy-gate stress set reads are synthesized:
-region (bench warmup), supplier, orders, lineitem, documents, events.
+All ten tables are synthesized, so the FULL gate suite can run at any
+factor: region/nation copy verbatim (dimension tables — customer and
+supplier keep their original nationkeys, which stay valid); customer /
+supplier / part / orders / lineitem / events / documents / embeddings
+replicate with offset keys. embeddings keep their vectors identical
+across replicas: a replica group is a 10-clone cosine-1 clique, so
+near-dup pair growth stays LINEAR (factor·(factor-1)/2 pairs per group,
+a constant per base vector), and ANN gates see a denser but not
+pathological candidate structure.
 """
 import os
+import shutil
 import sys
 
 import duckdb
@@ -38,16 +46,31 @@ def main(src, out, factor):
 
     def write(table, k, select):
         d = os.path.join(out, f"{table}.parquet")
+        if k == 0 and os.path.isdir(d):
+            # re-running into an existing outDir with a smaller factor
+            # must not leave stale higher-k replicas behind
+            shutil.rmtree(d)
         os.makedirs(d, exist_ok=True)
         con.execute(
             f"COPY ({select}) TO '{d}/part-{k:03d}.parquet' (FORMAT PARQUET)")
 
     # straight copies (dimensions / warmup fodder)
-    for t in ["region"]:
+    for t in ["region", "nation"]:
         write(t, 0, f"SELECT * FROM '{src}/{t}.parquet'")
 
     for k in range(factor):
         o = k * OFF
+        write("customer", k, f"""
+            SELECT c_custkey + {o} AS c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM '{src}/customer.parquet'""")
+        write("part", k, f"""
+            SELECT p_partkey + {o} AS p_partkey, p_name, p_brand, p_type,
+                   p_size, p_retailprice
+            FROM '{src}/part.parquet'""")
+        write("embeddings", k, f"""
+            SELECT vec_id + {o} AS vec_id, embedding, label
+            FROM '{src}/embeddings.parquet'""")
         write("supplier", k, f"""
             SELECT s_suppkey + {o} AS s_suppkey, s_name, s_nationkey,
                    s_acctbal

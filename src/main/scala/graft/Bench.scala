@@ -146,30 +146,35 @@ object Bench {
       // timed window — the exact attribution noise this drain exists
       // to eliminate
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => SharedPrep.isKept(id) }
+        .filterNot { case (id, _) => SharedPrep.isKept(spark, id) }
         .values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
     }
     // A failed gate must be LOUD in the artifact, never a silent ~0 s
     // entry: an instant exception used to IMPROVE the headline total (two
     // PageRank gates died to a cache bug in two full runs and the totals
-    // read ~4 s better). Failures are named in the JSON and the failed
-    // gate's time is excluded from per-query data but poisons nothing.
+    // read ~4 s better). A gate with NO successful repeat is named in
+    // "failed" and EXCLUDED from the per-query map and the totals; a
+    // gate that fails one repeat but succeeds another keeps the min of
+    // its SUCCESSFUL repeats (the instant-exception time never competes
+    // in the min).
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val best = (0 until repeats).map { _ =>
+      .flatMap { case (name, fn) =>
+      val succeeded = (0 until repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
       drainLeaks()
-      name -> best
+      if (succeeded.isEmpty) { failed += name; None }
+      else Some(name -> succeeded.min)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

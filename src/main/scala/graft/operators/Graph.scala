@@ -59,7 +59,7 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, scale: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
-    prCore(prepareEdges(edges, srcCol, dstCol), None,
+    prCoreOneShot(edges, srcCol, dstCol, None,
       iterations, scale, dampNum, dampDen)
 
   /** PERSONALIZED PageRank (random walk with restart): the teleport mass
@@ -74,9 +74,42 @@ object Graph {
       seeds: DataFrame, seedCol: String, iterations: Int = 5,
       scale: Long = 1000000L, dampNum: Long = 85L,
       dampDen: Long = 100L): DataFrame =
-    prCore(prepareEdges(edges, srcCol, dstCol),
+    prCoreOneShot(edges, srcCol, dstCol,
       Some(seeds.select(col(seedCol).cast("long").as("node")).distinct()),
       iterations, scale, dampNum, dampDen)
+
+  /** One-shot prep + run + deterministic release: the prep rides on
+    * plain `persist()` (lazy — round 1 materializes it, rounds 2..n
+    * reuse) and is unpersisted as soon as the eagerly-materialized
+    * final ranks exist, so a caller looping one-shot pageRank calls
+    * (specs, property tests, library users) does not accumulate
+    * checkpoint blocks per call. Callers wanting prep REUSE across runs
+    * use [[prepareEdges]] + the `*Prepared` entry points and own the
+    * blocks' lifetime. */
+  private def prCoreOneShot(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Option[DataFrame], iterations: Int,
+      scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    val eDeg = e.withColumn("outdeg",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"))))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val out = prCore(PreparedEdges(eDeg, nodes), seeds,
+      iterations, scale, dampNum, dampDen)
+    // safe immediately: prCore's per-round localCheckpoints are EAGER,
+    // so `out` is materialized rows, not a plan over eDeg
+    e.unpersist()
+    eDeg.unpersist()
+    out
+  }
 
   /** A PageRank-ready edge list, built ONCE and reusable across PR
     * variants and repeated runs: distinct `(src, dst)` pairs

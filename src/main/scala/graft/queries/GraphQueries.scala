@@ -419,12 +419,11 @@ object GraphQueries {
     * engines; q_num may be legitimately negative for an internally
     * edge-free community). */
   def g08Modularity(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: the shingle-join edge list feeds BOTH the LPA
-    // rounds and the modularity scoring — without it the d04 join runs
-    // twice (labels are checkpointed inside labelPropagation, but the
-    // modularity pass would replay edges from scratch)
+    // the edge list feeds BOTH the LPA rounds and the modularity scoring;
+    // it arrives ALREADY materialized (the shared near-dup pair
+    // checkpoint), so each replay is a block read + the 0.7 filter — a
+    // second localCheckpoint here would just duplicate the blocks
     val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
-      .localCheckpoint()
     val labels = Graph.labelPropagation(edges, "id_a", "id_b", rounds = 4)
     Graph.modularity(edges, "id_a", "id_b", labels).orderBy("community")
   }

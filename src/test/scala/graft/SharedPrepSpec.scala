@@ -61,7 +61,7 @@ class SharedPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leak.count() == 1)
     // the exact drain Bench runs between queries
     sc.getPersistentRDDs
-      .filterNot { case (id, _) => SharedPrep.isKept(id) }
+      .filterNot { case (id, _) => SharedPrep.isKept(spark, id) }
       .values.foreach(_.unpersist(blocking = true))
     // shared blocks survive: the checkpointed data is still readable
     assert(shared.count() == 2)
@@ -69,7 +69,7 @@ class SharedPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq == Seq("a", "b"))
     // and the drain did drop the unregistered leak's blocks
     assert(sc.getPersistentRDDs.values
-      .forall(r => SharedPrep.isKept(r.id)),
+      .forall(r => SharedPrep.isKept(spark, r.id)),
       "only registered shared RDDs may remain persisted after a drain")
   }
 }

@@ -11,15 +11,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * per-round join work at 100 TB purely for termination detection. */
 class StarCcJobBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
+  private lazy val spark = {
     // AQE off: adaptive execution splits one action into one job per
     // stage, which would make the job count measure plan depth instead
-    // of ACTION count — the thing this spec pins
-    .config("spark.sql.adaptive.enabled", "false")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+    // of ACTION count — the thing this spec pins. getOrCreate may return
+    // another suite's live session (builder configs silently ignored
+    // then), so take an ISOLATED child session and set the conf on it —
+    // per-session scope, no mutation of the shared one.
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      .newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s
+  }
 
   override def afterAll(): Unit = spark.stop()
 
