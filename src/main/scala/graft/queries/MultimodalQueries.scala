@@ -22,6 +22,18 @@ import graft.operators.Multimodal
   * sample-table walks. */
 object MultimodalQueries {
 
+  /** Ids/records fanned out for CODEC work: row-local decode/encode is
+    * CPU-heavy relative to its tiny input, and Spark's size-based file
+    * packing puts a whole small-file corpus into ONE scan partition —
+    * which serializes the codec mapPartitions on a single core (measured
+    * at the r17 10x stress: m18 ran single-task, identical wall time at
+    * local[4] and local[32]). Repartitioning the fixed-width rows to the
+    * session's default parallelism is a negligible shuffle that restores
+    * full-core codec throughput at any corpus/file layout. */
+  private def fanOut[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
+
   def m01DecodeMeta(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     Multimodal.withDecodedMeta(
@@ -134,7 +146,7 @@ object MultimodalQueries {
       .select(col("doc_id"),
         explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
       .as[(Long, Int)]
-    val hashed = frames.mapPartitions(_.map { case (id, fi) =>
+    val hashed = fanOut(frames).mapPartitions(_.map { case (id, fi) =>
       val seed = id + 13L * (fi / 4) // new seed every 4 frames = a shot
       val png = Multimodal.gradientPng(9, 8, seed)
       val (_, _, hi, lo) = Multimodal.dHash64(png).get
@@ -240,7 +252,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 0)
       .as[Long]
-    ids.mapPartitions(_.map { id =>
+    fanOut(ids).mapPartitions(_.map { id =>
       val w = (4 + id % 13).toInt
       val h = (3 + id % 7).toInt
       val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
@@ -278,7 +290,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
-    ids.mapPartitions(_.map { id =>
+    fanOut(ids).mapPartitions(_.map { id =>
       val n = (50 + id % 30).toInt
       val rate = (8000L * (1 + id % 5)).toInt
       val samples = Array.tabulate(n)(i =>
@@ -323,7 +335,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 0)
       .as[Long]
-    ids.mapPartitions(_.map { id =>
+    fanOut(ids).mapPartitions(_.map { id =>
       val w = (4 + id % 40).toInt
       val h = (3 + id % 25).toInt
       val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) |
@@ -372,7 +384,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 0)
       .as[Long]
-    val hashed = ids.mapPartitions(_.map { id =>
+    val hashed = fanOut(ids).mapPartitions(_.map { id =>
       val w = (9 * (1 + id % 3)).toInt
       val h = (8 * (1 + id % 2)).toInt
       val png = Multimodal.gradientPng(w, h, id)
@@ -439,7 +451,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 0)
       .as[Long]
-    val hashed = ids.mapPartitions(_.map { id =>
+    val hashed = fanOut(ids).mapPartitions(_.map { id =>
       val w = (9 * (1 + id % 3)).toInt
       val h = (8 * (1 + id % 2)).toInt
       val (_, _, hi, lo) = Multimodal.dHash64(
@@ -524,7 +536,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
-    ids.mapPartitions(_.map { id =>
+    fanOut(ids).mapPartitions(_.map { id =>
       val n = (50 + id % 30).toInt
       val rate = (8000L * (1 + id % 5)).toInt
       val f = (1 + id % 3).toInt
@@ -576,7 +588,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
-    val wins = ids.mapPartitions(_.flatMap { id =>
+    val wins = fanOut(ids).mapPartitions(_.flatMap { id =>
       val n = (50 + id % 30).toInt
       val rate = (8000L * (1 + id % 5)).toInt
       val samples = Array.tabulate(n)(i =>
@@ -764,7 +776,7 @@ object MultimodalQueries {
     // offset would otherwise misclassify genuine documents as copies)
     val withCopies = ids.flatMap(id =>
       if (id % 30 == 1) Seq((id, false), (id, true)) else Seq((id, false)))
-    val fps = withCopies.mapPartitions(_.map { case (base, isCopy) =>
+    val fps = fanOut(withCopies).mapPartitions(_.map { case (base, isCopy) =>
       val id = if (isCopy) base + 1000000L else base
       // per-window amplitude modulation keyed by doc id: window energies
       // form a doc-specific profile, so delta-sign fingerprints genuinely
@@ -917,7 +929,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
-    imgs.mapPartitions(_.map { id =>
+    fanOut(imgs).mapPartitions(_.map { id =>
       val w = (9L * (1 + id % 3)).toInt
       val h = (8L * (1 + id % 2)).toInt
       val png = Multimodal.gradientPng(w, h, id)
@@ -977,7 +989,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(7)) === 0)
       .as[Long]
-    val tiles = ids.mapPartitions(_.flatMap { id =>
+    val tiles = fanOut(ids).mapPartitions(_.flatMap { id =>
       val w = (8 * (2 + id % 3)).toInt
       val h = (8 * (2 + id % 2)).toInt
       Multimodal.tileHashes(Multimodal.gradientPng(w, h, id)).get
@@ -1031,7 +1043,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
-    ids.mapPartitions(_.map { id =>
+    fanOut(ids).mapPartitions(_.map { id =>
       val w = (9 * (1 + id % 3)).toInt
       val h = (8 * (1 + id % 2)).toInt
       val png = Multimodal.gradientPng(w, h, id)
@@ -1076,7 +1088,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 2)
       .as[Long]
-    ids.mapPartitions(_.map { id =>
+    fanOut(ids).mapPartitions(_.map { id =>
       val samples = Array.tabulate(256)(i =>
         (((id * 31 + i.toLong * 17) % 65521) - 32760).toShort)
       val wav = Multimodal.pcmWav(8000, samples)
@@ -1240,7 +1252,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
-    val perDoc = ids.mapPartitions(_.map { id =>
+    val perDoc = fanOut(ids).mapPartitions(_.map { id =>
       val n = (50 + id % 30).toInt
       val rate = (8000L * (1 + id % 5)).toInt
       val samples = Array.tabulate(n) { i =>
@@ -1309,7 +1321,7 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .as[Long]
-    ids.mapPartitions(_.map { id =>
+    fanOut(ids).mapPartitions(_.map { id =>
       val n = (50 + id % 30).toInt
       val rate = (8000L * (1 + id % 5)).toInt
       val samples = Array.tabulate(n) { i =>
