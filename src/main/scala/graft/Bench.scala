@@ -13,9 +13,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions scale WITH DATA on a cluster; a single-host
+    // bench pins them to the thread count at 1× but must NOT keep 32 at
+    // 10× data (per-partition hash state grows 10× and the iterative
+    // graph/dedup gates go superlinear — the r17 scale-table residual,
+    // VERDICT r17 item 1). Scale runs set this ∝ factor (96 at 3×,
+    // 320 at 10×); the driver's 1× runs leave it unset → cpus, so the
+    // headline protocol is unchanged.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -49,7 +58,7 @@ object Bench {
     // totals 136→187 s at loadavg < 1 on this host. A fixed single-thread
     // integer workload timestamps the machine itself, so cross-round
     // comparisons can normalize: if probe_ms inflates 40%, so do totals.
-    val probeMs = {
+    val (probeMs, probeSpread) = {
       def run(): Long = {
         val t0 = System.nanoTime()
         var h = 0x9e3779b97f4a7c15L
@@ -68,8 +77,16 @@ object Bench {
       // 25%+; the median is stable against both turbo spikes and
       // scheduler stalls
       val xs = Array.fill(5)(run()).sorted
-      xs(2)
+      (xs(2), if (xs(2) > 0) (xs(4) - xs(0)).toDouble / xs(2) else 1.0)
     }
+    // A normalized headline is only meaningful when the machine-speed
+    // probe itself was stable AND the host was idle: BENCH_r17.json
+    // stamped a 247 s "normalized" figure off a 73 ms turbo reading on a
+    // loaded host — exactly the artifact class BASELINE.md warns about —
+    // and a reader quoting the field had no machine-readable signal not
+    // to. `normalized_valid:false` is that signal; cross-round tables
+    // must ignore value_normalized whenever it is false.
+    val normValid = !noisy && probeSpread <= 0.20
 
     // JIT/codegen/IO-path warmup so the alphabetically-first query isn't
     // taxed with one-time initialization: exercise the parquet reader,
@@ -189,8 +206,13 @@ object Bench {
     // slow-host regimes (VERDICT r12 item 8).
     val refProbeMs = 89.0
     val totalNorm = if (probeMs > 0) total * refProbeMs / probeMs else total
+    // One-time shared-prep build work (trade graph, near-dup pair list)
+    // lands in the first consumer's repeat 1 and best-of-N drops it from
+    // the headline — emit the measured amount so the excluded work is
+    // quantified per run instead of estimated in prose (ADVICE r17).
+    val prepBuildS = SharedPrep.buildSeconds(spark)
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":$qs,"failed":$failedJson,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,"prep_build_s":$prepBuildS%.3f,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver only captures the last ~2000 chars of stdout; with 76+
     // queries the full line above overflows that window and its leading
@@ -210,7 +232,7 @@ object Bench {
       if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"failed":$failedJson,"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"failed":$failedJson,"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,"prep_build_s":$prepBuildS%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

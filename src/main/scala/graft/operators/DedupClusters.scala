@@ -103,9 +103,11 @@ object DedupClusters {
     * (which doubled the per-round join count purely for termination
     * detection). Equal signatures on UNEQUAL sets would need a 64-bit
     * double-hash collision at equal cardinality and equal Σv
-    * (≈2⁻¹²⁸-grade per round); a false stop is additionally bounded by
-    * the property tests that pin both CC algorithms to a driver
-    * union-find on random graphs. */
+    * (≈2⁻¹²⁸-grade per round) — and the FIRST match additionally runs
+    * one exact anti-join confirmation (a single extra join per RUN, not
+    * per round), so a collision cannot terminate the loop: termination
+    * is deterministic, the signature only decides WHEN to pay the exact
+    * check. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String,
       dstCol: String, maxIter: Int = 30): DataFrame = {
     val sig = edgeSetSignature _
@@ -134,8 +136,22 @@ object DedupClusters {
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint()
       val nextSig = sig(next)
+      // Signatures matching is NECESSARY for set equality (count, two
+      // independent hashes, Σv all agree) but a ~2⁻¹²⁸ collision would
+      // stop early and emit silently wrong components with no runtime
+      // detection path. So the FIRST signature match triggers one exact
+      // confirmation: with equal cardinalities (the signature pins
+      // count), next ⊆ e ⇔ next = e, so a single left-anti join decides
+      // it. Cost: one extra join per RUN (not per round); a refuted
+      // match (never observed, by construction ~impossible) just keeps
+      // iterating.
+      done = nextSig == prevSig && {
+        val prev = e.select(col("u").as("pu"), col("v").as("pv"))
+        next.join(prev,
+          col("u") === col("pu") && col("v") === col("pv"), "left_anti")
+          .isEmpty
+      }
       e = next
-      done = nextSig == prevSig
       prevSig = nextSig
       i += 1
     }

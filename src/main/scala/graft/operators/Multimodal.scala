@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * memory, no driver involvement).
   *
   * Codec coverage, honestly labeled:
-  *  - REAL pixel decode for PNG/JPEG/GIF/BMP via the JDK's own ImageIO
-  *    ([[decodePixelStats]]) and REAL 16-bit-PCM sample decode via the
+  *  - REAL pixel decode: hand-rolled non-interlaced 8-bit PNG codec
+  *    ([[pngDecode]]/[[grayPng]] over JDK Inflater/Deflater — the hot
+  *    path; ImageIO's per-payload BufferedImage round-trip was the m16
+  *    10×-stress bottleneck) with ImageIO as the fallback for
+  *    JPEG/GIF/BMP/16-bit/palette/interlaced and the parity cross-check
+  *    in `PngCodecParitySpec`; REAL 16-bit-PCM sample decode via the
   *    hand-rolled RIFF/WAVE parser [[wavPcm]] (javax.sound's reader
   *    stack holds JVM-global locks — zero thread-scaling measured — so
   *    the hot path owns the trivial format and the JDK codec remains as
@@ -348,28 +352,52 @@ object Multimodal {
     * falls back to header parsing / the stub. Integer channel sums, one
     * double division — deterministic and engine-mirrorable. */
   def decodePixelStats(payload: Array[Byte]): Option[PixelStats] =
-    try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
+    pngDecode(payload) match {
+      case Some(px) => // hand-rolled decode: raw channel samples
+        val n = px.width.toLong * px.height
         var r = 0L; var g = 0L; var b = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-            x += 1
+        val c = px.channels
+        var i = 0
+        if (c >= 3) { // RGB / RGBA
+          while (i < n) {
+            val o = (i * c).toInt
+            r += px.data(o) & 0xff; g += px.data(o + 1) & 0xff
+            b += px.data(o + 2) & 0xff
+            i += 1
           }
-          y += 1
+        } else { // gray / gray+alpha: r=g=b=v (no gamma reinterpretation)
+          while (i < n) {
+            val v = (px.data((i * c).toInt) & 0xff).toLong
+            r += v; g += v; b += v
+            i += 1
+          }
         }
-        val n = w.toLong * h
-        Some(PixelStats(w, h, r.toDouble / n, g.toDouble / n,
-          b.toDouble / n, n))
-      }
-    } catch { case _: Exception => None }
+        Some(PixelStats(px.width, px.height, r.toDouble / n,
+          g.toDouble / n, b.toDouble / n, n))
+      case None => // ImageIO fallback (JPEG/GIF/BMP, exotic PNGs)
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var r = 0L; var g = 0L; var b = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Some(PixelStats(w, h, r.toDouble / n, g.toDouble / n,
+              b.toDouble / n, n))
+          }
+        } catch { case _: Exception => None }
+    }
 
   /** Encode a solid-color RGB PNG (fixture/test helper — a REAL zlib-
     * compressed PNG via ImageIO, decodable by any viewer). */
@@ -418,6 +446,199 @@ object Multimodal {
         Some(bos.toByteArray)
       }
     } catch { case _: Exception => None }
+
+  // ------------------------------------------------- hand-rolled PNG
+  // The WAV-codec policy applied to the image hot path: ImageIO's PNG
+  // round-trip is correct but costly per small payload (BufferedImage
+  // allocation, color-model dispatch, per-pixel getRGB virtual calls),
+  // and the r17 10× stress showed the tile-crop gate (m16) running 8.6×
+  // for 10× data on exactly that per-tile encode/decode. PNG's
+  // non-interlaced 8-bit core is ~200 lines over JDK Deflater/Inflater
+  // (both per-instance native streams — no global locks, thread-scales),
+  // so the hot path owns it; ImageIO remains the fallback for every
+  // shape the hand path declines (JPEG/GIF/BMP, 16-bit, palette,
+  // interlaced) and the parity cross-check in `PngCodecParitySpec`.
+
+  /** De-filtered 8-bit raster: `data` is row-major samples, `channels`
+    * interleaved per pixel (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA). */
+  private[operators] final case class PngRaster(width: Int, height: Int,
+      channels: Int, data: Array[Byte])
+
+  /** Hand-rolled decode of a non-interlaced 8-bit-depth PNG (color
+    * types 0/2/4/6 — gray, RGB, gray+alpha, RGBA): walk the chunk list,
+    * concatenate IDAT payloads, inflate, reverse the per-row filter
+    * (None/Sub/Up/Average/Paeth). None for anything else — palette,
+    * 16-bit, interlaced, or non-PNG payloads fall back to ImageIO at
+    * the call sites. CRCs are NOT verified here (the audit gates verify
+    * them explicitly via [[pngChunks]]); a structurally broken stream
+    * surfaces as None through the bounds checks or the Inflater. */
+  private[operators] def pngDecode(b: Array[Byte]): Option[PngRaster] = {
+    if (b.length < 8 + 25 || !b.startsWith(PngSignature)) return None
+    try {
+      var w = 0; var h = 0; var colorType = -1; var bitDepth = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var sawEnd = false
+      while (!sawEnd && i + 8 <= b.length) {
+        val len = be32(b, i)
+        if (len < 0 || i + 12 + len > b.length) return None
+        val t = new String(b, i + 4, 4, "US-ASCII")
+        t match {
+          case "IHDR" =>
+            if (len < 13) return None
+            w = be32(b, i + 8); h = be32(b, i + 12)
+            bitDepth = b(i + 16) & 0xff; colorType = b(i + 17) & 0xff
+            // compression 0, filter 0, interlace 0 only
+            if (b(i + 18) != 0 || b(i + 19) != 0 || b(i + 20) != 0)
+              return None
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks don't affect the raster
+        }
+        i += 12 + len
+      }
+      val channels = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      if (bitDepth != 8 || w <= 0 || h <= 0 || idat.size() == 0) return None
+      val bpr = w * channels // bytes per row (filtered rows carry +1)
+      val raw = new Array[Byte]((bpr + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        }
+        if (off < raw.length) return None
+      } finally inf.end()
+      // reverse the per-row filter in place into the output raster
+      val out = new Array[Byte](bpr * h)
+      val bpp = channels
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (bpr + 1)) & 0xff
+        val src = y * (bpr + 1) + 1
+        val dst = y * bpr
+        val prev = dst - bpr // previous row start (y > 0)
+        var x = 0
+        ft match {
+          case 0 => System.arraycopy(raw, src, out, dst, bpr)
+          case 1 => // Sub: left neighbor
+            while (x < bpr) {
+              val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+              out(dst + x) = ((raw(src + x) & 0xff) + a).toByte
+              x += 1
+            }
+          case 2 => // Up
+            while (x < bpr) {
+              val u = if (y > 0) out(prev + x) & 0xff else 0
+              out(dst + x) = ((raw(src + x) & 0xff) + u).toByte
+              x += 1
+            }
+          case 3 => // Average
+            while (x < bpr) {
+              val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+              val u = if (y > 0) out(prev + x) & 0xff else 0
+              out(dst + x) = ((raw(src + x) & 0xff) + (a + u) / 2).toByte
+              x += 1
+            }
+          case 4 => // Paeth
+            while (x < bpr) {
+              val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+              val u = if (y > 0) out(prev + x) & 0xff else 0
+              val c = if (y > 0 && x >= bpp) out(prev + x - bpp) & 0xff else 0
+              val p = a + u - c
+              val pa = math.abs(p - a); val pb = math.abs(p - u)
+              val pc = math.abs(p - c)
+              val pred = if (pa <= pb && pa <= pc) a
+                else if (pb <= pc) u else c
+              out(dst + x) = ((raw(src + x) & 0xff) + pred).toByte
+              x += 1
+            }
+          case _ => return None
+        }
+        y += 1
+      }
+      Some(PngRaster(w, h, channels, out))
+    } catch { case _: Exception => None }
+  }
+
+  /** Gray view of a hand-decoded PNG: integer (r+g+b)/3 for color
+    * (alpha ignored — the same reduction every gray consumer here uses),
+    * raw samples for gray. None when [[pngDecode]] declines. */
+  private[operators] def pngGray(b: Array[Byte])
+      : Option[(Int, Int, Array[Byte])] =
+    pngDecode(b).map { r =>
+      r.channels match {
+        case 1 => (r.width, r.height, r.data)
+        case _ =>
+          val n = r.width * r.height
+          val g = new Array[Byte](n)
+          val c = r.channels
+          var i = 0
+          while (i < n) {
+            val o = i * c
+            g(i) = (((r.data(o) & 0xff) + (r.data(o + 1) & 0xff) +
+              (r.data(o + 2) & 0xff)) / 3).toByte
+            i += 1
+          }
+          (r.width, r.height, g)
+      }
+    }
+
+  /** Hand-rolled 8-bit GRAYSCALE PNG encode: IHDR + ONE IDAT (filter 0
+    * rows, JDK Deflater at BEST_SPEED — per-instance native stream, so
+    * encode thread-scales) + IEND, real CRC32s — a standard, any-viewer-
+    * decodable PNG with exactly the `IHDR,IDAT,IEND` sequence the
+    * container-audit oracles pin. `gray` is row-major, length w·h. */
+  def grayPng(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, s"gray raster must be ${w}x$h")
+    val bos = new java.io.ByteArrayOutputStream(64 + gray.length / 2)
+    bos.write(PngSignature, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      bos.write(len >>> 24); bos.write(len >>> 16)
+      bos.write(len >>> 8); bos.write(len)
+      val tb = typ.getBytes("US-ASCII")
+      bos.write(tb, 0, 4)
+      bos.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue.toInt
+      bos.write(c >>> 24); bos.write(c >>> 16); bos.write(c >>> 8)
+      bos.write(c)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte) // bit depth 8, color type 0 (gray)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter0, no interlace
+    chunk("IHDR", ihdr.array())
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      // raw(y*(w+1)) is already 0 = filter None
+      System.arraycopy(gray, y * w, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    val idat = try {
+      def_.setInput(raw); def_.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2)
+      while (!def_.finished()) {
+        val n = def_.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally def_.end()
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
 
   // ------------------------------------------------- real sample decode
   // The JDK also ships a real audio codec (javax.sound.sampled — PCM WAV
@@ -478,25 +699,56 @@ object Multimodal {
     var data: Option[Array[Byte]] = None
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val size = le32(b, i + 4)
-      if (size < 0 || i + 8 + size > b.length) return None
+      if (size < 0) return None
       val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
         b(i + 3) == ' '
       val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
         b(i + 3) == 'a'
-      if (isFmt) {
+      if (isData) {
+        // A data chunk whose declared size overruns the buffer is COMMON
+        // from streaming writers that patch sizes late (or never):
+        // truncate to the bytes actually present — rejecting here would
+        // silently demote real-world WAVs to the header/stub path
+        // (observed r17 regression vs the JDK codec, which also reads
+        // what is there).
+        val end = math.min(b.length.toLong, i + 8L + size).toInt
+        data = Some(java.util.Arrays.copyOfRange(b, i + 8, end))
+      } else if (i + 8 + size > b.length) {
+        return None // any OTHER truncated chunk: structure is broken
+      } else if (isFmt) {
         if (size < 16) return None
         val tag = le16(b, i + 8)
         val channels = le16(b, i + 10)
         val rate = le32(b, i + 12)
         val bits = le16(b, i + 22)
-        if (tag != 1 || channels <= 0 || rate <= 0 || bits <= 0) return None
+        // tag 1 = integer PCM; tag 0xFFFE = WAVE_FORMAT_EXTENSIBLE,
+        // integer PCM iff the 16-byte subformat GUID (at data offset 24,
+        // after cbSize/validBits/channelMask) is KSDATAFORMAT_SUBTYPE_PCM
+        // {00000001-0000-0010-8000-00AA00389B71} — multichannel and
+        // >16-bit writers emit this tag for plain PCM payloads.
+        val isPcm = tag == 1 || (tag == 0xFFFE && size >= 40 && {
+          val g = i + 8 + 24
+          val guid = Array[Int](0x01, 0x00, 0x00, 0x00, 0x00, 0x00,
+            0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+          (0 until 16).forall(j => (b(g + j) & 0xff) == guid(j))
+        })
+        if (!isPcm || channels <= 0 || rate <= 0 || bits <= 0) return None
         fmt = Some((rate, bits, channels))
-      } else if (isData) {
-        data = Some(java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size))
       }
       i += 8 + size + (size & 1)
     }
-    for (f <- fmt; d <- data) yield (f._1, f._2, f._3, d)
+    // Frame-align a truncated payload: an AudioInputStream only ever
+    // yields whole frames (blockAlign = channels·bytesPerSample), so a
+    // late-patched size whose available bytes end mid-frame must drop
+    // the partial frame to stay bit-identical with the JDK codec
+    // (pinned generatively in WavCodecProps).
+    for (f <- fmt; d <- data) yield {
+      val frame = f._3 * (f._2 / 8) max 1
+      val aligned =
+        if (d.length % frame == 0) d
+        else java.util.Arrays.copyOf(d, d.length - d.length % frame)
+      (f._1, f._2, f._3, aligned)
+    }
   }
 
   /** Real per-clip sample statistics (16-bit PCM). */
@@ -790,21 +1042,22 @@ object Multimodal {
     * (fixture helper for the perceptual-hash gate — gradients give dHash
     * non-trivial bit patterns where solid fills hash to all-zero). */
   def gradientPng(w: Int, h: Int, seed: Long): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // hand-rolled gray encode ([[grayPng]]): same pixel VALUES as the
+    // previous ImageIO RGB spelling (r=g=b=g ⇒ gray reduction is g),
+    // same IHDR,IDAT,IEND chunk sequence, ~10× cheaper per payload and
+    // thread-scaling (the r17 10× stress showed m16 8.6× on exactly
+    // this per-image ImageIO round-trip)
+    val g = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = ((seed + 3L * x + 7L * y) % 256).toInt
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        g(y * w + x) = ((seed + 3L * x + 7L * y) % 256).toByte
         x += 1
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    grayPng(w, h, g)
   }
 
   /** Difference hash (dHash) of an image payload via a REAL ImageIO
@@ -819,27 +1072,50 @@ object Multimodal {
     * through [[resizeImagePayload]] to such dimensions first. */
   def dHash64(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        require(w % 9 == 0 && h % 8 == 0,
-          s"dHash64 exact path needs w%9==0 && h%8==0, got ${w}x$h " +
-            "(resize first)")
-        val bw = w / 9; val bh = h / 8
-        val sums = Array.ofDim[Long](9, 8)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
-            sums(x / bw)(y / bh) += gray
-            x += 1
+      val grid = pngGray(payload) match {
+        case Some((w, h, g)) => // hand-rolled decode: raw gray samples
+          require(w % 9 == 0 && h % 8 == 0,
+            s"dHash64 exact path needs w%9==0 && h%8==0, got ${w}x$h " +
+              "(resize first)")
+          val bw = w / 9; val bh = h / 8
+          val sums = Array.ofDim[Long](9, 8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sums(x / bw)(y / bh) += (g(y * w + x) & 0xff).toLong
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
+          Some((w, h, bw, bh, sums))
+        case None => // ImageIO fallback (JPEG/GIF/BMP, exotic PNGs)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            require(w % 9 == 0 && h % 8 == 0,
+              s"dHash64 exact path needs w%9==0 && h%8==0, got ${w}x$h " +
+                "(resize first)")
+            val bw = w / 9; val bh = h / 8
+            val sums = Array.ofDim[Long](9, 8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val gray =
+                  (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
+                sums(x / bw)(y / bh) += gray
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, bw, bh, sums))
+          }
+      }
+      grid.map { case (w, h, bw, bh, sums) =>
         val n = bw.toLong * bh
         var hi = 0L; var lo = 0L
         var cy = 0
@@ -854,7 +1130,7 @@ object Multimodal {
           }
           cy += 1
         }
-        Some((w, h, hi, lo))
+        (w, h, hi, lo)
       }
     } catch { case _: Exception => None }
 
@@ -1037,6 +1313,33 @@ object Multimodal {
     *         payloads */
   def tileHashes(payload: Array[Byte],
       tile: Int = 8): Option[Seq[(Int, Int, Long)]] =
+    pngGray(payload) match {
+      case Some((w, h, g)) => // hand-rolled decode: raw gray samples
+        try {
+          require(w % tile == 0 && h % tile == 0,
+            s"tileHashes exact path needs dims divisible by $tile, " +
+              s"got ${w}x$h (resize first)")
+          val out = for (ty <- 0 until h / tile; tx <- 0 until w / tile)
+            yield {
+              val bytes = new Array[Byte](tile * tile)
+              var j = 0
+              var y = ty * tile
+              while (y < (ty + 1) * tile) {
+                System.arraycopy(g, y * w + tx * tile, bytes, j, tile)
+                j += tile
+                y += 1
+              }
+              (tx, ty, graft.functions.GraftHash.fnv1a64(bytes))
+            }
+          Some(out)
+        } catch { case _: Exception => None }
+      case None => tileHashesImageIO(payload, tile)
+    }
+
+  /** ImageIO fallback for payloads the hand PNG path declines
+    * (JPEG/GIF/BMP, 16-bit, palette, interlaced). */
+  private def tileHashesImageIO(payload: Array[Byte],
+      tile: Int): Option[Seq[(Int, Int, Long)]] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))

@@ -35,7 +35,7 @@ object DedupQueries {
     require(threshold >= 0.5,
       s"shared near-dup pair floor is 0.5, got $threshold — lower floors " +
         "need their own pass")
-    val base = graft.SharedPrep.cached(spark, s"neardupPairs:$dir") {
+    val base = graft.SharedPrep.cached(spark, s"neardupPairs:$dir", dir) {
       graft.SharedPrep.checkpointShared(
         Dedup.ngramJaccardPairs(docs(spark, dir), "doc_id", "text",
           k = 3, threshold = 0.5, dfCap = 1000000))

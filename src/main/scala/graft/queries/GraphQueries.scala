@@ -30,7 +30,7 @@ object GraphQueries {
     * multi-query session (bench, verify, a user's analysis session) the
     * join is paid once per corpus, not once per gate. */
   private def tradePairs(spark: SparkSession, dir: String): DataFrame =
-    graft.SharedPrep.cached(spark, s"tradePairs:$dir") {
+    graft.SharedPrep.cached(spark, s"tradePairs:$dir", dir) {
       graft.SharedPrep.checkpointShared(
         t(spark, dir, "orders")
           .join(t(spark, dir, "lineitem"),
@@ -50,7 +50,7 @@ object GraphQueries {
     // built OUTSIDE the cached block: the pair list is its own shared
     // entry, and resolving it first keeps the cache calls sequential
     val pairs = tradePairs(spark, dir)
-    graft.SharedPrep.cached(spark, s"tradeGraph:$dir") {
+    graft.SharedPrep.cached(spark, s"tradeGraph:$dir", dir) {
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       Graph.prepareEdges(edges, "src", "dst",

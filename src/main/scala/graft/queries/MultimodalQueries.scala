@@ -123,7 +123,7 @@ object MultimodalQueries {
     * "video" (every 3rd doc) yields 6–12 frames as REAL 9×8 gradient
     * PNGs whose seed advances every 4 frames (a 4-frame "shot"); every
     * frame is perceptually hashed through the real decode path
-    * ([[Multimodal.dHash64]] — ImageIO decode, block means, 64-bit
+    * ([[Multimodal.dHash64]] — real PNG decode (hand-rolled codec), block means, 64-bit
     * gradient hash), and a frame is a keyframe iff it's the first or its
     * hamming distance to the PREVIOUS frame's hash is nonzero — the
     * dedup-adjacent-frames primitive of video ingestion. Decode is
@@ -372,7 +372,7 @@ object MultimodalQueries {
     * Each image-modality doc becomes a genuine gradient PNG
     * ([[Multimodal.gradientPng]]: gray = (id + 3x + 7y) mod 256) at
     * dHash-exact dimensions (w = 9·(1 + id mod 3), h = 8·(1 + id mod 2));
-    * [[Multimodal.dHash64]] decodes it back through ImageIO and folds
+    * [[Multimodal.dHash64]] decodes it back (hand-rolled PNG codec) and folds
     * 9×8 integer block means into 64 comparison bits. Because the
     * gradient's block differences depend on id only through mod-256
     * wraparound, many images share a hash — `n_same_hash` groups them,
@@ -914,7 +914,7 @@ object MultimodalQueries {
 
   // ---------------------------------------------------------------- m15
   /** PNG container-format audit ([[Multimodal.pngChunks]]): every image
-    * doc is encoded as a REAL JDK-ImageIO PNG at doc-derived dimensions,
+    * doc is encoded as a REAL PNG (hand-rolled gray codec, any-viewer-decodable) at doc-derived dimensions,
     * then the raw bytes are chunk-walked back — length/type/CRC32 per
     * chunk, IHDR dimensions re-parsed from the binary — the trust-but-
     * verify parse an ingestion pipeline runs before decoding third-party
@@ -963,7 +963,7 @@ object MultimodalQueries {
     * ([[Multimodal.tileHashes]]): each image-modality doc (doc_id % 7
     * = 0) becomes a genuine gradient PNG (gray = (id + 3x + 7y) mod 256)
     * at 8-divisible dimensions (w = 8·(2 + id mod 3), h = 8·(2 + id
-    * mod 2)), decodes back through ImageIO, and splits into 8×8 tiles
+    * mod 2)), decodes back through the hand-rolled PNG codec, and splits into 8×8 tiles
     * whose gray bytes hash via FNV-1a64. Two images sharing ≥ 2 tile
     * contents are sub-image overlaps — the crop/collage signal m07's
     * whole-image dHash cannot see. Per doc the best partner (max shared

@@ -72,4 +72,70 @@ class SharedPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(r => SharedPrep.isKept(spark, r.id)),
       "only registered shared RDDs may remain persisted after a drain")
   }
+
+  test("a mid-session corpus-dir rewrite invalidates the entry: fresh " +
+    "results, and the stale entry's kept ids are deregistered") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sps-dir").toString
+    def writeFixture(rows: Seq[Long]): Unit =
+      rows.toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/t.parquet")
+    writeFixture(Seq(1L, 2L, 3L))
+    var builds = 0
+    def keptIds(): Set[Int] = spark.sparkContext.getPersistentRDDs.keys
+      .filter(SharedPrep.isKept(spark, _)).toSet
+    val keptBefore = keptIds() // earlier tests' shared entries
+    def entry() = SharedPrep.cached(spark, s"sps-dirval:$dir", dir) {
+      builds += 1
+      SharedPrep.checkpointShared(spark.read.parquet(s"$dir/t.parquet"))
+    }
+    assert(entry().count() == 3 && builds == 1)
+    assert(entry().count() == 3 && builds == 1, "unchanged dir: cache hit")
+    val staleKept = keptIds() -- keptBefore // ids THIS entry registered
+    // rewrite the fixture — different row count AND bytes
+    Thread.sleep(5) // mtime granularity guard
+    writeFixture(Seq(10L, 20L, 30L, 40L, 50L))
+    val fresh = entry()
+    assert(builds == 2, "fingerprint mismatch must rebuild")
+    assert(fresh.count() == 5, "rebuild must read the new bytes")
+    // the STALE entry's kept ids were deregistered, so a drain reclaims
+    // them (the rebuilt entry's fresh ids remain kept)
+    val stillKeptStale = staleKept.filter(SharedPrep.isKept(spark, _))
+    assert(stillKeptStale.isEmpty,
+      s"stale kept ids must be deregistered, still kept: $stillKeptStale")
+  }
+
+  test("partial invalidate deregisters exactly that key's kept ids") {
+    import spark.implicits._
+    val a = SharedPrep.cached(spark, "sps-partial-A") {
+      SharedPrep.checkpointShared(Seq(1L).toDF("x"))
+    }
+    val b = SharedPrep.cached(spark, "sps-partial-B") {
+      SharedPrep.checkpointShared(Seq(2L).toDF("x"))
+    }
+    assert(a.count() == 1 && b.count() == 1)
+    val keptIds = spark.sparkContext.getPersistentRDDs.keys
+      .filter(SharedPrep.isKept(spark, _)).toSet
+    SharedPrep.invalidate(spark, "sps-partial-A")
+    val after = keptIds.filter(SharedPrep.isKept(spark, _))
+    assert(after.size < keptIds.size,
+      "invalidating key A must deregister A's blocks")
+    // B survives both the registry and a drain
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => SharedPrep.isKept(spark, id) }
+      .values.foreach(_.unpersist(blocking = true))
+    assert(b.count() == 1, "B's checkpoint must survive the drain")
+  }
+
+  test("buildSeconds accounts build time once per entry") {
+    import spark.implicits._
+    val before = SharedPrep.buildSeconds(spark)
+    SharedPrep.cached(spark, "sps-buildsec") {
+      Thread.sleep(30); Seq(1).toDF("x")
+    }
+    val mid = SharedPrep.buildSeconds(spark)
+    assert(mid - before >= 0.025, s"build time must be accounted: $mid")
+    SharedPrep.cached(spark, "sps-buildsec")(Seq(2).toDF("x"))
+    assert(SharedPrep.buildSeconds(spark) == mid, "hits cost nothing")
+  }
 }

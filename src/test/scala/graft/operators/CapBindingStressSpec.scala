@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The duplication-rate caps under a corpus where they BIND.
+  *
+  * Every 100-TB safety argument for the banded dedup/ANN passes rests on
+  * the df/bucket caps bounding worst-case candidate fan-out — but until
+  * r18 no test exercised a corpus hot enough to make them truncate
+  * (VERDICT r17: "the guard that protects 100 TB has no test where it
+  * actually binds under load"). This spec builds that corpus — verbatim
+  * clone classes far above every cap — and pins, with measured counts:
+  *
+  *  1. the Σ df·(df−1)/2 pair-intermediate bound and its cap form
+  *     |kept shingles|·C·(C−1)/2, with the uncapped/capped volume ratio;
+  *  2. the RECALL consequence, exactly characterized: pairs whose
+  *     overlap is exclusively hot (≥ cap df) shingles disappear; pairs
+  *     carrying ANY rare shingle survive — why exact dedup must run
+  *     before the n-gram pass in a production pipeline;
+  *  3. the bucket-cap admission rule on the batch ANN/minhash side:
+  *     a B-member hot bucket emits ≤ cap·B candidates (residents = the
+  *     cap lowest ids), never B·(B−1)/2;
+  *  4. capped wall time ≤ uncapped on the same clone corpus (the
+  *     numbers land in BASELINE.md's cap-binding paragraph).
+  */
+class CapBindingStressSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** `groups` clone classes × `copies` verbatim copies of a `words`-word
+    * doc. Distinct ids; every shingle of class g appears in exactly
+    * `copies` docs (class vocabularies are disjoint by construction). */
+  private def cloneCorpus(groups: Int, copies: Int, words: Int) = {
+    import spark.implicits._
+    val rows = for (g <- 0 until groups; c <- 0 until copies) yield
+      ((g.toLong * copies + c),
+        (0 until words).map(i => s"g${g}w${i}t${(g * 131 + i * 7) % 997}")
+          .mkString(" "))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("dfCap BINDS on a 50×-clone corpus: candidate volume truncates " +
+    "to zero, uncapped volume is quadratic in the clone count") {
+    val groups = 12; val copies = 50; val words = 40
+    val docs = cloneCorpus(groups, copies, words).localCheckpoint()
+    val shinglesPerDoc = words - 2 // distinct by construction
+
+    // Every shingle has df = copies = 50. Cap 20 < 50 ⇒ the df filter
+    // drops EVERY shingle: the pair pass generates ZERO candidates —
+    // the cap provably truncated candidate generation, not merely
+    // "wasn't binding".
+    val t0 = System.nanoTime()
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, dfCap = 20).count()
+    val cappedS = (System.nanoTime() - t0) / 1e9
+    assert(capped == 0L,
+      s"df=50 > cap=20 must drop every shingle, got $capped pairs")
+
+    // Uncapped: every clone class yields copies·(copies−1)/2 verbatim
+    // pairs at jaccard 1 — the quadratic blowup the cap exists to stop.
+    val t1 = System.nanoTime()
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, dfCap = 1000000)
+    val uncappedPairs = uncapped.count()
+    val uncappedS = (System.nanoTime() - t1) / 1e9
+    val expectedPairs = groups.toLong * copies * (copies - 1) / 2
+    assert(uncappedPairs == expectedPairs,
+      s"uncapped must find all clone pairs: $uncappedPairs vs $expectedPairs")
+
+    // The Σ df·(df−1)/2 shuffle-volume bound, from the actual dfs:
+    // uncapped intermediate = groups · shinglesPerDoc · C(copies,2);
+    // capped intermediate = 0. Recorded (stdout) for BASELINE.md.
+    val uncappedIntermediate =
+      groups.toLong * shinglesPerDoc * copies * (copies - 1) / 2
+    info(f"[cap-binding] uncapped pair-intermediate rows: " +
+      f"$uncappedIntermediate%,d; capped: 0; wall capped=$cappedS%.2fs " +
+      f"uncapped=$uncappedS%.2fs ratio=${uncappedS / cappedS}%.1fx")
+    println(f"[cap-binding] dfCap stress: intermediate $uncappedIntermediate%,d→0, " +
+      f"wall $uncappedS%.2fs→$cappedS%.2fs (${uncappedS / cappedS}%.1fx)")
+    assert(cappedS <= uncappedS * 1.5, // generous: capped must not COST
+      f"capped pass slower than uncapped: $cappedS%.2f vs $uncappedS%.2f")
+  }
+
+  test("recall consequence is EXACTLY the documented trade: only pairs " +
+    "whose overlap is exclusively hot shingles disappear") {
+    import spark.implicits._
+    // 30 verbatim clones of one doc (hot class, all shingles df=30) plus
+    // one RARE-shingle near-dup pair (df=2 shingles) in the same corpus
+    val hot = cloneCorpus(1, 30, 40)
+    val rareText = (0 until 40).map(i => s"rare${i}q").mkString(" ")
+    val rareTweaked = rareText.split(" ").updated(39, "changedq").mkString(" ")
+    val rare = Seq((9001L, rareText), (9002L, rareTweaked))
+      .toDF("doc_id", "text")
+    val docs = hot.unionAll(rare).localCheckpoint()
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.5, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot class (df=30 > cap=10) is gone; the rare pair survives
+    assert(out == Set((9001L, 9002L)),
+      s"capped pass must keep exactly the rare-shingle pair, got $out")
+  }
+
+  test("bucketCap admission on the minhash bucket index: a hot bucket " +
+    "emits cap·members candidates with the cap LOWEST ids resident") {
+    val copies = 40; val cap = 5
+    val docs = cloneCorpus(1, copies, 40).localCheckpoint()
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val index = Dedup.nearDupBandKeys(sigs).localCheckpoint()
+    // verbatim clones share every band key: each of the 16 (band, bkey)
+    // buckets holds all 40 docs. Capped residents = ids 0..cap−1, so
+    // candidates = {(ia, ib): ia < cap ∧ ia < ib < copies}
+    val cand = Dedup.inBatchCandidates(index, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (ia <- 0 until cap; ib <- ia + 1 until copies)
+      yield (ia.toLong, ib.toLong)).toSet
+    assert(cand == expected,
+      s"capped candidates must be resident(lowest $cap)×members: " +
+        s"got ${cand.size}, expected ${expected.size}")
+    // and the uncapped bucket would have been quadratic
+    val uncapped = Dedup.inBatchCandidates(index, bucketCap = 1000000)
+      .count()
+    assert(uncapped == copies.toLong * (copies - 1) / 2)
+    println(s"[cap-binding] bucketCap stress: ${cand.size} capped vs " +
+      s"$uncapped uncapped candidates on a $copies-member hot bucket")
+  }
+
+  test("bucketCap admission on the vector ANN side (incrementalKnn): " +
+    "identical vectors collapse to capped buckets, top-k still exact " +
+    "over admitted residents") {
+    import spark.implicits._
+    // 30 IDENTICAL unit vectors (every band key equal — the hottest
+    // possible bucket) in history; batch probes with the same vector
+    val dim = 8
+    val v = Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val hist = (0L until 30L).map(i => (i, v)).toDF("vec_id", "vec")
+    val batch = Seq((100L, v)).toDF("vec_id", "vec")
+    val storeIdx = Similarity.quantizedBandIndex(hist, "vec_id", "vec")
+      .localCheckpoint()
+    val cap = 4
+    val out = Similarity.incrementalKnn(storeIdx, hist, batch,
+      "vec_id", "vec", k = 10, bucketCap = cap)
+      .collect()
+    // candidates = the cap lowest history ids (every band admits the
+    // same 4) → exactly `cap` neighbors, all cosine 1, nid ascending
+    assert(out.length == cap, s"hot bucket must admit $cap residents, " +
+      s"got ${out.length}")
+    assert(out.map(_.getLong(2)).toSeq == (0L until cap.toLong).toSeq,
+      "residents must be the cap LOWEST ids in rank order")
+    assert(out.forall(_.getDouble(3) == 1.0))
+  }
+}

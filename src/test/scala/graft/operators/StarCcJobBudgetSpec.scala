@@ -83,11 +83,15 @@ class StarCcJobBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Budget per round: the round-plan checkpoint (1 action whose plan
     // carries up to 6 broadcast-build sub-jobs without AQE) + ONE
     // signature job; fixed: initial checkpoint + initial signature +
-    // final label collect. Measured clean: 35. The OLD two-anti-join
-    // probe added ≥ 2 jobs (plus their broadcast builds) per round —
-    // ≥ 43 on this graph — so 36 separates the regimes with one job of
-    // slack for take()-style incremental scans.
-    assert(jobs <= 36, s"star CC spent $jobs driver jobs on a 9-node " +
+    // final label collect + ONE exact anti-join confirmation per RUN
+    // (2 jobs: broadcast build + take-scan) fired only when signatures
+    // first match — the collision-detection join that makes a ~2⁻¹²⁸
+    // false stop impossible instead of merely improbable. Measured
+    // clean: 37. The OLD two-anti-join-per-ROUND probe spent ≥ 2 jobs
+    // (plus broadcast builds) EVERY round — ≥ 43 on this graph — so 38
+    // separates the regimes with one job of slack for take()-style
+    // incremental scans.
+    assert(jobs <= 38, s"star CC spent $jobs driver jobs on a 9-node " +
       "chain — the termination probe's per-round budget regressed")
   }
 }

@@ -81,9 +81,65 @@ class WavCodecParitySpec extends AnyFunSuite {
     // flip the fmt tag to 3 (IEEE float): integer-PCM decode must refuse
     val float = wav.clone(); float(20) = 3
     assert(Multimodal.wavPcm(float).isEmpty)
-    // oversized declared chunk (structural lie) refuses instead of OOB
+  }
+
+  test("oversized declared data size truncates to available bytes " +
+    "(streaming writers patch sizes late), matching the JDK codec") {
+    // canonical 64-sample WAV whose data chunk CLAIMS 0x7f7f bytes: the
+    // JDK reads the 128 bytes actually present (verified: readAllBytes
+    // = 128 on this exact payload) — rejecting was an r17 parity break
+    val wav = Multimodal.pcmWav(8000, samples(64, 1L))
     val lying = wav.clone(); lying(40) = 127; lying(41) = 127
-    assert(Multimodal.wavPcm(lying).isEmpty)
+    assertParity(lying)
+    assert(Multimodal.wavPcm(lying).get._4.toSeq ==
+      Multimodal.wavPcm(wav).get._4.toSeq,
+      "truncated decode must equal the honest-size decode")
+    // a lying NON-data chunk is still a structural break: refuse
+    val wavJunk = Multimodal.insertWavJunkChunk(wav, "rec7")
+    // find the junk chunk ('LIST' or similar) and inflate its size past
+    // the buffer; fmt-chunk lies are equally fatal
+    val fmtLying = wav.clone(); fmtLying(16) = 127; fmtLying(17) = 127
+    assert(Multimodal.wavPcm(fmtLying).isEmpty)
+    assert(wavJunk.length > wav.length) // junk fixture sanity
+  }
+
+  /** WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) integer-PCM builder: the fmt
+    * chunk carries cbSize=22 + validBits + channelMask + a 16-byte
+    * subformat GUID; multichannel and >16-bit writers emit this tag for
+    * plain PCM payloads. */
+  private def extensibleWav(rate: Int, xs: Array[Short],
+      pcmGuid: Boolean): Array[Byte] = {
+    val dataLen = xs.length * 2
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 + 40 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + 8 + 40 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(40)
+      .putShort(0xFFFE.toShort).putShort(1) // extensible, mono
+      .putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16) // block align, container bits
+      .putShort(22).putShort(16).putInt(0x4) // cbSize, validBits, mask
+    val sub = if (pcmGuid) 1 else 3 // PCM vs IEEE-float subformat
+    buf.put(Array[Byte](sub.toByte, 0, 0, 0, 0, 0, 0x10, 0, 0x80.toByte,
+      0, 0, 0xAA.toByte, 0, 0x38, 0x9B.toByte, 0x71))
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    xs.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE integer PCM accepted identically to the " +
+    "JDK; extensible float subformat refused by both") {
+    val xs = samples(256, 11L)
+    val pcm = extensibleWav(8000, xs, pcmGuid = true)
+    assertParity(pcm) // JDK: PCM_SIGNED, 512 bytes — hand decode agrees
+    assert(Multimodal.wavPcm(pcm).get._4.length == 512)
+    assert(Multimodal.decodeAudioSamples(pcm).get.toSeq == xs.toSeq,
+      "extensible-PCM samples must round-trip bit-exactly")
+    // float subformat: JDK reports PCM_FLOAT (filtered to None by
+    // jdkDecode's PCM_SIGNED gate), hand decode refuses the GUID — both
+    // sides None, never float bits reinterpreted as integer samples
+    assertParity(extensibleWav(8000, xs, pcmGuid = false))
+    assert(Multimodal.wavPcm(extensibleWav(8000, xs, pcmGuid = false)).isEmpty)
   }
 
   test("decode work THREAD-SCALES (the reason the hot path is hand-rolled)") {
