@@ -1407,10 +1407,14 @@ object DedupQueries {
       .localCheckpoint()
     // ground truth stays the BASE corpus's ≥ 0.7 pairs — the planted
     // probes are designed sub-threshold, so they are pure candidate
-    // noise the sweep should (and at few bands does) reject
-    val truePairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
-      k = 3, threshold = 0.7, dfCap = 1000000)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    // noise the sweep should (and at few bands does) reject. Read from
+    // the SHARED pair list (floor 0.5, row-identical to a direct ≥ 0.7
+    // pass by the threshold-post-filter contract) instead of re-running
+    // the Σdf² inverted-index pass — at 10× duplication that pass alone
+    // was ~60% of this gate's wall time, paid twice per session for
+    // byte-identical rows.
+    val truePairs = neardupPairs(spark, dir, 0.7)
+      .select(col("id_a"), col("id_b"))
     val rows = Seq(8, 16, 32).map { b =>
       val keys = Dedup.nearDupBandKeys(sigs, 128, b)
       val cand = keys.select(col("doc_id").as("ia"), col("band"),
