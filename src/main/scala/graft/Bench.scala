@@ -10,6 +10,46 @@ import org.apache.spark.sql.SparkSession
   * row-serialized, which is the honest cost a downstream consumer pays. */
 object Bench {
 
+  /** Opt-in (`SPARK_GRAFT_TASK_STATS=1`) per-gate task-metric roll-up for
+    * the scale stress runs: spill, shuffle volume, GC fraction, and peak
+    * execution memory are the numbers that decide whether a gate is
+    * approaching memory headroom BEFORE it falls over — the 30× spot-run
+    * evidence (VERDICT r17 item 8). Listener-bus delivery is async, so a
+    * report can lag its gate by the bus flush interval; totals are per
+    * GATE (all repeats), reset after each report. */
+  private final class TaskStats
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+    private val spillMem = new LongAdder; private val spillDisk = new LongAdder
+    private val shufWrite = new LongAdder; private val shufRead = new LongAdder
+    private val gcMs = new LongAdder; private val runMs = new LongAdder
+    private val peakExec = new AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        spillMem.add(m.memoryBytesSpilled); spillDisk.add(m.diskBytesSpilled)
+        shufWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.add(m.shuffleReadMetrics.totalBytesRead)
+        gcMs.add(m.jvmGCTime); runMs.add(m.executorRunTime)
+        peakExec.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+      }
+    }
+    def reportAndReset(gate: String): Unit = {
+      val rt = Runtime.getRuntime
+      val heapUsed = (rt.totalMemory - rt.freeMemory) / 1048576
+      val gc = gcMs.sumThenReset(); val run = runMs.sumThenReset()
+      System.err.println(
+        f"[stats] $gate spillMem=${spillMem.sumThenReset() / 1048576}%dMB " +
+          f"spillDisk=${spillDisk.sumThenReset() / 1048576}%dMB " +
+          f"shufWrite=${shufWrite.sumThenReset() / 1048576}%dMB " +
+          f"shufRead=${shufRead.sumThenReset() / 1048576}%dMB " +
+          f"gcMs=$gc%d of $run%d task-ms " +
+          f"peakExecMem=${peakExec.getAndSet(0) / 1048576}%dMB " +
+          f"heapUsed=$heapUsed%dMB of ${rt.maxMemory / 1048576}%dMB")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,6 +70,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskStats = Option.when(
+        sys.env.get("SPARK_GRAFT_TASK_STATS").contains("1")) {
+      val l = new TaskStats
+      spark.sparkContext.addSparkListener(l)
+      l
+    }
 
     // Host load at bench start (1-minute loadavg): identical code has
     // measured 86-121 s across runs on this host depending on what else
@@ -189,6 +235,7 @@ object Bench {
           }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      taskStats.foreach(_.reportAndReset(name))
       drainLeaks()
       if (succeeded.isEmpty) { failed += name; None }
       else Some(name -> succeeded.min)

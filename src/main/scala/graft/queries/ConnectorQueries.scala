@@ -382,10 +382,17 @@ object ConnectorQueries {
       val t0 = System.nanoTime()
       rm(base)
       val l = new File(base, "in_l"); val r = new File(base, "in_r")
-      orders.repartition(2).write.format("excel")
+      // shard count ∝ rows: each shard is ONE sheet, and Excel's hard
+      // cap is 1,048,576 rows/sheet — the r18 30× stress hit the
+      // writer's loud cap guard with a fixed 2-way split (3.6M sampled
+      // lineitem rows → 1.8M/shard). 800k keeps headroom; parquet
+      // count(*) is a metadata read. 1× behavior unchanged (still 2).
+      def shards(df: DataFrame): Int =
+        math.max(2, math.ceil(df.count() / 800000.0).toInt)
+      orders.repartition(shards(orders)).write.format("excel")
         .option("shardedOutput", "true").mode("overwrite")
         .save(l.getAbsolutePath)
-      line.repartition(2).write.format("excel")
+      line.repartition(shards(line)).write.format("excel")
         .option("shardedOutput", "true").mode("overwrite")
         .save(r.getAbsolutePath)
       System.err.println(
