@@ -12,8 +12,11 @@ object ConnectorQueries {
 
   /** Distinguishes per-invocation stream state (checkpoint dir, memory
     * sink name) for gates whose INPUT staging is session-cached — see
-    * [[excelStreamStreamJoin]]. */
-  private val ssjoinRunCounter = new java.util.concurrent.atomic.AtomicInteger()
+    * [[excelStreamStreamJoin]], [[excelStreamCdc]],
+    * [[excelStreamLateData]]. A reused AvailableNow checkpoint over
+    * cached inputs would admit zero new files and return an empty
+    * table, so checkpoints are always fresh even when staging is not. */
+  private val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger()
 
   def excelRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -400,7 +403,7 @@ object ConnectorQueries {
       (l.getAbsolutePath, r.getAbsolutePath)
     }
     val inL = new File(inLPath); val inR = new File(inRPath)
-    val run = ssjoinRunCounter.incrementAndGet()
+    val run = streamRunCounter.incrementAndGet()
     val ckpt = new File(base, s"ckpt_$run")
     rm(ckpt)
     val qname = s"excel_stream_stream_join_${math.abs(dir.hashCode)}_$run"
@@ -582,14 +585,24 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(base)
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    ins.coalesce(1).write.format("excel").mode("overwrite")
-      .save(new File(in, "a.xlsx").getAbsolutePath)
-    upd.unionByName(del).coalesce(1).write.format("excel").mode("overwrite")
-      .save(new File(in, "b.xlsx").getAbsolutePath)
-    val qname = s"excel_stream_cdc_${math.abs(dir.hashCode)}"
+    // xlsx CDC log staged ONCE per (session, corpus) — two single-sheet
+    // encodes of the orders slice were the bulk of this gate's 10× wall
+    // (the ssjoin staging pattern); stream checkpoint + sink stay fresh
+    // per invocation
+    val inPath = graft.SharedPrep.cached(spark, s"cdcStage:$dir", dir) {
+      rm(base)
+      val in = new File(base, "in")
+      ins.coalesce(1).write.format("excel").mode("overwrite")
+        .save(new File(in, "a.xlsx").getAbsolutePath)
+      upd.unionByName(del).coalesce(1).write.format("excel").mode("overwrite")
+        .save(new File(in, "b.xlsx").getAbsolutePath)
+      in.getAbsolutePath
+    }
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_cdc_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = ss.readStream.format("excel").schema(ins.schema)
@@ -1018,8 +1031,6 @@ object ConnectorQueries {
       .select(col("user_id"), col("event_id"), col("event_type"),
         (col("ts_us") + (pmod(col("event_id") * 7, lit(11)) - 5)
           * lit(7200000000L)).as("ts_eff"))
-    // 1-row scalar: the sequence midpoint that defines the two batches
-    val thr = ev.agg(max(col("event_id"))).head().getLong(0) / 2
     val base = new File(
       System.getProperty("java.io.tmpdir"),
       s"graft_excel_late_${math.abs(dir.hashCode)}")
@@ -1027,30 +1038,40 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(base)
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    ev.filter(col("event_id") <= thr)
-      .coalesce(1).write.format("excel").mode("overwrite")
-      .save(new File(in, "a.xlsx").getAbsolutePath)
-    ev.filter(col("event_id") > thr)
-      .coalesce(1).write.format("excel").mode("overwrite")
-      .save(new File(in, "b.xlsx").getAbsolutePath)
-    // the running-max lateness replay needs a processed before b. The
-    // admission order is already deterministic BY NAME (ExcelFiles
-    // listings sort by path, so "a.xlsx" < "b.xlsx" under
-    // maxFilesPerTrigger=1 regardless of timestamps); additionally force
-    // strictly increasing mtimes so the gate stays correct even under a
-    // future mtime-ordered admission policy or an mtime tie on a
-    // coarse-granularity filesystem
-    def touch(f: File, t: Long): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(touch(_, t)))
-      f.setLastModified(t)
+    // two-batch xlsx staging ONCE per (session, corpus) — the ssjoin/cdc
+    // pattern; the midpoint scalar is only needed to stage
+    val inPath = graft.SharedPrep.cached(spark, s"lateStage:$dir", dir) {
+      rm(base)
+      val in = new File(base, "in")
+      // 1-row scalar: the sequence midpoint that defines the two batches
+      val thr = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      ev.filter(col("event_id") <= thr)
+        .coalesce(1).write.format("excel").mode("overwrite")
+        .save(new File(in, "a.xlsx").getAbsolutePath)
+      ev.filter(col("event_id") > thr)
+        .coalesce(1).write.format("excel").mode("overwrite")
+        .save(new File(in, "b.xlsx").getAbsolutePath)
+      // the running-max lateness replay needs a processed before b. The
+      // admission order is already deterministic BY NAME (ExcelFiles
+      // listings sort by path, so "a.xlsx" < "b.xlsx" under
+      // maxFilesPerTrigger=1 regardless of timestamps); additionally force
+      // strictly increasing mtimes so the gate stays correct even under a
+      // future mtime-ordered admission policy or an mtime tie on a
+      // coarse-granularity filesystem
+      def touch(f: File, t: Long): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(touch(_, t)))
+        f.setLastModified(t)
+      }
+      val t0 = (System.currentTimeMillis() / 1000L) * 1000L
+      touch(new File(in, "a.xlsx"), t0 - 4000L)
+      touch(new File(in, "b.xlsx"), t0 - 2000L)
+      in.getAbsolutePath
     }
-    val t0 = (System.currentTimeMillis() / 1000L) * 1000L
-    touch(new File(in, "a.xlsx"), t0 - 4000L)
-    touch(new File(in, "b.xlsx"), t0 - 2000L)
-    val qname = s"excel_stream_late_${math.abs(dir.hashCode)}"
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_late_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.StreamingLateness.lateness(
