@@ -45,10 +45,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * STALENESS GUARD: a cached entry's contract is that its corpus dir is
   * immutable for the session's lifetime — and callers that pass `dir`
-  * get that contract ENFORCED, not assumed: the dir's (file count, max
-  * mtime, total bytes) fingerprint is recorded at build and re-checked
-  * on every cache hit (one local FS walk, ~ms against seconds of prep);
-  * a mismatch invalidates the entry and rebuilds against the new bytes.
+  * get that contract ENFORCED, not assumed: the dir's (file count,
+  * per-file (path,size,mtime) hash, total bytes) fingerprint is recorded
+  * at build and re-checked on every cache hit (one local FS walk, ~ms
+  * against seconds of prep); a mismatch invalidates the entry and
+  * rebuilds against the new bytes. Residual blind spot (by construction,
+  * documented at [[dirFingerprint]]): a rewrite that preserves each
+  * file's own size within one mtime tick of the filesystem's
+  * granularity.
   * Callers with no backing dir (derived-from-derived preps) pass no dir
   * and keep the documented immutability contract.
   *
@@ -113,13 +117,23 @@ object SharedPrep {
     if (v == null) 0.0 else v.doubleValue()
   }
 
-  /** (file count, max mtime, total bytes) over a local dir tree — the
-    * staleness fingerprint. Hadoop FS would generalize this to object
-    * stores; the gate corpora are local files and `java.nio` keeps the
-    * walk allocation-free. Unreadable path → a sentinel that still
+  /** (file count, per-file hash, total bytes) over a local dir tree —
+    * the staleness fingerprint. The middle slot is an FNV-1a over the
+    * SORTED per-file (path, size, mtime) records, so a mid-session
+    * rewrite is detected even when it preserves file count, total bytes,
+    * and the max mtime (the pre-r19 triple missed exactly that case:
+    * any single-file change within the filesystem's mtime granularity —
+    * 1 s on many filesystems — that kept the byte total was invisible).
+    * Caveat that remains by construction: a rewrite of one file that
+    * preserves its OWN size within one mtime tick is still undetectable;
+    * nothing cheaper than content hashing can see it, and the gate
+    * corpora are write-once per round. Hadoop FS would generalize this
+    * to object stores; the gate corpora are local files and `java.nio`
+    * keeps the walk cheap. Unreadable path → a sentinel that still
     * changes when the path appears. */
   private def dirFingerprint(dir: String): (Long, Long, Long) = {
-    var n = 0L; var mt = 0L; var bytes = 0L
+    var n = 0L; var bytes = 0L
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       val root = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(root)) {
@@ -129,13 +143,16 @@ object SharedPrep {
             val f = p.toFile
             if (f.isFile) {
               n += 1; bytes += f.length()
-              val m = f.lastModified(); if (m > mt) mt = m
+              entries += s"${p.toString}|${f.length()}|${f.lastModified()}"
             }
           }
         } finally it.close()
       } else n = -1L
     } catch { case _: Exception => n = -2L }
-    (n, mt, bytes)
+    val sorted = entries.sorted.mkString("\n")
+    val hash = graft.functions.GraftHash.fnv1a64(
+      sorted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (n, hash, bytes)
   }
 
   /** Memoize `build` per (session, key). The session identity

@@ -39,6 +39,13 @@ object EvalMetrics {
       .groupBy("score")
       .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("label"), 0L).otherwise(1L)).as("neg"))
+    // GLOBAL-WINDOW: bounded — runs over the per-score AGGREGATE
+    // (|distinct scores| rows), never the raw corpus. Exact tie-aware
+    // AUC irreducibly needs a total order over score groups; a caller
+    // whose score is continuous at 100 TB must quantize it first (the
+    // t24 logit is an integer dot product — already quantized). The
+    // restructure path if a score domain ever explodes: repartitionByRange
+    // + per-partition prefix + broadcast offsets (the p06 pattern).
     val w = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     byScore

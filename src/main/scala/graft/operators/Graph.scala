@@ -809,6 +809,8 @@ object Graph {
     val dist = minUnionBfs(edges, srcCol, dstCol, seeds, rounds)
     val hist = dist.groupBy(col("dist"))
       .agg(count(lit(1)).as("n_pairs"))
+    // GLOBAL-WINDOW: bounded — cumulative over the ≤(rounds+1)-row
+    // distance histogram (scaladoc above), never the BFS state
     val w = org.apache.spark.sql.expressions.Window.orderBy("dist")
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -160,7 +160,8 @@ object Layout {
       .withColumn("_toks", tokCol.cast("long"))
       .localCheckpoint() // feeds the histogram + three probes once
     val bud = base.agg(budget.cast("long").as("_budget"))
-    // phase 1: quality-class cumulative (≤ |distinct scores| rows)
+    // GLOBAL-WINDOW: bounded — phase 1 quality-class cumulative runs
+    // over the groupBy(_q) aggregate: ≤ |distinct scores| rows
     val wq = Window.orderBy(col("_q").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cls = base.groupBy(col("_q")).agg(sum(col("_toks")).as("_ctoks"))
@@ -176,6 +177,8 @@ object Layout {
     // phase 2: id-range buckets inside the boundary class only
     val bdocs = base.crossJoin(broadcast(boundary))
       .filter(col("_q") === col("_qb"))
+    // GLOBAL-WINDOW: bounded — ≤ |boundary-class id-range buckets| rows
+    // (one groupBy(_bkt) aggregate of a single quality class)
     val wb = Window.orderBy(col("_bkt").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bkts = bdocs
@@ -189,6 +192,8 @@ object Layout {
       .select(col("_bkt").as("_bb"),
         (col("_rem") - (col("_bcum") - col("_btoks"))).as("_rem2"))
     // phase 3: exact row window over the single boundary bucket
+    // GLOBAL-WINDOW: bounded — phase 3 runs inside the SINGLE boundary
+    // bucket: ≤ bucketWidth rows by construction
     val wr = Window.orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBoundaryBucket = bdocs.crossJoin(broadcast(bBucket))

@@ -347,6 +347,25 @@ object Multimodal {
   final case class PixelStats(width: Int, height: Int, meanR: Double,
       meanG: Double, meanB: Double, nPixels: Long)
 
+  /** Raw-gray raster reader for an ImageIO-decoded image, or None for
+    * non-gray color models. `getRGB` routes gray color models through a
+    * gray→sRGB color-space conversion the hand PNG path never applies
+    * (it reports raw samples), so an exotic gray PNG (interlaced,
+    * 16-bit) that falls back to ImageIO would hash/average differently
+    * from the same content on the hand path. Reading the raster sample
+    * directly restores parity; 16-bit samples reduce to the high byte
+    * (the same 16→8 reduction a PNG 8-bit re-encode performs). */
+  private def grayRaster(img: java.awt.image.BufferedImage)
+      : Option[(Int, Int) => Int] =
+    if (img.getColorModel.getColorSpace.getType !=
+        java.awt.color.ColorSpace.TYPE_GRAY) None
+    else {
+      val bits = img.getColorModel.getComponentSize(0)
+      val raster = img.getRaster
+      val shift = if (bits > 8) bits - 8 else 0
+      Some((x, y) => raster.getSample(x, y, 0) >> shift)
+    }
+
   /** REAL decode via ImageIO (PNG/JPEG/GIF/BMP): mean channel values over
     * every pixel. None when the bytes are not a decodable image — caller
     * falls back to header parsing / the stub. Integer channel sums, one
@@ -382,12 +401,19 @@ object Multimodal {
           else {
             val w = img.getWidth; val h = img.getHeight
             var r = 0L; var g = 0L; var b = 0L
+            val gray = grayRaster(img)
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                val p = img.getRGB(x, y)
-                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                gray match {
+                  case Some(gv) =>
+                    val v = gv(x, y).toLong; r += v; g += v; b += v
+                  case None =>
+                    val p = img.getRGB(x, y)
+                    r += (p >> 16) & 0xff; g += (p >> 8) & 0xff
+                    b += p & 0xff
+                }
                 x += 1
               }
               y += 1
@@ -713,7 +739,9 @@ object Multimodal {
         // what is there).
         val end = math.min(b.length.toLong, i + 8L + size).toInt
         data = Some(java.util.Arrays.copyOfRange(b, i + 8, end))
-      } else if (i + 8 + size > b.length) {
+      } else if (i.toLong + 8L + size > b.length) {
+        // Long math: a declared size near 2^31 would wrap an Int sum
+        // negative and sail past this check, then index b(negative).
         return None // any OTHER truncated chunk: structure is broken
       } else if (isFmt) {
         if (size < 16) return None
@@ -735,7 +763,13 @@ object Multimodal {
         if (!isPcm || channels <= 0 || rate <= 0 || bits <= 0) return None
         fmt = Some((rate, bits, channels))
       }
-      i += 8 + size + (size & 1)
+      // Advance in Long: a truncated-but-accepted data chunk (size
+      // patched late, larger than the bytes present) would wrap an Int
+      // sum negative and make the next iteration read b(negative).
+      // Nothing can follow a chunk that overruns the buffer, so clamp
+      // to b.length and let the loop condition end the walk.
+      val next = i.toLong + 8L + size + (size & 1)
+      i = if (next > b.length) b.length else next.toInt
     }
     // Frame-align a truncated payload: an AudioInputStream only ever
     // yields whole frames (blockAlign = channels·bytesPerSample), so a
@@ -1100,13 +1134,17 @@ object Multimodal {
                 "(resize first)")
             val bw = w / 9; val bh = h / 8
             val sums = Array.ofDim[Long](9, 8)
+            val grayRd = grayRaster(img)
             var y = 0
             while (y < h) {
               var x = 0
               while (x < w) {
-                val p = img.getRGB(x, y)
-                val gray =
-                  (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
+                val gray = grayRd match {
+                  case Some(gv) => gv(x, y).toLong
+                  case None =>
+                    val p = img.getRGB(x, y)
+                    (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3L
+                }
                 sums(x / bw)(y / bh) += gray
                 x += 1
               }
@@ -1349,6 +1387,7 @@ object Multimodal {
         require(w % tile == 0 && h % tile == 0,
           s"tileHashes exact path needs dims divisible by $tile, " +
             s"got ${w}x$h (resize first)")
+        val grayRd = grayRaster(img)
         val out = for (ty <- 0 until h / tile; tx <- 0 until w / tile)
           yield {
             val bytes = new Array[Byte](tile * tile)
@@ -1357,9 +1396,12 @@ object Multimodal {
             while (y < (ty + 1) * tile) {
               var x = tx * tile
               while (x < (tx + 1) * tile) {
-                val p = img.getRGB(x, y)
-                val gray =
-                  (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                val gray = grayRd match {
+                  case Some(gv) => gv(x, y)
+                  case None =>
+                    val p = img.getRGB(x, y)
+                    (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+                }
                 bytes(j) = gray.toByte
                 j += 1
                 x += 1

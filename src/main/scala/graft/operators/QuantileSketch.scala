@@ -136,6 +136,8 @@ object QuantileSketch {
   def estQuantiles(kept: DataFrame, tMerged: DataFrame, nTotal: DataFrame,
       pMilles: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // GLOBAL-WINDOW: bounded — ranks the ≤`capacity` KEPT sketch rows
+    // (scaladoc contract above), never the sketched corpus
     val w = Window.orderBy(col("value"), col("key"))
     val ranked = kept.withColumn("rn", row_number().over(w).cast("long"))
       .crossJoin(broadcast(tMerged))

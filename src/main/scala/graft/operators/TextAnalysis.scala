@@ -929,8 +929,9 @@ object TextAnalysis {
     val firstSeen = toks.groupBy("word").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("new_words"))
     val docsPer = withB.groupBy("bucket").agg(count(lit(1)).as("docs"))
-    // cumulative over ≤`buckets` rows — bounded by construction, not by
-    // the corpus (same contract as `vocabulary`'s id window)
+    // GLOBAL-WINDOW: bounded — cumulative over ≤`buckets` rows, by
+    // construction, not by the corpus (same contract as `vocabulary`'s
+    // id window)
     val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -995,11 +996,14 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word").asc).limit(maxRank)
+    // GLOBAL-WINDOW: bounded — both windows run over the ≤maxRank rows
+    // the .limit(maxRank) above already reduced to, never the vocabulary
     val byRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("word").asc)
     counts
       .withColumn("rank", row_number().over(byRank).cast("bigint"))
       .filter(expr("(rank & (rank - 1)) = 0"))
+      // GLOBAL-WINDOW: bounded — ≤ log2(maxRank)+1 power-of-two rows
       .withColumn("prev_cnt", lag(col("cnt"), 1).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("rank"))))
       .select(col("rank"), col("word"), col("cnt"),

@@ -105,6 +105,31 @@ class SharedPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stale kept ids must be deregistered, still kept: $stillKeptStale")
   }
 
+  test("a rewrite that preserves file count, TOTAL bytes, and max mtime " +
+    "is still detected (r19: per-file fingerprint, not aggregate)") {
+    val dir = java.nio.file.Files.createTempDirectory("sps-swap")
+    def put(name: String, n: Int): java.io.File = {
+      val f = dir.resolve(name).toFile
+      val out = new java.io.FileOutputStream(f)
+      try out.write(Array.fill[Byte](n)(7)) finally out.close()
+      f
+    }
+    val a = put("a.bin", 10); val b = put("b.bin", 20)
+    val (ma, mb) = (a.lastModified(), b.lastModified())
+    var builds = 0
+    def entry() = SharedPrep.cached(spark, s"sps-swap:$dir", dir.toString) {
+      builds += 1; "built-" + builds
+    }
+    assert(entry() == "built-1" && entry() == "built-1")
+    // swap the two files' sizes and RESTORE their mtimes: the aggregate
+    // (count=2, total=30, max mtime) is byte-identical to before — the
+    // pre-r19 triple fingerprint served the stale entry here
+    put("a.bin", 20).setLastModified(ma)
+    put("b.bin", 10).setLastModified(mb)
+    assert(entry() == "built-2",
+      "per-file (path,size,mtime) hash must catch an aggregate-preserving rewrite")
+  }
+
   test("partial invalidate deregisters exactly that key's kept ids") {
     import spark.implicits._
     val a = SharedPrep.cached(spark, "sps-partial-A") {

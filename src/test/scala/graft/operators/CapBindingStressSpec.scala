@@ -87,8 +87,13 @@ class CapBindingStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"uncapped=$uncappedS%.2fs ratio=${uncappedS / cappedS}%.1fx")
     println(f"[cap-binding] dfCap stress: intermediate $uncappedIntermediate%,d→0, " +
       f"wall $uncappedS%.2fs→$cappedS%.2fs (${uncappedS / cappedS}%.1fx)")
-    assert(cappedS <= uncappedS * 1.5, // generous: capped must not COST
-      f"capped pass slower than uncapped: $cappedS%.2f vs $uncappedS%.2f")
+    // load-sensitive ratio: only on an idle >=8-core host (or
+    // GRAFT_TIMING_ASSERTS=1); the row-count assertions above are the
+    // unconditional contract
+    if (graft.TimingAsserts.enabled())
+      assert(cappedS <= uncappedS * 1.5, // generous: capped must not COST
+        f"capped pass slower than uncapped: $cappedS%.2f vs $uncappedS%.2f")
+    else info("timing assertion skipped (busy/low-core host)")
   }
 
   test("recall consequence is EXACTLY the documented trade: only pairs " +

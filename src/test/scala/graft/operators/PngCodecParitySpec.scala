@@ -156,6 +156,34 @@ class PngCodecParitySpec extends AnyFunSuite {
     assert(Multimodal.pngDecode(trunc).isEmpty)
   }
 
+  test("gray parity across decode paths: 16-bit gray falls back to " +
+    "ImageIO yet reports RAW gray samples (no gray→sRGB conversion), " +
+    "matching the hand path on equivalent 8-bit content (r19 ADVICE)") {
+    val w = 18; val h = 8 // dHash64's exact-path dims (w%9==0, h%8==0)
+    def v(x: Int, y: Int): Int = (x * 31 + y * 7) % 256
+    def grayPng(bits: Int): Array[Byte] = {
+      val t = if (bits == 8) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+      val img = new java.awt.image.BufferedImage(w, h, t)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0,
+          if (bits == 8) v(x, y) else v(x, y) * 257) // v*257 = v<<8|v
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val png8 = grayPng(8); val png16 = grayPng(16)
+    assert(Multimodal.pngDecode(png8).isDefined, "8-bit gray is hand-path")
+    assert(Multimodal.pngDecode(png16).isEmpty, "16-bit gray must fall back")
+    val a = Multimodal.decodePixelStats(png8).get
+    val b = Multimodal.decodePixelStats(png16).get
+    // high byte of v*257 is exactly v → the two paths must agree exactly
+    assert(a.meanR == b.meanR && a.meanG == b.meanG && a.meanB == b.meanB,
+      s"gray decode paths diverge: hand=$a imageio=$b")
+    assert(Multimodal.dHash64(png8) == Multimodal.dHash64(png16),
+      "dHash64 must be identical for equivalent gray content on both paths")
+  }
+
   test("PNG round-trip work THREAD-SCALES (Deflater/Inflater are " +
     "per-instance native streams — the WavCodecParitySpec contract)") {
     def work(n: Int, seedBase: Long): Unit = {
@@ -178,7 +206,12 @@ class PngCodecParitySpec extends AnyFunSuite {
       th.foreach(_.start()); th.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }
-    assert(t8 * 2 < t1,
-      f"PNG codec does not thread-scale: 1-thread $t1%.0f ms vs 8-thread $t8%.0f ms")
+    // ratio assertion is load-sensitive: only on an idle >=8-core host
+    // (or GRAFT_TIMING_ASSERTS=1); the functional work above always ran
+    if (graft.TimingAsserts.enabled())
+      assert(t8 * 2 < t1,
+        f"PNG codec does not thread-scale: 1-thread $t1%.0f ms vs 8-thread $t8%.0f ms")
+    else info(f"timing assertion skipped (busy/low-core host): " +
+      f"1-thread $t1%.0f ms vs 8-thread $t8%.0f ms")
   }
 }

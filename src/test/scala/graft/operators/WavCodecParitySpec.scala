@@ -39,6 +39,36 @@ class WavCodecParitySpec extends AnyFunSuite {
   private def samples(n: Int, seed: Long): Array[Short] =
     Array.tabulate(n)(i => (((seed * 31 + i.toLong * 17) % 65521) - 32760).toShort)
 
+  test("declared chunk size near 2^31 returns None, never indexes " +
+    "b(negative) (r19 ADVICE: Int-overflowing bounds math)") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WAVE".getBytes ++ chunks.flatten
+      "RIFF".getBytes ++ le32(body.length.toLong) ++ body
+    }
+    def chunk(id: String, declared: Long, payload: Array[Byte]): Array[Byte] =
+      id.getBytes ++ le32(declared) ++ payload
+    val huge = Int.MaxValue.toLong - 4 // i+8+size wraps an Int sum negative
+    // non-data chunk with a huge declared size: structure broken → None
+    assert(Multimodal.wavPcm(
+      riff(chunk("JUNK", huge, Array.fill[Byte](16)(0)))).isEmpty)
+    // huge-size DATA chunk BEFORE fmt (the accepted-truncation path):
+    // data is truncated to what is present, the walk must then END —
+    // pre-fix the Int advance wrapped negative and read b(negative)
+    assert(Multimodal.wavPcm(
+      riff(chunk("data", huge, Array.fill[Byte](32)(1)))).isEmpty)
+    // huge-size data AFTER a valid fmt: decodes, truncated + frame-aligned
+    val fmt16 = Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+      Array[Byte](2, 0, 16, 0)
+    val wav = riff(chunk("fmt ", 16, fmt16),
+      chunk("data", huge, Array.fill[Byte](10)(3)))
+    val out = Multimodal.wavPcm(wav)
+    assert(out.isDefined && out.get._4.length == 10,
+      s"truncated huge-declared data chunk should decode, got $out")
+  }
+
   test("canonical pcmWav payloads: rates, lengths, empty") {
     for (rate <- Seq(8000, 16000, 44100); n <- Seq(0, 1, 50, 256, 999))
       assertParity(Multimodal.pcmWav(rate, samples(n, rate + n)))
@@ -164,8 +194,13 @@ class WavCodecParitySpec extends AnyFunSuite {
       (System.nanoTime() - t0) / 1e6
     }
     // same total rows: 8 threads must be at least 2x faster (javax.sound
-    // measured SLOWER at 8 threads than 1 — a hard global lock)
-    assert(t8 * 2 < t1,
-      f"decode does not thread-scale: 1-thread $t1%.0f ms vs 8-thread $t8%.0f ms")
+    // measured SLOWER at 8 threads than 1 — a hard global lock).
+    // Load-sensitive ratio: only on an idle >=8-core host (or
+    // GRAFT_TIMING_ASSERTS=1); the decode work above always ran.
+    if (graft.TimingAsserts.enabled())
+      assert(t8 * 2 < t1,
+        f"decode does not thread-scale: 1-thread $t1%.0f ms vs 8-thread $t8%.0f ms")
+    else info(f"timing assertion skipped (busy/low-core host): " +
+      f"1-thread $t1%.0f ms vs 8-thread $t8%.0f ms")
   }
 }
