@@ -266,6 +266,8 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(maxSize)
+    // GLOBAL-WINDOW: bounded — ids the ≤maxSize rows the .limit above
+    // already reduced to, never the full vocabulary
     counts.withColumn("token_id",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("word").asc)).cast("bigint"))
@@ -867,6 +869,12 @@ object TextAnalysis {
       .select(explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // GLOBAL-WINDOW: bounded — runs over the groupBy(word) aggregate:
+    // ≤ |vocabulary| rows, sub-linear in the corpus (Heaps' law), never
+    // the token stream. A 100-TB vocabulary in the tens of millions
+    // still fits one task; if a caller ever needs rank+cum over a
+    // larger id space, restructure as repartitionByRange + per-partition
+    // prefix + broadcast offsets (the p06 pattern).
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("word").asc)
     val ranked = counts

@@ -1159,7 +1159,11 @@ object PipelineQueries {
       .withColumn("ek", pmod(col("event_id"), lit(1024L)))
       .withColumn("zkey", graft.operators.Layout.zorderKey(
         Seq(col("uk"), col("ek")), bits = 10))
+    // GLOBAL-WINDOW: DELIBERATE full-table ntile — p21 is the audit-op
+    // mirror of file layout (scaladoc above); the production write path
+    // is p06's repartitionByRange, which never funnels one partition
     val wLin = org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))
+    // GLOBAL-WINDOW: DELIBERATE — same audit-op mirror as wLin
     val wZ = org.apache.spark.sql.expressions.Window
       .orderBy(col("zkey"), col("event_id"))
     val assigned = e.select(lit("1_linear").as("layout"),
@@ -1898,6 +1902,8 @@ object PipelineQueries {
       .groupBy("k_bucket")
       .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
     census
+      // GLOBAL-WINDOW: bounded — scalar total over the k-bucket census
+      // (≤ |distinct k buckets| rows), not the grouped corpus
       .withColumn("total", sum(col("n_rows")).over(
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))

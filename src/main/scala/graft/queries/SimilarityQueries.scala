@@ -663,6 +663,8 @@ object SimilarityQueries {
     import org.apache.spark.sql.functions._
     val q = Similarity.vectorOf(spark, dir, 0L)
     val e = emb(spark, dir)
+    // GLOBAL-WINDOW: bounded — ranks the two k-bounded top-10 tables
+    // (scaladoc above), never the embedding corpus
     val rk = row_number().over(
       Window.orderBy(col("cos").desc, col("vec_id").asc))
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
@@ -795,6 +797,7 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
     val q = Similarity.vectorOf(spark, dir, 0L)
+    // GLOBAL-WINDOW: bounded — ranks k-bounded top-10 tables only
     val rk = row_number().over(
       Window.orderBy(col("cos").desc, col("vec_id").asc))
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
@@ -1090,6 +1093,7 @@ object SimilarityQueries {
       .select(col("vec_id"))
     val hits = sweeps.join(broadcast(exact), "vec_id")
       .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    // GLOBAL-WINDOW: bounded — lag over the 4-row nprobe sweep
     val w = Window.orderBy("nprobe")
     Seq(1L, 2L, 4L, 16L).toDF("nprobe")
       .join(hits, Seq("nprobe"), "left").na.fill(0L, Seq("hits"))

@@ -379,6 +379,8 @@ object StatQueries {
       .localCheckpoint()
     val merged = slices.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
     val n = merged.agg(sum(col("cnt")).as("n_total"))
+    // GLOBAL-WINDOW: bounded — cumulative over the merged bucket
+    // histogram (≤ |distinct buckets| rows), never the lineitem rows
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("bucket").rowsBetween(Long.MinValue, 0)
     val cum = merged.withColumn("cum", sum(col("cnt")).over(w))
@@ -1042,6 +1044,8 @@ object StatQueries {
     val hourly = EventTime.load(spark, dir)
       .select(expr("ts_us div 3600000000").as("hour_id"))
       .groupBy("hour_id").agg(count(lit(1)).as("n_events"))
+    // GLOBAL-WINDOW: bounded — lag over the hour-keyed aggregate
+    // (≤ |distinct hours|, bounded by the time span, not the row count)
     val w = Window.orderBy("hour_id")
     hourly
       .withColumn("prev", lag(col("n_events"), 1).over(w))
@@ -1407,8 +1411,11 @@ object StatQueries {
     val hist = conv
       .groupBy(expr("lat_us div 60000000").as("lat_min"))
       .agg(count(lit(1)).as("w"))
+    // GLOBAL-WINDOW: bounded — both windows run over the latency-
+    // minute histogram (≤ |distinct minutes|, bounded by the time span)
     val cum = Window.orderBy("lat_min")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // GLOBAL-WINDOW: bounded — same ≤|distinct minutes| histogram
     val tot = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     hist
@@ -1580,6 +1587,7 @@ object StatQueries {
       .groupBy("day_id").agg(count(lit(1)).as("events"))
     val bounds = daily.agg(count(lit(1)).as("n_days"),
       sum(col("events")).as("total"))
+    // GLOBAL-WINDOW: bounded — cumulative over ≤ D daily rows
     val wAll = Window.orderBy("day_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = daily.crossJoin(broadcast(bounds))
@@ -1588,6 +1596,7 @@ object StatQueries {
       .withColumn("cusum_scaled", sum(col("dev_scaled")).over(wAll))
     scored
       .withColumn("peak_abs",
+        // GLOBAL-WINDOW: bounded — same ≤ D daily rows
         max(abs(col("cusum_scaled")))
           .over(Window.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))

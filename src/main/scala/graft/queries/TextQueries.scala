@@ -733,7 +733,7 @@ object TextQueries {
     val vec = graft.operators.Similarity.bruteForceTopK(
       spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
       q, 20)
-      // 20 rows post-limit: the unpartitioned rank window is bounded
+      // GLOBAL-WINDOW: bounded — 20 rows post-limit
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("bigint"))
       .select(lit("q0").as("query_id"), col("vec_id").as("id"), col("rank"))
