@@ -1933,7 +1933,37 @@ object PipelineQueries {
       |    AS rows_share_micro
       |FROM census ORDER BY k_bucket""".stripMargin
 
+  // ---------------------------------------------------------------- p34
+  /** RUNNING CORPUS TOTAL via the scalable two-phase prefix sum
+    * ([[graft.operators.ScalablePrefix.cumSum]]) — the production
+    * spelling of "SUM(...) OVER (ORDER BY ...)" at corpus scale. Every
+    * bounded global window in this repo pins "repartitionByRange +
+    * per-partition prefix + broadcast offsets" as its restructure path;
+    * this gate runs that path over the RAW documents table (exactly the
+    * frame a single-partition WindowExec must never see) and the oracle
+    * replays it as the plain SQL window. No Window node appears in the
+    * physical plan (pinned in `PlanQualitySpec`); readout sampled to
+    * every 50th doc so the result table stays gate-sized while the
+    * prefix sum itself covers every row. */
+  def p34RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    graft.operators.ScalablePrefix.cumSum(d, "doc_id", "n_chars")
+      .filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select(col("doc_id"), col("n_chars"),
+        col("run_sum").as("run_chars"))
+      .orderBy("doc_id")
+  }
+
+  val p34Sql: String =
+    """SELECT doc_id, n_chars, run_chars FROM (
+      |  SELECT doc_id, n_chars::BIGINT AS n_chars,
+      |    SUM(n_chars::BIGINT) OVER (ORDER BY doc_id)::BIGINT AS run_chars
+      |  FROM documents)
+      |WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p34_running_total" -> (p34RunningTotal _, p34Sql),
     "p33_k_anonymity" -> (p33KAnonymity _, p33Sql),
     "p32_freshness_lag" -> (p32FreshnessLag _, p32Sql),
     "p31_deletion_audit" -> (p31DeletionAudit _, p31Sql),

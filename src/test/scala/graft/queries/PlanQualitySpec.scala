@@ -908,4 +908,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("events.parquet")) <= 2,
       s"events must not be rescanned for the global max:\n$p")
   }
+
+  test("p34: running total plans NO single-partition WindowExec — the " +
+    "two-phase range-partitioned prefix sum is the whole point") {
+    val p = plan("p34_running_total")
+    assert(!p.contains("Window"),
+      s"p34 must never plan a WindowExec over the raw table:\n$p")
+    // the checkpoint truncates the range exchange out of the final plan
+    // (pinned instead on stage 1 in ScalablePrefixSpec); what remains
+    // visible is the per-partition pass
+    assert(p.contains("MapPartitions"),
+      s"expected the per-partition prefix pass in:\n$p")
+  }
 }
