@@ -238,14 +238,23 @@ final class XlsxReader(file: File) extends AutoCloseable {
         sb.toString
       }
 
-      /** Concatenate all `<t>` runs under an element (rich text / `<is>`). */
+      /** Concatenate all `<t>` runs under an element (rich text / `<is>`),
+        * EXCLUDING `<rPh>` phonetic runs — their `<t>` children are
+        * furigana annotations, not cell text (openpyxl's rule; see the
+        * matching guard in parseSharedStrings). */
       private def readRichText(outer: String): String = {
         val sb = new java.lang.StringBuilder
+        var rPhDepth = 0
         var done = false
         while (!done) {
           r.next() match {
-            case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" =>
+            case XMLStreamConstants.START_ELEMENT if r.getLocalName == "rPh" =>
+              rPhDepth += 1
+            case XMLStreamConstants.START_ELEMENT
+                if r.getLocalName == "t" && rPhDepth == 0 =>
               sb.append(readText())
+            case XMLStreamConstants.END_ELEMENT if r.getLocalName == "rPh" =>
+              if (rPhDepth > 0) rPhDepth -= 1
             case XMLStreamConstants.END_ELEMENT if r.getLocalName == outer =>
               done = true
             case _ => ()
@@ -381,11 +390,18 @@ final class XlsxReader(file: File) extends AutoCloseable {
           var inSi = false
           var sb: java.lang.StringBuilder = null
           var inT = false
+          // <rPh> phonetic runs (furigana annotations) carry their own
+          // <t> children which are NOT part of the cell text — openpyxl
+          // (the reference's parser) excludes them, so concatenating
+          // them here would diverge on any workbook with phonetic
+          // annotations. Same rule in readRichText for inline strings.
+          var rPhDepth = 0
           while (r.hasNext) r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
               r.getLocalName match {
                 case "si" => inSi = true; sb = new java.lang.StringBuilder
-                case "t" if inSi => inT = true
+                case "rPh" if inSi => rPhDepth += 1
+                case "t" if inSi && rPhDepth == 0 => inT = true
                 case _ => ()
               }
             case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -393,6 +409,7 @@ final class XlsxReader(file: File) extends AutoCloseable {
             case XMLStreamConstants.END_ELEMENT =>
               r.getLocalName match {
                 case "si" => inSi = false; out += XlsxReader.unescapeOoxml(sb.toString)
+                case "rPh" => if (rPhDepth > 0) rPhDepth -= 1
                 case "t" => inT = false
                 case _ => ()
               }

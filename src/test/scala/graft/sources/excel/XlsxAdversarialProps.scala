@@ -218,6 +218,40 @@ object XlsxAdversarialProps extends Properties("xlsx.adversarial") {
       } finally f.delete()
     }
 
+  // ------------- 3b. rich-text runs + phonetic <rPh> exclusion (openpyxl)
+
+  private val genRuns: Gen[Seq[(String, Boolean)]] = for {
+    n <- Gen.chooseNum(1, 6)
+    runs <- Gen.listOfN(n, for {
+      s <- genCellString
+      phonetic <- Gen.frequency(3 -> false, 1 -> true)
+    } yield (s, phonetic))
+  } yield runs
+
+  property("rich-text <r> runs concatenate and <rPh> phonetic runs are " +
+    "EXCLUDED, identically for shared and inline spellings") =
+    Prop.forAll(genRuns) { runs =>
+      def runsXml(rs: Seq[(String, Boolean)]): String = rs.map {
+        case (s, true) =>
+          s"""<rPh sb="0" eb="1"><t>${xmlEscape(s)}</t></rPh>"""
+        case (s, false) =>
+          s"""<r><rPr><b/></rPr><t xml:space="preserve">${xmlEscape(s)}</t></r>"""
+      }.mkString
+      val want = runs.collect { case (s, false) => s }.mkString
+      val sst = "xl/sharedStrings.xml" -> (
+        s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si>${
+          runsXml(runs)}</si></sst>""").getBytes("UTF-8")
+      val shared = zipFile(Seq(workbookXml(),
+        sheetXml("""<row r="1"><c r="A1" t="s"><v>0</v></c></row>"""), sst))
+      val inline = zipFile(Seq(workbookXml(), sheetXml(
+        s"""<row r="1"><c r="A1" t="inlineStr"><is>${runsXml(runs)}</is></c></row>""")))
+      try {
+        val gotShared = readAll(shared).head.head
+        val gotInline = readAll(inline).head.head
+        gotShared == want && gotInline == want
+      } finally { shared.delete(); inline.delete() }
+    }
+
   // ------------------------------- 4. junk ZIP parts + unknown XML noise
 
   private val genJunkEntries: Gen[Seq[(String, Array[Byte])]] = for {
