@@ -284,6 +284,19 @@ final class XlsxReader(file: File) extends AutoCloseable {
         case "b" =>
           if (v == null) null
           else java.lang.Boolean.valueOf(v.trim == "1" || v.trim.equalsIgnoreCase("true"))
+        case "d" => // ISO-8601 date cell (ECMA-376 §18.17.4.7, rare but
+          // legal — previously fell into the numeric branch and threw
+          // NumberFormatException on a valid workbook)
+          if (v == null || v.trim.isEmpty) null
+          else {
+            val s = v.trim
+            if (s.contains("T"))
+              java.time.LocalDateTime.parse(s,
+                java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+            else
+              java.time.LocalDate.parse(s,
+                java.time.format.DateTimeFormatter.ISO_LOCAL_DATE)
+          }
         case "e" => null // error cell (#DIV/0! …)
         case _ => // numeric (or date, per cell style)
           if (v == null || v.isEmpty) null

@@ -252,6 +252,21 @@ object XlsxAdversarialProps extends Properties("xlsx.adversarial") {
       } finally { shared.delete(); inline.delete() }
     }
 
+  // --------------------------- 3c. ISO-8601 t="d" cells (ECMA-376 legal)
+
+  property("t=\"d\" ISO-8601 cells parse as dates/datetimes (previously " +
+    "crashed in the numeric branch)") =
+    Prop.forAll(Gen.chooseNum(0L, 73000L), Gen.chooseNum(0, 86399)) {
+      (days, sec) =>
+        val d = java.time.LocalDate.of(1900, 1, 1).plusDays(days)
+        val dt = d.atStartOfDay.plusSeconds(sec)
+        val body = s"""<row r="1"><c r="A1" t="d"><v>$d</v></c>""" +
+          s"""<c r="B1" t="d"><v>$dt</v></c><c r="C1" t="d"><v></v></c></row>"""
+        val f = zipFile(Seq(workbookXml(), sheetXml(body)))
+        try readAll(f).head == Vector(d, dt, null)
+        finally f.delete()
+    }
+
   // ------------------------------- 4. junk ZIP parts + unknown XML noise
 
   private val genJunkEntries: Gen[Seq[(String, Array[Byte])]] = for {
