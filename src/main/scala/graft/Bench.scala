@@ -51,6 +51,12 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Wall clock starts at main entry: the r19 driver artifact was rc:124
+    // — killed at EXACTLY the one-hour mark mid-suite with zero parseable
+    // output — because best-of-2 walks every gate twice with no notion of
+    // a budget. Everything below projects against this zero.
+    val benchT0 = System.nanoTime()
+    def wallS: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions scale WITH DATA on a cluster; a single-host
@@ -70,6 +76,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The r19 driver tail was THOUSANDS of identical "WindowExec: No
+    // Partition Defined" WARN lines — every one from a global window this
+    // repo has already audited bounded (GlobalWindowAuditSpec pins the
+    // inventory), repeated per execution, burying whatever the run was
+    // doing when the driver killed it. Silence that one known-benign
+    // logger to ERROR (setLogLevel above sets ALL loggers, so this must
+    // come after it); the per-gate heartbeat below replaces it with a
+    // tail that actually says where the run is.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // log config must not kill bench
     val taskStats = Option.when(
         sys.env.get("SPARK_GRAFT_TASK_STATS").contains("1")) {
       val l = new TaskStats
@@ -139,11 +157,17 @@ object Bench {
     // genuinely degraded windows read SECONDS — validity gates at 3× a
     // generous fast-host reference, far above fsync's natural jitter.
     def ioCanary(): (Long, Long) = {
-      val tmpDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"))
-      val wFile = java.nio.file.Files.createTempFile(tmpDir, "graft_ioc_w", ".bin")
-      val rFile = java.nio.file.Files.createTempFile(tmpDir, "graft_ioc_r", ".bin")
+      // temp-file creation lives INSIDE the try: a full or read-only tmpfs
+      // is precisely the degraded-IO regime the canary probes, and a
+      // createTempFile throw outside it would abort the whole bench
+      // instead of reading (-1,-1) (ADVICE r19)
+      var wFile: java.nio.file.Path = null
+      var rFile: java.nio.file.Path = null
       try {
+        val tmpDir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"))
+        wFile = java.nio.file.Files.createTempFile(tmpDir, "graft_ioc_w", ".bin")
+        rFile = java.nio.file.Files.createTempFile(tmpDir, "graft_ioc_r", ".bin")
         val wBuf = new Array[Byte](4 * 1024 * 1024)
         java.util.Arrays.fill(wBuf, 0x5a.toByte)
         def wOnce(): Long = {
@@ -178,10 +202,49 @@ object Bench {
         (med5(wOnce _), med5(rOnce _))
       } catch { case _: Throwable => (-1L, -1L) // canary must not kill bench
       } finally {
-        try java.nio.file.Files.deleteIfExists(wFile) catch { case _: Throwable => () }
-        try java.nio.file.Files.deleteIfExists(rFile) catch { case _: Throwable => () }
+        if (wFile != null)
+          try java.nio.file.Files.deleteIfExists(wFile) catch { case _: Throwable => () }
+        if (rFile != null)
+          try java.nio.file.Files.deleteIfExists(rFile) catch { case _: Throwable => () }
       }
     }
+    val ioRefWMs = 60.0; val ioRefRMs = 25.0
+    def ioOk(w: Long, r: Long): Boolean =
+      w >= 0 && r >= 0 && w <= ioRefWMs * 3 && r <= ioRefRMs * 3
+    // Bounded fsync-settle preamble (VERDICT r19 #3c): the r18/r19 driver
+    // runs sat in the WRITEBACK SHADOW of the oracle phase that precedes
+    // them — gigabytes of dirty parquet pages draining while the bench's
+    // own fsyncs (state stores, xlsx staging) queued behind them. The
+    // canary DETECTED that; this preamble SHRINKS it: if the first io
+    // sample is degraded, force the writeback now (`sync`, itself bounded
+    // — it can block indefinitely under the very pressure it drains) and
+    // re-sample until the canary reads clean or the wait budget is spent.
+    // Paying ≤120 s up front is strictly better than paying the shadow
+    // spread across 260 timed gates. The wait is stamped (`io_settle_s`)
+    // so a reader sees the shadow was real and how long it took to drain.
+    val settleMaxS =
+      sys.env.getOrElse("SPARK_GRAFT_IO_SETTLE_MAX_S", "120").toDouble
+    def ioSettle(): Double = {
+      val t0 = System.nanoTime()
+      var (w, r) = ioCanary()
+      if (ioOk(w, r)) return 0.0 // clean host: zero cost, no sync issued
+      System.err.println(
+        s"[bench] io degraded at start (w=${w}ms r=${r}ms); " +
+          s"sync+settle up to ${settleMaxS.toInt}s")
+      while (!ioOk(w, r) && (System.nanoTime() - t0) / 1e9 < settleMaxS) {
+        try {
+          val p = new ProcessBuilder("sync").start()
+          p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+          p.destroyForcibly()
+        } catch { case _: Throwable => () } // settle must not kill bench
+        Thread.sleep(5000)
+        val s = ioCanary(); w = s._1; r = s._2
+      }
+      System.err.println(f"[bench] io settle done after ${
+        (System.nanoTime() - t0) / 1e9}%.1fs (w=${w}ms r=${r}ms)")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ioSettleS = ioSettle()
     val (ioWMs, ioRMs) = ioCanary()
     // A normalized headline is only meaningful when the machine-speed
     // probe itself was stable AND the host was idle: BENCH_r17.json
@@ -196,10 +259,8 @@ object Bench {
     // fast-host reference, io read ≤ 3× the 25 ms reference, and the CPU
     // probe must not DRIFT >1.5× between start and end (a uniform-slow
     // host normalizes correctly; a mid-run speed change makes the
-    // start-probe divisor wrong).
-    val ioRefWMs = 60.0; val ioRefRMs = 25.0
-    def ioOk(w: Long, r: Long): Boolean =
-      w >= 0 && r >= 0 && w <= ioRefWMs * 3 && r <= ioRefRMs * 3
+    // start-probe divisor wrong). ioRefWMs/ioRefRMs/ioOk are defined
+    // above the settle preamble, which shares them.
 
     // JIT/codegen/IO-path warmup so the alphabetically-first query isn't
     // taxed with one-time initialization: exercise the parquet reader,
@@ -296,31 +357,108 @@ object Bench {
     // {stage_s, engine_s} so an IO-degraded artifact self-attributes
     // instead of needing a hand re-run to tell staging from engine.
     val stageByGate = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val gates = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
-      val succeeded = (0 until repeats).flatMap { _ =>
-        val s0 = GateMetrics.snapshot()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+    // Wall budget (VERDICT r19 #1): the r19 driver artifact is rc:124,
+    // parsed:null — the best-of-2 walk of all 260 gates blew the driver's
+    // one-hour kill on a 1.35× heavier regenerated corpus inside an IO
+    // writeback shadow, converting a healthy engine into a
+    // zero-information round. The soft budget degrades the protocol
+    // (repeat count → 1 for the REMAINING gates, switch point stamped) as
+    // soon as the projection says best-of-N won't fit; the hard cap stops
+    // launching gates outright so the JVM always reaches artifact-writing
+    // code before the driver's kill. A stamped single-repeat or truncated
+    // number beats no number; the local best-of-2 artifact stays the
+    // tracked one (BASELINE.md protocol).
+    val wallBudgetS =
+      sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET_S", "2700").toDouble
+    val wallHardS =
+      sys.env.getOrElse("SPARK_GRAFT_WALL_HARD_S", "3300").toDouble
+    var effRepeats = repeats
+    var degradeAt: Option[String] = None
+    val skipped = scala.collection.mutable.LinkedHashSet[String]()
+    var repeatsExecuted = 0 // individual repeat runs, incl. failed ones
+    var gateWallSum = 0.0 // wall spent inside gates (drains included)
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // Incremental per-gate flush (VERDICT r19 #2): a killed run used to
+    // yield parsed:null; with this journal it yields every completed
+    // gate's number plus a tail that says exactly where it died.
+    val partial: java.io.PrintWriter =
+      try new java.io.PrintWriter(
+        new java.io.FileWriter("bench_partial.jsonl", false))
+      catch { case _: Throwable => null } // journal must not kill bench
+    def journal(line: String): Unit = if (partial != null) {
+      partial.println(line); partial.flush()
+    }
+    journal(f"""{"event":"start","n_gates":${gates.size},"repeats":$repeats,"wall_budget_s":$wallBudgetS%.0f,"wall_hard_s":$wallHardS%.0f,"io_settle_s":$ioSettleS%.1f,"wall_at_first_gate_s":$wallS%.1f,"sf":"$sfDir"}""")
+
+    gates.zipWithIndex.foreach { case ((name, fn), gi) =>
+      if (wallS > wallHardS) {
+        if (skipped.isEmpty) {
+          System.err.println(f"[bench] wall $wallS%.0fs > hard cap " +
+            f"$wallHardS%.0fs; skipping remaining gates from $name")
+          journal(f"""{"event":"hard_cap","at":"$name","wall_s":$wallS%.1f}""")
+        }
+        skipped += name
+      } else {
+        // projection: finishing the remaining gates at the current repeat
+        // count at the observed per-repeat average — degrade BEFORE the
+        // budget is blown, not after. 8 executed repeats ≈ 4 gates of
+        // best-of-2: enough signal that one slow first gate doesn't flip
+        // the protocol by itself.
+        if (effRepeats > 1 && repeatsExecuted >= 8) {
+          val avgRepeatS = gateWallSum / repeatsExecuted
+          val projected = wallS + (gates.size - gi) * avgRepeatS * effRepeats
+          if (projected > wallBudgetS) {
+            effRepeats = 1
+            degradeAt = Some(name)
+            System.err.println(f"[bench] wall $wallS%.0fs, projected " +
+              f"$projected%.0fs > budget $wallBudgetS%.0fs; degrading to " +
+              s"single-repeat at $name")
+            journal(f"""{"event":"degrade","at":"$name","wall_s":$wallS%.1f,"projected_s":$projected%.0f}""")
           }
-        if (ok) Some(((System.nanoTime() - t0) / 1e9,
-          (GateMetrics.snapshot() - s0) / 1e9))
-        else None
-      }
-      taskStats.foreach(_.reportAndReset(name))
-      drainLeaks()
-      if (succeeded.isEmpty) { failed += name; None }
-      else {
-        val (wall, stage) = succeeded.minBy(_._1)
-        if (stage > 0.01) stageByGate(name) = stage
-        Some(name -> wall)
+        }
+        val gateT0 = wallS
+        val succeeded = (0 until effRepeats).flatMap { _ =>
+          val s0 = GateMetrics.snapshot()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          if (ok) Some(((System.nanoTime() - t0) / 1e9,
+            (GateMetrics.snapshot() - s0) / 1e9))
+          else None
+        }
+        taskStats.foreach(_.reportAndReset(name))
+        drainLeaks()
+        val gateWall = wallS - gateT0
+        repeatsExecuted += effRepeats
+        gateWallSum += gateWall
+        if (succeeded.isEmpty) {
+          failed += name
+          journal(f"""{"gate":"$name","failed":true,"gate_wall_s":$gateWall%.3f,"cum_s":$wallS%.1f,"repeats":$effRepeats,"completed_through":"$name"}""")
+        } else {
+          val (wall, stage) = succeeded.minBy(_._1)
+          if (stage > 0.01) stageByGate(name) = stage
+          results += (name -> wall)
+          // every line carries completed_through so ANY flushed prefix of
+          // a killed run names its last finished gate on its final line
+          journal(f"""{"gate":"$name","min_s":$wall%.3f,"gate_wall_s":$gateWall%.3f,"cum_s":$wallS%.1f,"repeats":$effRepeats,"completed_through":"$name"}""")
+        }
+        // one-line heartbeat: the r19 driver tail was all WindowExec spam
+        // and said nothing about progress; this makes a killed run's tail
+        // name its last completed gate and the cumulative wall
+        System.err.println(f"[gate] ${gi + 1}/${gates.size} $name " +
+          f"${succeeded.headOption.map(_ => succeeded.minBy(_._1)._1)
+            .getOrElse(-1.0)}%.3fs gate=$gateWall%.2fs cum=$wallS%.1fs " +
+          s"repeats=$effRepeats")
       }
     }
+    journal(f"""{"event":"end","completed_through":"${results.lastOption.map(_._1).getOrElse("")}","n_done":${results.size},"n_failed":${failed.size},"n_skipped":${skipped.size},"wall_s":$wallS%.1f}""")
+    if (partial != null) partial.close()
 
     // End-of-run re-sampling: the r18 driver artifact degraded at the
     // START (the oracle phase's writeback shadow, decaying through the
@@ -371,7 +509,21 @@ object Bench {
     // quantified per run instead of estimated in prose (ADVICE r17).
     val prepBuildS = SharedPrep.buildSeconds(spark)
     val canaryJson =
-      f""""probe_ms_end":$probeMsEnd,"io_w_ms":$ioWMs,"io_r_ms":$ioRMs,"io_w_ms_end":$ioWMsEnd,"io_r_ms_end":$ioRMsEnd,"load_end":$loadEnd%.2f"""
+      f""""probe_ms_end":$probeMsEnd,"io_w_ms":$ioWMs,"io_r_ms":$ioRMs,"io_w_ms_end":$ioWMsEnd,"io_r_ms_end":$ioRMsEnd,"load_end":$loadEnd%.2f,"io_settle_s":$ioSettleS%.1f"""
+    // Protocol stamp: a degraded or truncated artifact must be
+    // machine-distinguishable from a clean best-of-N one — cross-round
+    // tables compare only like-protocol numbers (BASELINE.md).
+    val protocol =
+      if (degradeAt.isDefined) "degraded-single-repeat" else s"best-of-$repeats"
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val protocolJson =
+      f""""protocol":"$protocol","degrade_at":${degradeAt.map("\"" + _ + "\"").getOrElse("null")},"skipped":$skippedJson,"truncated":${skipped.nonEmpty},"wall_s":$wallS%.1f"""
+    // compact-line variant: a hard-cap truncation can skip 200+ gates and
+    // an unbounded name array would overflow the driver's stdout tail —
+    // the exact failure the compact line exists to avoid. Count + first
+    // name only; the full list lives in bench_full.json.
+    val protocolJsonCompact =
+      f""""protocol":"$protocol","degrade_at":${degradeAt.map("\"" + _ + "\"").getOrElse("null")},"n_skipped":${skipped.size},"skipped_from":${skipped.headOption.map("\"" + _ + "\"").getOrElse("null")},"truncated":${skipped.nonEmpty},"wall_s":$wallS%.1f"""
     // stage_s = input staging inside the reported repeat's wall;
     // engine_s = the remainder. Only gates that staged anything appear.
     val stagingJson = stageByGate.map { case (k, s) =>
@@ -379,7 +531,7 @@ object Bench {
       "\"" + k + f"""":{"stage_s":$s%.3f,"engine_s":$engine%.3f}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":$qs,"staging":$stagingJson,"failed":$failedJson,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,$canaryJson,"prep_build_s":$prepBuildS%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":$qs,"staging":$stagingJson,"failed":$failedJson,$protocolJson,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,$canaryJson,"prep_build_s":$prepBuildS%.3f,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver only captures the last ~2000 chars of stdout; with 76+
     // queries the full line above overflows that window and its leading
@@ -390,7 +542,11 @@ object Bench {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench must not fail on a log file
-    val budget = 1400 // chars for the "queries" object in the compact line
+    // chars for the "queries" object in the compact line: sized so the
+    // WHOLE line stays under the driver's ~2000-char stdout tail even
+    // with the r20 protocol fields (protocol/degrade_at/skipped/
+    // truncated/wall_s/io_settle_s ≈ 150 chars) present
+    val budget = 1200
     val slowestFirst = results.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
@@ -399,7 +555,7 @@ object Bench {
       if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"failed":$failedJson,"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,$canaryJson,"prep_build_s":$prepBuildS%.3f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"failed":$failedJson,$protocolJsonCompact,"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,$canaryJson,"prep_build_s":$prepBuildS%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

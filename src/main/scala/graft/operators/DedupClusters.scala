@@ -57,8 +57,20 @@ object DedupClusters {
     // the r18 driver window vs 4.5 s idle). DECIMAL(38,0): Σ of 64-bit
     // ids over any realistic corpus cannot overflow 38 digits.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v
+      val row = df.agg(sum(col("label").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head()
+      val v = row.getDecimal(0)
+      if (v == null) {
+        // null-with-rows is decimal(38,0) overflow under non-ANSI SQL, not
+        // emptiness — mapping it to ZERO would let two consecutive
+        // overflow rounds compare equal and signal convergence with
+        // silently wrong clusters (ADVICE r19). Practically unreachable
+        // (needs ~1e19 id-weighted rows), but silent-wrong must be loud.
+        require(row.getLong(1) == 0L,
+          "connected-components label sum overflowed decimal(38,0) — " +
+            "the convergence probe is invalid at this id scale")
+        java.math.BigDecimal.ZERO
+      } else v
     }
     var prevSum = labelSum(labels)
     var i = 0

@@ -869,19 +869,19 @@ object TextAnalysis {
       .select(explode(words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    // GLOBAL-WINDOW: bounded — runs over the groupBy(word) aggregate:
-    // ≤ |vocabulary| rows, sub-linear in the corpus (Heaps' law), never
-    // the token stream. A 100-TB vocabulary in the tens of millions
-    // still fits one task; if a caller ever needs rank+cum over a
-    // larger id space, restructure as repartitionByRange + per-partition
-    // prefix + broadcast offsets (the p06 pattern).
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("word").asc)
-    val ranked = counts
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
+    // Was the repo's largest-frame audited global window (≤ |vocabulary|
+    // rows — tens of millions at 100 TB, all funneled through ONE window
+    // task); now the restructure path its audit marker named:
+    // `ScalablePrefix.rankedCumSum` — range exchange + per-partition
+    // prefix + broadcast offsets, no WindowExec (pinned in
+    // ScalablePrefixSpec and hash-equal to the window spelling there).
+    // Order (cnt desc, word asc) becomes lexicographic (−cnt, word) asc;
+    // counts are positive so the negation cannot overflow.
+    val ranked = graft.operators.ScalablePrefix.rankedCumSum(
+        counts.withColumn("neg_cnt", -col("cnt")),
+        "neg_cnt", "word", "cnt")
+      .select(col("word"), col("cnt"), col("rank"),
+        col("run_sum").as("cum"))
     val tot = counts.agg(sum(col("cnt")).as("total_tokens"),
       count(lit(1)).as("vocab_size"))
     val tgts = targets.toDF("target_pct")

@@ -1962,7 +1962,40 @@ object PipelineQueries {
       |  FROM documents)
       |WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- p35
+  /** Tie-safe running total ([[graft.operators.ScalablePrefix
+    * .cumSumTieSafe]], VERDICT r19 #4): p34's prefix sum requires a
+    * UNIQUE order key; this gate runs the compound-key variant over a
+    * deliberately duplicate-HEAVY order key (the n_chars÷100 size
+    * bucket — thousands of docs per bucket) with doc_id breaking ties,
+    * ROWS-frame semantics, and the oracle replays it as the plain SQL
+    * window over the same compound order. Same scale contract: range
+    * exchange + per-partition prefix + broadcast offsets, no WindowExec,
+    * driver sees `numPartitions` longs. */
+  def p35RunningTotalTies(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(expr("n_chars div 100").as("k"),
+        col("doc_id"), col("n_chars"))
+    graft.operators.ScalablePrefix
+      .cumSumTieSafe(d, "k", "doc_id", "n_chars")
+      .filter(pmod(col("doc_id"), lit(50L)) === 0)
+      .select(col("k"), col("doc_id"), col("n_chars"),
+        col("run_sum").as("run_chars"))
+      .orderBy("doc_id")
+  }
+
+  val p35Sql: String =
+    """SELECT k, doc_id, n_chars, run_chars FROM (
+      |  SELECT n_chars // 100 AS k, doc_id, n_chars::BIGINT AS n_chars,
+      |    SUM(n_chars::BIGINT) OVER (
+      |      ORDER BY n_chars // 100, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |    )::BIGINT AS run_chars
+      |  FROM documents)
+      |WHERE doc_id % 50 = 0 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "p35_running_total_ties" -> (p35RunningTotalTies _, p35Sql),
     "p34_running_total" -> (p34RunningTotal _, p34Sql),
     "p33_k_anonymity" -> (p33KAnonymity _, p33Sql),
     "p32_freshness_lag" -> (p32FreshnessLag _, p32Sql),

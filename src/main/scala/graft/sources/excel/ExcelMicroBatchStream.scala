@@ -24,11 +24,16 @@ import org.apache.spark.util.SerializableConfiguration
   * `maxFileAgeMs` retention window bounds it: the offset carries
   * (file, mtime) entries plus a high-watermark (max mtime ever seen), and
   * entries older than `watermark − maxFileAgeMs` are dropped — AND newly
-  * listed files older than that are ignored, so a dropped entry can never
-  * be re-admitted (its mtime is fixed while the watermark only advances).
-  * Offset size is then O(files per retention window). The trade — a file
-  * landing with an mtime older than the window is never read — is the
-  * same one Spark's FileStreamSource `maxFileAge` makes.
+  * listed files older than that are ignored, so as long as a file's mtime
+  * is fixed a dropped entry can never be re-admitted (the watermark only
+  * advances). Offset size is then O(files per retention window). Two
+  * trades, both the ones Spark's FileStreamSource `maxFileAge` makes
+  * (property-pinned in `OffsetCompactionProps`): a file LANDING with an
+  * mtime older than the window is never read, and a file OVERWRITTEN IN
+  * PLACE after its entry aged out re-admits once — its new mtime marks
+  * genuinely new content, indistinguishable from a new file without
+  * unbounded seen-name state (which is exactly what compaction exists to
+  * avoid).
   */
 class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
     opts: ExcelOptions, checkpointLocation: String,
@@ -120,33 +125,7 @@ class ExcelMicroBatchStream(fullSchema: StructType, schema: StructType,
       admitUnder(limit, fresh.map { case (n, t) =>
         ExcelFiles.Entry(n, t, sizes.getOrElse(n, 0L)) })
         .map(e => e.uri -> e.mtimeMs)
-    retention match {
-      case None =>
-        val seenSet = so.names.toSet
-        val admitted = admit(listing.filterNot(e => seenSet(e._1)))
-        ExcelStreamOffset((so.entries ++ admitted).sortBy(_._1))
-      case Some(ret) =>
-        // the watermark only advances, so once an entry expires it stays
-        // expired; listing entries below the cutoff are ignored by the
-        // same rule, so expiry can never cause a re-read
-        val wm = (so.watermark +: listing.map(_._2)).max
-        val cutoff = wm - ret
-        // refresh kept entries from the current listing (max of stored and
-        // listed mtime): a file overwritten IN PLACE after ingestion lists
-        // with a newer mtime — with only the stored ingestion-time mtime it
-        // would expire while still visible and fresh, and the next batch
-        // would re-admit (duplicate-read) it
-        val listedTimes = listing.toMap
-        val keptSeen = so.entries
-          .map { case (n, t) =>
-            n -> math.max(t, listedTimes.getOrElse(n, Long.MinValue)) }
-          .filter(_._2 >= cutoff)
-        val seenSet = so.names.toSet // full pre-expiry set: skip by NAME
-        val admitted = admit(listing.filter { case (n, t) =>
-          t >= cutoff && !seenSet(n)
-        })
-        ExcelStreamOffset((keptSeen ++ admitted).sortBy(_._1), wm, compacted = true)
-    }
+    ExcelStreamOffset.advance(so, listing, retention, admit)
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -206,6 +185,45 @@ case class ExcelStreamOffset(entries: Seq[(String, Long)], watermark: Long = 0L,
 }
 
 object ExcelStreamOffset {
+
+  /** One pure offset-advance step — the whole compaction/admission
+    * algebra with the filesystem and ReadLimit abstracted away (the
+    * stream's `latestOffset(start, limit)` supplies a real listing and a
+    * limit-bounded `admit`; `OffsetCompactionProps` drives random
+    * histories through it directly).
+    *
+    * Without retention: append listed-but-unseen names, keep everything.
+    * With retention: the watermark only advances, so once an entry
+    * expires it stays expired; listing entries below the cutoff are
+    * ignored by the same rule, so expiry can never cause a re-read. Kept
+    * entries refresh their mtime from the current listing (max of stored
+    * and listed): a file overwritten IN PLACE after ingestion lists with
+    * a newer mtime — with only the stored ingestion-time mtime it would
+    * expire while still visible and fresh, and the next batch would
+    * re-admit (duplicate-read) it. */
+  def advance(start: ExcelStreamOffset, listing: Seq[(String, Long)],
+      retention: Option[Long],
+      admit: Seq[(String, Long)] => Seq[(String, Long)] = identity)
+      : ExcelStreamOffset = retention match {
+    case None =>
+      val seenSet = start.names.toSet
+      val admitted = admit(listing.filterNot(e => seenSet(e._1)))
+      ExcelStreamOffset((start.entries ++ admitted).sortBy(_._1))
+    case Some(ret) =>
+      val wm = (start.watermark +: listing.map(_._2)).max
+      val cutoff = wm - ret
+      val listedTimes = listing.toMap
+      val keptSeen = start.entries
+        .map { case (n, t) =>
+          n -> math.max(t, listedTimes.getOrElse(n, Long.MinValue)) }
+        .filter(_._2 >= cutoff)
+      val seenSet = start.names.toSet // full pre-expiry set: skip by NAME
+      val admitted = admit(listing.filter { case (n, t) =>
+        t >= cutoff && !seenSet(n)
+      })
+      ExcelStreamOffset((keptSeen ++ admitted).sortBy(_._1), wm,
+        compacted = true)
+  }
 
   /** Minimal parser for the two exact shapes [[ExcelStreamOffset.json]]
     * emits. */

@@ -290,12 +290,24 @@ final class XlsxReader(file: File) extends AutoCloseable {
           if (v == null || v.trim.isEmpty) null
           else {
             val s = v.trim
+            // xsd ISO-8601 legally carries an optional zone designator
+            // ("…T00:00:00Z", "…+09:00") — a zone-free-only parse would
+            // crash on a valid workbook, the same class of bug the local
+            // branch fixed (ADVICE r19). Offsets are normalized to UTC
+            // (same instant) for datetimes and dropped for pure dates
+            // (ISO_DATE accepts-and-ignores a trailing offset).
             if (s.contains("T"))
-              java.time.LocalDateTime.parse(s,
+              try java.time.LocalDateTime.parse(s,
                 java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+              catch { case _: java.time.format.DateTimeParseException =>
+                java.time.OffsetDateTime.parse(s,
+                    java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+                  .withOffsetSameInstant(java.time.ZoneOffset.UTC)
+                  .toLocalDateTime
+              }
             else
               java.time.LocalDate.parse(s,
-                java.time.format.DateTimeFormatter.ISO_LOCAL_DATE)
+                java.time.format.DateTimeFormatter.ISO_DATE)
           }
         case "e" => null // error cell (#DIV/0! …)
         case _ => // numeric (or date, per cell style)

@@ -267,6 +267,24 @@ object XlsxAdversarialProps extends Properties("xlsx.adversarial") {
         finally f.delete()
     }
 
+  property("t=\"d\" cells with a zone designator (xsd-legal Z/±hh:mm) " +
+    "normalize to UTC instead of crashing") =
+    Prop.forAll(Gen.chooseNum(0L, 73000L), Gen.chooseNum(0, 86399),
+      Gen.oneOf("Z", "+00:00", "+09:00", "-05:30", "+14:00")) {
+      (days, sec, zone) =>
+        val d = java.time.LocalDate.of(1900, 1, 1).plusDays(days)
+        val dt = d.atStartOfDay.plusSeconds(sec)
+        val wantDt = dt.atOffset(java.time.ZoneOffset.of(zone))
+          .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+        val body = s"""<row r="1"><c r="A1" t="d"><v>$d$zone</v></c>""" +
+          s"""<c r="B1" t="d"><v>$dt$zone</v></c></row>"""
+        val f = zipFile(Seq(workbookXml(), sheetXml(body)))
+        // a zoned pure date keeps its calendar day (offset dropped); a
+        // zoned datetime converts to the same instant in UTC
+        try readAll(f).head == Vector(d, wantDt)
+        finally f.delete()
+    }
+
   // ------------------------------- 4. junk ZIP parts + unknown XML noise
 
   private val genJunkEntries: Gen[Seq[(String, Array[Byte])]] = for {
