@@ -50,6 +50,20 @@ object Bench {
     }
   }
 
+  /** The wall-budget projection (package-visible so `BenchProtocolSpec`
+    * pins the arithmetic): degrade to single-repeat iff finishing the
+    * remaining gates at the current repeat count and the observed
+    * per-repeat average would blow the budget. Requires ≥`minRepeats`
+    * executed repeats of signal so one slow first gate can't flip the
+    * protocol by itself. */
+  private[graft] def shouldDegrade(wallS: Double, gateWallSum: Double,
+      repeatsExecuted: Int, remainingGates: Int, effRepeats: Int,
+      budgetS: Double, minRepeats: Int = 8): Boolean =
+    effRepeats > 1 && repeatsExecuted >= minRepeats && {
+      val avgRepeatS = gateWallSum / repeatsExecuted
+      wallS + remainingGates * avgRepeatS * effRepeats > budgetS
+    }
+
   def main(args: Array[String]): Unit = {
     // Wall clock starts at main entry: the r19 driver artifact was rc:124
     // — killed at EXACTLY the one-hour mark mid-suite with zero parseable
@@ -401,22 +415,18 @@ object Bench {
         }
         skipped += name
       } else {
-        // projection: finishing the remaining gates at the current repeat
-        // count at the observed per-repeat average — degrade BEFORE the
-        // budget is blown, not after. 8 executed repeats ≈ 4 gates of
-        // best-of-2: enough signal that one slow first gate doesn't flip
-        // the protocol by itself.
-        if (effRepeats > 1 && repeatsExecuted >= 8) {
-          val avgRepeatS = gateWallSum / repeatsExecuted
-          val projected = wallS + (gates.size - gi) * avgRepeatS * effRepeats
-          if (projected > wallBudgetS) {
-            effRepeats = 1
-            degradeAt = Some(name)
-            System.err.println(f"[bench] wall $wallS%.0fs, projected " +
-              f"$projected%.0fs > budget $wallBudgetS%.0fs; degrading to " +
-              s"single-repeat at $name")
-            journal(f"""{"event":"degrade","at":"$name","wall_s":$wallS%.1f,"projected_s":$projected%.0f}""")
-          }
+        // projection: degrade BEFORE the budget is blown, not after
+        // (arithmetic in [[shouldDegrade]], pinned by BenchProtocolSpec)
+        if (shouldDegrade(wallS, gateWallSum, repeatsExecuted,
+            gates.size - gi, effRepeats, wallBudgetS)) {
+          val projected = wallS +
+            (gates.size - gi) * (gateWallSum / repeatsExecuted) * effRepeats
+          effRepeats = 1
+          degradeAt = Some(name)
+          System.err.println(f"[bench] wall $wallS%.0fs, projected " +
+            f"$projected%.0fs > budget $wallBudgetS%.0fs; degrading to " +
+            s"single-repeat at $name")
+          journal(f"""{"event":"degrade","at":"$name","wall_s":$wallS%.1f,"projected_s":$projected%.0f}""")
         }
         val gateT0 = wallS
         val succeeded = (0 until effRepeats).flatMap { _ =>
