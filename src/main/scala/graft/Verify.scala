@@ -14,6 +14,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same tail hygiene as Bench (r20): the audited-benign WindowExec
+    // single-partition WARN repeats per execution and buries the tail;
+    // the per-gate heartbeat below replaces it with progress a killed or
+    // stalled run's tail can actually be diagnosed from
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // log config must not kill verify
     new java.io.File(outDir).mkdirs()
     // The d03/t06/d06 oracles mirror FNV-1a64 in DuckDB by folding
     // unicode(c) codepoints, while the Scala side folds UTF-8 bytes, and
@@ -36,15 +44,18 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries
+    val t0 = System.nanoTime()
+    val gates = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    gates.zipWithIndex.foreach { case ((name, fn), gi) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      System.err.println(f"[verify] ${gi + 1}/${gates.size} $name " +
+        f"cum=${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
