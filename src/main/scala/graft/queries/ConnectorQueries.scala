@@ -16,7 +16,7 @@ object ConnectorQueries {
     * [[excelStreamLateData]]. A reused AvailableNow checkpoint over
     * cached inputs would admit zero new files and return an empty
     * table, so checkpoints are always fresh even when staging is not. */
-  private val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger()
+  private[queries] val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger()
 
   def excelRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -204,17 +204,25 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val in = new File(base, "in")
-    val out = new File(base, "out")
-    val ckpt = new File(base, "ckpt")
-    // input staging (batch xlsx encode the stream then reads) is
-    // attributed via GateMetrics → {stage_s, engine_s} in bench_full.json
-    graft.GateMetrics.staged {
+    // input staging cached per (session, corpus) — the ssjoin/cdc
+    // pattern: the staged xlsx is a pure function of the corpus, so a
+    // session pays the encode once; sink dir + checkpoint stay FRESH per
+    // invocation (a reused AvailableNow checkpoint would admit zero new
+    // files). Cache misses are attributed via GateMetrics inside
+    // cachedStaging → {stage_s, engine_s} in bench_full.json.
+    val Seq(inPath) = cachedStaging(spark, s"streamRtStage:$dir", dir) {
       rm(base)
+      val in = new File(base, "in")
       supplier.repartition(3).write.format("excel")
         .option("shardedOutput", "true")
         .mode("overwrite").save(in.getAbsolutePath)
+      Seq(in.getAbsolutePath)
     }
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val out = new File(base, s"out_$run")
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(out); rm(ckpt)
     val q = spark.readStream.format("excel").schema(supplier.schema)
       .load(in.getAbsolutePath)
       .withColumn("name_up", upper(col("s_name")))
@@ -259,15 +267,21 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    graft.GateMetrics.staged {
+    // input staging cached per (session, corpus); checkpoint fresh per
+    // invocation (the ssjoin/cdc pattern)
+    val Seq(inPath) = cachedStaging(spark, s"windowStage:$dir", dir) {
       rm(base)
+      val in = new File(base, "in")
       orders.repartition(2).write.format("excel")
         .option("shardedOutput", "true")
         .mode("overwrite").save(in.getAbsolutePath)
+      Seq(in.getAbsolutePath)
     }
-    val qname = s"excel_stream_window_${math.abs(dir.hashCode)}"
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_window_${math.abs(dir.hashCode)}_$run"
     // window-agg state: 8 shuffle partitions instead of 32 cuts the
     // per-batch state-checkpoint fan-out 4x at identical results. The
     // stream runs on a PRIVATE session (own SQLConf over the shared
@@ -321,18 +335,24 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    graft.GateMetrics.staged {
+    // input staging cached per (session, corpus); checkpoint fresh per
+    // invocation (the ssjoin/cdc pattern)
+    val Seq(inPath) = cachedStaging(spark, s"sjoinStage:$dir", dir) {
       rm(base)
+      val in = new File(base, "in")
       docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1)
         .write.format("excel").mode("overwrite")
         .save(new File(in, "a.xlsx").getAbsolutePath)
       docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1)
         .write.format("excel").mode("overwrite")
         .save(new File(in, "b.xlsx").getAbsolutePath)
+      Seq(in.getAbsolutePath)
     }
-    val qname = s"excel_stream_join_${math.abs(dir.hashCode)}"
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_join_${math.abs(dir.hashCode)}_$run"
     val q = spark.readStream.format("excel").schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .load(in.getAbsolutePath)
@@ -363,7 +383,7 @@ object ConnectorQueries {
     * loudly. On hit, walk each returned dir for at least one .xlsx
     * (≤ a few entries — cheap vs seconds of staging); any miss
     * invalidates the entry and re-stages. */
-  private def cachedStaging(spark: SparkSession, key: String, dir: String)(
+  private[queries] def cachedStaging(spark: SparkSession, key: String, dir: String)(
       build: => Seq[String]): Seq[String] = {
     def hasXlsx(p: String): Boolean = {
       val root = java.nio.file.Paths.get(p)
@@ -537,15 +557,21 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    graft.GateMetrics.staged {
+    // input staging cached per (session, corpus); checkpoint fresh per
+    // invocation (the ssjoin/cdc pattern)
+    val Seq(inPath) = cachedStaging(spark, s"sessionStage:$dir", dir) {
       rm(base)
+      val in = new File(base, "in")
       ev.repartition(2).write.format("excel")
         .option("shardedOutput", "true")
         .mode("overwrite").save(in.getAbsolutePath)
+      Seq(in.getAbsolutePath)
     }
-    val qname = s"excel_stream_session_${math.abs(dir.hashCode)}"
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_session_${math.abs(dir.hashCode)}_$run"
     // session state: private session + 8 shuffle partitions, same
     // state-store fan-out discipline as excel_stream_window
     val ss = spark.newSession()
@@ -710,18 +736,24 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    graft.GateMetrics.staged {
+    // input staging cached per (session, corpus); checkpoint fresh per
+    // invocation (the ssjoin/cdc pattern)
+    val Seq(inPath) = cachedStaging(spark, s"hllStage:$dir", dir) {
       rm(base)
+      val in = new File(base, "in")
       d.filter(pmod(col("doc_id"), lit(4)) === 0)
         .coalesce(1).write.format("excel").mode("overwrite")
         .save(new File(in, "a.xlsx").getAbsolutePath)
       d.filter(pmod(col("doc_id"), lit(4)) === 2)
         .coalesce(1).write.format("excel").mode("overwrite")
         .save(new File(in, "b.xlsx").getAbsolutePath)
+      Seq(in.getAbsolutePath)
     }
-    val qname = s"excel_stream_hll_${math.abs(dir.hashCode)}"
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_hll_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.operators.Sketches.hllRegisters(
@@ -832,18 +864,24 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    graft.GateMetrics.staged {
+    // input staging cached per (session, corpus); checkpoint fresh per
+    // invocation (the ssjoin/cdc pattern)
+    val Seq(inPath) = cachedStaging(spark, s"freshStage:$dir", dir) {
       rm(base)
+      val in = new File(base, "in")
       e.filter(pmod(col("event_id"), lit(4)) === 0)
         .coalesce(1).write.format("excel").mode("overwrite")
         .save(new File(in, "a.xlsx").getAbsolutePath)
       e.filter(pmod(col("event_id"), lit(4)) === 2)
         .coalesce(1).write.format("excel").mode("overwrite")
         .save(new File(in, "b.xlsx").getAbsolutePath)
+      Seq(in.getAbsolutePath)
     }
-    val qname = s"excel_stream_fresh_${math.abs(dir.hashCode)}"
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_fresh_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = ss.readStream.format("excel").schema(e.schema)
@@ -909,18 +947,24 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    graft.GateMetrics.staged {
+    // input staging cached per (session, corpus); checkpoint fresh per
+    // invocation (the ssjoin/cdc pattern)
+    val Seq(inPath) = cachedStaging(spark, s"kllStage:$dir", dir) {
       rm(base)
+      val in = new File(base, "in")
       o.filter(pmod(col("o_orderkey"), lit(8)) === 0)
         .coalesce(1).write.format("excel").mode("overwrite")
         .save(new File(in, "a.xlsx").getAbsolutePath)
       o.filter(pmod(col("o_orderkey"), lit(8)) === 4)
         .coalesce(1).write.format("excel").mode("overwrite")
         .save(new File(in, "b.xlsx").getAbsolutePath)
+      Seq(in.getAbsolutePath)
     }
-    val qname = s"excel_stream_quantile_${math.abs(dir.hashCode)}"
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_quantile_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.StreamingSketch.quantileSketch(
@@ -1027,18 +1071,24 @@ object ConnectorQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
-    graft.GateMetrics.staged {
+    // input staging cached per (session, corpus); checkpoint fresh per
+    // invocation (the ssjoin/cdc pattern)
+    val Seq(inPath) = cachedStaging(spark, s"hhStage:$dir", dir) {
       rm(base)
+      val in = new File(base, "in")
       o.filter(pmod(col("o_orderkey"), lit(8)) === 0)
         .coalesce(1).write.format("excel").mode("overwrite")
         .save(new File(in, "a.xlsx").getAbsolutePath)
       o.filter(pmod(col("o_orderkey"), lit(8)) === 4)
         .coalesce(1).write.format("excel").mode("overwrite")
         .save(new File(in, "b.xlsx").getAbsolutePath)
+      Seq(in.getAbsolutePath)
     }
-    val qname = s"excel_stream_hh_${math.abs(dir.hashCode)}"
+    val in = new File(inPath)
+    val run = streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"excel_stream_hh_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.StreamingHeavyHitters.countMin(

@@ -653,18 +653,31 @@ object DedupQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(base)
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
     val batch1 = d.filter(pmod(col("doc_id"), lit(3)) === 0)
     val copies = d.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val batch2 = d.unionByName(copies)
-    batch1.coalesce(1).write.format("excel").mode("overwrite")
-      .save(new File(in, "a.xlsx").getAbsolutePath)
-    batch2.coalesce(1).write.format("excel").mode("overwrite")
-      .save(new File(in, "b.xlsx").getAbsolutePath)
-    val qname = s"d08_stream_dedup_${math.abs(dir.hashCode)}"
+    // two-batch xlsx staging ONCE per (session, corpus) — the ssjoin/cdc
+    // pattern: both batches are pure functions of the corpus (batch-b is
+    // the FULL corpus, the gate's dominant staging cost), so a session
+    // encodes them once; stream checkpoint + sink name stay fresh per
+    // invocation (a reused AvailableNow checkpoint would admit zero new
+    // files and return an empty table)
+    val Seq(inPath) = ConnectorQueries.cachedStaging(
+        spark, s"d08Stage:$dir", dir) {
+      rm(base)
+      val in = new File(base, "in")
+      batch1.coalesce(1).write.format("excel").mode("overwrite")
+        .save(new File(in, "a.xlsx").getAbsolutePath)
+      batch2.coalesce(1).write.format("excel").mode("overwrite")
+        .save(new File(in, "b.xlsx").getAbsolutePath)
+      Seq(in.getAbsolutePath)
+    }
+    val in = new File(inPath)
+    val run = ConnectorQueries.streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"d08_stream_dedup_${math.abs(dir.hashCode)}_$run"
     // dedup state checkpoints one store per shuffle partition per batch —
     // 8 keeps the stateful path exercised without the 32-partition
     // small-file fan-out (result is partition-count independent). The
@@ -788,16 +801,26 @@ object DedupQueries {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(base)
-    val in = new File(base, "in")
-    val ckpt = new File(base, "ckpt")
     val copies = d.filter(pmod(col("doc_id"), lit(25)) === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    d.coalesce(1).write.format("excel").mode("overwrite")
-      .save(new File(in, "a.xlsx").getAbsolutePath)
-    copies.coalesce(1).write.format("excel").mode("overwrite")
-      .save(new File(in, "b.xlsx").getAbsolutePath)
-    val qname = s"d16_stream_neardup_${math.abs(dir.hashCode)}"
+    // two-batch xlsx staging ONCE per (session, corpus) — the ssjoin/cdc
+    // pattern (batch-a is the FULL corpus encode, the gate's dominant
+    // staging cost); stream checkpoint + sink name fresh per invocation
+    val Seq(inPath) = ConnectorQueries.cachedStaging(
+        spark, s"d16Stage:$dir", dir) {
+      rm(base)
+      val in = new File(base, "in")
+      d.coalesce(1).write.format("excel").mode("overwrite")
+        .save(new File(in, "a.xlsx").getAbsolutePath)
+      copies.coalesce(1).write.format("excel").mode("overwrite")
+        .save(new File(in, "b.xlsx").getAbsolutePath)
+      Seq(in.getAbsolutePath)
+    }
+    val in = new File(inPath)
+    val run = ConnectorQueries.streamRunCounter.incrementAndGet()
+    val ckpt = new File(base, s"ckpt_$run")
+    rm(ckpt)
+    val qname = s"d16_stream_neardup_${math.abs(dir.hashCode)}_$run"
     // private session: lowered state fan-out stays scoped to this stream
     // (same rationale as d08)
     val ss = spark.newSession()

@@ -889,8 +889,21 @@ object TextQueries {
     * double-delimiter REPLACE on the state — then the winners unioned in
     * merge order. All integer counts over ASCII words ⇒ bit-exact. */
   def t25BpeMerges(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.bpeTrain(docs(spark, dir), "text",
-      merges = 10)
+    trainedMerges(spark, dir).orderBy("merge_idx")
+
+  /** The 10-merge trained tokenizer artifact t25 EMITS and t30 APPLIES —
+    * one iterated training run (10 corpus passes of pair-count → winner →
+    * replace) feeding both gates, memoized per (session, corpus) as a
+    * shared checkpoint (the tradeGraph/neardupPairs discipline: a
+    * production session trains once and every consumer reads the
+    * artifact; re-training per query is pure waste). The cached value is
+    * the materialized 10-row merge table. */
+  private def trainedMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedPrep.cached(spark, s"bpeMerges:$dir", dir) {
+      graft.SharedPrep.checkpointShared(
+        graft.operators.TextAnalysis.bpeTrain(docs(spark, dir), "text",
+          merges = 10))
+    }
 
   /** The shared BPE-training CTE chain (w → wf → st0 → 10 rounds of
     * sy/pc/m/st): t25 reads the merge tables m0..m9, t30 additionally
@@ -1981,8 +1994,8 @@ object TextQueries {
     * count mirrors bit-for-bit. */
   def t30BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val merges = TextAnalysis.bpeTrain(d, "text", merges = 10)
-    TextAnalysis.bpeEncodeCounts(d, "doc_id", "text", merges, 10)
+    TextAnalysis.bpeEncodeCounts(d, "doc_id", "text",
+      trainedMerges(spark, dir), 10)
       .orderBy("doc_id")
   }
 
