@@ -47,10 +47,16 @@ object Retrieval {
       .distinct()
     // restrict to query terms BEFORE aggregating — the broadcast prunes
     // the posting stream down to matching terms only
+    // materialized ONCE: matched feeds BOTH the df rollup and the term
+    // scoring join — without the checkpoint each consumer re-runs the
+    // corpus scan + posting explode + tf aggregation (2 extra full
+    // passes in the plan). Bounded by postings of QUERY terms only, so
+    // at 100 TB this is the per-query candidate table, not the corpus.
     val matched = postings
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val corpus = docs.filter(trim(col(textCol)) =!= "")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(words).cast("long")).as("sum_dl"))

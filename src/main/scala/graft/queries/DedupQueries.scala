@@ -1011,8 +1011,16 @@ object DedupQueries {
       else
         toks.select(explode(gramArr).as("gram")).distinct()
     }
-    val corpusGrams = grams(d, withId = true)
-    val blockGrams = grams(blockTexts, withId = false)
+    // materialize both distinct-gram tables ONCE: corpusGrams feeds the
+    // bloom probe AND the per-doc gram totals, blockGrams feeds the
+    // filter build AND the exact-verify join — without the checkpoints
+    // each consumer re-runs tokenize+explode+DISTINCT (an exchange) from
+    // a fresh parquet scan (the r20 before-plan shows 8 scans). The
+    // block table is the bounded eval-set artifact; the corpus table is
+    // the per-doc signature table a production decontamination pass
+    // persists anyway.
+    val corpusGrams = grams(d, withId = true).localCheckpoint()
+    val blockGrams = grams(blockTexts, withId = false).localCheckpoint()
     val filter = Bloom.build(blockGrams, "gram")
     // ONE pass over the bloom candidates: a left join against the
     // (distinct) block grams tags each surviving gram as an exact hit or

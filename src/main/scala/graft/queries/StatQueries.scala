@@ -769,8 +769,14 @@ object StatQueries {
       $"l_returnflag".as("grp"),
       round($"l_extendedprice" * 100).cast("long").as("v"),
       $"l_quantity".cast("long").as("w"))
+    // materialize the collapsed (grp, value)-weight table ONCE (the q53
+    // signature-table pattern): it feeds the bucket offsets, the running
+    // sum AND the per-group totals — without the checkpoint Spark
+    // re-scans lineitem and re-runs this aggregation for each of the
+    // three consumers (the r20 before-plan shows 3 parquet scans)
     val agg = base.groupBy($"grp", $"v").agg(sum($"w").as("w"))
       .withColumn("bucket", expr("v div 10000"))
+      .localCheckpoint()
     val perBucket = agg.groupBy($"grp", $"bucket").agg(sum($"w").as("bw"))
     val wOff = Window.partitionBy($"grp").orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
