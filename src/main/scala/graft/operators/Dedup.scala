@@ -929,8 +929,16 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4, dfCap: Long = 100L,
       minShared: Long = 3L): DataFrame = {
+    // materialized ONCE: the fingerprint table feeds the df-cap rollup
+    // and BOTH self-join branches — without the checkpoint the per-doc
+    // posexplode + window selection pass recomputes three times (the r20
+    // before-plan shows 8 parquet scans). This is literally the
+    // "persist the sampled index instead of the corpus" shape the
+    // winnowFingerprints scaladoc prescribes; rows are fixed-width
+    // (doc_id, fp_hash) longs.
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp_hash")).distinct()
+      .localCheckpoint()
     val rare = fps.groupBy(col("fp_hash"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
