@@ -496,9 +496,21 @@ object TextQueries {
     * power of two, so the unsigned residue equals Spark's signed pmod)
     * and the same Knuth-hash weight table — logits compare exactly. */
   def t13QualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.QualityClassifier
-      .score(docs(spark, dir), "doc_id", "text", dim = 4096)
-      .orderBy("doc_id")
+    classifierScores(spark, dir).orderBy("doc_id")
+
+  /** The t13 hashed-classifier score table (doc_id, n_features, logit,
+    * keep) — SIX gates consume it verbatim (t13 emits it; t24/t31/t32
+    * evaluate the logit, t33/t35 the keep verdict), so the
+    * unigram+bigram hash + weight join runs once per (session, corpus)
+    * as a shared checkpoint instead of once per gate (the
+    * tradeGraph/bpeMerges discipline: score the corpus once, every
+    * evaluation reads the scored table). */
+  private def classifierScores(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedPrep.cached(spark, s"qcScores:$dir", dir) {
+      graft.SharedPrep.checkpointShared(
+        graft.operators.QualityClassifier
+          .score(docs(spark, dir), "doc_id", "text", dim = 4096))
+    }
 
   val t13Sql: String =
     """WITH toks AS (
@@ -960,8 +972,7 @@ object TextQueries {
     * hand-computes AUC on separable and tied corpora. */
   def t24ClassifierAuc(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val scores = graft.operators.QualityClassifier
-      .score(d, "doc_id", "text", dim = 4096)
+    val scores = classifierScores(spark, dir)
       .select(col("doc_id"), col("logit"))
     val labeled = scores.join(
       d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
@@ -1028,8 +1039,7 @@ object TextQueries {
     * binning. */
   def t31Reliability(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val scores = graft.operators.QualityClassifier
-      .score(d, "doc_id", "text", dim = 4096)
+    val scores = classifierScores(spark, dir)
       .select(col("doc_id"), col("logit"))
     val labeled = scores.join(
       d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
@@ -1097,8 +1107,7 @@ object TextQueries {
     * F1 as the micro-space harmonic mean. */
   def t32PrCurve(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val scores = graft.operators.QualityClassifier
-      .score(d, "doc_id", "text", dim = 4096)
+    val scores = classifierScores(spark, dir)
       .select(col("doc_id"), col("logit"))
     val labeled = scores.join(
       d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
@@ -1172,8 +1181,7 @@ object TextQueries {
     * table; every output an exact integer or ×10⁶ integral division. */
   def t33Kappa(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val scores = graft.operators.QualityClassifier
-      .score(d, "doc_id", "text", dim = 4096)
+    val scores = classifierScores(spark, dir)
       .select(col("doc_id"), col("keep"))
     val labeled = scores.join(
       d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
@@ -1250,8 +1258,7 @@ object TextQueries {
     * equally. Same corpus pass, same oracle CTE chain as t33. */
   def t35BalancedAccuracy(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val scores = graft.operators.QualityClassifier
-      .score(d, "doc_id", "text", dim = 4096)
+    val scores = classifierScores(spark, dir)
       .select(col("doc_id"), col("keep"))
     val labeled = scores.join(
       d.select(col("doc_id"), (col("n_chars") >= 300).as("label")), "doc_id")
