@@ -118,11 +118,22 @@ object GraphQueries {
     * is 141k edges over 1000 nodes, Σd² = 85M raw wedges; orientation is
     * what keeps such density tractable) — and the (degree, id) tiebreak
     * keeps it deterministic enough to mirror exactly. */
-  def g02Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
-    Graph.triangleCounts(edges, "id_a", "id_b")
+  def g02Triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleTable(spark, dir)
+      .select(col("node"), col("triangles"))
       .orderBy("node")
-  }
+
+  /** The per-node (deg, triangles, lcc) table over the 0.7 near-dup
+    * graph — [[Graph.localClustering]]'s output is a strict superset of
+    * g02's (node, triangles) and IS g12's result, so the degree-oriented
+    * wedge-closure pass (the expensive part of both gates) runs once per
+    * (session, corpus) as a shared checkpoint. */
+  private def triangleTable(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedPrep.cached(spark, s"triangleTable:$dir", dir) {
+      graft.SharedPrep.checkpointShared(
+        Graph.localClustering(DedupQueries.neardupPairs(spark, dir, 0.7),
+          "id_a", "id_b"))
+    }
 
   /** Shared CTE chain for the triangle-based gates (g02, g12): near-dup
     * pairs → canonical undirected edges → degrees → degree-oriented
@@ -268,11 +279,19 @@ object GraphQueries {
     * cluster surfaces as several coherent communities instead of one
     * collapse-everything blob. Fixed rounds + deterministic tie-break
     * make every label exactly mirrorable. */
-  def g05LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
-    Graph.labelPropagation(edges, "id_a", "id_b", rounds = 4)
-      .orderBy("node")
-  }
+  def g05LabelPropagation(spark: SparkSession, dir: String): DataFrame =
+    lpaLabels(spark, dir).orderBy("node")
+
+  /** The 4-round LPA community table over the 0.7 near-dup graph — g05
+    * EMITS it and g08 SCORES it (modularity), so the four iterative
+    * rounds run once per (session, corpus) as a shared checkpoint
+    * (the tradeGraph discipline; |V|-row artifact). */
+  private def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedPrep.cached(spark, s"lpaLabels:$dir", dir) {
+      graft.SharedPrep.checkpointShared(
+        Graph.labelPropagation(DedupQueries.neardupPairs(spark, dir, 0.7),
+          "id_a", "id_b", rounds = 4))
+    }
 
   val g05Sql: String = {
     // every l{r} is referenced twice (votes + keep-old fallback) and
@@ -424,7 +443,7 @@ object GraphQueries {
     // checkpoint), so each replay is a block read + the 0.7 filter — a
     // second localCheckpoint here would just duplicate the blocks
     val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
-    val labels = Graph.labelPropagation(edges, "id_a", "id_b", rounds = 4)
+    val labels = lpaLabels(spark, dir)
     Graph.modularity(edges, "id_a", "id_b", labels).orderBy("community")
   }
 
@@ -572,11 +591,8 @@ object GraphQueries {
     * mirrored sites) from hub docs that merely touch many unrelated
     * near-dup pairs. Reuses the g02 degree-oriented triangle plan plus
     * one node-keyed join; the oracle extends the shared triangle CTEs. */
-  def g12LocalClustering(spark: SparkSession, dir: String): DataFrame = {
-    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
-    Graph.localClustering(edges, "id_a", "id_b")
-      .orderBy("node")
-  }
+  def g12LocalClustering(spark: SparkSession, dir: String): DataFrame =
+    triangleTable(spark, dir).orderBy("node")
 
   val g12Sql: String =
     s"""$triangleCtes

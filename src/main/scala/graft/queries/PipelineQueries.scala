@@ -1471,9 +1471,8 @@ object PipelineQueries {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
-    val labels = graft.operators.DedupClusters
-      .connectedComponents(edges, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("label").as("anchor"))
+    val labels = DedupQueries.neardupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("anchor"))
     def splitOf(keyCol: Column): Column = {
       val h = md5(concat(lit("split1:"), keyCol.cast("string")))
       def digit(i: Int) = {
@@ -1691,10 +1690,7 @@ object PipelineQueries {
   def p29DedupYield(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = spark.read.parquet(s"$dir/documents.parquet")
-    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
-    val labels = graft.operators.DedupClusters
-      .connectedComponents(edges, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val labels = DedupQueries.neardupClusters(spark, dir)
     d.select($"doc_id", $"source",
         TextAnalysis.tokenCount($"text").as("toks"))
       .join(labels, Seq("doc_id"), "left")

@@ -1946,10 +1946,7 @@ object TextQueries {
     * agg keyed by source. */
   def t29EffectiveTokens(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val edges = DedupQueries.neardupPairs(spark, dir, 0.7)
-    val labels = graft.operators.DedupClusters
-      .connectedComponents(edges, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val labels = DedupQueries.neardupClusters(spark, dir)
     val sized = labels.join(
       labels.groupBy("cluster_id").agg(count(lit(1)).as("cs")),
       "cluster_id")
