@@ -104,8 +104,18 @@ object DedupQueries {
     * The pigeonhole candidate step has full recall at Hamming ≤ 3, so the
     * brute-force oracle is semantics-equivalent. */
   def d03Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(spark, dir), "doc_id", "text", k = 3, maxHamming = 3)
-      .orderBy("id_a", "id_b")
+    simhashPairs(spark, dir).orderBy("id_a", "id_b")
+
+  /** The SimHash (k=3, Hamming ≤ 3) pair set — d03 EMITS it and d29
+    * SCORES it against the Jaccard truth, so the sketch + pigeonhole
+    * candidate pass runs once per (session, corpus) as a shared
+    * checkpoint (the neardupPairs discipline). */
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.SharedPrep.cached(spark, s"simhashPairs:$dir", dir) {
+      graft.SharedPrep.checkpointShared(
+        Dedup.simhashPairs(docs(spark, dir), "doc_id", "text",
+          k = 3, maxHamming = 3))
+    }
 
   val d03Sql: String =
     """WITH toks AS (
@@ -1903,11 +1913,9 @@ object DedupQueries {
     * both production paths use. Both pair sets are tiny; the eval is a
     * full outer join + one 1-row agg. */
   def d29SimhashEval(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
     val truth = neardupPairs(spark, dir, 0.7)
       .select(col("id_a"), col("id_b"), lit(1L).as("t"))
-    val pred = Dedup.simhashPairs(d, "doc_id", "text",
-        k = 3, maxHamming = 3)
+    val pred = simhashPairs(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1L).as("p"))
     truth.join(pred, Seq("id_a", "id_b"), "full_outer")
       .agg(sum(when(col("t").isNotNull && col("p").isNotNull, 1L)
