@@ -627,9 +627,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("g12: local clustering stays equi-join, never cartesian, " +
     "with partial aggs") {
-    val p = plan("g12_local_clustering")
+    // the gate reads the SHARED triangle-table checkpoint (r20: g02 and
+    // g12 consume one localClustering pass), so the gate plan is a
+    // checkpoint scan — pin the BUILDER's computation plan instead, the
+    // same way p28 pins its eagerly-materialized census subtree
+    val edges = graft.queries.DedupQueries.neardupPairs(spark, dir, 0.7)
+    val p = graft.operators.Graph.localClustering(edges, "id_a", "id_b")
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("HashAggregate"), s"deg/tri partial aggs expected:\n$p")
+    // and the gate itself must be exactly the cached-artifact readout
+    val g = plan("g12_local_clustering")
+    assert(g.contains("Scan ExistingRDD"),
+      s"gate should read the shared checkpoint:\n$g")
   }
 
   test("p28: skew audit census prunes to the key column, map-side " +
