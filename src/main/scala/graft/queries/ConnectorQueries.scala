@@ -18,6 +18,24 @@ object ConnectorQueries {
     * table, so checkpoints are always fresh even when staging is not. */
   private[queries] val streamRunCounter = new java.util.concurrent.atomic.AtomicInteger()
 
+  /** Shard fan-out for a staged stream batch: enough files that the
+    * per-batch xlsx DECODE parallelizes (a coalesce(1) sheet decodes on
+    * ONE task — measured as d08/d16's bottleneck), scale-adaptive so no
+    * shard approaches Excel's 1,048,576-row sheet cap (400k rows/shard
+    * leaves 2.6× headroom), floor 4 for local parallelism. Runs one
+    * count() job — callers invoke it INSIDE their cachedStaging build so
+    * a session pays it once. */
+  private[queries] def streamBatchShards(df: DataFrame): Int =
+    math.min(64, math.max(4, math.ceil(df.count() / 400000.0).toInt))
+
+  /** The shard count actually staged in `dir` (local listing — cache
+    * hits must never re-count the corpus). Drives maxFilesPerTrigger so
+    * one micro-batch admits exactly one staged batch: admission is a
+    * name-ordered prefix and ".../a/part-*" sorts before ".../b/part-*". */
+  private[queries] def stagedShardCount(dir: File): Int =
+    math.max(1, Option(dir.listFiles())
+      .map(_.count(_.getName.endsWith(".xlsx"))).getOrElse(1))
+
   def excelRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val nation = spark.read.parquet(s"$dir/nation.parquet")

@@ -682,18 +682,32 @@ object DedupQueries {
     // the FULL corpus, the gate's dominant staging cost), so a session
     // encodes them once; stream checkpoint + sink name stay fresh per
     // invocation (a reused AvailableNow checkpoint would admit zero new
-    // files and return an empty table)
+    // files and return an empty table). Each batch is SHARDED into
+    // `shards` files inside its own subdirectory so the per-batch xlsx
+    // decode runs `shards`-parallel instead of on one task (a
+    // coalesce(1) sheet was the gate's single-task bottleneck); batch
+    // ORDER is unchanged — admission is a name-ordered prefix and every
+    // ".../a/part-*" path sorts before ".../b/part-*", so with
+    // maxFilesPerTrigger = shards micro-batch 1 is exactly batch a and
+    // micro-batch 2 exactly batch b. Within-batch dups were already
+    // resolved by the operator's min-doc_id tiebreak, shard-split or not.
     val Seq(inPath) = ConnectorQueries.cachedStaging(
         spark, s"d08Stage:$dir", dir) {
       rm(base)
       val in = new File(base, "in")
-      batch1.coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "a.xlsx").getAbsolutePath)
-      batch2.coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "b.xlsx").getAbsolutePath)
+      val k = ConnectorQueries.streamBatchShards(batch2)
+      batch1.repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "a").getAbsolutePath)
+      batch2.repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "b").getAbsolutePath)
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    // per-batch admission count = the staged shard fan-out (read off the
+    // listing so cache hits never re-count the corpus)
+    val shards = ConnectorQueries.stagedShardCount(new File(in, "a"))
     val run = ConnectorQueries.streamRunCounter.incrementAndGet()
     val ckpt = new File(base, s"ckpt_$run")
     rm(ckpt)
@@ -707,7 +721,8 @@ object DedupQueries {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = ss.readStream.format("excel").schema(d.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", shards.toString)
+      .option("recursiveFileLookup", "true")
       .load(in.getAbsolutePath)
       .withColumn("fp", graft.functions.TextExpressions.fnv1a64(col("text")))
       .transform(df =>
@@ -825,18 +840,27 @@ object DedupQueries {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     // two-batch xlsx staging ONCE per (session, corpus) — the ssjoin/cdc
     // pattern (batch-a is the FULL corpus encode, the gate's dominant
-    // staging cost); stream checkpoint + sink name fresh per invocation
+    // staging cost); stream checkpoint + sink name fresh per invocation.
+    // Batches are sharded into per-batch subdirectories so decode runs
+    // `shards`-parallel; name-ordered prefix admission with
+    // maxFilesPerTrigger = shards keeps micro-batch 1 = a, 2 = b (the
+    // d08 rationale — arrival ORDER is batch-level; within-batch ties
+    // already resolve by id inside the operator).
     val Seq(inPath) = ConnectorQueries.cachedStaging(
         spark, s"d16Stage:$dir", dir) {
       rm(base)
       val in = new File(base, "in")
-      d.coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "a.xlsx").getAbsolutePath)
-      copies.coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "b.xlsx").getAbsolutePath)
+      val k = ConnectorQueries.streamBatchShards(d)
+      d.repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "a").getAbsolutePath)
+      copies.repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "b").getAbsolutePath)
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    val shards = ConnectorQueries.stagedShardCount(new File(in, "a"))
     val run = ConnectorQueries.streamRunCounter.incrementAndGet()
     val ckpt = new File(base, s"ckpt_$run")
     rm(ckpt)
@@ -846,7 +870,8 @@ object DedupQueries {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val stream = ss.readStream.format("excel").schema(d.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", shards.toString)
+      .option("recursiveFileLookup", "true")
       .load(in.getAbsolutePath)
     val q = graft.streaming.StreamingDedup
       .nearDupHits(stream, "doc_id", "text")
