@@ -676,16 +676,25 @@ object ConnectorQueries {
     // encodes of the orders slice were the bulk of this gate's 10× wall
     // (the ssjoin staging pattern); stream checkpoint + sink stay fresh
     // per invocation
+    // per-batch SHARDED staging (the d08 layout): decode parallelizes,
+    // batch order stays exact (name-prefix admission over a/ then b/,
+    // maxFilesPerTrigger = shard count); within-batch shard order is
+    // immaterial — the keyed state merges on the explicit `seq`, not on
+    // arrival
     val Seq(inPath) = cachedStaging(spark, s"cdcStage:$dir", dir) {
       rm(base)
       val in = new File(base, "in")
-      ins.coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "a.xlsx").getAbsolutePath)
-      upd.unionByName(del).coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "b.xlsx").getAbsolutePath)
+      val k = streamBatchShards(ins)
+      ins.repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "a").getAbsolutePath)
+      upd.unionByName(del).repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "b").getAbsolutePath)
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    val shards = stagedShardCount(new File(in, "a"))
     val run = streamRunCounter.incrementAndGet()
     val ckpt = new File(base, s"ckpt_$run")
     rm(ckpt)
@@ -693,7 +702,8 @@ object ConnectorQueries {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = ss.readStream.format("excel").schema(ins.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", shards.toString)
+      .option("recursiveFileLookup", "true")
       .load(in.getAbsolutePath)
       .transform(df => graft.streaming.StreamingCdc.latestState(
         df, "o_orderkey", "seq", "op", "price_cents"))
@@ -756,18 +766,27 @@ object ConnectorQueries {
     }
     // input staging cached per (session, corpus); checkpoint fresh per
     // invocation (the ssjoin/cdc pattern)
+    // per-batch SHARDED staging (the d08 layout): decode parallelizes,
+    // batch order stays exact (name-prefix admission over a/ then b/,
+    // maxFilesPerTrigger = shard count); within-batch shard order is
+    // immaterial — this gate's state merge is commutative by design
+    // (that is the mergeability property the gate pins)
     val Seq(inPath) = cachedStaging(spark, s"hllStage:$dir", dir) {
       rm(base)
       val in = new File(base, "in")
+      val k = streamBatchShards(d.filter(pmod(col("doc_id"), lit(4)) === 0))
       d.filter(pmod(col("doc_id"), lit(4)) === 0)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "a.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "a").getAbsolutePath)
       d.filter(pmod(col("doc_id"), lit(4)) === 2)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "b.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "b").getAbsolutePath)
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    val shards = stagedShardCount(new File(in, "a"))
     val run = streamRunCounter.incrementAndGet()
     val ckpt = new File(base, s"ckpt_$run")
     rm(ckpt)
@@ -776,7 +795,8 @@ object ConnectorQueries {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.operators.Sketches.hllRegisters(
       ss.readStream.format("excel").schema(d.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", shards.toString)
+        .option("recursiveFileLookup", "true")
         .load(in.getAbsolutePath),
       "source", "text")
       .writeStream.outputMode("complete")
@@ -884,18 +904,27 @@ object ConnectorQueries {
     }
     // input staging cached per (session, corpus); checkpoint fresh per
     // invocation (the ssjoin/cdc pattern)
+    // per-batch SHARDED staging (the d08 layout): decode parallelizes,
+    // batch order stays exact (name-prefix admission over a/ then b/,
+    // maxFilesPerTrigger = shard count); within-batch shard order is
+    // immaterial — this gate's state merge is commutative by design
+    // (that is the mergeability property the gate pins)
     val Seq(inPath) = cachedStaging(spark, s"freshStage:$dir", dir) {
       rm(base)
       val in = new File(base, "in")
+      val k = streamBatchShards(e.filter(pmod(col("event_id"), lit(4)) === 0))
       e.filter(pmod(col("event_id"), lit(4)) === 0)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "a.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "a").getAbsolutePath)
       e.filter(pmod(col("event_id"), lit(4)) === 2)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "b.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "b").getAbsolutePath)
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    val shards = stagedShardCount(new File(in, "a"))
     val run = streamRunCounter.incrementAndGet()
     val ckpt = new File(base, s"ckpt_$run")
     rm(ckpt)
@@ -903,7 +932,8 @@ object ConnectorQueries {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = ss.readStream.format("excel").schema(e.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", shards.toString)
+      .option("recursiveFileLookup", "true")
       .load(in.getAbsolutePath)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("max_ts_us"))
@@ -967,18 +997,27 @@ object ConnectorQueries {
     }
     // input staging cached per (session, corpus); checkpoint fresh per
     // invocation (the ssjoin/cdc pattern)
+    // per-batch SHARDED staging (the d08 layout): decode parallelizes,
+    // batch order stays exact (name-prefix admission over a/ then b/,
+    // maxFilesPerTrigger = shard count); within-batch shard order is
+    // immaterial — this gate's state merge is commutative by design
+    // (that is the mergeability property the gate pins)
     val Seq(inPath) = cachedStaging(spark, s"kllStage:$dir", dir) {
       rm(base)
       val in = new File(base, "in")
+      val k = streamBatchShards(o.filter(pmod(col("o_orderkey"), lit(8)) === 0))
       o.filter(pmod(col("o_orderkey"), lit(8)) === 0)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "a.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "a").getAbsolutePath)
       o.filter(pmod(col("o_orderkey"), lit(8)) === 4)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "b.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "b").getAbsolutePath)
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    val shards = stagedShardCount(new File(in, "a"))
     val run = streamRunCounter.incrementAndGet()
     val ckpt = new File(base, s"ckpt_$run")
     rm(ckpt)
@@ -987,7 +1026,8 @@ object ConnectorQueries {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.StreamingSketch.quantileSketch(
       ss.readStream.format("excel").schema(o.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", shards.toString)
+        .option("recursiveFileLookup", "true")
         .load(in.getAbsolutePath),
       "o_orderstatus", "o_orderkey", "cents", capacity = 512)
       .writeStream.outputMode("append")
@@ -1091,18 +1131,27 @@ object ConnectorQueries {
     }
     // input staging cached per (session, corpus); checkpoint fresh per
     // invocation (the ssjoin/cdc pattern)
+    // per-batch SHARDED staging (the d08 layout): decode parallelizes,
+    // batch order stays exact (name-prefix admission over a/ then b/,
+    // maxFilesPerTrigger = shard count); within-batch shard order is
+    // immaterial — this gate's state merge is commutative by design
+    // (that is the mergeability property the gate pins)
     val Seq(inPath) = cachedStaging(spark, s"hhStage:$dir", dir) {
       rm(base)
       val in = new File(base, "in")
+      val k = streamBatchShards(o.filter(pmod(col("o_orderkey"), lit(8)) === 0))
       o.filter(pmod(col("o_orderkey"), lit(8)) === 0)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "a.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "a").getAbsolutePath)
       o.filter(pmod(col("o_orderkey"), lit(8)) === 4)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "b.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "b").getAbsolutePath)
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    val shards = stagedShardCount(new File(in, "a"))
     val run = streamRunCounter.incrementAndGet()
     val ckpt = new File(base, s"ckpt_$run")
     rm(ckpt)
@@ -1111,7 +1160,8 @@ object ConnectorQueries {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.StreamingHeavyHitters.countMin(
       ss.readStream.format("excel").schema(o.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", shards.toString)
+        .option("recursiveFileLookup", "true")
         .load(in.getAbsolutePath),
       "o_orderstatus", "o_orderpriority")
       .writeStream.outputMode("append")
