@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST ~2000 chars of the forked run's stdout for
+// the bench one-line JSON. sbt's default output strategy routes forked
+// stdout through its logger, which prefixes every line with "[info] " —
+// the reason `parsed` is null in EVERY round's BENCH_r*.json (VERDICT
+// r20 #1). StdoutOutput passes the child's stdout through verbatim, and
+// showSuccess drops the "[success] Total time…" line sbt would print
+// AFTER the compact JSON, so the JSON is the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

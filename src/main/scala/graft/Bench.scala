@@ -24,8 +24,21 @@ object Bench {
     private val shufWrite = new LongAdder; private val shufRead = new LongAdder
     private val gcMs = new LongAdder; private val runMs = new LongAdder
     private val peakExec = new AtomicLong
+    // Scheduling-floor attribution (r21): the 1× suite is job-launch
+    // bound at 32 threads (VERDICT r20 #3/#5) — job/stage/task counts
+    // per gate are the denominator that says whether a gate's wall is
+    // compute or scheduling.
+    private val nJobs = new LongAdder; private val nStages = new LongAdder
+    private val nTasks = new LongAdder
+    override def onJobEnd(
+        e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      nJobs.increment()
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      nStages.increment()
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      nTasks.increment()
       val m = te.taskMetrics
       if (m != null) {
         spillMem.add(m.memoryBytesSpilled); spillDisk.add(m.diskBytesSpilled)
@@ -42,11 +55,13 @@ object Bench {
       System.err.println(
         f"[stats] $gate spillMem=${spillMem.sumThenReset() / 1048576}%dMB " +
           f"spillDisk=${spillDisk.sumThenReset() / 1048576}%dMB " +
-          f"shufWrite=${shufWrite.sumThenReset() / 1048576}%dMB " +
-          f"shufRead=${shufRead.sumThenReset() / 1048576}%dMB " +
+          f"shufWrite=${shufWrite.sumThenReset() / 1024}%dKB " +
+          f"shufRead=${shufRead.sumThenReset() / 1024}%dKB " +
           f"gcMs=$gc%d of $run%d task-ms " +
           f"peakExecMem=${peakExec.getAndSet(0) / 1048576}%dMB " +
-          f"heapUsed=$heapUsed%dMB of ${rt.maxMemory / 1048576}%dMB")
+          f"heapUsed=$heapUsed%dMB of ${rt.maxMemory / 1048576}%dMB " +
+          f"jobs=${nJobs.sumThenReset()}%d stages=${nStages.sumThenReset()}%d " +
+          f"tasks=${nTasks.sumThenReset()}%d")
     }
   }
 
@@ -71,6 +86,10 @@ object Bench {
     // a budget. Everything below projects against this zero.
     val benchT0 = System.nanoTime()
     def wallS: Double = (System.nanoTime() - benchT0) / 1e9
+    // Staging baseline at entry (not 0: VerifyAndBench runs Verify in the
+    // same JVM first) — end-of-run diff = ALL staging paid this bench,
+    // including cache-miss first-repeat stagings that best-of-N drops.
+    val stagingSnapT0 = GateMetrics.snapshot()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions scale WITH DATA on a cluster; a single-host
@@ -518,6 +537,22 @@ object Bench {
     // the headline — emit the measured amount so the excluded work is
     // quantified per run instead of estimated in prose (ADVICE r17).
     val prepBuildS = SharedPrep.buildSeconds(spark)
+    // Prep-INCLUSIVE headline (VERDICT r20 #2): `value` is the best-of-N
+    // sum, which drops one-time SharedPrep builds (first consumer's
+    // repeat 1) and cache-miss staging (min'd away on the hit repeat).
+    // That excluded bucket grew to ~19 s/run in r20 and the incentive —
+    // "improve" the headline by reclassifying work as prep — is bad.
+    // value_with_prep adds back prep_build_s plus the staging seconds NOT
+    // already inside the reported per-gate minima, so the tracked
+    // cross-round number counts every second of work the suite actually
+    // performed. BASELINE.md tracks value_with_prep from r21 on.
+    val stagingTotalS = (GateMetrics.snapshot() - stagingSnapT0) / 1e9
+    val stagingReportedS = stageByGate.values.sum
+    val stagingExcludedS = math.max(0.0, stagingTotalS - stagingReportedS)
+    val valueWithPrep = total + prepBuildS + stagingExcludedS
+    val valueWithPrepNorm =
+      if (probeForNorm > 0) valueWithPrep * refProbeMs / probeForNorm
+      else valueWithPrep
     val canaryJson =
       f""""probe_ms_end":$probeMsEnd,"io_w_ms":$ioWMs,"io_r_ms":$ioRMs,"io_w_ms_end":$ioWMsEnd,"io_r_ms_end":$ioRMsEnd,"load_end":$loadEnd%.2f,"io_settle_s":$ioSettleS%.1f"""
     // Protocol stamp: a degraded or truncated artifact must be
@@ -541,7 +576,7 @@ object Bench {
       "\"" + k + f"""":{"stage_s":$s%.3f,"engine_s":$engine%.3f}"""
     }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":$qs,"staging":$stagingJson,"failed":$failedJson,$protocolJson,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,$canaryJson,"prep_build_s":$prepBuildS%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"value_with_prep":$valueWithPrep%.3f,"value_with_prep_normalized":$valueWithPrepNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":$qs,"staging":$stagingJson,"failed":$failedJson,$protocolJson,"load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,$canaryJson,"prep_build_s":$prepBuildS%.3f,"staging_excluded_s":$stagingExcludedS%.3f,"sf":"$sfDir"}"""
     println(fullLine)
     // The driver only captures the last ~2000 chars of stdout; with 76+
     // queries the full line above overflows that window and its leading
@@ -555,8 +590,9 @@ object Bench {
     // chars for the "queries" object in the compact line: sized so the
     // WHOLE line stays under the driver's ~2000-char stdout tail even
     // with the r20 protocol fields (protocol/degrade_at/skipped/
-    // truncated/wall_s/io_settle_s ≈ 150 chars) present
-    val budget = 1200
+    // truncated/wall_s/io_settle_s ≈ 150 chars) and the r21
+    // value_with_prep fields (≈ 95 chars) present
+    val budget = 1100
     val slowestFirst = results.sortBy(-_._2)
     val sb = new StringBuilder
     var kept = 0
@@ -565,7 +601,7 @@ object Bench {
       if (sb.length + piece.length <= budget) { sb.append(piece); kept += 1 }
     }
     println(
-      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"failed":$failedJson,$protocolJsonCompact,"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,$canaryJson,"prep_build_s":$prepBuildS%.3f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"value_normalized":$totalNorm%.3f,"value_with_prep":$valueWithPrep%.3f,"value_with_prep_normalized":$valueWithPrepNorm%.3f,"normalized_valid":$normValid,"unit":"sec","queries":{${sb.toString}},"n_queries":${results.size},"failed":$failedJson,$protocolJsonCompact,"shown":$kept,"full":"bench_full.json","load":$load%.2f,"noisy":$noisy,"probe_ms":$probeMs,"probe_spread":$probeSpread%.3f,$canaryJson,"prep_build_s":$prepBuildS%.3f,"staging_excluded_s":$stagingExcludedS%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
