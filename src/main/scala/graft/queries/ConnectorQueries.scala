@@ -22,11 +22,14 @@ object ConnectorQueries {
     * per-batch xlsx DECODE parallelizes (a coalesce(1) sheet decodes on
     * ONE task — measured as d08/d16's bottleneck), scale-adaptive so no
     * shard approaches Excel's 1,048,576-row sheet cap (400k rows/shard
-    * leaves 2.6× headroom), floor 4 for local parallelism. Runs one
-    * count() job — callers invoke it INSIDE their cachedStaging build so
-    * a session pays it once. */
+    * leaves 2.6× headroom AT ANY VOLUME — shards grow ∝ rows with no
+    * cap, the ssjoin staging precedent; the former min(64, …) cap would
+    * have eroded the headroom above ~25.6M rows/batch and hit the
+    * writer's loud sheet-cap guard above ~67M, ADVICE r20), floor 4 for
+    * local parallelism. Runs one count() job — callers invoke it INSIDE
+    * their cachedStaging build so a session pays it once. */
   private[queries] def streamBatchShards(df: DataFrame): Int =
-    math.min(64, math.max(4, math.ceil(df.count() / 400000.0).toInt))
+    math.max(4, math.ceil(df.count() / 400000.0).toInt)
 
   /** The shard count actually staged in `dir` (local listing — cache
     * hits must never re-count the corpus). Drives maxFilesPerTrigger so
@@ -35,6 +38,38 @@ object ConnectorQueries {
   private[queries] def stagedShardCount(dir: File): Int =
     math.max(1, Option(dir.listFiles())
       .map(_.count(_.getName.endsWith(".xlsx"))).getOrElse(1))
+
+  /** Recursive .xlsx count under a staged root — drives
+    * maxFilesPerTrigger for the order-commutative gates that admit ALL
+    * staged batches in one micro-batch (VERDICT r20 #3: one WAL/state
+    * commit instead of one per batch). Local listing only; cache hits
+    * never re-count the corpus. */
+  private[queries] def stagedXlsxTotal(dir: File): Int = {
+    def walk(f: File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".xlsx")) 1
+      else 0
+    math.max(1, walk(dir))
+  }
+
+  /** Remove a PRIOR run's per-invocation stream dirs (out_N / ckpt_N)
+    * under a gate's tmp base: these were only reclaimed by the next
+    * cache-miss rm(base), so a long-lived session invoking streaming
+    * gates repeatedly accumulated checkpoint/sink dirs without bound
+    * (ADVICE r20). Called at gate entry before the new run's dirs are
+    * created; bench/verify sessions run gates sequentially, so no live
+    * run's dirs can match. */
+  private[queries] def cleanStreamRunDirs(base: File): Unit =
+    Option(base.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.matches("(out|ckpt)_\\d+")) {
+        def rm(g: File): Unit = {
+          if (g.isDirectory) Option(g.listFiles()).foreach(_.foreach(rm))
+          g.delete()
+        }
+        rm(f)
+      }
+    })
 
   def excelRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -238,9 +273,9 @@ object ConnectorQueries {
     }
     val in = new File(inPath)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' dirs (ADVICE r20)
     val out = new File(base, s"out_$run")
     val ckpt = new File(base, s"ckpt_$run")
-    rm(out); rm(ckpt)
     val q = spark.readStream.format("excel").schema(supplier.schema)
       .load(in.getAbsolutePath)
       .withColumn("name_up", upper(col("s_name")))
@@ -297,8 +332,8 @@ object ConnectorQueries {
     }
     val in = new File(inPath)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_window_${math.abs(dir.hashCode)}_$run"
     // window-agg state: 8 shuffle partitions instead of 32 cuts the
     // per-batch state-checkpoint fan-out 4x at identical results. The
@@ -367,12 +402,18 @@ object ConnectorQueries {
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    // ONE micro-batch admits both staged files (VERDICT r20 #3): this is
+    // a STATELESS stream-static join in append mode — each row's output
+    // is independent of batching and the readout sorts by doc_id — so
+    // one AvailableNow micro-batch pays the WAL commit once instead of
+    // twice. The two-file input layout is unchanged.
+    val admit = stagedXlsxTotal(in)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_join_${math.abs(dir.hashCode)}_$run"
     val q = spark.readStream.format("excel").schema(docs.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", admit.toString)
       .load(in.getAbsolutePath)
       .join(broadcast(langTotals), "lang")
       .select(col("doc_id"), col("lang"), col("lang_total"))
@@ -391,36 +432,45 @@ object ConnectorQueries {
       |  SELECT lang, COUNT(*) AS lang_total FROM documents GROUP BY lang) l
       |USING (lang) ORDER BY d.doc_id""".stripMargin
 
-  /** SharedPrep-cached xlsx staging with a HIT-TIME existence check.
+  /** SharedPrep-cached xlsx staging with a HIT-TIME completeness check.
     * The SharedPrep fingerprint covers the SOURCE corpus dir, never the
     * staged tmp output — so a hit can hand back java.io.tmpdir paths
     * whose files vanished (OS tmp reaper during a long session, or a
     * second session over the same corpus running its own cache-miss
-    * `rm(base)`), and an AvailableNow stream over an empty dir admits
-    * zero files and SILENTLY returns an empty table instead of failing
-    * loudly. On hit, walk each returned dir for at least one .xlsx
-    * (≤ a few entries — cheap vs seconds of staging); any miss
+    * `rm(base)`), and an AvailableNow stream over a gutted dir admits
+    * fewer files and SILENTLY returns a partial table instead of
+    * failing loudly. The build-time per-dir .xlsx count is recorded in
+    * the cached value and every hit re-counts (one local walk, ≤ a few
+    * dozen entries — cheap vs seconds of staging); ANY difference —
+    * including a partially-reaped subdir that still holds some files
+    * (ADVICE r20: the previous any-one-xlsx check passed that) —
     * invalidates the entry and re-stages. */
   private[queries] def cachedStaging(spark: SparkSession, key: String, dir: String)(
       build: => Seq[String]): Seq[String] = {
-    def hasXlsx(p: String): Boolean = {
+    def countXlsx(p: String): Int = {
       val root = java.nio.file.Paths.get(p)
-      java.nio.file.Files.exists(root) && {
+      if (!java.nio.file.Files.exists(root)) 0
+      else {
         val it = java.nio.file.Files.walk(root)
-        try it.anyMatch(q => q.toString.endsWith(".xlsx") &&
-          java.nio.file.Files.isRegularFile(q))
+        try it.filter(q => q.toString.endsWith(".xlsx") &&
+          java.nio.file.Files.isRegularFile(q)).count().toInt
         finally it.close()
       }
     }
-    val first = graft.SharedPrep.cached(spark, key, dir)(
-      graft.GateMetrics.staged(build))
-    if (first.forall(hasXlsx)) first
+    def stage(): (Seq[String], Seq[Int]) = {
+      val dirs = graft.GateMetrics.staged(build)
+      (dirs, dirs.map(countXlsx))
+    }
+    val (dirs, counts) = graft.SharedPrep.cached(spark, key, dir)(stage())
+    val intact = dirs.zip(counts).forall { case (d, c) =>
+      c > 0 && countXlsx(d) == c
+    }
+    if (intact) dirs
     else {
       System.err.println(
-        s"[staging] cached dirs for $key lost their xlsx files — re-staging")
+        s"[staging] cached dirs for $key lost staged xlsx files — re-staging")
       graft.SharedPrep.invalidate(spark, key)
-      graft.SharedPrep.cached(spark, key, dir)(
-        graft.GateMetrics.staged(build))
+      graft.SharedPrep.cached(spark, key, dir)(stage())._1
     }
   }
 
@@ -483,8 +533,8 @@ object ConnectorQueries {
     }
     val inL = new File(inLPath); val inR = new File(inRPath)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_stream_join_${math.abs(dir.hashCode)}_$run"
     // join state checkpoints one store PER shuffle partition PER side —
     // at this volume 32 partitions is pure small-file overhead (it
@@ -587,8 +637,8 @@ object ConnectorQueries {
     }
     val in = new File(inPath)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_session_${math.abs(dir.hashCode)}_$run"
     // session state: private session + 8 shuffle partitions, same
     // state-store fan-out discipline as excel_stream_window
@@ -694,10 +744,17 @@ object ConnectorQueries {
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    // two micro-batches KEPT: batch-2 events merging against carried
+    // batch-1 state is this gate's purpose. ADVICE r20's max(a, b) is
+    // REJECTED: admission is a name-ordered PREFIX, so a count above a's
+    // would let micro-batch 1 straddle a + the head of b; a's count at
+    // worst splits an oversized b (batch order preserved, seq-merge
+    // still exact). a and b stage the same k, and cachedStaging now
+    // validates staged file counts on every hit.
     val shards = stagedShardCount(new File(in, "a"))
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_cdc_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -786,16 +843,22 @@ object ConnectorQueries {
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
-    val shards = stagedShardCount(new File(in, "a"))
+    // ONE micro-batch admits BOTH staged batches (VERDICT r20 #3): the
+    // register max-merge is commutative/associative/idempotent — the
+    // mergeability property this gate pins — so the final state is
+    // identical whether the batches arrive in one commit or two, and one
+    // AvailableNow micro-batch pays the WAL + state-store commit ONCE.
+    // The two-batch input layout is unchanged.
+    val admit = stagedXlsxTotal(in)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_hll_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.operators.Sketches.hllRegisters(
       ss.readStream.format("excel").schema(d.schema)
-        .option("maxFilesPerTrigger", shards.toString)
+        .option("maxFilesPerTrigger", admit.toString)
         .option("recursiveFileLookup", "true")
         .load(in.getAbsolutePath),
       "source", "text")
@@ -924,15 +987,20 @@ object ConnectorQueries {
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
-    val shards = stagedShardCount(new File(in, "a"))
+    // ONE micro-batch admits BOTH staged batches (VERDICT r20 #3): the
+    // (count, max) state merge is commutative/associative — the property
+    // this gate pins — so the final state is identical in one commit or
+    // two, and one AvailableNow micro-batch pays the WAL + state-store
+    // commit ONCE. The two-batch input layout is unchanged.
+    val admit = stagedXlsxTotal(in)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_fresh_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = ss.readStream.format("excel").schema(e.schema)
-      .option("maxFilesPerTrigger", shards.toString)
+      .option("maxFilesPerTrigger", admit.toString)
       .option("recursiveFileLookup", "true")
       .load(in.getAbsolutePath)
       .groupBy("event_type")
@@ -1017,16 +1085,24 @@ object ConnectorQueries {
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
-    val shards = stagedShardCount(new File(in, "a"))
+    // ONE micro-batch admits BOTH staged batches (VERDICT r20 #3): the
+    // derandomized sketch state is a pure function of the row SET (the
+    // mergeability property this gate pins), so the final snapshot is
+    // identical in one commit or two, and one AvailableNow micro-batch
+    // pays the WAL + state-store commit ONCE. The readout below already
+    // keeps only the max-n_total (final) snapshot per slice, so fewer
+    // intermediate snapshots cannot change the result. The two-batch
+    // input layout is unchanged.
+    val admit = stagedXlsxTotal(in)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_quantile_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.StreamingSketch.quantileSketch(
       ss.readStream.format("excel").schema(o.schema)
-        .option("maxFilesPerTrigger", shards.toString)
+        .option("maxFilesPerTrigger", admit.toString)
         .option("recursiveFileLookup", "true")
         .load(in.getAbsolutePath),
       "o_orderstatus", "o_orderkey", "cents", capacity = 512)
@@ -1151,16 +1227,24 @@ object ConnectorQueries {
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
-    val shards = stagedShardCount(new File(in, "a"))
+    // ONE micro-batch admits BOTH staged batches (VERDICT r20 #3):
+    // count–min registers are SUMS (the mergeability property this gate
+    // pins), so the final state is identical in one commit or two, and
+    // one AvailableNow micro-batch pays the WAL + state-store commit
+    // ONCE. The readout keeps each key's max-n_total (final) snapshot —
+    // every batch emits snapshots for ALL tracked keys, so fewer
+    // intermediate snapshots cannot change it. Two-batch input layout
+    // unchanged.
+    val admit = stagedXlsxTotal(in)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_hh_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.StreamingHeavyHitters.countMin(
       ss.readStream.format("excel").schema(o.schema)
-        .option("maxFilesPerTrigger", shards.toString)
+        .option("maxFilesPerTrigger", admit.toString)
         .option("recursiveFileLookup", "true")
         .load(in.getAbsolutePath),
       "o_orderstatus", "o_orderpriority")
@@ -1238,8 +1322,8 @@ object ConnectorQueries {
     }
     val in = new File(inPath)
     val run = streamRunCounter.incrementAndGet()
+    cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"excel_stream_late_${math.abs(dir.hashCode)}_$run"
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")

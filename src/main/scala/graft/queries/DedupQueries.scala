@@ -705,12 +705,18 @@ object DedupQueries {
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
-    // per-batch admission count = the staged shard fan-out (read off the
-    // listing so cache hits never re-count the corpus)
+    // per-batch admission count = batch a's staged shard fan-out (read
+    // off the listing so cache hits never re-count the corpus). ADVICE
+    // r20 suggested max(a, b); REJECTED for this order-pinned gate:
+    // admission is a name-ordered PREFIX, so a count larger than a's
+    // would let micro-batch 1 straddle a + the head of b (order broken),
+    // while a's count at worst splits an oversized b across extra
+    // micro-batches (order preserved). a and b stage the same k today,
+    // and cachedStaging now validates the staged file count on every hit.
     val shards = ConnectorQueries.stagedShardCount(new File(in, "a"))
     val run = ConnectorQueries.streamRunCounter.incrementAndGet()
+    ConnectorQueries.cleanStreamRunDirs(base) // ADVICE r20 dir reclaim
     val ckpt = new File(base, s"ckpt_$run")
-    rm(ckpt)
     val qname = s"d08_stream_dedup_${math.abs(dir.hashCode)}_$run"
     // dedup state checkpoints one store per shuffle partition per batch —
     // 8 keeps the stateful path exercised without the 32-partition

@@ -484,54 +484,79 @@ object StatQueries {
     * `rank_err_ok` — each estimate's true rank within 5% of target
     * (capacity 2048 ⇒ ~2% expected error).
     *
-    * Scale: level counts are one map-side partial agg (≤ slices·21
-    * rows), thresholds broadcast back, the keep filter is the only other
-    * data pass, and all windows run over the ≤ capacity kept rows. The
-    * exact_rank audit column pays one extra conditional-count scan the
-    * operator itself never needs. Duplicate row keys (this fixture has
+    * Scale: level counts are one map-side partial agg collapsing to
+    * ≤ slices·21 rows at ANY data size — that bounded summary is
+    * collected once and every threshold/count decision is driver
+    * arithmetic over it (r21: the previous spelling ran each readout as
+    * its own small Spark job; ~10 sequential jobs of launch floor).
+    * The keep filter is the only other data pass, and all windows run
+    * over the ≤ capacity kept rows. The exact_rank audit column pays
+    * one extra conditional-count scan the operator itself never
+    * needs. Duplicate row keys (this fixture has
     * ~19% (orderkey, linenumber) collisions) sample together — a small
     * variance inflation, never a correctness issue, since the level is a
     * function of the key on both engines. */
   def q53KllQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.QuantileSketch
     val cap = 2048
+    val maxLevel = QuantileSketch.DefaultMaxLevel
     val li = t(spark, dir, "lineitem")
     // materialize the level-annotated projection ONCE (the "signature
-    // table" pattern): every downstream consumer — level counts, the keep
-    // filter, the exact-rank audit — reads this instead of re-scanning
-    // lineitem and re-evaluating the hash fold
+    // table" pattern): both data passes — the keep filter and the
+    // exact-rank audit — read this instead of re-scanning lineitem and
+    // re-evaluating the hash fold
     val lvls = QuantileSketch.withLevels(li,
       col("l_returnflag"),
       col("l_orderkey") * 8 + col("l_linenumber"),
       (dec(col("l_extendedprice")) * 100).cast("long"))
       .localCheckpoint()
-    val lc = QuantileSketch.levelCounts(lvls).localCheckpoint()
-    val tSlice = QuantileSketch.thresholds(lc, cap)
-    val kept = lvls.join(broadcast(tSlice), "slice")
-      .filter(col("lvl") >= col("t_slice"))
-      .select("slice", "key", "value", "lvl")
-      .localCheckpoint() // ≤ slices·cap rows; reused for merge + readout
-    val tFloorRow = tSlice.agg(max(col("t_slice")).as("tf"))
-    val mergedLc = kept.groupBy("lvl").agg(count(lit(1)).as("cnt"))
-      .withColumn("slice", lit("__all__"))
-    val tM = QuantileSketch.thresholds(mergedLc, cap,
-        floor = Some(tFloorRow))
-      .select(col("t_slice").cast("long").as("t_m"))
-    // the direct one-shot sketch's threshold + size, derived from the
-    // same tiny level-count summary — what the merge must reproduce
-    val globalLc = lc.groupBy("lvl").agg(sum(col("cnt")).as("cnt"))
-      .withColumn("slice", lit("__all__"))
-    val tD = QuantileSketch.thresholds(globalLc, cap)
-      .select(col("t_slice").cast("long").as("t_d"))
-    val finalKept = kept.crossJoin(broadcast(tM))
-      .filter(col("lvl") >= col("t_m"))
+    // ONE bounded summary collect (VERDICT r20 #4): the (slice, lvl, cnt)
+    // level-count table is ≤ |slices|·(maxLevel+1) rows AT ANY DATA SIZE
+    // (l_returnflag has 3 values; levels cap at 20) — it is the sketch's
+    // entire decision state. Collecting it once replaces the previous
+    // ~10 sequential small readout jobs (per-slice thresholds, merged
+    // threshold, direct threshold, kept counts, total) with driver
+    // arithmetic over the same summary: the gate's wall was sequential
+    // job-launch floor, not compute (VERDICT r20 "What's wrong" #3).
+    // Every derived number stays a pure function of the data, and the
+    // DuckDB oracle recomputes all of them independently.
+    val lcRows = lvls.groupBy("slice", "lvl")
+      .agg(count(lit(1)).as("cnt")).collect()
+    val bySlice: Map[String, Map[Int, Long]] = lcRows
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+    def tailCnt(counts: Map[Int, Long], t: Int): Long =
+      counts.iterator.collect { case (l, c) if l >= t => c }.sum
+    // smallest t ≥ floor whose tail fits cap — mirrors
+    // QuantileSketch.thresholds (t = maxLevel+1 always fits: tail 0)
+    def threshold(counts: Map[Int, Long], floor: Int): Int =
+      (floor to maxLevel + 1).find(t => tailCnt(counts, t) <= cap).get
+    val tSlice: Map[String, Int] =
+      bySlice.map { case (s, m) => s -> threshold(m, 0) }
+    val tf = if (tSlice.isEmpty) 0 else tSlice.values.max
+    // merged sketch = union of per-slice keep-sets, so its level counts
+    // are the per-slice counts at lvl ≥ that slice's own threshold
+    val mergedLc: Map[Int, Long] = bySlice.toSeq
+      .flatMap { case (s, m) => m.filter(_._1 >= tSlice(s)) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val globalLc: Map[Int, Long] = bySlice.valuesIterator
+      .flatMap(_.iterator).toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+    val tM = threshold(mergedLc, tf).toLong // re-threshold above floor
+    val tD = threshold(globalLc, 0).toLong // direct one-shot threshold
+    val nKept = tailCnt(mergedLc, tM.toInt)
+    val nKeptDirect = tailCnt(globalLc, tD.toInt)
+    val nTotal = globalLc.valuesIterator.sum
+    // the mergeability audit the oracle re-derives from its own replay
+    val mergeExact = tM == tD && nKept == nKeptDirect
+    // t_m ≥ tf ≥ every per-slice threshold, so the merged keep filter
+    // collapses to one literal level comparison over the checkpoint
+    val finalKept = lvls.filter(col("lvl") >= lit(tM))
       .select("key", "value", "lvl")
-    val nKeptM = finalKept.agg(count(lit(1)).as("n_kept"))
-    val nKeptD = globalLc.crossJoin(broadcast(tD))
-      .agg(coalesce(sum(when(col("lvl") >= col("t_d"), col("cnt"))), lit(0L))
-        .as("n_kept_direct"))
-    val nTotal = lc.agg(sum(col("cnt")).as("n_total"))
-    val est = QuantileSketch.estQuantiles(finalKept, tM, nTotal,
+    val est = QuantileSketch.estQuantiles(finalKept,
+      spark.createDataFrame(Seq(Tuple1(tM))).toDF("t_m"),
+      spark.createDataFrame(Seq(Tuple1(nTotal))).toDF("n_total"),
       Seq(250L, 500L, 750L, 950L))
     val exactRank = lvls.select(col("value"))
       .crossJoin(broadcast(est.select(col("p_mille"), col("est_value"))))
@@ -539,18 +564,13 @@ object StatQueries {
       .agg(sum(when(col("value") <= col("est_value"), 1L).otherwise(0L))
         .as("exact_rank"))
       .select(col("p_mille"), col("exact_rank"))
-    val flags = tM.crossJoin(tD).crossJoin(nKeptM).crossJoin(nKeptD)
-      .select(col("t_m"), col("n_kept"),
-        (col("t_m") === col("t_d") &&
-          col("n_kept") === col("n_kept_direct")).as("merge_exact"))
     est.join(exactRank, "p_mille")
-      .crossJoin(broadcast(flags))
       .select(col("p_mille"), col("n_total"), col("target"),
-        col("t_m"), col("n_kept"), col("est_value").as("est_cents"),
-        col("exact_rank"),
+        lit(tM).as("t_m"), lit(nKept).as("n_kept"),
+        col("est_value").as("est_cents"), col("exact_rank"),
         (abs(col("exact_rank") - col("target")) * 20 <= col("n_total"))
           .as("rank_err_ok"),
-        col("merge_exact"))
+        lit(mergeExact).as("merge_exact"))
       .orderBy("p_mille")
   }
 
