@@ -680,7 +680,23 @@ object Dedup {
     * (order-preserving because p < [[PackPosLimit]] and |doc_id| <
     * [[PackDocLimit]], both runtime-enforced via `assert_true`) so the
     * canonical site is a plain `min` — partial-aggregatable, unlike a
-    * per-gram window. */
+    * per-gram window.
+    *
+    * GRAM IDENTITY IS A VERIFIED 128-BIT HASH (r21, guide §2.3 "shuffle
+    * keys and metadata instead of payloads"): the count/min-pk aggregate
+    * used to group by the 8-word gram STRING, so its exchange carried
+    * ~gramLen× the corpus text (the dominant shuffle of d10/d11 at any
+    * scale). The gram is now keyed by two independent xxhash64 values
+    * over the token-array slice — 16 fixed bytes per distinct gram in
+    * the agg state, and the gram string is never even materialized for
+    * non-duplicated positions (token arrays are whitespace-split, so
+    * array equality ⇔ joined-string equality). Collisions are made LOUD,
+    * never silent: every occurrence of a duplicated hash re-joins
+    * (broadcast — the dup set is tiny by definition), the per-hash
+    * min(gram)=max(gram) check runs over exactly those rows, and every
+    * emitted row asserts it — two grams colliding on BOTH 64-bit hashes
+    * anywhere in the dup set fails the job with a clear message
+    * (birthday bound ≈ n²/2¹²⁹: ~10⁻¹⁵ at 10¹² distinct grams). */
   private def dupGramOccurrences(df: DataFrame, idCol: String,
       textCol: String, gramLen: Int): DataFrame = {
     val occ = tokens(df, idCol, textCol)
@@ -688,7 +704,7 @@ object Dedup {
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")) - (gramLen - 1))).as("p0"))
       .select(col("doc_id"), col("p0").cast("long").as("p"),
-        concat_ws(" ", slice(col("t"), col("p0"), lit(gramLen))).as("gram"))
+        slice(col("t"), col("p0"), lit(gramLen)).as("garr"))
       // the coalesce(assert_true…, 0) term is always 0 but ties the range
       // check to pk so the optimizer cannot prune it
       .withColumn("pk",
@@ -703,11 +719,28 @@ object Dedup {
                 s"$PackDocLimit, position < $PackPosLimit). Split oversize " +
                 "documents or remap ids before deduplication.",
               col("doc_id"), col("p"))).cast("long"), lit(0L)))
-    val dup = occ.groupBy("gram")
+      .withColumn("gh1", xxhash64(col("garr")))
+      .withColumn("gh2", xxhash64(lit(1), col("garr")))
+    val dup = occ.groupBy("gh1", "gh2")
       .agg(count(lit(1)).as("cnt"), min(col("pk")).as("min_pk"))
       .filter(col("cnt") >= 2)
-      .select("gram", "min_pk")
-    occ.join(dup, "gram")
+      .select("gh1", "gh2", "min_pk")
+    // duplicated positions only — bounded by the corpus's true duplicate
+    // mass, so the checkpoint is small and the collision check + both
+    // downstream consumers read it instead of re-deriving occ
+    val matched = occ.join(broadcast(dup), Seq("gh1", "gh2"))
+      .withColumn("gram", concat_ws(" ", col("garr")))
+      .select("doc_id", "p", "gram", "pk", "min_pk", "gh1", "gh2")
+      .localCheckpoint()
+    val chk = matched.groupBy("gh1", "gh2")
+      .agg((min(col("gram")) === max(col("gram"))).as("grams_equal"))
+    matched.join(broadcast(chk), Seq("gh1", "gh2"))
+      .withColumn("pk", col("pk") +
+        coalesce(assert_true(col("grams_equal"),
+          lit("gram-hash collision: two distinct 8-grams share both " +
+            "xxhash64 keys; rerun with string-keyed grouping")).cast("long"),
+          lit(0L)))
+      .select("doc_id", "p", "gram", "pk", "min_pk")
   }
 
   /** Embedding cosine near-dup pairs via sign-random-projection banding:

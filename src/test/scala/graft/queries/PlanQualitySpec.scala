@@ -149,14 +149,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("d10: gram counting is partial-aggregated and the count scan prunes to text") {
+  test("d10: gram counting is partial-aggregated and gram identity is fixed-width") {
     val p = plan("d10_substring_spans")
-    assert(p.contains("partial_count"), "gram count must map-side combine")
-    // the gram-count branch only needs the text column — its scan must not
-    // drag doc_id through the tokenize+explode pass
-    assert(p.linesIterator.exists(l =>
-      l.contains("ReadSchema: struct<text:string>")),
-      s"count-branch scan should prune to text only:\n$p")
+    assert(p.contains("partial_count"), "span agg must map-side combine")
+    // r21: the dup-gram subtree groups by two xxhash64 keys (verified
+    // against collisions at emission) and materializes the matched
+    // positions once — the gate's final plan reads the checkpoint and
+    // must never shuffle or join on a gram STRING column (the 10×
+    // A/B: string keys 4.8 s / 572 MB agg state vs 2.3 s / 47 MB)
+    assert(p.contains("Scan ExistingRDD"),
+      s"dup positions should read the materialized checkpoint:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(gram")),
+      s"no exchange may be keyed on the gram string:\n$p")
   }
 
   test("p06: z-order key computation stays inside whole-stage codegen") {
