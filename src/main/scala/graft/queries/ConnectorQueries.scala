@@ -53,6 +53,24 @@ object ConnectorQueries {
     math.max(1, walk(dir))
   }
 
+  /** Private session for a streaming gate: 8 shuffle partitions (state
+    * fan-out A/B'd in r19 — one store per partition per operator, 32 was
+    * pure small-file overhead) and a parameterized state-store provider.
+    * The default stays Spark's HDFS-backed store — A/B'd against RocksDB
+    * this round (r21): at this state size RocksDB's per-partition
+    * instance + changelog machinery measured flat-to-slower, but at
+    * 100 TB state (multi-GB keyed state per partition) RocksDB is the
+    * production choice, so the knob is an env/conf, not a code fork.
+    * A PRIVATE session scopes both confs to this query instead of
+    * mutating the caller's session. */
+  private[queries] def streamSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    sys.env.get("SPARK_GRAFT_STATE_STORE").foreach(p =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    ss
+  }
+
   /** Remove a PRIOR run's per-invocation stream dirs (out_N / ckpt_N)
     * under a gate's tmp base: these were only reclaimed by the next
     * cache-miss rm(base), so a long-lived session invoking streaming
@@ -340,8 +358,7 @@ object ConnectorQueries {
     // stream runs on a PRIVATE session (own SQLConf over the shared
     // context) so the lowered conf can't leak into queries running
     // concurrently on the caller's session.
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val q = ss.readStream.format("excel").schema(orders.schema)
       .load(in.getAbsolutePath)
       .withWatermark("ts", "1 day")
@@ -542,8 +559,7 @@ object ConnectorQueries {
     // at a quarter of the checkpoint fan-out. The whole stream — sources
     // included — runs on a PRIVATE session so the lowered conf is scoped
     // to this query instead of mutating the shared session.
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val left = ss.readStream.format("excel").schema(orders.schema)
       .load(inL.getAbsolutePath)
       .withWatermark("o_ts", "3650 days")
@@ -642,8 +658,7 @@ object ConnectorQueries {
     val qname = s"excel_stream_session_${math.abs(dir.hashCode)}_$run"
     // session state: private session + 8 shuffle partitions, same
     // state-store fan-out discipline as excel_stream_window
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val q = ss.readStream.format("excel").schema(ev.schema)
       .load(in.getAbsolutePath)
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
@@ -756,8 +771,7 @@ object ConnectorQueries {
     cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
     val qname = s"excel_stream_cdc_${math.abs(dir.hashCode)}_$run"
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val q = ss.readStream.format("excel").schema(ins.schema)
       .option("maxFilesPerTrigger", shards.toString)
       .option("recursiveFileLookup", "true")
@@ -854,8 +868,7 @@ object ConnectorQueries {
     cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
     val qname = s"excel_stream_hll_${math.abs(dir.hashCode)}_$run"
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val q = graft.operators.Sketches.hllRegisters(
       ss.readStream.format("excel").schema(d.schema)
         .option("maxFilesPerTrigger", admit.toString)
@@ -997,8 +1010,7 @@ object ConnectorQueries {
     cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
     val qname = s"excel_stream_fresh_${math.abs(dir.hashCode)}_$run"
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val q = ss.readStream.format("excel").schema(e.schema)
       .option("maxFilesPerTrigger", admit.toString)
       .option("recursiveFileLookup", "true")
@@ -1098,8 +1110,7 @@ object ConnectorQueries {
     cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
     val qname = s"excel_stream_quantile_${math.abs(dir.hashCode)}_$run"
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val q = graft.streaming.StreamingSketch.quantileSketch(
       ss.readStream.format("excel").schema(o.schema)
         .option("maxFilesPerTrigger", admit.toString)
@@ -1240,8 +1251,7 @@ object ConnectorQueries {
     cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
     val qname = s"excel_stream_hh_${math.abs(dir.hashCode)}_$run"
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val q = graft.streaming.StreamingHeavyHitters.countMin(
       ss.readStream.format("excel").schema(o.schema)
         .option("maxFilesPerTrigger", admit.toString)
@@ -1325,8 +1335,7 @@ object ConnectorQueries {
     cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
     val qname = s"excel_stream_late_${math.abs(dir.hashCode)}_$run"
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = streamSession(spark)
     val q = graft.streaming.StreamingLateness.lateness(
       ss.readStream.format("excel").schema(ev.schema)
         .option("maxFilesPerTrigger", "1")

@@ -724,8 +724,7 @@ object DedupQueries {
     // stream runs on a PRIVATE session (own SQLConf over the shared
     // context) so the lowered conf can't leak into queries running
     // concurrently on the caller's session.
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = ConnectorQueries.streamSession(spark)
     val q = ss.readStream.format("excel").schema(d.schema)
       .option("maxFilesPerTrigger", shards.toString)
       .option("recursiveFileLookup", "true")
@@ -873,8 +872,7 @@ object DedupQueries {
     val qname = s"d16_stream_neardup_${math.abs(dir.hashCode)}_$run"
     // private session: lowered state fan-out stays scoped to this stream
     // (same rationale as d08)
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = ConnectorQueries.streamSession(spark)
     val stream = ss.readStream.format("excel").schema(d.schema)
       .option("maxFilesPerTrigger", shards.toString)
       .option("recursiveFileLookup", "true")
