@@ -515,17 +515,32 @@ object Graph {
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int = 4): DataFrame = {
     require(k >= 3 && rounds >= 1)
-    var canon = edges
+    val canon0 = edges
       .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // Orientation is fixed ONCE from the ORIGINAL degrees and carried on
+    // the edge rows (r21): wedge enumeration counts each triangle exactly
+    // once under ANY total node order, so support — and therefore the
+    // result — is orientation-independent; the degree ordering is purely
+    // the O(√E) fan-out bound, and original degrees only shrink under
+    // peeling, so they stay a valid bound. This removes the per-round
+    // degree aggregate + two degree joins (the measured wall was ~13
+    // sequential AQE stage-jobs per round on a support-sized graph).
+    val deg0 = canon0.select(col("a").as("node"))
+      .union(canon0.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    var canon = canon0
+      .join(deg0.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg0.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("da"), col("db"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       canon = canon
         .join(triangleSupport(canon), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= k - 2)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b"), col("da"), col("db"))
         .localCheckpoint()
     }
     canon.join(triangleSupport(canon), Seq("a", "b"), "left")
@@ -534,16 +549,13 @@ object Graph {
   }
 
   /** Per-edge triangle support over a canonical (a < b, deduped) edge
-    * set, via one oriented-wedge enumeration: each closed wedge
-    * (u, v, w) is one triangle, exploded into its three canonical
-    * edges. Edges in no triangle get no row (support 0 by absence). */
-  private def triangleSupport(canon: DataFrame): DataFrame = {
-    val deg = canon.select(col("a").as("node"))
-      .union(canon.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val oriented = canon
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    * set that carries its orientation key (da, db — degrees under the
+    * caller's FIXED ordering), via one oriented-wedge enumeration: each
+    * closed wedge (u, v, w) is one triangle, exploded into its three
+    * canonical edges. Edges in no triangle get no row (support 0 by
+    * absence). */
+  private def triangleSupport(canonDeg: DataFrame): DataFrame = {
+    val oriented = canonDeg
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("a"))
