@@ -1302,35 +1302,49 @@ object ConnectorQueries {
       f.delete()
     }
     // two-batch xlsx staging ONCE per (session, corpus) — the ssjoin/cdc
-    // pattern; the midpoint scalar is only needed to stage
+    // pattern; the midpoint scalar is only needed to stage.
+    // Per-batch SHARDED staging (r21, the d08 layout): the operator
+    // sorts each user's rows by event_id WITHIN a micro-batch
+    // (StreamingLateness's determinism contract), so only the
+    // cross-micro-batch split must be sequence-monotone — within-batch
+    // shard order is immaterial, and a coalesce(1) sheet per batch was
+    // a single-task encode AND single-task decode for the full events
+    // slice. Name-prefix admission over a/ then b/ with
+    // maxFilesPerTrigger = shard count keeps micro-batch 1 = batch a
+    // exactly, preserving the state-carry-forward the gate pins.
     val Seq(inPath) = cachedStaging(spark, s"lateStage:$dir", dir) {
       rm(base)
       val in = new File(base, "in")
       // 1-row scalar: the sequence midpoint that defines the two batches
       val thr = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      val k = streamBatchShards(ev.filter(col("event_id") <= thr))
       ev.filter(col("event_id") <= thr)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "a.xlsx").getAbsolutePath)
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "a").getAbsolutePath)
       ev.filter(col("event_id") > thr)
-        .coalesce(1).write.format("excel").mode("overwrite")
-        .save(new File(in, "b.xlsx").getAbsolutePath)
-      // the running-max lateness replay needs a processed before b. The
-      // admission order is already deterministic BY NAME (ExcelFiles
-      // listings sort by path, so "a.xlsx" < "b.xlsx" under
-      // maxFilesPerTrigger=1 regardless of timestamps); additionally force
-      // strictly increasing mtimes so the gate stays correct even under a
-      // future mtime-ordered admission policy or an mtime tie on a
-      // coarse-granularity filesystem
+        .repartition(k).write.format("excel")
+        .option("shardedOutput", "true").mode("overwrite")
+        .save(new File(in, "b").getAbsolutePath)
+      // batch a must process before batch b. The admission order is
+      // already deterministic BY NAME (ExcelFiles listings sort by path,
+      // so every ".../a/part-*" sorts before ".../b/part-*");
+      // additionally force strictly increasing mtimes so the gate stays
+      // correct even under a future mtime-ordered admission policy or an
+      // mtime tie on a coarse-granularity filesystem
       def touch(f: File, t: Long): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(touch(_, t)))
         f.setLastModified(t)
       }
       val t0 = (System.currentTimeMillis() / 1000L) * 1000L
-      touch(new File(in, "a.xlsx"), t0 - 4000L)
-      touch(new File(in, "b.xlsx"), t0 - 2000L)
+      touch(new File(in, "a"), t0 - 4000L)
+      touch(new File(in, "b"), t0 - 2000L)
       Seq(in.getAbsolutePath)
     }
     val in = new File(inPath)
+    // batch a's staged shard count (a pure prefix — see the cdc note on
+    // why max(a, b) would be wrong for an order-pinned gate)
+    val shards = stagedShardCount(new File(in, "a"))
     val run = streamRunCounter.incrementAndGet()
     cleanStreamRunDirs(base) // reclaim prior runs' ckpt dirs (ADVICE r20)
     val ckpt = new File(base, s"ckpt_$run")
@@ -1338,7 +1352,8 @@ object ConnectorQueries {
     val ss = streamSession(spark)
     val q = graft.streaming.StreamingLateness.lateness(
       ss.readStream.format("excel").schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", shards.toString)
+        .option("recursiveFileLookup", "true")
         .load(in.getAbsolutePath))
       .writeStream.outputMode("append")
       .format("memory").queryName(qname)

@@ -11,11 +11,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * computed incrementally with 8 bytes of state per user.
   *
   * Determinism contract (the d08/d16 batch-replay discipline): within a
-  * micro-batch each user's rows process in ascending `seqCol` order, and
-  * the input files must partition the sequence range monotonically (a
-  * later file carries only later sequence numbers per user) — then the
-  * streaming output is row-identical to the batch running-max window
-  * over (user, seq), which is what the oracle replays.
+  * micro-batch each user's rows process in ascending `seqCol` order (the
+  * explicit sort below — so shard/file order WITHIN a micro-batch is
+  * immaterial), and the MICRO-BATCHES must partition the sequence range
+  * monotonically (a later micro-batch carries only later sequence
+  * numbers per user) — then the streaming output is row-identical to
+  * the batch running-max window over (user, seq), which is what the
+  * oracle replays.
   *
   * State: one Long (max event-time so far) per user, hash-partitioned —
   * the minimum possible footprint; idle users can be TTL'd exactly like
