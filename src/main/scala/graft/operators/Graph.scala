@@ -475,10 +475,15 @@ object Graph {
     val deg = sym.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // materialized once (r21): both wedge sides read this frame, and the
+    // v/w renames keep physical exchange reuse from deduplicating the
+    // two otherwise-identical semi-join+repartition subtrees — without
+    // the checkpoint the pivot-filter pipeline executes twice per run
     val pivotEdges = sym
       .join(deg.filter(col("deg") <= pivotDegCap)
         .select(col("node").as("a")), Seq("a"), "left_semi")
       .repartition(col("a"))
+      .localCheckpoint()
     val l = pivotEdges.select(col("a").as("u"), col("b").as("v"))
     val r = pivotEdges.select(col("a").as("u"), col("b").as("w"))
     val cn = l.join(r, "u").filter(col("v") < col("w"))
